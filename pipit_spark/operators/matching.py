@@ -1,0 +1,232 @@
+"""Enter/Leave matching — the core trace operator.
+
+Semantics reproduced from the reference's three sequential stack passes
+(pipit/trace.py:106-191 ``_match_events``, pipit/trace.py:193-292
+``_match_caller_callee``, pipit/util/cct.py:9-118 ``create_cct``), fused
+into ONE grouped-map pandas UDF per (process, thread) location:
+
+* a Leave pops the nearest stack entry with the same name, tolerating
+  unbalanced traces by scanning the stack downward
+  (pipit/trace.py:170-186);
+* depth/parent are assigned to *matched Enter* rows only, walking a second
+  stack over matched rows (pipit/trace.py:210-292);
+* the calling-context node id is a stable hash chain over the name path,
+  replacing the reference's object graph (pipit/util/cct.py:73-93);
+* inclusive metrics (value at Leave minus value at Enter,
+  pipit/trace.py:294-327) are computed in the same pass, which removes the
+  reference's positional self-lookup — and in Spark would otherwise be a
+  full self-join shuffle.
+
+Scale design: events are shuffled once, by (process, thread); each location
+is processed independently (Arrow-batched), so the pass parallelizes over
+locations exactly like the reference's multiprocessing pool but across
+executors. A per-location partition must fit in executor memory — same
+envelope the reference needs per worker.
+
+A pure-SQL window-function fast path for well-nested traces is provided in
+:func:`well_nested_matching_sql` (used by tests and the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .. import schema as S
+
+
+def _md5_i64(s: str) -> int:
+    """Stable signed-int64 hash (first 8 bytes of md5, big-endian)."""
+    h = hashlib.md5(s.encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big", signed=True)
+
+
+def _stack_match_pdf(pdf: pd.DataFrame, metric_cols: list[str]) -> pd.DataFrame:
+    """Single-location fused matching pass (pure pandas/numpy)."""
+    pdf = pdf.sort_values([S.TIMESTAMP, S.SEQ], kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    evt = pdf[S.EVENT_TYPE].to_numpy()
+    names = pdf[S.NAME].to_numpy()
+    ts = pdf[S.TIMESTAMP].to_numpy()
+    event_ids = pdf[S.EVENT_ID].to_numpy()
+
+    is_enter = np.isin(evt, S.ENTER_TYPES)
+    is_leave = np.isin(evt, S.LEAVE_TYPES)
+
+    match_pos = np.full(n, -1, dtype=np.int64)
+
+    # pass 1: nearest-same-name stack matching (pipit/trace.py:154-186)
+    stack: list[int] = []
+    for i in range(n):
+        if is_enter[i]:
+            stack.append(i)
+        elif is_leave[i]:
+            for k in range(len(stack) - 1, -1, -1):
+                if names[stack[k]] == names[i]:
+                    j = stack.pop(k)
+                    match_pos[i] = j
+                    match_pos[j] = i
+                    break
+
+    # pass 2: depth/parent for matched Enter rows + callpath node ids
+    # (pipit/trace.py:240-292; node hashing replaces pipit/util/cct.py:73-93)
+    depth = np.full(n, -1, dtype=np.int64)
+    parent_pos = np.full(n, -1, dtype=np.int64)
+    node_of = np.zeros(n, dtype=np.int64)
+    has_node = np.zeros(n, dtype=bool)
+    node_memo: dict[tuple[int, str], int] = {}
+    call_stack: list[int] = []  # positions of open matched Enters
+    for i in range(n):
+        if match_pos[i] < 0:
+            continue
+        if is_enter[i]:
+            depth[i] = len(call_stack)
+            pid = -1
+            if call_stack:
+                parent_pos[i] = call_stack[-1]
+                pid = node_of[call_stack[-1]]
+            key = (pid, names[i])
+            nid = node_memo.get(key)
+            if nid is None:
+                nid = _md5_i64(f"{pid}->{names[i]}")
+                node_memo[key] = nid
+            node_of[i] = nid
+            has_node[i] = True
+            call_stack.append(i)
+        else:
+            # matched Leave: its Enter should be on top (matched rows are
+            # well-nested after unmatched ones are dropped); tolerate
+            # pathological input by removing wherever it sits.
+            ep = match_pos[i]
+            if call_stack and call_stack[-1] == ep:
+                call_stack.pop()
+            else:
+                try:
+                    call_stack.remove(ep)
+                except ValueError:
+                    pass
+            depth[i] = depth[ep]
+            parent_pos[i] = parent_pos[ep]
+            node_of[i] = node_of[ep]
+            has_node[i] = has_node[ep]
+
+    matched = match_pos >= 0
+    safe_match = np.where(matched, match_pos, 0)
+
+    out = pdf.copy()
+    out[S.MATCHING_EVENT] = pd.array(
+        np.where(matched, event_ids[safe_match], 0), dtype="Int64"
+    )
+    out.loc[~matched, S.MATCHING_EVENT] = pd.NA
+    out[S.MATCHING_TS] = pd.array(np.where(matched, ts[safe_match], 0), dtype="Int64")
+    out.loc[~matched, S.MATCHING_TS] = pd.NA
+
+    hasd = depth >= 0
+    out[S.DEPTH] = pd.array(np.where(hasd, depth, 0), dtype="Int32")
+    out.loc[~hasd, S.DEPTH] = pd.NA
+
+    hasp = parent_pos >= 0
+    safe_par = np.where(hasp, parent_pos, 0)
+    out[S.PARENT] = pd.array(np.where(hasp, event_ids[safe_par], 0), dtype="Int64")
+    out.loc[~hasp, S.PARENT] = pd.NA
+
+    out[S.NODE_ID] = pd.array(node_of, dtype="Int64")
+    out.loc[~has_node, S.NODE_ID] = pd.NA
+
+    # inclusive metrics on matched Enter rows (pipit/trace.py:318-325)
+    enter_matched = matched & is_enter
+    tinc = np.where(enter_matched, ts[safe_match].astype("float64") - ts, np.nan)
+    out[S.TIME_INC] = tinc
+    for m in metric_cols:
+        vals = pdf[m].to_numpy(dtype="float64", na_value=np.nan)
+        out[f"{m}_inc"] = np.where(enter_matched, vals[safe_match] - vals, np.nan)
+    return out
+
+
+def match_events(events: DataFrame, metric_cols: list[str] | None = None) -> DataFrame:
+    """Run the fused matching pass over the whole trace.
+
+    Returns the input columns plus ``matching_event_id``,
+    ``matching_timestamp_ns``, ``depth``, ``parent_event_id``, ``node_id``,
+    ``time_inc`` and ``<metric>_inc`` for each requested metric column.
+    One shuffle (by process/thread); everything after is per-location.
+    """
+    metric_cols = list(metric_cols or [])
+    out_schema = S.matched_schema(events.schema, metric_cols)
+    group_cols = [S.PROCESS]
+    if S.THREAD in events.columns:
+        group_cols.append(S.THREAD)
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _stack_match_pdf(pdf, metric_cols)
+
+    return events.groupBy(*group_cols).applyInPandas(apply_fn, schema=out_schema)
+
+
+def match_events_iter(
+    events: DataFrame, metric_cols: list[str] | None = None
+) -> DataFrame:
+    """mapInPandas variant for traces already partitioned AND sorted by
+    (process, thread, timestamp_ns, seq) on disk — avoids the shuffle
+    entirely (zero-exchange plan when the parquet layout matches).
+    Falls back to :func:`match_events` semantics per partition-local group.
+    """
+    metric_cols = list(metric_cols or [])
+    out_schema = S.matched_schema(events.schema, metric_cols)
+    group_cols = [S.PROCESS] + ([S.THREAD] if S.THREAD in events.columns else [])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        for _, g in pdf.groupby(group_cols, dropna=False, sort=False):
+            yield _stack_match_pdf(g, metric_cols)
+
+    return events.mapInPandas(gen, schema=out_schema)
+
+
+def well_nested_matching_sql(events_rel: str = "events") -> str:
+    """ANSI-SQL window-function form of the matching pass, valid for
+    WELL-NESTED traces (every Leave closes the most recent open Enter of
+    the same name). Used as the DuckDB oracle for the pandas path and as
+    documentation of the Catalyst-native alternative.
+
+    depth(Enter) = running sum(+1/-1) - 1; the k-th Enter of a (location,
+    name, depth) pairs with its k-th Leave.
+    """
+    return f"""
+WITH el AS (
+    SELECT *,
+           SUM(CASE WHEN event_type = 'Enter' THEN 1
+                    WHEN event_type = 'Leave' THEN -1 ELSE 0 END)
+               OVER (PARTITION BY process ORDER BY timestamp_ns, seq
+                     ROWS UNBOUNDED PRECEDING) AS cum
+    FROM {events_rel}
+    WHERE event_type IN ('Enter', 'Leave')
+),
+keyed AS (
+    SELECT *,
+           CASE WHEN event_type = 'Enter' THEN cum - 1 ELSE cum END AS d,
+           ROW_NUMBER() OVER (
+               PARTITION BY process, name,
+                   CASE WHEN event_type = 'Enter' THEN cum - 1 ELSE cum END,
+                   event_type
+               ORDER BY timestamp_ns, seq) AS rn
+    FROM el
+)
+SELECT e.event_id            AS event_id,
+       e.process             AS process,
+       e.name                AS name,
+       CAST(e.d AS INTEGER)  AS depth,
+       l.event_id            AS matching_event_id,
+       CAST(l.timestamp_ns - e.timestamp_ns AS DOUBLE) AS time_inc
+FROM keyed e
+JOIN keyed l
+  ON e.process = l.process AND e.name = l.name AND e.d = l.d AND e.rn = l.rn
+ AND e.event_type = 'Enter' AND l.event_type = 'Leave'
+"""

@@ -1,0 +1,234 @@
+"""Profiling / aggregation operators (reference pipit/trace.py:514-804).
+
+Each is a pure relational program over the matched frame; the reference's
+per-process Python loops (e.g. idle_time's loop over processes,
+pipit/trace.py:604-610, or load_imbalance's loop over functions,
+pipit/trace.py:584-593) collapse into single groupBy/window plans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .. import schema as S
+
+
+def _resolve_metrics(trace, metrics) -> tuple[DataFrame, list[str]]:
+    """Return (frame, metric column names); computes exclusive metrics
+    only when requested (reference pipit/trace.py:530-535)."""
+    if isinstance(metrics, str):
+        metrics = [metrics]
+    if any(m.endswith("_exc") for m in metrics):
+        df = trace.calc_exc_metrics()
+    else:
+        df = trace.matched
+    missing = [m for m in metrics if m not in df.columns]
+    if missing:
+        raise ValueError(f"unknown metric columns: {missing}")
+    return df, metrics
+
+
+def flat_profile(
+    trace,
+    metrics=S.TIME_EXC,
+    groupby_column=S.NAME,
+    per_process: bool = False,
+) -> DataFrame:
+    """Two-level aggregation (pipit/trace.py:514-553): sum per
+    (groupby, process), then mean over processes unless ``per_process``.
+    Spark executes this as partial (map-side) + final hash aggregation —
+    the canonical scalable profile."""
+    df, metrics = _resolve_metrics(trace, metrics)
+    if isinstance(groupby_column, str):
+        groupby_column = [groupby_column]
+
+    enters = df.filter(F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES))
+    per_proc = enters.groupBy(*groupby_column, S.PROCESS).agg(
+        *[F.sum(m).alias(m) for m in metrics]
+    )
+    if per_process:
+        return per_proc
+    return per_proc.groupBy(*groupby_column).agg(
+        *[F.avg(m).alias(m) for m in metrics]
+    )
+
+
+def load_imbalance(trace, metric=S.TIME_EXC, num_processes: int = 1) -> DataFrame:
+    """Per-function imbalance = max(per-rank sum) / mean(per-rank sum),
+    plus the top-N most-loaded ranks (pipit/trace.py:555-598).
+
+    The reference's per-function sort loop becomes one window rank +
+    conditional collect_list; ties broken by process id for determinism.
+    """
+    fp = flat_profile(trace, metrics=metric, per_process=True)
+    w = Window.partitionBy(S.NAME).orderBy(F.desc(metric), F.asc(S.PROCESS))
+    ranked = fp.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(S.NAME)
+        .agg(
+            (F.max(metric) / F.avg(metric)).alias(f"{metric}_imbalance"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("__rk") <= num_processes,
+                        F.struct(F.col("__rk"), F.col(S.PROCESS)),
+                    )
+                )
+            ).getField(S.PROCESS).alias("top_processes"),
+            F.avg(metric).alias(f"{metric}_mean"),
+        )
+        .orderBy(F.desc(f"{metric}_mean"))
+    )
+
+
+def idle_time(trace, idle_functions=None, mpi_events: bool = False) -> DataFrame:
+    """Σ inclusive time of idle functions per process
+    (pipit/trace.py:600-631). The reference's per-process loop is a
+    single filter + groupBy; processes with no idle rows still appear
+    (sum-of-empty = 0), via a right join against the distinct ranks."""
+    idle_functions = list(idle_functions or ["Idle"])
+    if mpi_events:
+        idle_functions += ["MPI_Wait", "MPI_Waitall", "MPI_Recv"]
+    m = trace.matched
+    sums = (
+        m.filter(
+            F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES)
+            & F.col(S.NAME).isin(idle_functions)
+        )
+        .groupBy(S.PROCESS)
+        .agg(F.sum(S.TIME_INC).alias("idle_time"))
+    )
+    procs = m.select(S.PROCESS).distinct()
+    return procs.join(sums, S.PROCESS, "left").select(
+        S.PROCESS, F.coalesce("idle_time", F.lit(0.0)).alias("idle_time")
+    )
+
+
+def time_profile(
+    trace, num_bins: int = 50, normalized: bool = False, pivot: bool = False
+) -> DataFrame:
+    """Per-bin exclusive time contribution of each function
+    (pipit/trace.py:633-764) — the hardest relational rewrite.
+
+    Reference algorithm: for each of ``num_bins`` equal intervals over
+    [ts.min, ts.max], each matched Enter interval contributes
+    ``overlap = min(leave, bin_end) − max(enter, bin_start)`` (the 4
+    explicit cases at pipit/trace.py:713-738), then each parent's in-bin
+    time is reduced by its direct children's in-bin time
+    (pipit/trace.py:666-698), summed per function, with
+    ``idle_time = bin_duration × nprocs − Σ``, values < 0.01 zeroed, and
+    optional normalization by bin duration.
+
+    Spark plan: interval×bin **broadcast range join** (the bin table is
+    tiny, so the theta-join is a broadcast nested loop over ≤num_bins
+    rows — no shuffle of the big side), one groupBy for the child
+    correction, one join, one final aggregation.
+    """
+    spark = trace.events.sparkSession
+    m = trace.matched
+
+    lo, hi, nproc = trace.events.agg(
+        F.min(S.TIMESTAMP).cast("double"),
+        F.max(S.TIMESTAMP).cast("double"),
+        F.countDistinct(S.PROCESS),
+    ).collect()[0]
+    edges = np.linspace(float(lo), float(hi), num_bins + 1)
+    bin_size = edges[1] - edges[0]
+    total_bin_duration = float(bin_size * nproc)
+
+    bins_df = spark.createDataFrame(
+        [(i, float(edges[i]), float(edges[i + 1])) for i in range(num_bins)],
+        "bin_idx INT, bin_start DOUBLE, bin_end DOUBLE",
+    )
+
+    enters = m.filter(
+        F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES) & F.col(S.MATCHING_TS).isNotNull()
+    ).select(
+        S.EVENT_ID, S.PARENT, S.NAME,
+        F.col(S.TIMESTAMP).cast("double").alias("enter_ts"),
+        F.col(S.MATCHING_TS).cast("double").alias("leave_ts"),
+    )
+
+    # strict-inequality in-bin test matches the reference
+    # (pipit/trace.py:706-708)
+    overlaps = enters.join(
+        F.broadcast(bins_df),
+        (F.col("leave_ts") > F.col("bin_start"))
+        & (F.col("enter_ts") < F.col("bin_end")),
+    ).withColumn(
+        "inc_in_bin",
+        F.least("leave_ts", "bin_end") - F.greatest("enter_ts", "bin_start"),
+    )
+
+    child_sums = (
+        overlaps.filter(F.col(S.PARENT).isNotNull())
+        .groupBy(F.col(S.PARENT).alias("__p"), F.col("bin_idx").alias("__b"))
+        .agg(F.sum("inc_in_bin").alias("__child_inc"))
+    )
+    exc = overlaps.join(
+        child_sums,
+        (overlaps[S.EVENT_ID] == child_sums["__p"])
+        & (overlaps["bin_idx"] == child_sums["__b"]),
+        "left",
+    ).withColumn(
+        "exc_in_bin",
+        F.col("inc_in_bin") - F.coalesce(F.col("__child_inc"), F.lit(0.0)),
+    )
+
+    per_fn = exc.groupBy("bin_idx", S.NAME).agg(F.sum("exc_in_bin").alias("time"))
+    # threshold tiny values to zero (pipit/trace.py:754)
+    per_fn = per_fn.withColumn(
+        "time", F.when(F.col("time") < 0.01, 0.0).otherwise(F.col("time"))
+    )
+
+    bin_totals = per_fn.groupBy("bin_idx").agg(F.sum("time").alias("__tot"))
+    idle = (
+        F.broadcast(bins_df.select("bin_idx"))
+        .join(bin_totals, "bin_idx", "left")
+        .select(
+            "bin_idx",
+            F.lit("idle_time").alias(S.NAME),
+            (F.lit(total_bin_duration) - F.coalesce("__tot", F.lit(0.0))).alias(
+                "time"
+            ),
+        )
+        .withColumn(
+            "time", F.when(F.col("time") < 0.01, 0.0).otherwise(F.col("time"))
+        )
+    )
+
+    out = per_fn.unionByName(idle)
+    if normalized:
+        out = out.withColumn("time", F.col("time") / F.lit(total_bin_duration))
+    out = F.broadcast(bins_df).join(out, "bin_idx").select(
+        "bin_idx", "bin_start", "bin_end", S.NAME, "time"
+    )
+    if pivot:
+        return (
+            out.groupBy("bin_idx", "bin_start", "bin_end")
+            .pivot(S.NAME)
+            .sum("time")
+            .orderBy("bin_idx")
+        )
+    return out
+
+
+def multirun_analysis(
+    traces, metric=S.TIME_INC, groupby_column=S.NAME
+) -> DataFrame:
+    """Cross-run comparison table (pipit/trace.py:766-804): one row per
+    run (keyed by process count), one column per function."""
+    parts = []
+    for t in traces:
+        nproc = t.events.select(S.PROCESS).distinct().count()
+        fp = flat_profile(t, metrics=metric, groupby_column=groupby_column)
+        parts.append(fp.withColumn("num_processes", F.lit(nproc)))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("num_processes").pivot(groupby_column).sum(metric)
+        .orderBy("num_processes")
+    )

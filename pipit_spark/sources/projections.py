@@ -1,0 +1,248 @@
+"""Charm++ Projections source (reference
+pipit/readers/projections_reader.py, 808 LoC).
+
+Spark-native shape:
+* the tiny ``.sts`` metadata file (chares, entry methods, user
+  events/stats — reference STSReader, projections_reader.py:84-221) is
+  parsed on the driver and broadcast as plain dicts;
+* the per-PE gzipped text logs are read with ``spark.read.text`` (Spark
+  decompresses ``.log.gz`` natively, one partition per file — the same
+  per-PE parallelism the reference gets from its multiprocessing pool,
+  projections_reader.py:285-341, but across executors);
+* line dispatch over the ~25 record types
+  (projections_reader.py:352-795) runs as a grouped-map pandas UDF per
+  PE, emitting canonical events; timestamps are µs→ns (×1000,
+  projections_reader.py:361) and a trailing synthetic ``Computation``
+  Leave is appended when missing (projections_reader.py:792-795).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from .. import schema as S
+
+# record-type tags (reference ProjectionsConstants,
+# projections_reader.py:13-80)
+CREATION = 1
+BEGIN_PROCESSING = 2
+END_PROCESSING = 3
+ENQUEUE = 4
+DEQUEUE = 5
+BEGIN_COMPUTATION = 6
+END_COMPUTATION = 7
+BEGIN_INTERRUPT = 8
+END_INTERRUPT = 9
+MESSAGE_RECV = 10
+BEGIN_TRACE = 11
+END_TRACE = 12
+USER_EVENT = 13
+BEGIN_IDLE = 14
+END_IDLE = 15
+BEGIN_PACK = 16
+END_PACK = 17
+BEGIN_UNPACK = 18
+END_UNPACK = 19
+CREATION_BCAST = 20
+CREATION_MULTICAST = 21
+USER_SUPPLIED = 26
+MEMORY_USAGE = 27
+USER_SUPPLIED_NOTE = 28
+USER_EVENT_PAIR = 100
+BEGIN_USER_EVENT_PAIR = 98
+END_USER_EVENT_PAIR = 99
+USER_STAT = 32
+
+
+def parse_sts(path: str) -> dict:
+    """Driver-side parse of the .sts metadata (reference STSReader,
+    projections_reader.py:135-223). Returns plain broadcastable dicts."""
+    chares: dict[int, str] = {}
+    entries: dict[int, tuple[str, int]] = {}
+    user_events: dict[int, str] = {}
+    user_stats: dict[int, str] = {}
+    papi_names: list[str] = []
+    num_pes = 0
+    with open(path) as f:
+        for line in f:
+            arr = line.split()
+            if not arr:
+                continue
+            if arr[0] == "PROCESSORS":
+                num_pes = int(arr[1])
+            elif arr[0] == "CHARE":
+                chares[int(arr[1])] = " ".join(arr[2:-1]).strip('"')
+            elif arr[0] == "ENTRY" and len(arr) > 3:
+                # ENTRY CHARE <id> "<name>" <chare_id> <msg_id>
+                m = re.match(r"ENTRY\s+\w+\s+(\d+)\s+\"?(.*?)\"?\s+(\d+)\s+\d+\s*$",
+                             line.strip())
+                if m:
+                    entries[int(m.group(1))] = (m.group(2), int(m.group(3)))
+            elif arr[0] == "EVENT" and len(arr) >= 3:
+                user_events[int(arr[1])] = " ".join(arr[2:]).strip('"')
+            elif arr[0] == "STAT" and len(arr) >= 3:
+                user_stats[int(arr[1])] = " ".join(arr[2:]).strip('"')
+            elif arr[0] == "PAPI_EVENT" and len(arr) >= 3:
+                papi_names.append(arr[2])
+    return {
+        "chares": chares,
+        "entries": entries,
+        "user_events": user_events,
+        "user_stats": user_stats,
+        "num_perf_counts": len(papi_names),
+        "num_pes": num_pes,
+    }
+
+
+def _entry_name(meta: dict, entry_id: int) -> str:
+    ent = meta["entries"].get(entry_id)
+    if ent is None:
+        return f"Entry {entry_id}"
+    name, chare_id = ent
+    chare = meta["chares"].get(chare_id, str(chare_id))
+    return f"{chare}::{name}"
+
+
+def _parse_pe_lines(pe: int, lines: list[str], meta: dict) -> pd.DataFrame:
+    """Line-tag dispatch for one PE's log (semantics of
+    projections_reader.py:352-795; µs→ns ×1000)."""
+    names: list[str] = []
+    types: list[str] = []
+    times: list[int] = []
+    attrs: list[dict | None] = []
+
+    def emit(name: str, etype: str, t: int, a: dict | None = None) -> None:
+        names.append(name)
+        types.append(etype)
+        times.append(t)
+        attrs.append(a)
+
+    for line in lines:
+        arr = line.split()
+        if not arr or not arr[0].lstrip("-").isdigit():
+            continue
+        tag = int(arr[0])
+        if tag in (BEGIN_IDLE, END_IDLE):
+            emit("Idle", "Enter" if tag == BEGIN_IDLE else "Leave",
+                 int(arr[1]) * 1000, {"from_pe": arr[2]})
+        elif tag in (BEGIN_PACK, END_PACK):
+            emit("Pack", "Enter" if tag == BEGIN_PACK else "Leave",
+                 int(arr[1]) * 1000, {"from_pe": arr[2]})
+        elif tag in (BEGIN_UNPACK, END_UNPACK):
+            emit("Unpack", "Enter" if tag == BEGIN_UNPACK else "Leave",
+                 int(arr[1]) * 1000, {"from_pe": arr[2]})
+        elif tag == BEGIN_PROCESSING:
+            emit(_entry_name(meta, int(arr[2])), "Enter", int(arr[3]) * 1000,
+                 {"from_pe": arr[5], "msg_length": arr[6], "event_id": arr[4]})
+        elif tag == END_PROCESSING:
+            emit(_entry_name(meta, int(arr[2])), "Leave", int(arr[3]) * 1000, None)
+        elif tag in (CREATION, CREATION_BCAST):
+            emit(_entry_name(meta, int(arr[2])), "Instant", int(arr[3]) * 1000,
+                 {"from_pe": arr[5], "msg_length": arr[6],
+                  "send_time": str(int(arr[7]) * 1000), "entry_type": "Create"})
+        elif tag == CREATION_MULTICAST:
+            emit(_entry_name(meta, int(arr[2])), "Instant", int(arr[3]) * 1000,
+                 {"from_pe": arr[5], "msg_length": arr[6],
+                  "entry_type": "Multicast", "num_procs": arr[8]})
+        elif tag == MESSAGE_RECV:
+            emit("Message Receive", "Instant", int(arr[2]) * 1000,
+                 {"from_pe": arr[4], "msg_length": arr[5]})
+        elif tag == ENQUEUE:
+            emit("Enque", "Instant", int(arr[2]) * 1000, {"from_pe": arr[4]})
+        elif tag == DEQUEUE:
+            emit("Deque", "Instant", int(arr[2]) * 1000, {"from_pe": arr[4]})
+        elif tag in (BEGIN_INTERRUPT, END_INTERRUPT):
+            emit("Interrupt", "Enter" if tag == BEGIN_INTERRUPT else "Leave",
+                 int(arr[1]) * 1000, {"event_id": arr[2]})
+        elif tag == BEGIN_COMPUTATION:
+            emit("Computation", "Enter", int(arr[1]) * 1000, None)
+        elif tag == END_COMPUTATION:
+            emit("Computation", "Leave", int(arr[1]) * 1000, None)
+        elif tag in (BEGIN_TRACE, END_TRACE):
+            emit("Trace", "Enter" if tag == BEGIN_TRACE else "Leave",
+                 int(arr[1]) * 1000, None)
+        elif tag == USER_EVENT:
+            emit(meta["user_events"].get(int(arr[1]), f"User Event {arr[1]}"),
+                 "Instant", int(arr[2]) * 1000, {"event_id": arr[3]})
+        elif tag == USER_EVENT_PAIR:
+            emit(meta["user_events"].get(int(arr[1]), f"User Event {arr[1]}"),
+                 "Instant", int(arr[2]) * 1000,
+                 {"event_id": arr[3], "nested_id": arr[5]})
+        elif tag in (BEGIN_USER_EVENT_PAIR, END_USER_EVENT_PAIR):
+            emit("User Event Pair",
+                 "Enter" if tag == BEGIN_USER_EVENT_PAIR else "Leave",
+                 int(arr[2]) * 1000, {"event_id": arr[3], "nested_id": arr[5]})
+        elif tag == USER_STAT:
+            emit(meta["user_stats"].get(int(arr[5]), f"User Stat {arr[5]}"),
+                 "Instant", int(arr[1]) * 1000, {"stat": arr[3]})
+        elif tag == USER_SUPPLIED:
+            emit("User Supplied", "Instant", -1, {"value": arr[1]})
+        elif tag == USER_SUPPLIED_NOTE:
+            emit("User Supplied Note", "Instant", int(arr[1]) * 1000,
+                 {"note": " ".join(arr[2:])})
+        elif tag == MEMORY_USAGE:
+            emit("Memory Usage", "Instant", int(arr[2]) * 1000,
+                 {"memory_usage": arr[1]})
+
+    # trailing Computation Leave if missing (projections_reader.py:792-795)
+    if names and names[-1] != "Computation":
+        emit("Computation", "Leave", times[-1] if times else 0, None)
+
+    return pd.DataFrame(
+        {
+            S.NAME: names,
+            S.EVENT_TYPE: types,
+            S.TIMESTAMP: pd.array(times, dtype="int64"),
+            S.PROCESS: pd.array([pe] * len(names), dtype="int32"),
+            S.ATTRIBUTES: attrs,
+        }
+    )
+
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField(S.EVENT_ID, T.LongType()),
+        T.StructField(S.TIMESTAMP, T.LongType()),
+        T.StructField(S.SEQ, T.LongType()),
+        T.StructField(S.EVENT_TYPE, T.StringType()),
+        T.StructField(S.NAME, T.StringType()),
+        T.StructField(S.PROCESS, T.IntegerType()),
+        T.StructField(S.ATTRIBUTES, T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def read_projections(spark: SparkSession, dirname: str) -> DataFrame:
+    """Distributed read of a Projections log directory."""
+    sts_files = glob.glob(os.path.join(dirname, "*.sts"))
+    if not sts_files:
+        raise FileNotFoundError(f"no .sts file in {dirname}")
+    meta = parse_sts(sts_files[0])
+    bmeta = spark.sparkContext.broadcast(meta)
+
+    logs = spark.read.text(os.path.join(dirname, "*.log.gz")).select(
+        F.col("value"),
+        F.input_file_name().alias("__file"),
+        F.monotonically_increasing_id().alias("__line"),
+    )
+
+    def apply_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fname = os.path.basename(key[0])
+        m = re.search(r"\.(\d+)\.log", fname)
+        pe = int(m.group(1)) if m else 0
+        pdf = pdf.sort_values("__line")
+        out = _parse_pe_lines(pe, pdf["value"].tolist(), bmeta.value)
+        n = len(out)
+        base = pe * 10_000_000
+        out[S.SEQ] = pd.array(range(base, base + n), dtype="int64")
+        out[S.EVENT_ID] = out[S.SEQ]
+        return out[[f.name for f in _OUT_SCHEMA.fields]]
+
+    return logs.groupBy("__file").applyInPandas(apply_fn, schema=_OUT_SCHEMA)

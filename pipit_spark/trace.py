@@ -1,0 +1,306 @@
+"""The Trace object: a Spark-native re-expression of the reference's
+``pipit.Trace`` (pipit/trace.py:11-35).
+
+A trace is (events DataFrame, definitions DataFrame|None, CCT node table).
+Unlike the reference — which mutates one pandas frame in place and
+memoizes derived columns by column-existence checks
+(pipit/trace.py:111,202,300,314,352) — the Spark engine keeps the events
+frame immutable and memoizes the *matched* frame (events + all derived
+columns from the fused matching pass) behind ``.persist()``. Every
+analysis operator is a DataFrame transformation over either ``events`` or
+``matched``; Catalyst handles pushdown/pruning/fusion.
+
+Scale notes (100 TB design point):
+* events live in Parquet partitioned by ``process`` → partition pruning
+  for per-rank queries, co-located one-shuffle matching;
+* the matching pass is the only operator that needs per-location
+  sequential semantics; everything else is filter/agg/join/window —
+  shuffle-minimal and codegen-friendly;
+* small sides (bin tables, definitions, CCT nodes, per-name aggregates)
+  are broadcast explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import schema as S
+from .operators.matching import match_events
+
+
+_NON_METRIC = {
+    S.EVENT_ID, S.TIMESTAMP, S.SEQ, S.PROCESS, S.THREAD,
+    S.MATCHING_EVENT, S.MATCHING_TS, S.DEPTH, S.PARENT, S.NODE_ID,
+}
+
+
+class Trace:
+    """Spark-native trace: canonical events + optional definitions.
+
+    Reference parity: pipit/trace.py:11-35 (constructor), with derived
+    state handled through :meth:`matched` instead of in-place columns.
+    """
+
+    def __init__(
+        self,
+        events: DataFrame,
+        definitions: DataFrame | None = None,
+        cache: bool = True,
+    ) -> None:
+        self.events = events
+        self.definitions = definitions
+        self._cache = cache
+        self._matched: DataFrame | None = None
+        self._cct: DataFrame | None = None
+
+    # ------------------------------------------------------------------ #
+    # constructors (sources live in pipit_spark.sources)
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_csv(cls, spark: SparkSession, path: str, **kw) -> "Trace":
+        """Reference: pipit/trace.py:69-97 (``Trace.from_csv``)."""
+        from .sources.csv_source import read_csv
+
+        return cls(read_csv(spark, path, **kw))
+
+    @classmethod
+    def from_nsight(cls, spark: SparkSession, path: str, **kw) -> "Trace":
+        """Reference: pipit/readers/nsight_reader.py (``Trace.from_nsight``)."""
+        from .sources.nsight import read_nsight
+
+        return cls(read_nsight(spark, path, **kw))
+
+    @classmethod
+    def from_projections(cls, spark: SparkSession, dirname: str, **kw) -> "Trace":
+        """Reference: pipit/readers/projections_reader.py."""
+        from .sources.projections import read_projections
+
+        return cls(read_projections(spark, dirname, **kw))
+
+    @classmethod
+    def from_otf2(cls, spark: SparkSession, dirname: str, **kw) -> "Trace":
+        """Reference: pipit/readers/otf2_reader.py. Requires the ``otf2``
+        package on executors; see sources/otf2.py."""
+        from .sources.otf2 import read_otf2
+
+        events, definitions = read_otf2(spark, dirname, **kw)
+        return cls(events, definitions)
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str) -> "Trace":
+        """Native canonical storage: Parquet partitioned by process."""
+        return cls(spark.read.parquet(path))
+
+    def to_parquet(self, path: str, partition_by_process: bool = True) -> None:
+        w = self.events.write.mode("overwrite")
+        if partition_by_process:
+            w = w.partitionBy(S.PROCESS)
+        w.parquet(path)
+
+    def to_chrome(self, path: str, single_file: bool = True):
+        """Reference: pipit/writers/chrome_writer.py:18-50."""
+        from .sinks.chrome import write_chrome
+
+        return write_chrome(self.events, path, single_file=single_file)
+
+    # ------------------------------------------------------------------ #
+    # derived state
+    # ------------------------------------------------------------------ #
+    @property
+    def numeric_cols(self) -> list[str]:
+        """Metric columns (reference pipit/trace.py:24-30): numeric fields
+        that are not identity/derived columns."""
+        numeric = {"int", "bigint", "float", "double", "smallint"}
+        return [
+            f.name
+            for f in self.events.schema.fields
+            if f.dataType.simpleString() in numeric
+            and f.name not in _NON_METRIC
+            and not f.name.endswith(("_inc", "_exc"))
+        ]
+
+    @property
+    def matched(self) -> DataFrame:
+        """Events + matching/depth/parent/node/inclusive-metric columns.
+
+        Fuses the reference's ``_match_events`` (pipit/trace.py:106-191),
+        ``_match_caller_callee`` (193-292), ``create_cct``
+        (pipit/util/cct.py:9-118) and ``calc_inc_metrics`` (294-327) into
+        one shuffle + one Arrow pass, memoized like the reference's
+        column-existence checks (pipit/trace.py:111,202).
+        """
+        if self._matched is None:
+            m = match_events(self.events, metric_cols=self.numeric_cols)
+            if self._cache:
+                m = m.persist()
+            self._matched = m
+        return self._matched
+
+    def _match_events(self) -> DataFrame:
+        return self.matched
+
+    def _match_caller_callee(self) -> DataFrame:
+        return self.matched
+
+    def calc_inc_metrics(self, columns: list[str] | None = None) -> DataFrame:
+        """Inclusive metrics are produced by the fused pass; this returns
+        the enriched frame for parity with pipit/trace.py:294-327."""
+        return self.matched
+
+    def calc_exc_metrics(self, columns: list[str] | None = None) -> DataFrame:
+        """Exclusive metric = inclusive − Σ children's inclusive.
+
+        Replaces the reference's Python loop over parents
+        (pipit/trace.py:357-362) with a hash aggregation + join:
+        ``groupBy(parent_event_id).sum(inc)`` then left-join back on
+        event_id — fully relational, no iteration, scales with AQE
+        handling skewed hot parents.
+        """
+        m = self.matched
+        cols = columns or ["time"] + self.numeric_cols
+        inc_cols = [c if c.endswith("_inc") else f"{c}_inc" for c in cols]
+        inc_cols = [c for c in inc_cols if c in m.columns]
+
+        enters = m.filter(
+            F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES)
+            & F.col(S.MATCHING_EVENT).isNotNull()
+        )
+        child_sums = (
+            enters.filter(F.col(S.PARENT).isNotNull())
+            .groupBy(F.col(S.PARENT).alias("__parent"))
+            .agg(*[F.sum(c).alias(f"__chsum_{c}") for c in inc_cols])
+        )
+        out = m.join(
+            child_sums, F.col(S.EVENT_ID) == F.col("__parent"), "left"
+        ).drop("__parent")
+        for c in inc_cols:
+            exc_name = c[: -len("_inc")] + "_exc"
+            out = out.withColumn(
+                exc_name,
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.col(c) - F.coalesce(F.col(f"__chsum_{c}"), F.lit(0.0)),
+                ),
+            ).drop(f"__chsum_{c}")
+        return out
+
+    @property
+    def cct(self) -> DataFrame:
+        """Calling-context tree as a node TABLE (node_id, parent_node_id,
+        depth, name) — replaces the reference's object graph
+        (pipit/graph.py:7-98, pipit/util/cct.py:9-118)."""
+        if self._cct is None:
+            from .operators.cct import create_cct
+
+            c = create_cct(self.matched)
+            if self._cache:
+                c = c.persist()
+            self._cct = c
+        return self._cct
+
+    def create_cct(self) -> DataFrame:
+        return self.cct
+
+    # ------------------------------------------------------------------ #
+    # communication analysis (pipit/trace.py:367-512)
+    # ------------------------------------------------------------------ #
+    def comm_matrix(self, output: str = "size") -> DataFrame:
+        from .operators.comm import comm_matrix
+
+        return comm_matrix(self.events, output=output)
+
+    def comm_matrix_numpy(self, output: str = "size"):
+        from .operators.comm import comm_matrix_numpy
+
+        return comm_matrix_numpy(self.events, output=output)
+
+    def comm_by_process(self, output: str = "size") -> DataFrame:
+        from .operators.comm import comm_by_process
+
+        return comm_by_process(self.events, output=output)
+
+    def message_histogram(self, bins: int = 20) -> DataFrame:
+        from .operators.comm import message_histogram
+
+        return message_histogram(self.events, bins=bins)
+
+    def comm_over_time(
+        self, output: str = "size", message_type: str = "send", bins: int = 50
+    ) -> DataFrame:
+        from .operators.comm import comm_over_time
+
+        return comm_over_time(
+            self.events, output=output, message_type=message_type, bins=bins
+        )
+
+    # ------------------------------------------------------------------ #
+    # profiling (pipit/trace.py:514-804)
+    # ------------------------------------------------------------------ #
+    def flat_profile(
+        self,
+        metrics: str | list[str] = S.TIME_EXC,
+        groupby_column: str | list[str] = S.NAME,
+        per_process: bool = False,
+    ) -> DataFrame:
+        from .operators.profile import flat_profile
+
+        return flat_profile(
+            self, metrics=metrics, groupby_column=groupby_column,
+            per_process=per_process,
+        )
+
+    def load_imbalance(
+        self, metric: str = S.TIME_EXC, num_processes: int = 1
+    ) -> DataFrame:
+        from .operators.profile import load_imbalance
+
+        return load_imbalance(self, metric=metric, num_processes=num_processes)
+
+    def idle_time(
+        self, idle_functions: list[str] | None = None, mpi_events: bool = False
+    ) -> DataFrame:
+        from .operators.profile import idle_time
+
+        return idle_time(self, idle_functions=idle_functions, mpi_events=mpi_events)
+
+    def time_profile(
+        self, num_bins: int = 50, normalized: bool = False, pivot: bool = False
+    ) -> DataFrame:
+        from .operators.profile import time_profile
+
+        return time_profile(
+            self, num_bins=num_bins, normalized=normalized, pivot=pivot
+        )
+
+    @staticmethod
+    def multirun_analysis(
+        traces: list["Trace"],
+        metric: str = S.TIME_INC,
+        groupby_column: str = S.NAME,
+    ) -> DataFrame:
+        from .operators.profile import multirun_analysis
+
+        return multirun_analysis(traces, metric=metric, groupby_column=groupby_column)
+
+    def detect_pattern(
+        self,
+        start_event: str,
+        iterations: int | None = None,
+        window_size: int | None = None,
+        process: int = 0,
+        metric: str = S.TIME_EXC,
+    ):
+        from .operators.patterns import detect_pattern
+
+        return detect_pattern(
+            self, start_event, iterations=iterations,
+            window_size=window_size, process=process, metric=metric,
+        )
+
+    def unpersist(self) -> None:
+        if self._matched is not None:
+            self._matched.unpersist()
+            self._matched = None
+        if self._cct is not None:
+            self._cct.unpersist()
+            self._cct = None

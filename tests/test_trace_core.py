@@ -1,0 +1,187 @@
+"""Golden-value tests for the core matching/metric operators on the
+reference's foo-bar fixture (hand-checkable values, FIXTURES.md §2) and
+structural invariants mirroring pipit/tests/trace.py:71-146."""
+
+from __future__ import annotations
+
+import pipit_spark.schema as S
+
+NS = 1_000_000_000
+
+
+def _by_key(rows, *keys):
+    return {tuple(r[k] for k in keys): r for r in rows}
+
+
+def test_csv_read_canonical(foo_bar_trace):
+    ev = foo_bar_trace.events
+    assert ev.count() == 20
+    cols = set(ev.columns)
+    assert {S.EVENT_ID, S.TIMESTAMP, S.SEQ, S.EVENT_TYPE, S.NAME, S.PROCESS} <= cols
+    procs = {r[0] for r in ev.select(S.PROCESS).distinct().collect()}
+    assert procs == {0, 1}
+
+
+def test_match_events_structure(foo_bar_trace):
+    m = foo_bar_trace.matched.collect()
+    assert len(m) == 20
+    rows = {r[S.EVENT_ID]: r for r in m}
+    # every row matched (trace is balanced)
+    for r in m:
+        assert r[S.MATCHING_EVENT] is not None
+        partner = rows[r[S.MATCHING_EVENT]]
+        # symmetric matching, same name, opposite type
+        assert partner[S.MATCHING_EVENT] == r[S.EVENT_ID]
+        assert partner[S.NAME] == r[S.NAME]
+        assert partner[S.EVENT_TYPE] != r[S.EVENT_TYPE]
+        assert r[S.MATCHING_TS] == partner[S.TIMESTAMP]
+        if r[S.EVENT_TYPE] == "Enter":
+            assert r[S.MATCHING_TS] > r[S.TIMESTAMP]
+
+
+def test_depth_parent_and_inc(foo_bar_trace):
+    m = [r for r in foo_bar_trace.matched.collect() if r[S.EVENT_TYPE] == "Enter"]
+    by = _by_key(m, S.PROCESS, S.NAME)
+
+    # hand-computed golden values (FIXTURES.md §2)
+    assert by[(0, "main()")][S.DEPTH] == 0
+    assert by[(0, "main()")][S.PARENT] is None
+    assert by[(0, "foo()")][S.DEPTH] == 1
+    assert by[(0, "foo()")][S.PARENT] == by[(0, "main()")][S.EVENT_ID]
+    assert by[(0, "MPI_Send")][S.DEPTH] == 2
+    assert by[(0, "MPI_Send")][S.PARENT] == by[(0, "foo()")][S.EVENT_ID]
+    assert by[(0, "foo()")][S.TIME_INC] == 24 * NS
+    assert by[(0, "main()")][S.TIME_INC] == 100 * NS
+    assert by[(1, "grault()")][S.TIME_INC] == 20 * NS
+
+
+def test_exc_metrics(foo_bar_trace):
+    exc = foo_bar_trace.calc_exc_metrics()
+    rows = [r for r in exc.collect() if r[S.EVENT_TYPE] == "Enter"]
+    by = _by_key(rows, S.PROCESS, S.NAME)
+    # foo(): 24 - (2 + 10) = 12 s (FIXTURES.md §2)
+    assert by[(0, "foo()")][S.TIME_EXC] == 12 * NS
+    assert by[(0, "main()")][S.TIME_EXC] == (100 - 24) * NS
+    assert by[(0, "MPI_Send")][S.TIME_EXC] == 2 * NS
+    # process 1: main 100 - (38 + 18 + 20) = 24
+    assert by[(1, "main()")][S.TIME_EXC] == 24 * NS
+    # bar(): 38 - (8 + 4) = 26
+    assert by[(1, "bar()")][S.TIME_EXC] == 26 * NS
+
+
+def test_flat_profile(foo_bar_trace):
+    fp = foo_bar_trace.flat_profile(metrics=S.TIME_EXC)
+    vals = {r[S.NAME]: r[S.TIME_EXC] for r in fp.collect()}
+    # single-process functions: mean over the one process that has them
+    assert vals["foo()"] == 12 * NS
+    assert vals["grault()"] == 20 * NS
+    # main() on both processes: (76 + 24) / 2 = 50
+    assert vals["main()"] == 50 * NS
+
+
+def test_idle_time(foo_bar_trace):
+    it = {r[S.PROCESS]: r["idle_time"] for r in foo_bar_trace.idle_time().collect()}
+    assert it[0] == 0.0
+    assert it[1] == (8 + 18) * NS
+
+
+def test_load_imbalance(foo_bar_trace):
+    li = foo_bar_trace.load_imbalance(metric=S.TIME_EXC, num_processes=1)
+    rows = {r[S.NAME]: r for r in li.collect()}
+    main = rows["main()"]
+    # per-process exc: p0=76, p1=24 → imbalance = 76/50
+    assert abs(main[f"{S.TIME_EXC}_imbalance"] - 76 / 50) < 1e-9
+    assert main["top_processes"] == [0]
+
+
+def test_cct(foo_bar_trace):
+    cct = foo_bar_trace.cct.collect()
+    names = {(r["name"], r["depth"]) for r in cct}
+    assert ("main", 0) not in names  # names keep their () suffix
+    assert ("main()", 0) in names
+    assert ("foo()", 1) in names
+    assert ("MPI_Send", 2) in names
+    # both processes' main() share one root node (same callpath hash)
+    roots = [r for r in cct if r["depth"] == 0]
+    assert len(roots) == 1
+    assert roots[0]["parent_node_id"] is None
+
+
+def test_comm_matrix_golden(ping_pong_trace):
+    """Reference golden values: 4,177,920 bytes and 8 msgs per direction,
+    zero diagonal (pipit/tests/trace.py:22-32)."""
+    size = ping_pong_trace.comm_matrix_numpy(output="size")
+    count = ping_pong_trace.comm_matrix_numpy(output="count")
+    assert size[0][1] == size[1][0] == 4_177_920
+    assert size[0][0] == size[1][1] == 0
+    assert count[0][1] == count[1][0] == 8
+
+
+def test_comm_by_process(ping_pong_trace):
+    rows = {r[S.PROCESS]: r for r in ping_pong_trace.comm_by_process().collect()}
+    # symmetric ping-pong: sent == received (pipit/tests/trace.py:53-68)
+    for p in (0, 1):
+        assert rows[p]["sent"] == rows[p]["received"] == 4_177_920
+
+
+def test_message_histogram(ping_pong_trace):
+    h = ping_pong_trace.message_histogram(bins=5).collect()
+    assert len(h) == 5
+    # all 16 messages are the same size → everything in one bin
+    assert sum(r["count"] for r in h) == 16
+    assert max(r["count"] for r in h) == 16
+
+
+def test_comm_over_time(ping_pong_trace):
+    h = ping_pong_trace.comm_over_time(output="count", bins=10).collect()
+    assert len(h) == 10
+    assert sum(r["count"] for r in h) == 16
+    # bin range spans the whole trace [0, 21000]; sends happen 2000-10000
+    nonzero = [r["bin_idx"] for r in h if r["count"] > 0]
+    assert min(nonzero) >= 0 and max(nonzero) <= 5
+
+
+def test_time_profile_invariants(foo_bar_trace):
+    """Mirrors pipit/tests/trace.py:149-218: per-bin totals equal
+    bin_duration × nprocs, and per-function binned time sums to the
+    function's total exclusive time."""
+    num_bins = 10
+    tp = foo_bar_trace.time_profile(num_bins=num_bins).collect()
+    bin_dur = 10 * NS  # trace spans [0, 100s], 10 bins
+    nproc = 2
+    bins = {}
+    for r in tp:
+        bins.setdefault(r["bin_idx"], 0.0)
+        bins[r["bin_idx"]] += r["time"]
+    assert len(bins) == num_bins
+    for total in bins.values():
+        assert abs(total - bin_dur * nproc) < 1.0
+
+    per_fn = {}
+    for r in tp:
+        per_fn[r[S.NAME]] = per_fn.get(r[S.NAME], 0.0) + r["time"]
+    # exc totals from calc_exc: foo()=12, main()=76+24=100, Idle=8+18=26
+    assert abs(per_fn["foo()"] - 12 * NS) < 1.0
+    assert abs(per_fn["main()"] - 100 * NS) < 1.0
+    assert abs(per_fn["Idle"] - 26 * NS) < 1.0
+
+
+def test_time_profile_normalized(foo_bar_trace):
+    tp = foo_bar_trace.time_profile(num_bins=10, normalized=True).collect()
+    bins = {}
+    for r in tp:
+        bins.setdefault(r["bin_idx"], 0.0)
+        bins[r["bin_idx"]] += r["time"]
+    for total in bins.values():
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_chrome_frame(foo_bar_trace, tmp_path):
+    out = foo_bar_trace.to_chrome(str(tmp_path / "trace.json"))
+    import json
+
+    with open(out) as f:
+        rows = json.load(f)
+    assert len(rows) == 20
+    assert {r["ph"] for r in rows} == {"B", "E"}
+    assert rows[0]["ts"] == 0
