@@ -1,0 +1,79 @@
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed to full materialization (count of the result —
+results are small aggregates, so the count forces the whole plan without
+driver-transfer noise). A warmup run of a trivial action absorbs JVM/
+Arrow startup so per-query numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    # trace engine core path: derivation + fused stack-match applyInPandas
+    "trace_match_inc",
+    "trace_flat_profile",
+    "trace_session_stats",
+    "trace_comm_matrix",
+    "trace_time_profile",
+    # relational layer
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "window_topk_orders",
+    "sessionize_events",
+    # LLM-data operators
+    "doc_text_stats",
+    "doc_minhash_lsh",
+    "doc_ngram_jaccard",
+    "emb_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from pipit_spark.session import get_spark
+    from pipit_spark import queries as Q
+
+    spark = get_spark(app_name="pipit-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM + Arrow + python worker pool spin-up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    registry = Q.queries()
+    names = sys.argv[1:] or HEADLINE
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

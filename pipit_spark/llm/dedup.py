@@ -1,0 +1,352 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each expressed as shuffle-conscious DataFrame plans:
+
+* exact      — hash-groupBy on a content fingerprint (one shuffle).
+* minhash+LSH— shingle → per-seed min-hash signature → band → bucket
+               join. Hashes are md5 hex strings (lexicographic min), so
+               the DuckDB oracle computes bit-identical signatures.
+* n-gram Jaccard — inverted shingle index self-join; intersection
+               counts vs union from per-doc sizes.
+* simhash    — 64-bit weighted bit-vote over token hashes, computed
+               with JVM higher-order functions (zip_with fold), no
+               Python in the loop.
+
+Scale notes: candidate generation is always *bucketed* (band hash or
+shared shingle) before any pairwise work — the all-pairs cross join
+never materializes. AQE handles hot buckets (stop-word shingles are
+pre-filtered by document-frequency cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import _norm, _tokens
+
+
+# ---------------------------------------------------------------- exact
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (after whitespace-normalization)
+    documents: fingerprint → (representative=min doc_id, n_dups)."""
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(_norm(F.col("text")))).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("representative"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep one representative (min doc_id) per fingerprint group."""
+    w_fp = docs.withColumn(
+        "__fp", F.md5(F.lower(_norm(F.col("text"))))
+    )
+    keep = w_fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    return w_fp.join(keep, ["__fp", "doc_id"]).drop("__fp")
+
+
+# ------------------------------------------------------------- shingles
+def _shingles(col, n: int = 3):
+    """Word n-gram shingles of the normalized text (distinct)."""
+    toks = _tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    # repartition first: a single-file scan would otherwise tokenize +
+    # explode every document in one task
+    return docs.repartition("doc_id").select(
+        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle")
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, max_df: int = 1000
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Plan: inverted index (shingle → docs, capped at document frequency
+    ``max_df`` to kill stop-shingle skew) → self-join per shingle for
+    intersection counts → join per-doc shingle counts → Jaccard =
+    |∩| / (|A| + |B| − |∩|). Only docs sharing ≥1 shingle ever pair up.
+    """
+    # the inverted index feeds four plan branches (sizes, df cap, both
+    # sides of the intersection join) — persist so tokenization runs once
+    sh = shingle_table(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    df_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh_f = sh.join(
+        df_cap.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+
+    a = sh_f.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "a", "b", F.round("jaccard", 6).alias("jaccard")
+        )
+    )
+
+
+# --------------------------------------------------------- MinHash LSH
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed i, sig[i] = min over shingles
+    of md5(i || ':' || shingle). String-min keeps the signature portable
+    (identical in the DuckDB oracle) while preserving min-hash
+    exchangeability. Computed entirely with JVM array expressions —
+    one narrow pass, no shuffle, no Python."""
+    shingled = docs.select(
+        "doc_id", _shingles(F.col("text"), shingle_n).alias("sh")
+    ).repartition("doc_id")
+    sig_cols = [
+        F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.select("doc_id", *sig_cols)
+
+
+def minhash_sig_array(
+    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — same minhashes as
+    :func:`minhash_signatures` packed into ONE array expression, so the
+    plan stays O(1)-sized regardless of ``num_hashes`` (16 separate
+    column expressions each inline the whole shingle subtree and blow up
+    codegen once downstream ops multiply them)."""
+    shingled = docs.select("doc_id", _shingles(F.col("text"), shingle_n).alias("sh"))
+    # shuffle barrier: materializes the shingle array so the 16 array_min
+    # scans below read a stored column instead of re-tokenizing per seed
+    # (nested HOFs defeat both CSE and codegen → 30×+ slowdown), and
+    # spreads a single-file scan across the cluster
+    shingled = shingled.repartition("doc_id")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return shingled.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs agreeing on ALL
+    rows of ≥1 band collide in a bucket; bucket join emits pairs.
+    Estimated similarity = fraction of agreeing minhashes.
+
+    The signature table is persisted before the fan-out: the bucket
+    self-join plus the signature lookups reference it four times, and
+    without the cache barrier Catalyst inlines (and re-executes) the
+    md5-over-shingles subtree into every branch. At scale the sig table
+    is ~`num_hashes`·33 bytes/doc — orders smaller than the text.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_sig_array(docs, num_hashes, shingle_n).persist()
+
+    buckets = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    x = buckets.select("bucket", F.col("doc_id").alias("a"),
+                       F.col("sig").alias("sig_a"))
+    y = buckets.select("bucket", F.col("doc_id").alias("b"),
+                       F.col("sig").alias("sig_b"))
+    pairs = (
+        x.join(y, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+    )
+    return pairs.select(
+        "a",
+        "b",
+        F.round(
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda p, q: p == q),
+                    lambda m: m,
+                )
+            ).cast("double")
+            / F.lit(num_hashes),
+            6,
+        ).alias("est_jaccard"),
+    )
+
+
+# -------------------------------------------------------------- SimHash
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: each distinct token votes ±1 on every
+    bit of its 64-bit hash (md5-derived, portable); the sign of each
+    bit's total becomes that signature bit.
+
+    Stays JVM-side: token→bit-vector via ``transform``, per-doc fold via
+    ``aggregate`` + ``zip_with`` — no explode blow-up, no Python UDF.
+    """
+    toks = F.array_distinct(_tokens(F.col("text")))
+    # token → signed ±1 votes per bit: md5 first 16 hex chars → 64-bit
+    # binary string (conv per 8-hex-digit half to dodge int64 sign), bit
+    # b read via Column.substr (accepts Column positions)
+    def _bin32(t, lo):
+        return F.lpad(F.conv(F.substring(F.md5(t), lo, 8), 16, 2), 32, "0")
+
+    tok_bits = F.transform(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda b: F.when(
+                F.concat(_bin32(t, 1), _bin32(t, 9)).substr(
+                    b + 1, F.lit(1)
+                ) == "1",
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    votes = F.aggregate(
+        tok_bits,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, x: F.zip_with(acc, x, lambda a, v: a + v),
+    )
+    sig_bits = F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
+    # pack to hex string nibble-by-nibble (portable across engines)
+    sig_hex = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits // 4 - 1)),
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc,
+            F.conv(
+                (
+                    F.element_at(sig_bits, i * 4 + 1) * 8
+                    + F.element_at(sig_bits, i * 4 + 2) * 4
+                    + F.element_at(sig_bits, i * 4 + 3) * 2
+                    + F.element_at(sig_bits, i * 4 + 4)
+                ).cast("string"),
+                10,
+                16,
+            ),
+        ),
+    )
+    return docs.select("doc_id", F.lower(sig_hex).alias("simhash"))
+
+
+# ----------------------------------------------------------- oracle SQL
+def _sql_norm(col: str) -> str:
+    return f"regexp_replace(trim({col}), '\\s+', ' ', 'g')"
+
+
+def oracle_exact_duplicates(table: str = "documents") -> str:
+    return f"""
+SELECT md5(lower({_sql_norm('text')})) AS fingerprint,
+       MIN(doc_id) AS representative,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM {table}
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+def _sql_shingles(n: int = 3) -> str:
+    """DuckDB expression producing the distinct word-n-gram shingle list
+    of ``text`` (mirrors _shingles)."""
+    norm = _sql_norm("text")
+    return (
+        f"list_distinct(list_transform("
+        f"range(0, GREATEST(len(string_split({norm},' ')) - {n}, 0) + 1), "
+        f"i -> array_to_string(list_slice(string_split({norm},' '), "
+        f"i + 1, i + {n}), ' ')))"
+    )
+
+
+def oracle_minhash_signatures(
+    table: str = "documents", num_hashes: int = 16, shingle_n: int = 3
+) -> str:
+    cols = ",\n       ".join(
+        f"list_min(list_transform({_sql_shingles(shingle_n)}, "
+        f"s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"SELECT doc_id,\n       {cols}\nFROM {table}"
+
+
+def oracle_ngram_jaccard_pairs(
+    table: str = "documents", n: int = 3, threshold: float = 0.8,
+    max_df: int = 1000,
+) -> str:
+    return f"""
+WITH sh AS (
+    SELECT doc_id, unnest({_sql_shingles(n)}) AS shingle FROM {table}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_df}),
+shf AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+    FROM shf x JOIN shf y USING (shingle)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT a, b,
+       ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= {threshold}
+"""

@@ -1,0 +1,139 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched pandas UDFs over ``mapInPandas`` — the schema, batch
+shapes, partitioning, and UDF signatures here are the real 100 TB
+design; only the *codec* step is stubbed (image/audio libraries are not
+in this container), clearly marked below. A real deployment swaps
+``_STUB_decode_bytes`` for PIL/ffmpeg calls without touching the Spark
+plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from the documents table —
+    lets the whole multimodal pipeline run end-to-end in tests without
+    real image bytes (binary payload = utf-8 text bytes)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+        F.map_from_arrays(
+            F.array(F.lit("source")), F.array(F.col("source"))
+        ).alias("meta"),
+    )
+
+
+def _STUB_decode_bytes(data: bytes, kind: str, feat_dim: int) -> tuple:
+    """STUB CODEC — deterministic fake standing in for PIL/librosa/ffmpeg
+    (not available in this container). Produces stable pseudo-dimensions
+    and a stable pseudo-feature vector from the content hash so tests
+    are reproducible. Replace with a real decoder in production; the
+    Spark-side contract (inputs: bytes+kind, outputs: dims+features)
+    is unchanged."""
+    if data is None:
+        raise NotImplementedError("real codec required for null-safe decode")
+    h = hashlib.md5(data).digest()
+    height = 1 + h[0] % 64
+    width = 1 + h[1] % 64
+    rng = np.frombuffer(
+        hashlib.md5(data + b"feat").digest() * ((feat_dim * 4) // 16 + 1),
+        dtype=np.uint8,
+    )[: feat_dim].astype(np.float32)
+    feats = (rng / 255.0).tolist()
+    return height, width, len(data), feats
+
+
+def decode_media(media: DataFrame, feat_dim: int = 16) -> DataFrame:
+    """Arrow-batched decode / feature-extract pass. Real plumbing:
+    mapInPandas streams batches (bounded memory per task regardless of
+    blob sizes), output schema is fixed/typed, partitioning untouched
+    (narrow op — no shuffle)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "media_id": [], "kind": [], "height": [],
+                "width": [], "n_bytes": [], "features": [],
+            }
+            for mid, kind, data in zip(
+                pdf["media_id"], pdf["kind"], pdf["data"]
+            ):
+                h, w, nb, feats = _STUB_decode_bytes(bytes(data), kind, feat_dim)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["n_bytes"].append(nb)
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "data").mapInPandas(
+        gen, DECODED_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    index (frame count from metadata; decode itself is the stub above).
+    Lateral explode — narrow, no shuffle."""
+    frames = media.filter(F.col("kind") == "video").withColumn(
+        "__n_frames",
+        (F.length(F.col("data")) % 100 + 1).cast("int"),  # stub frame count
+    )
+    return frames.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-kind size statistics — pure relational, used to plan
+    partition sizing for the decode pass."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("data")).alias("total_bytes"),
+            F.avg(F.length("data")).alias("avg_bytes"),
+        )
+        .orderBy("kind")
+    )

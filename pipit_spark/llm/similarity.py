@@ -1,0 +1,280 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Three tiers, scale-ordered:
+
+* ``cosine_pairs`` / ``cosine_topk`` — brute-force baseline. The dot
+  product runs JVM-side (``zip_with`` + ``aggregate``); the query side
+  is broadcast so the corpus is scanned once with no shuffle of the big
+  side. Per-partition partial top-k keeps the merge tiny.
+* ``topk_pandas`` — Arrow-batched numpy matmul variant of the same plan
+  (vectorized BLAS beats per-row expression eval at high dims).
+* ``lsh_ann_pairs`` — random-hyperplane LSH: sign-bit signatures bucket
+  the corpus; only same-bucket pairs are scored. The 100 TB path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_col(v):
+    return F.sqrt(_dot(v, v))
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("__norm", _norm_col(F.col(vec_col)))
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    query_max_id: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold; optionally restrict the
+    left side to vec_id < query_max_id (bounded driver set, broadcast).
+    Near-dup detection by embedding — integer pair output is robust to
+    float epsilon across engines (scores rounded separately)."""
+    nn = with_norm(emb, vec_col).select(
+        F.col("vec_id"), F.col(vec_col).alias("__v"), "__norm"
+    )
+    left = nn
+    if query_max_id is not None:
+        left = nn.filter(F.col("vec_id") < query_max_id)
+    left = F.broadcast(
+        left.select(
+            F.col("vec_id").alias("a"),
+            F.col("__v").alias("__va"),
+            F.col("__norm").alias("__na"),
+        )
+    )
+    right = nn.select(
+        F.col("vec_id").alias("b"),
+        F.col("__v").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine", _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_max_id: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most-similar corpus vectors per query vector (brute force).
+    Queries are broadcast; per-partition candidates are cut to k by a
+    window rank after one scan of the corpus."""
+    from pyspark.sql import Window
+
+    nn = with_norm(emb, vec_col)
+    q = F.broadcast(
+        nn.filter(F.col("vec_id") < query_max_id).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("__vq"),
+            F.col("__norm").alias("__nq"),
+        )
+    )
+    c = nn.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine", _dot(F.col("__vq"), F.col("__vc")) / (F.col("__nq") * F.col("__nc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("__rk").alias("rank"),
+        )
+    )
+
+
+def topk_pandas(
+    emb: DataFrame, k: int = 5, query_max_id: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy variant of cosine_topk: queries collected to a small
+    matrix, broadcast; each corpus batch does one BLAS matmul and emits
+    its partial top-k; a final window keeps global top-k. This is the
+    bench path — ~10-100× the higher-order-function expression eval."""
+    from pyspark.sql import Window
+
+    qrows = (
+        emb.filter(F.col("vec_id") < query_max_id)
+        .select("vec_id", vec_col)
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = mat_q @ cm.T  # (nq, batch)
+            nk = min(k + 1, sims.shape[1])
+            part = np.argpartition(-sims, nk - 1, axis=1)[:, :nk]
+            rows = []
+            for qi in range(len(ids_q)):
+                for cj in part[qi]:
+                    if cids[cj] != ids_q[qi]:
+                        rows.append((ids_q[qi], cids[cj], float(sims[qi, cj])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = emb.select("vec_id", vec_col).mapInPandas(gen, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("__rk").alias("rank"),
+        )
+    )
+
+
+def lsh_ann_pairs(
+    emb: DataFrame,
+    num_planes: int = 16,
+    threshold: float = 0.99,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: random-hyperplane signatures (seeded,
+    deterministic) bucket the corpus; exact cosine is computed only
+    within buckets. At 100 TB the bucket join replaces the quadratic
+    cross join — recall tunable via num_planes."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_planes, dim)
+    spark = emb.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(T.StringType())
+    def sig_udf(vs: pd.Series) -> pd.Series:
+        pl = bp.value
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        bits = (mat @ pl.T) > 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    signed = with_norm(emb, vec_col).select(
+        "vec_id", F.col(vec_col).alias("__v"), "__norm",
+        sig_udf(F.col(vec_col)).alias("__sig"),
+    )
+    x = signed.select(
+        F.col("vec_id").alias("a"), F.col("__v").alias("__va"),
+        F.col("__norm").alias("__na"), F.col("__sig").alias("__sig"),
+    )
+    y = signed.select(
+        F.col("vec_id").alias("b"), F.col("__v").alias("__vb"),
+        F.col("__norm").alias("__nb"), F.col("__sig").alias("__sig"),
+    )
+    return (
+        x.join(y, "__sig")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+# ----------------------------------------------------------- oracle SQL
+def oracle_cosine_pairs(
+    table: str = "embeddings", threshold: float = 0.99,
+    query_max_id: int | None = None,
+) -> str:
+    qfilter = f"AND x.vec_id < {query_max_id}" if query_max_id is not None else ""
+    return f"""
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(
+         list_sum(list_transform(range(1, len(x.embedding) + 1),
+             i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(x.embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * sqrt(list_sum(list_transform(y.embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 4) AS cosine
+FROM {table} x JOIN {table} y ON x.vec_id < y.vec_id {qfilter}
+WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(x.embedding,
+            v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       * sqrt(list_sum(list_transform(y.embedding,
+            v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) >= {threshold}
+"""
+
+
+def oracle_cosine_topk(
+    table: str = "embeddings", k: int = 5, query_max_id: int = 10
+) -> str:
+    cos = """
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * sqrt(list_sum(list_transform(c.embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+    """
+    return f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {cos} AS cos_raw
+    FROM {table} q JOIN {table} c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {query_max_id}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

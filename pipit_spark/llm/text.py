@@ -1,0 +1,206 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side builtin expressions (split/regexp/higher-order
+array functions) — no Python UDFs — so they whole-stage-codegen and scale
+linearly over 100 TB of documents. Each operator has a DuckDB-portable
+SQL twin (see ORACLE_SQL) used by the driver's correctness gate; the two
+are kept semantically identical (same normalization, same regexes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# deterministic marker stopwords per language for the n-gram/stopword
+# language-ID heuristic (tie-break: fixed language order)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "zh": ["de5", "shi4", "le5", "bu4", "wo3"],
+}
+EN_STOPWORDS = LANG_MARKERS["en"] + ["in", "is", "it", "for", "on"]
+
+_PUNCT_RE = r"[^.,;:!?]"
+
+
+def _norm(col):
+    """Whitespace-normalized text: trim + collapse runs to single space.
+    (Identical in the SQL twin; avoids split() edge cases on leading /
+    trailing whitespace.)"""
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
+def _tokens(col):
+    return F.split(_norm(col), " ")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality statistics: char/token counts, average word
+    length, punctuation ratio, stopword ratio, and a composite quality
+    score — the standard pre-training quality-filter features."""
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    punct = F.length(F.regexp_replace(F.col("text"), _PUNCT_RE, ""))
+    avg_word = F.length(_norm(F.col("text"))) / n_tokens
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+        * (F.lit(1.0) - punct.cast("double") / n_chars)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_word, 4).alias("avg_word_len"),
+        F.round(punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def token_frequencies(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """Corpus-wide term frequencies: explode + hash aggregation (partial
+    map-side combine makes this shuffle-light even at corpus scale)."""
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counting per document: whitespace
+    tokens plus an estimate of subword pieces (len/4 heuristic used by
+    byte-pair encoders for budgeting)."""
+    toks = _tokens(F.col("text"))
+    ws = F.size(toks)
+    bpe_est = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.length(t).cast("double") / F.lit(4.0)).cast("long"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe_est.alias("bpe_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language identification (deterministic heuristic):
+    score = number of marker-word hits per language; argmax with fixed
+    language order as tie-break; 'und' when no markers hit."""
+    toks = _tokens(F.lower(F.col("text")))
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                f"__s_{lang}"
+            )
+        )
+    scored = docs.select("doc_id", F.col("lang").alias("true_lang"), *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties
+        pred = F.when(
+            (F.col(f"__s_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(pred)
+    return scored.select("doc_id", "true_lang", pred.alias("pred_lang"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 over the normalized text
+    (content-addressing for exact dedup and incremental reprocessing)."""
+    return docs.select(
+        "doc_id", F.md5(F.lower(_norm(F.col("text")))).alias("fingerprint")
+    )
+
+
+def _sql_norm(col: str) -> str:
+    return f"regexp_replace(trim({col}), '\\s+', ' ', 'g')"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def oracle_text_stats(table: str = "documents") -> str:
+    norm = _sql_norm("text")
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_tokens,
+       ROUND(CAST(length({norm}) AS DOUBLE) / len(string_split({norm}, ' ')), 4)
+           AS avg_word_len,
+       ROUND(CAST(length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+       ROUND(CAST(len(list_filter(string_split({norm}, ' '),
+                  t -> list_contains({_sql_list(EN_STOPWORDS)}, t))) AS DOUBLE)
+             / len(string_split({norm}, ' ')), 6) AS stopword_ratio,
+       ROUND(LEAST(CAST(len(string_split({norm}, ' ')) AS DOUBLE) / 50.0, 1.0)
+             * (1.0 - CAST(length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))
+                           AS DOUBLE) / length(text)), 6) AS quality_score
+FROM {table}
+"""
+
+
+def oracle_token_frequencies(table: str = "documents", min_count: int = 1) -> str:
+    norm = _sql_norm("text")
+    return f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split({norm}, ' ')) AS token FROM {table})
+WHERE length(token) > 0
+GROUP BY token
+HAVING COUNT(*) >= {min_count}
+"""
+
+
+def oracle_token_counts(table: str = "documents") -> str:
+    norm = _sql_norm("text")
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split({norm}, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(list_sum(list_transform(string_split({norm}, ' '),
+            t -> GREATEST(1, CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))))
+            AS BIGINT) AS bpe_tokens
+FROM {table}
+"""
+
+
+def oracle_lang_id(table: str = "documents") -> str:
+    norm = _sql_norm("lower(text)")
+    score = {
+        lg: (
+            f"len(list_filter(string_split({norm}, ' '), "
+            f"t -> list_contains({_sql_list(ms)}, t)))"
+        )
+        for lg, ms in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(score[lg] for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN {score[lg]} = {best} AND {best} > 0 THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+SELECT doc_id, lang AS true_lang, {case} AS pred_lang
+FROM {table}
+"""
+
+
+def oracle_doc_fingerprint(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id, md5(lower({_sql_norm('text')})) AS fingerprint
+FROM {table}
+"""

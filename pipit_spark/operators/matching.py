@@ -138,9 +138,14 @@ def _stack_match_pdf(pdf: pd.DataFrame, metric_cols: list[str]) -> pd.DataFrame:
     out[S.NODE_ID] = pd.array(node_of, dtype="Int64")
     out.loc[~has_node, S.NODE_ID] = pd.NA
 
-    # inclusive metrics on matched Enter rows (pipit/trace.py:318-325)
+    # inclusive metrics on matched Enter rows (pipit/trace.py:318-325).
+    # Subtract in int64 BEFORE converting to double: epoch-ns values
+    # (~1.7e18) round to multiples of 256 as float64, the difference is
+    # small and exact.
     enter_matched = matched & is_enter
-    tinc = np.where(enter_matched, ts[safe_match].astype("float64") - ts, np.nan)
+    tinc = np.where(
+        enter_matched, (ts[safe_match] - ts).astype("float64"), np.nan
+    )
     out[S.TIME_INC] = tinc
     for m in metric_cols:
         vals = pdf[m].to_numpy(dtype="float64", na_value=np.nan)

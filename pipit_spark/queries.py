@@ -1,0 +1,844 @@
+"""Driver-gate query registry.
+
+Each entry pairs a Spark query (running through the REAL engine
+operators) with an ANSI-SQL oracle DuckDB can run over the same parquet
+tables (TESTDATA.md). The trace-analysis operators run over a canonical
+trace DERIVED deterministically from ``events.parquet`` (each source
+event becomes a well-nested Enter/Leave leaf under a per-process
+``session`` root, plus MpiSend/MpiRecv Instants); the oracle mirrors the
+derivation in a shared CTE and computes expected results *without* the
+engine — an independent check of the matching/metric semantics.
+
+Float discipline: aggregates that sum integers (ns durations, counts)
+are exact in both engines; decimal casts make money sums exact; genuinely
+fractional outputs are rounded at a granularity ≥6 orders above the
+worst-case double-summation error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import schema as S
+from .trace import Trace
+from .llm import dedup as D
+from .llm import similarity as V
+from .llm import text as X
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark must read it as
+        # long ns (DuckDB coerces the same column to µs — consumers
+        # truncate to µs so both engines see identical values)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+def _ts_us(col: str = "ts"):
+    """Events timestamp → epoch µs (long), matching DuckDB's epoch_us.
+    Integer division — doubles cannot represent epoch-ns exactly."""
+    return F.expr(f"{col} div 1000")
+
+
+# ===================================================================== #
+# derived canonical trace from events.parquet
+# ===================================================================== #
+def trace_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic canonical trace derived from the events table.
+
+    Per process (=user_id), events ordered by (ts_ns, event_id) become
+    depth-1 leaves: Enter at ts_ns, Leave at ts_ns + dur where
+    dur = min(floor(value·1e6), floor(gap/2)) — guaranteeing
+    well-nestedness. A per-process ``session`` root brackets everything.
+    click/purchase rows additionally emit an MpiSend Instant (receiver =
+    k mod 16, msg_length = floor(value·100)); view/signup an MpiRecv.
+    Mirrored EXACTLY by ORACLE_TRACE_CTE below.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        (_ts_us("ts") * 1000).alias("ts_ns"),
+        F.col("user_id").cast("int").alias(S.PROCESS),
+        F.col("event_type").alias("etype"),
+        "value",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int").alias("k"),
+    )
+    w = Window.partitionBy(S.PROCESS).orderBy("ts_ns", "event_id")
+    base = (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("next_ts", F.lead("ts_ns").over(w))
+        .withColumn(
+            "dur",
+            F.least(
+                F.floor(F.col("value") * 1e6).cast("long"),
+                F.coalesce(
+                    F.floor((F.col("next_ts") - F.col("ts_ns")) / 2).cast("long"),
+                    F.floor(F.col("value") * 1e6).cast("long"),
+                ),
+            ),
+        )
+        .withColumn("msg_len", F.floor(F.col("value") * 100).cast("long"))
+    )
+
+    enter = base.select(
+        (F.col("event_id") * 4).alias(S.EVENT_ID),
+        F.col("ts_ns").alias(S.TIMESTAMP),
+        (F.col("rn") * 4).alias(S.SEQ),
+        F.lit("Enter").alias(S.EVENT_TYPE),
+        F.col("etype").alias(S.NAME),
+        S.PROCESS,
+        F.lit(None).cast("map<string,string>").alias(S.ATTRIBUTES),
+    )
+    leave = base.select(
+        (F.col("event_id") * 4 + 1).alias(S.EVENT_ID),
+        (F.col("ts_ns") + F.col("dur")).alias(S.TIMESTAMP),
+        (F.col("rn") * 4 + 1).alias(S.SEQ),
+        F.lit("Leave").alias(S.EVENT_TYPE),
+        F.col("etype").alias(S.NAME),
+        S.PROCESS,
+        F.lit(None).cast("map<string,string>").alias(S.ATTRIBUTES),
+    )
+    sends = base.filter(F.col("etype").isin("click", "purchase")).select(
+        (F.col("event_id") * 4 + 2).alias(S.EVENT_ID),
+        (F.col("ts_ns") + F.floor(F.col("dur") / 2).cast("long")).alias(S.TIMESTAMP),
+        (F.col("rn") * 4 + 2).alias(S.SEQ),
+        F.lit("Instant").alias(S.EVENT_TYPE),
+        F.lit("MpiSend").alias(S.NAME),
+        S.PROCESS,
+        F.map_from_arrays(
+            F.array(F.lit("receiver"), F.lit("msg_length")),
+            F.array(
+                (F.col("k") % 16).cast("string"),
+                F.col("msg_len").cast("string"),
+            ),
+        ).alias(S.ATTRIBUTES),
+    )
+    recvs = base.filter(F.col("etype").isin("view", "signup")).select(
+        (F.col("event_id") * 4 + 2).alias(S.EVENT_ID),
+        (F.col("ts_ns") + F.floor(F.col("dur") / 2).cast("long")).alias(S.TIMESTAMP),
+        (F.col("rn") * 4 + 2).alias(S.SEQ),
+        F.lit("Instant").alias(S.EVENT_TYPE),
+        F.lit("MpiRecv").alias(S.NAME),
+        S.PROCESS,
+        F.map_from_arrays(
+            F.array(F.lit("sender"), F.lit("msg_length")),
+            F.array(
+                (F.col("k") % 16).cast("string"),
+                F.col("msg_len").cast("string"),
+            ),
+        ).alias(S.ATTRIBUTES),
+    )
+    roots = base.groupBy(S.PROCESS).agg(
+        F.min("ts_ns").alias("min_ts"),
+        F.max(F.col("ts_ns") + F.col("dur")).alias("max_leave"),
+    )
+    root_enter = roots.select(
+        (F.lit(4_000_000_000_000_000) + F.col(S.PROCESS).cast("long") * 2).alias(
+            S.EVENT_ID
+        ),
+        (F.col("min_ts") - F.lit(1_000_000_000)).alias(S.TIMESTAMP),
+        F.lit(0).cast("long").alias(S.SEQ),
+        F.lit("Enter").alias(S.EVENT_TYPE),
+        F.lit("session").alias(S.NAME),
+        S.PROCESS,
+        F.lit(None).cast("map<string,string>").alias(S.ATTRIBUTES),
+    )
+    root_leave = roots.select(
+        (F.lit(4_000_000_000_000_000) + F.col(S.PROCESS).cast("long") * 2 + 1).alias(
+            S.EVENT_ID
+        ),
+        (F.col("max_leave") + F.lit(1_000_000_000)).alias(S.TIMESTAMP),
+        F.lit(1).cast("long").alias(S.SEQ),
+        F.lit("Leave").alias(S.EVENT_TYPE),
+        F.lit("session").alias(S.NAME),
+        S.PROCESS,
+        F.lit(None).cast("map<string,string>").alias(S.ATTRIBUTES),
+    )
+    return (
+        enter.unionByName(leave)
+        .unionByName(sends)
+        .unionByName(recvs)
+        .unionByName(root_enter)
+        .unionByName(root_leave)
+    )
+
+
+def derived_trace(spark: SparkSession, sf_dir: str) -> Trace:
+    return Trace(trace_events_frame(spark, sf_dir), cache=False)
+
+
+# the oracle's mirror of the derivation (DuckDB dialect)
+ORACLE_TRACE_CTE = r"""
+WITH src AS (
+    SELECT event_id, epoch_us(ts) * 1000 AS ts_ns,
+           CAST(user_id AS INT) AS process, event_type AS etype, value,
+           CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+    FROM events
+),
+ordered AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY process ORDER BY ts_ns, event_id) AS rn,
+           LEAD(ts_ns)  OVER (PARTITION BY process ORDER BY ts_ns, event_id) AS next_ts
+    FROM src
+),
+leaf AS (
+    SELECT *,
+           LEAST(CAST(FLOOR(value * 1000000) AS BIGINT),
+                 COALESCE(CAST(FLOOR((next_ts - ts_ns) / 2) AS BIGINT),
+                          CAST(FLOOR(value * 1000000) AS BIGINT))) AS dur,
+           CAST(FLOOR(value * 100) AS BIGINT) AS msg_len
+    FROM ordered
+),
+roots AS (
+    SELECT process,
+           MIN(ts_ns) - 1000000000 AS enter_ts,
+           MAX(ts_ns + dur) + 1000000000 AS leave_ts
+    FROM leaf GROUP BY process
+)
+"""
+
+
+# ===================================================================== #
+# trace-operator gate queries
+# ===================================================================== #
+def q_trace_match_inc(spark, sf_dir):
+    """Per-leaf inclusive time via the REAL matching pass."""
+    t = derived_trace(spark, sf_dir)
+    m = t.matched
+    return m.filter(
+        (F.col(S.EVENT_TYPE) == "Enter") & (F.col(S.NAME) != "session")
+    ).select(
+        (F.col(S.EVENT_ID) / 4).cast("long").alias("event_id"),
+        F.col(S.TIME_INC).alias("time_inc"),
+    )
+
+
+ORACLE_TRACE_MATCH_INC = (
+    ORACLE_TRACE_CTE
+    + "SELECT event_id, CAST(dur AS DOUBLE) AS time_inc FROM leaf"
+)
+
+
+def q_trace_flat_profile(spark, sf_dir):
+    t = derived_trace(spark, sf_dir)
+    return t.flat_profile(metrics=[S.TIME_INC, S.TIME_EXC]).select(
+        S.NAME, "time_inc", "time_exc"
+    )
+
+
+ORACLE_TRACE_FLAT_PROFILE = ORACLE_TRACE_CTE + """
+, leaf_pp AS (
+    SELECT etype AS name, process,
+           CAST(SUM(dur) AS DOUBLE) AS inc, CAST(SUM(dur) AS DOUBLE) AS exc
+    FROM leaf GROUP BY 1, 2
+),
+root_pp AS (
+    SELECT 'session' AS name, r.process,
+           CAST(r.leave_ts - r.enter_ts AS DOUBLE) AS inc,
+           CAST(r.leave_ts - r.enter_ts - ls.total AS DOUBLE) AS exc
+    FROM roots r
+    JOIN (SELECT process, SUM(dur) AS total FROM leaf GROUP BY 1) ls
+      ON ls.process = r.process
+),
+pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp)
+SELECT name, AVG(inc) AS time_inc, AVG(exc) AS time_exc
+FROM pp GROUP BY name
+"""
+
+
+def q_trace_load_imbalance(spark, sf_dir):
+    t = derived_trace(spark, sf_dir)
+    return t.load_imbalance(metric=S.TIME_INC).select(
+        S.NAME,
+        F.round(f"{S.TIME_INC}_imbalance", 6).alias("imbalance"),
+        F.col(f"{S.TIME_INC}_mean").alias("mean_inc"),
+    )
+
+
+ORACLE_TRACE_LOAD_IMBALANCE = ORACLE_TRACE_CTE + """
+, leaf_pp AS (
+    SELECT etype AS name, process, CAST(SUM(dur) AS DOUBLE) AS inc
+    FROM leaf GROUP BY 1, 2
+),
+root_pp AS (
+    SELECT 'session' AS name, process,
+           CAST(leave_ts - enter_ts AS DOUBLE) AS inc
+    FROM roots
+),
+pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp)
+SELECT name, ROUND(MAX(inc) / AVG(inc), 6) AS imbalance, AVG(inc) AS mean_inc
+FROM pp GROUP BY name
+"""
+
+
+def q_trace_session_stats(spark, sf_dir):
+    """Root inclusive/exclusive time via the REAL exc-metric plan."""
+    t = derived_trace(spark, sf_dir)
+    exc = t.calc_exc_metrics(columns=["time"])
+    return exc.filter(
+        (F.col(S.NAME) == "session") & (F.col(S.EVENT_TYPE) == "Enter")
+    ).select(
+        S.PROCESS,
+        F.col(S.TIME_INC).alias("session_inc"),
+        F.col(S.TIME_EXC).alias("session_exc"),
+    )
+
+
+ORACLE_TRACE_SESSION_STATS = ORACLE_TRACE_CTE + """
+SELECT r.process AS process,
+       CAST(r.leave_ts - r.enter_ts AS DOUBLE) AS session_inc,
+       CAST(r.leave_ts - r.enter_ts - ls.total AS DOUBLE) AS session_exc
+FROM roots r
+JOIN (SELECT process, SUM(dur) AS total FROM leaf GROUP BY 1) ls
+  ON ls.process = r.process
+"""
+
+
+def q_trace_cct(spark, sf_dir):
+    t = derived_trace(spark, sf_dir)
+    return t.cct.select(F.col("name"), F.col("depth").cast("int").alias("depth"))
+
+
+ORACLE_TRACE_CCT = ORACLE_TRACE_CTE + """
+SELECT DISTINCT etype AS name, 1 AS depth FROM leaf
+UNION ALL
+SELECT 'session' AS name, 0 AS depth
+"""
+
+
+def q_trace_idle_time(spark, sf_dir):
+    """idle_time() with 'error' as the idle function."""
+    t = derived_trace(spark, sf_dir)
+    return t.idle_time(idle_functions=["error"])
+
+
+ORACLE_TRACE_IDLE = ORACLE_TRACE_CTE + """
+SELECT p.process AS process,
+       CAST(COALESCE(s.idle, 0) AS DOUBLE) AS idle_time
+FROM (SELECT DISTINCT process FROM leaf) p
+LEFT JOIN (
+    SELECT process, SUM(dur) AS idle FROM leaf
+    WHERE etype = 'error' GROUP BY 1
+) s ON s.process = p.process
+"""
+
+
+def q_trace_comm_matrix(spark, sf_dir):
+    t = derived_trace(spark, sf_dir)
+    return t.comm_matrix(output="size")
+
+
+ORACLE_TRACE_COMM_MATRIX = ORACLE_TRACE_CTE + """
+SELECT process AS sender, k % 16 AS receiver,
+       CAST(SUM(msg_len) AS DOUBLE) AS volume
+FROM leaf WHERE etype IN ('click', 'purchase')
+GROUP BY 1, 2
+"""
+
+
+def q_trace_comm_count(spark, sf_dir):
+    t = derived_trace(spark, sf_dir)
+    return t.comm_matrix(output="count")
+
+
+ORACLE_TRACE_COMM_COUNT = ORACLE_TRACE_CTE + """
+SELECT process AS sender, k % 16 AS receiver,
+       CAST(COUNT(*) AS DOUBLE) AS volume
+FROM leaf WHERE etype IN ('click', 'purchase')
+GROUP BY 1, 2
+"""
+
+
+def q_trace_comm_by_process(spark, sf_dir):
+    t = derived_trace(spark, sf_dir)
+    return t.comm_by_process(output="size")
+
+
+ORACLE_TRACE_COMM_BY_PROCESS = ORACLE_TRACE_CTE + """
+, sends AS (
+    SELECT process AS sender, k % 16 AS receiver, msg_len
+    FROM leaf WHERE etype IN ('click', 'purchase')
+),
+snt AS (SELECT sender AS process, SUM(msg_len) AS sent FROM sends GROUP BY 1),
+rcv AS (SELECT receiver AS process, SUM(msg_len) AS received FROM sends GROUP BY 1)
+SELECT COALESCE(snt.process, rcv.process) AS process,
+       CAST(COALESCE(sent, 0) AS DOUBLE) AS sent,
+       CAST(COALESCE(received, 0) AS DOUBLE) AS received
+FROM snt FULL OUTER JOIN rcv ON snt.process = rcv.process
+"""
+
+
+def q_trace_message_histogram(spark, sf_dir):
+    t = derived_trace(spark, sf_dir)
+    return t.message_histogram(bins=20).select(
+        "bin_idx",
+        F.round("bin_start", 6).alias("bin_start"),
+        F.round("bin_end", 6).alias("bin_end"),
+        "count",
+    )
+
+
+ORACLE_TRACE_MESSAGE_HISTOGRAM = ORACLE_TRACE_CTE + """
+, msgs AS (
+    SELECT CAST(msg_len AS DOUBLE) AS x FROM leaf
+    WHERE etype IN ('click', 'purchase')
+),
+rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM msgs),
+params AS (
+    SELECT lo, hi, CASE WHEN hi > lo THEN (hi - lo) / 20 ELSE 1.0 END AS width
+    FROM rng
+),
+counts AS (
+    SELECT LEAST(CAST(FLOOR((x - lo) / width) AS BIGINT), 19) AS bin_idx,
+           CAST(COUNT(*) AS DOUBLE) AS count
+    FROM msgs, params
+    WHERE x >= lo AND x <= hi
+    GROUP BY 1
+)
+SELECT b.bin_idx,
+       ROUND(lo + b.bin_idx * width, 6) AS bin_start,
+       ROUND(lo + (b.bin_idx + 1) * width, 6) AS bin_end,
+       COALESCE(c.count, 0) AS count
+FROM (SELECT unnest(range(20)) AS bin_idx) b
+CROSS JOIN params
+LEFT JOIN counts c ON c.bin_idx = b.bin_idx
+"""
+
+
+def q_trace_comm_over_time(spark, sf_dir):
+    t = derived_trace(spark, sf_dir)
+    return t.comm_over_time(output="count", message_type="send", bins=50).select(
+        "bin_idx", "count"
+    )
+
+
+ORACLE_TRACE_COMM_OVER_TIME = ORACLE_TRACE_CTE + """
+, allev AS (
+    SELECT ts_ns FROM leaf
+    UNION ALL SELECT ts_ns + dur FROM leaf
+    UNION ALL SELECT ts_ns + CAST(FLOOR(dur / 2) AS BIGINT)
+      FROM leaf WHERE etype IN ('click','purchase','view','signup')
+    UNION ALL SELECT enter_ts FROM roots
+    UNION ALL SELECT leave_ts FROM roots
+),
+rng AS (SELECT CAST(MIN(ts_ns) AS DOUBLE) AS lo, CAST(MAX(ts_ns) AS DOUBLE) AS hi
+        FROM allev),
+params AS (
+    SELECT lo, hi, CASE WHEN hi > lo THEN (hi - lo) / 50 ELSE 1.0 END AS width
+    FROM rng
+),
+msgs AS (
+    SELECT CAST(ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS DOUBLE) AS x
+    FROM leaf WHERE etype IN ('click', 'purchase')
+),
+counts AS (
+    SELECT LEAST(CAST(FLOOR((x - lo) / width) AS BIGINT), 49) AS bin_idx,
+           CAST(COUNT(*) AS DOUBLE) AS count
+    FROM msgs, params
+    WHERE x >= lo AND x <= hi
+    GROUP BY 1
+)
+SELECT b.bin_idx, COALESCE(c.count, 0) AS count
+FROM (SELECT unnest(range(50)) AS bin_idx) b
+LEFT JOIN counts c ON c.bin_idx = b.bin_idx
+"""
+
+
+def q_trace_time_profile(spark, sf_dir):
+    t = derived_trace(spark, sf_dir)
+    tp = t.time_profile(num_bins=20)
+    return tp.select(
+        "bin_idx", S.NAME,
+        F.round(F.col("time") / 1e9, 3).alias("time_sec"),
+    )
+
+
+ORACLE_TRACE_TIME_PROFILE = ORACLE_TRACE_CTE + """
+, bounds AS (
+    SELECT CAST(MIN(enter_ts) AS DOUBLE) AS lo, CAST(MAX(leave_ts) AS DOUBLE) AS hi,
+           (SELECT COUNT(*) FROM roots) AS nproc
+    FROM roots
+),
+bins AS (
+    SELECT CAST(i AS INT) AS bin_idx,
+           lo + i * (hi - lo) / 20 AS bin_start,
+           lo + (i + 1) * (hi - lo) / 20 AS bin_end
+    FROM (SELECT unnest(range(20)) AS i), bounds
+),
+intervals AS (
+    SELECT etype AS name, CAST(ts_ns AS DOUBLE) AS e,
+           CAST(ts_ns + dur AS DOUBLE) AS l FROM leaf
+    UNION ALL
+    SELECT 'session', CAST(enter_ts AS DOUBLE), CAST(leave_ts AS DOUBLE) FROM roots
+),
+ovl AS (
+    SELECT b.bin_idx, i.name,
+           LEAST(i.l, b.bin_end) - GREATEST(i.e, b.bin_start) AS inc_in_bin,
+           (i.name = 'session') AS is_root
+    FROM intervals i JOIN bins b ON i.l > b.bin_start AND i.e < b.bin_end
+),
+child_sums AS (
+    SELECT bin_idx, SUM(inc_in_bin) AS child_inc
+    FROM ovl WHERE NOT is_root GROUP BY 1
+),
+-- session roots per bin subtract their children's in-bin time; all
+-- processes collapse into one 'session' row per bin after the final
+-- group-by, so exc = sum(root overlaps) - sum(child overlaps)
+exc AS (
+    SELECT bin_idx, name, SUM(inc_in_bin) AS t
+    FROM ovl WHERE NOT is_root GROUP BY 1, 2
+    UNION ALL
+    SELECT o.bin_idx, 'session',
+           SUM(o.inc_in_bin) - COALESCE(MAX(c.child_inc), 0)
+    FROM ovl o LEFT JOIN child_sums c ON c.bin_idx = o.bin_idx
+    WHERE o.is_root GROUP BY o.bin_idx
+),
+thresh AS (
+    SELECT bin_idx, name, CASE WHEN t < 0.01 THEN 0 ELSE t END AS t FROM exc
+),
+with_idle AS (
+    SELECT * FROM thresh
+    UNION ALL
+    SELECT b.bin_idx, 'idle_time',
+           CASE WHEN (SELECT nproc FROM bounds) * (b.bin_end - b.bin_start)
+                     - COALESCE(s.total, 0) < 0.01 THEN 0
+                ELSE (SELECT nproc FROM bounds) * (b.bin_end - b.bin_start)
+                     - COALESCE(s.total, 0) END
+    FROM bins b
+    LEFT JOIN (SELECT bin_idx, SUM(t) AS total FROM thresh GROUP BY 1) s
+      ON s.bin_idx = b.bin_idx
+)
+SELECT bin_idx, name, ROUND(t / 1e9, 3) AS time_sec FROM with_idle
+"""
+
+
+# ===================================================================== #
+# relational (TPC-H-ish) gate queries — Spark side is spark.sql over the
+# same declarative text (Catalyst optimizes), oracle is the DuckDB twin.
+# ===================================================================== #
+def _register(spark, sf_dir, *names):
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))
+                * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))
+                * (1 - CAST(l_discount AS DECIMAL(20,2)))
+                * (1 + CAST(l_tax AS DECIMAL(20,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q1_pricing_summary(spark, sf_dir):
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(Q1_SQL)
+
+
+Q3_SQL = """
+SELECT l.l_orderkey AS l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue,
+       {fmt} AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    _register(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(Q3_SQL.format(fmt="date_format(o.o_orderdate, 'yyyy-MM-dd')"))
+
+
+ORACLE_Q3 = Q3_SQL.format(fmt="strftime(o.o_orderdate, '%Y-%m-%d')")
+
+
+Q5_SQL = """
+SELECT n.n_name AS n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    _register(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    return spark.sql(Q5_SQL)
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))
+              * CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(Q6_SQL)
+
+
+Q_TOPK_SQL = """
+SELECT * FROM (
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+    FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_window_topk(spark, sf_dir):
+    _register(spark, sf_dir, "orders")
+    return spark.sql(Q_TOPK_SQL).withColumn("rk", F.col("rk").cast("int"))
+
+
+ORACLE_Q_TOPK = Q_TOPK_SQL.replace("ROW_NUMBER() OVER", "ROW_NUMBER() OVER").replace(
+    "SELECT * FROM (", "SELECT o_custkey, o_orderkey, totalprice, CAST(rk AS INT) AS rk FROM ("
+)
+
+
+Q_SESSION_SQL = """
+WITH base AS (SELECT user_id, event_id, {us} AS us FROM events),
+marked AS (
+    SELECT user_id, us, event_id,
+           CASE WHEN LAG(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) IS NULL
+                  OR us - LAG(us) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM base
+),
+numbered AS (
+    SELECT user_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    _register(spark, sf_dir, "events")
+    return spark.sql(Q_SESSION_SQL.format(us="ts div 1000"))
+
+
+ORACLE_Q_SESSION = Q_SESSION_SQL.format(us="epoch_us(ts)")
+
+
+# ===================================================================== #
+# LLM-data gate queries
+# ===================================================================== #
+def q_doc_text_stats(spark, sf_dir):
+    return X.text_stats(load(spark, sf_dir, "documents"))
+
+
+def q_doc_token_frequencies(spark, sf_dir):
+    return X.token_frequencies(load(spark, sf_dir, "documents"), min_count=5)
+
+
+def q_doc_token_counts(spark, sf_dir):
+    return X.token_counts(load(spark, sf_dir, "documents"))
+
+
+def q_doc_lang_id(spark, sf_dir):
+    return X.lang_id(load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return X.doc_fingerprint(load(spark, sf_dir, "documents"))
+
+
+def q_doc_exact_dups(spark, sf_dir):
+    return D.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+def q_doc_minhash(spark, sf_dir):
+    return D.minhash_signatures(load(spark, sf_dir, "documents"), num_hashes=8)
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=16, bands=8
+    )
+
+
+def q_doc_simhash(spark, sf_dir):
+    return D.simhash(load(spark, sf_dir, "documents"))
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    return V.cosine_topk(load(spark, sf_dir, "embeddings"), k=5, query_max_id=10)
+
+
+def q_emb_topk_pandas(spark, sf_dir):
+    return V.topk_pandas(load(spark, sf_dir, "embeddings"), k=5, query_max_id=10)
+
+
+def q_emb_cosine_pairs(spark, sf_dir):
+    return V.cosine_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.9, query_max_id=50
+    )
+
+
+def q_emb_norm_stats(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        V.with_norm(emb)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__norm"), 4).alias("avg_norm"),
+        )
+        .withColumn("label", F.col("label").cast("int"))
+    )
+
+
+ORACLE_EMB_NORM_STATS = """
+SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(sqrt(list_sum(list_transform(embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 4) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+def q_emb_lsh_ann(spark, sf_dir):
+    return V.lsh_ann_pairs(
+        load(spark, sf_dir, "embeddings"), num_planes=12, threshold=0.9
+    )
+
+
+def q_media_decode(spark, sf_dir):
+    from .llm import multimodal as M
+
+    media = M.synthesize_media(load(spark, sf_dir, "documents"))
+    return M.decode_media(media).select(
+        "media_id", "kind", "height", "width", "n_bytes"
+    )
+
+
+# ===================================================================== #
+# registry
+# ===================================================================== #
+def queries():
+    return {
+        # trace engine (SURVEY §2.3-2.5)
+        "trace_match_inc": q_trace_match_inc,
+        "trace_flat_profile": q_trace_flat_profile,
+        "trace_load_imbalance": q_trace_load_imbalance,
+        "trace_session_stats": q_trace_session_stats,
+        "trace_cct": q_trace_cct,
+        "trace_idle_time": q_trace_idle_time,
+        "trace_comm_matrix": q_trace_comm_matrix,
+        "trace_comm_count": q_trace_comm_count,
+        "trace_comm_by_process": q_trace_comm_by_process,
+        "trace_message_histogram": q_trace_message_histogram,
+        "trace_comm_over_time": q_trace_comm_over_time,
+        "trace_time_profile": q_trace_time_profile,
+        # generic relational layer (SURVEY §2.6)
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "window_topk_orders": q_window_topk,
+        "sessionize_events": q_sessionize,
+        # LLM-data operators (SURVEY §7 step 9)
+        "doc_text_stats": q_doc_text_stats,
+        "doc_token_frequencies": q_doc_token_frequencies,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dups": q_doc_exact_dups,
+        "doc_minhash": q_doc_minhash,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_simhash": q_doc_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_topk_pandas": q_emb_topk_pandas,
+        "emb_cosine_pairs": q_emb_cosine_pairs,
+        "emb_norm_stats": q_emb_norm_stats,
+        "emb_lsh_ann": q_emb_lsh_ann,
+        "media_decode": q_media_decode,
+    }
+
+
+def oracle_sql():
+    return {
+        "trace_match_inc": ORACLE_TRACE_MATCH_INC,
+        "trace_flat_profile": ORACLE_TRACE_FLAT_PROFILE,
+        "trace_load_imbalance": ORACLE_TRACE_LOAD_IMBALANCE,
+        "trace_session_stats": ORACLE_TRACE_SESSION_STATS,
+        "trace_cct": ORACLE_TRACE_CCT,
+        "trace_idle_time": ORACLE_TRACE_IDLE,
+        "trace_comm_matrix": ORACLE_TRACE_COMM_MATRIX,
+        "trace_comm_count": ORACLE_TRACE_COMM_COUNT,
+        "trace_comm_by_process": ORACLE_TRACE_COMM_BY_PROCESS,
+        "trace_message_histogram": ORACLE_TRACE_MESSAGE_HISTOGRAM,
+        "trace_comm_over_time": ORACLE_TRACE_COMM_OVER_TIME,
+        "trace_time_profile": ORACLE_TRACE_TIME_PROFILE,
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": ORACLE_Q3,
+        "q5_local_supplier_volume": Q5_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "window_topk_orders": ORACLE_Q_TOPK,
+        "sessionize_events": ORACLE_Q_SESSION,
+        "doc_text_stats": X.oracle_text_stats(),
+        "doc_token_frequencies": X.oracle_token_frequencies(min_count=5),
+        "doc_token_counts": X.oracle_token_counts(),
+        "doc_lang_id": X.oracle_lang_id(),
+        "doc_fingerprint": X.oracle_doc_fingerprint(),
+        "doc_exact_dups": D.oracle_exact_duplicates(),
+        "doc_minhash": D.oracle_minhash_signatures(num_hashes=8),
+        "doc_ngram_jaccard": D.oracle_ngram_jaccard_pairs(n=3, threshold=0.5),
+        "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
+        "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),
+        "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.9, query_max_id=50),
+        "emb_norm_stats": ORACLE_EMB_NORM_STATS,
+        # doc_minhash_lsh / doc_simhash / emb_lsh_ann / media_decode:
+        # rows-only checks (LSH banding + stub codec aren't pure SQL)
+    }

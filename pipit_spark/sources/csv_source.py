@@ -53,11 +53,18 @@ def canonicalize(df: DataFrame) -> DataFrame:
     if S.EVENT_ID not in df.columns:
         df = df.withColumn(S.EVENT_ID, F.col(S.SEQ))
 
+    # attributes is part of the canonical schema — synthesize a null map
+    # when the source lacks it so downstream operators (comm suite)
+    # resolve without branching on presence
+    if S.ATTRIBUTES not in df.columns:
+        df = df.withColumn(
+            S.ATTRIBUTES, F.lit(None).cast("map<string,string>")
+        )
+
     core = [S.EVENT_ID, S.TIMESTAMP, S.SEQ, S.EVENT_TYPE, S.NAME, S.PROCESS]
     if S.THREAD in df.columns:
         core.append(S.THREAD)
-    if S.ATTRIBUTES in df.columns:
-        core.append(S.ATTRIBUTES)
+    core.append(S.ATTRIBUTES)
     extras = [c for c in df.columns if c not in core]
     return df.select(*core, *extras)
 
