@@ -102,12 +102,14 @@ def parse_sts(path: str) -> dict:
 
 
 def _entry_name(meta: dict, entry_id: int) -> str:
+    # Observable reference behavior (projections_reader.py:100-109): the
+    # chare-prefix branch tests `chare_id in self.chares` where chares is
+    # a LIST of tuples, which an int id never matches — so entry names
+    # are emitted bare, and unknown ids map to "".
     ent = meta["entries"].get(entry_id)
     if ent is None:
-        return f"Entry {entry_id}"
-    name, chare_id = ent
-    chare = meta["chares"].get(chare_id, str(chare_id))
-    return f"{chare}::{name}"
+        return ""
+    return ent[0]
 
 
 def _parse_pe_lines(pe: int, lines: list[str], meta: dict) -> pd.DataFrame:
@@ -143,7 +145,11 @@ def _parse_pe_lines(pe: int, lines: list[str], meta: dict) -> pd.DataFrame:
                  {"from_pe": arr[5], "msg_length": arr[6], "event_id": arr[4]})
         elif tag == END_PROCESSING:
             emit(_entry_name(meta, int(arr[2])), "Leave", int(arr[3]) * 1000, None)
-        elif tag in (CREATION, CREATION_BCAST):
+        elif tag == CREATION:
+            # CREATION_BCAST (20) is intentionally NOT handled: the
+            # reference has no branch for it (projections_reader.py
+            # handles only CREATION and CREATION_MULTICAST) and its
+            # golden counts (77/68 Instants) depend on skipping it
             emit(_entry_name(meta, int(arr[2])), "Instant", int(arr[3]) * 1000,
                  {"from_pe": arr[5], "msg_length": arr[6],
                   "send_time": str(int(arr[7]) * 1000), "entry_type": "Create"})
