@@ -87,6 +87,13 @@ class Trace:
         return cls(events, definitions)
 
     @classmethod
+    def from_hpctoolkit(cls, spark: SparkSession, dirname: str) -> "Trace":
+        """Reference: pipit/readers/hpctoolkit_reader.py (v4.0 binary db)."""
+        from .sources.hpctoolkit import read_hpctoolkit
+
+        return cls(read_hpctoolkit(spark, dirname))
+
+    @classmethod
     def from_parquet(cls, spark: SparkSession, path: str) -> "Trace":
         """Native canonical storage: Parquet partitioned by process."""
         return cls(spark.read.parquet(path))

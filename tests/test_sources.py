@@ -95,6 +95,73 @@ def test_projections_matching_and_profile(spark):
     assert "Computation" in set(fp.name)
 
 
+EXPECTED_HPCT_NAMES = {
+    "<unknown procedure> 0x24680 [libpsm2.so.2.2]",
+    "MPID_Finalize [libmpi.so.12.1.1]",
+    "MPID_Recv [libmpi.so.12.1.1]",
+    "MPI_Finalize",
+    "PMPI_Finalize [libmpi.so.12.1.1]",
+    "PMPI_Recv [libmpi.so.12.1.1]",
+    "PMPI_Send [libmpi.so.12.1.1]",
+    "__GI___munmap [libc-2.17.so]",
+    "__GI___unlink [libc-2.17.so]",
+    "__GI_process_vm_readv [libc-2.17.so]",
+    "loop",
+    "main",
+    "main thread",
+    "psm2_ep_close [libpsm2.so.2.2]",
+    "psm2_mq_ipeek2 [libpsm2.so.2.2]",
+    "psm2_mq_irecv2 [libpsm2.so.2.2]",
+    "psm_dofinalize [libmpi.so.12.1.1]",
+    "psm_progress_wait [libmpi.so.12.1.1]",
+    "psm_recv [libmpi.so.12.1.1]",
+    "psm_try_complete [libmpi.so.12.1.1]",
+    "shm_unlink [librt-2.17.so]",
+    "targ5030 [libpsm2.so.2.2]",
+}
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(f"{REF_DATA}/ping-pong-hpctoolkit"),
+    reason="reference golden traces unavailable",
+)
+def test_hpctoolkit_golden(spark):
+    """Same assertions as reference pipit/tests/hpctoolkit.py."""
+    from pipit_spark import Trace
+
+    ev = Trace.from_hpctoolkit(
+        spark, f"{REF_DATA}/ping-pong-hpctoolkit"
+    ).events.toPandas()
+
+    assert set(ev.process.unique()) == {0, 1}
+    assert set(ev.event_type.unique()) == {
+        "Enter", "Leave", "Loop Enter", "Loop Leave"
+    }
+    # per-rank Enter counts + Enter/Leave balance — hpctoolkit.py:22-52
+    assert len(ev[(ev.process == 0) & (ev.event_type == "Enter")]) == 117
+    assert len(ev[(ev.process == 1) & (ev.event_type == "Enter")]) == 88
+    for p in (0, 1):
+        assert len(ev[(ev.process == p) & (ev.event_type == "Enter")]) == len(
+            ev[(ev.process == p) & (ev.event_type == "Leave")]
+        )
+    assert set(ev.name.unique()) == EXPECTED_HPCT_NAMES
+    # 7 PMPI_Send / PMPI_Recv Enters per rank — hpctoolkit.py:83-96
+    for p in (0, 1):
+        for fn in ("PMPI_Send", "PMPI_Recv"):
+            assert (
+                len(
+                    ev[
+                        ev.name.str.contains(fn)
+                        & (ev.event_type == "Enter")
+                        & (ev.process == p)
+                    ]
+                )
+                == 7
+            )
+    # globally sorted timestamps — hpctoolkit.py:98-99
+    assert ev.timestamp_ns.is_monotonic_increasing
+
+
 def test_nsight_unpivot(spark, tmp_path):
     """Interval rows become Enter+Leave pairs; PID/TID dense-renumber
     (reference pipit/readers/nsight_reader.py:29-77)."""
