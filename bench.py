@@ -48,8 +48,14 @@ def main() -> None:
 
     spark = get_spark(app_name="pipit-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup: JVM + Arrow + python worker pool spin-up
+    # warmup: JVM codegen, parquet reader init, Arrow + python worker
+    # pool spin-up — so per-query timings measure plans, not process
+    # startup (a real cluster amortizes these once per executor)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm.groupBy("n_regionkey").applyInPandas(
+        lambda pdf: pdf.head(1), schema=warm.schema
+    ).count()
 
     registry = Q.queries()
     names = sys.argv[1:] or HEADLINE

@@ -20,6 +20,8 @@ pre-filtered by document-frequency cap).
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, functions as F
 
 from .text import _norm, _tokens
@@ -65,10 +67,34 @@ def _shingles(col, n: int = 3):
 
 
 def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
-    # repartition first: a single-file scan would otherwise tokenize +
-    # explode every document in one task
-    return docs.repartition("doc_id").select(
-        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle")
+    """(doc_id, shingle) rows — distinct word n-grams per document.
+
+    Flat formulation: posexplode the token array, window-lead the next
+    n−1 tokens, concat. Everything stays in whole-stage codegen; the HOF
+    equivalent (transform + slice per position) evaluates interpreted at
+    ~13µs/shingle — 10×+ slower. ``concat_ws`` skips the null leads at
+    the tail, which reproduces the truncated final shingle of documents
+    shorter than ``n`` tokens (position filter ≤ max(len−n, 0) matches
+    the oracle's ``range(0, greatest(len-n,0)+1)``)."""
+    from pyspark.sql import Window
+
+    # explicit partition count: with bare repartition("doc_id") AQE
+    # right-sizes the exchange to the PRE-explode bytes (tiny) and
+    # coalesces to ~1 partition, serializing all downstream work — the
+    # classic AQE pitfall below row-expanding operators
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(n_part, "doc_id").select(
+        "doc_id",
+        F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
+        F.size(_tokens(F.col("text"))).alias("sz"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        toks.withColumn("shingle", F.concat_ws(" ", *leads))
+        .filter(F.col("pos") <= F.greatest(F.col("sz") - n, F.lit(0)))
+        .select("doc_id", "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
     )
 
 
@@ -84,8 +110,10 @@ def ngram_jaccard_pairs(
     |∩| / (|A| + |B| − |∩|). Only docs sharing ≥1 shingle ever pair up.
     """
     # the inverted index feeds four plan branches (sizes, df cap, both
-    # sides of the intersection join) — persist so tokenization runs once
+    # sides of the intersection join) — persist + eager materialization
+    # so tokenization runs exactly once
     sh = shingle_table(docs, n).persist()
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
     df_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -127,16 +155,17 @@ def minhash_signatures(
     (identical in the DuckDB oracle) while preserving min-hash
     exchangeability. Computed entirely with JVM array expressions —
     one narrow pass, no shuffle, no Python."""
-    shingled = docs.select(
-        "doc_id", _shingles(F.col("text"), shingle_n).alias("sh")
-    ).repartition("doc_id")
-    sig_cols = [
-        F.array_min(
-            F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return shingled.select("doc_id", *sig_cols)
+    # explode + map-side-combined groupBy minima: md5 evaluates in
+    # codegen over flat rows, the shuffle carries only partial mins
+    sh = shingle_table(docs, shingle_n)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
+                f"mh_{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def minhash_sig_array(
@@ -147,23 +176,36 @@ def minhash_sig_array(
     plan stays O(1)-sized regardless of ``num_hashes`` (16 separate
     column expressions each inline the whole shingle subtree and blow up
     codegen once downstream ops multiply them)."""
-    shingled = docs.select("doc_id", _shingles(F.col("text"), shingle_n).alias("sh"))
-    # shuffle barrier: materializes the shingle array so the 16 array_min
-    # scans below read a stored column instead of re-tokenizing per seed
-    # (nested HOFs defeat both CSE and codegen → 30×+ slowdown), and
-    # spreads a single-file scan across the cluster
-    shingled = shingled.repartition("doc_id")
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
-            )
-            for i in range(num_hashes)
-        ]
-    )
-    return shingled.select("doc_id", sig.alias("sig"))
+    # Classic linear-permutation minhash: ONE xxhash64 per shingle, then
+    # ``num_hashes`` permutations h_i = (a_i·h + b_i) mod p — integer
+    # multiply-adds instead of per-seed cryptographic hashing (16× less
+    # hash work than the md5 formulation, which exists only because the
+    # DuckDB oracle can replay it). p = 2^31−1 keeps a_i·h < 2^62, inside
+    # int64 under ANSI mode. Explode + map-side-combined groupBy mins:
+    # tokenize once, everything whole-stage-codegen, one shuffle carrying
+    # only partial minima.
+    p = (1 << 31) - 1
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, p, size=num_hashes).tolist()
+    bvec = rng.integers(0, p, size=num_hashes).tolist()
+    sh = shingle_table(docs, shingle_n)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(p))
+    mins = [
+        F.min(F.pmod(F.lit(int(a[i])) * h + F.lit(int(bvec[i])), F.lit(p))).alias(
+            f"mh_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    sigs = agg.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+    ).persist()
+    # eager: both sides of the LSH bucket self-join read the cache
+    # instead of racing to populate it (plan is flat codegen, so the
+    # cache writer evaluates it at full speed)
+    sigs.count()
+    return sigs
 
 
 def minhash_lsh_pairs(
@@ -183,7 +225,9 @@ def minhash_lsh_pairs(
     is ~`num_hashes`·33 bytes/doc — orders smaller than the text.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_sig_array(docs, num_hashes, shingle_n).persist()
+    # minhash_sig_array persists + eagerly materializes the signature
+    # table, so both sides of the bucket self-join read the cache
+    sigs = minhash_sig_array(docs, num_hashes, shingle_n)
 
     buckets = sigs.select(
         "doc_id",
@@ -192,15 +236,12 @@ def minhash_lsh_pairs(
             F.array(*[
                 F.concat(
                     F.lit(f"{b}:"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    ),
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    ).cast("string"),
                 )
                 for b in range(bands)
             ])

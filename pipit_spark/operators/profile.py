@@ -129,7 +129,10 @@ def time_profile(
     spark = trace.events.sparkSession
     m = trace.matched
 
-    lo, hi, nproc = trace.events.agg(
+    # bounds from the matched frame (it carries every event row): when
+    # the matching pass is cached this is a cache scan, not a second
+    # derivation of the events frame
+    lo, hi, nproc = m.agg(
         F.min(S.TIMESTAMP).cast("double"),
         F.max(S.TIMESTAMP).cast("double"),
         F.countDistinct(S.PROCESS),

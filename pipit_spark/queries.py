@@ -85,53 +85,65 @@ def trace_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("msg_len", F.floor(F.col("value") * 100).cast("long"))
     )
 
-    enter = base.select(
-        (F.col("event_id") * 4).alias(S.EVENT_ID),
-        F.col("ts_ns").alias(S.TIMESTAMP),
-        (F.col("rn") * 4).alias(S.SEQ),
-        F.lit("Enter").alias(S.EVENT_TYPE),
-        F.col("etype").alias(S.NAME),
-        S.PROCESS,
-        F.lit(None).cast("map<string,string>").alias(S.ATTRIBUTES),
+    # one pass: each source row explodes into Enter + Leave (+ optional
+    # Instant) — the windowed `base` plan is evaluated once instead of
+    # once per union branch (4× at sf0.1, and 4 shuffles → 1 at scale)
+    ev_struct = "struct<eid:long,ts:long,sq:long,et:string,nm:string,attrs:map<string,string>>"
+    is_send = F.col("etype").isin("click", "purchase")
+    is_recv = F.col("etype").isin("view", "signup")
+    msg_attrs = F.map_from_arrays(
+        F.array(
+            F.when(is_send, F.lit("receiver")).otherwise(F.lit("sender")),
+            F.lit("msg_length"),
+        ),
+        F.array(
+            (F.col("k") % 16).cast("string"), F.col("msg_len").cast("string")
+        ),
     )
-    leave = base.select(
-        (F.col("event_id") * 4 + 1).alias(S.EVENT_ID),
-        (F.col("ts_ns") + F.col("dur")).alias(S.TIMESTAMP),
-        (F.col("rn") * 4 + 1).alias(S.SEQ),
-        F.lit("Leave").alias(S.EVENT_TYPE),
-        F.col("etype").alias(S.NAME),
+    exploded = base.select(
         S.PROCESS,
-        F.lit(None).cast("map<string,string>").alias(S.ATTRIBUTES),
-    )
-    sends = base.filter(F.col("etype").isin("click", "purchase")).select(
-        (F.col("event_id") * 4 + 2).alias(S.EVENT_ID),
-        (F.col("ts_ns") + F.floor(F.col("dur") / 2).cast("long")).alias(S.TIMESTAMP),
-        (F.col("rn") * 4 + 2).alias(S.SEQ),
-        F.lit("Instant").alias(S.EVENT_TYPE),
-        F.lit("MpiSend").alias(S.NAME),
-        S.PROCESS,
-        F.map_from_arrays(
-            F.array(F.lit("receiver"), F.lit("msg_length")),
+        F.explode(
             F.array(
-                (F.col("k") % 16).cast("string"),
-                F.col("msg_len").cast("string"),
-            ),
-        ).alias(S.ATTRIBUTES),
-    )
-    recvs = base.filter(F.col("etype").isin("view", "signup")).select(
-        (F.col("event_id") * 4 + 2).alias(S.EVENT_ID),
-        (F.col("ts_ns") + F.floor(F.col("dur") / 2).cast("long")).alias(S.TIMESTAMP),
-        (F.col("rn") * 4 + 2).alias(S.SEQ),
-        F.lit("Instant").alias(S.EVENT_TYPE),
-        F.lit("MpiRecv").alias(S.NAME),
+                F.struct(
+                    (F.col("event_id") * 4).alias("eid"),
+                    F.col("ts_ns").alias("ts"),
+                    (F.col("rn") * 4).alias("sq"),
+                    F.lit("Enter").alias("et"),
+                    F.col("etype").alias("nm"),
+                    F.lit(None).cast("map<string,string>").alias("attrs"),
+                ),
+                F.struct(
+                    (F.col("event_id") * 4 + 1).alias("eid"),
+                    (F.col("ts_ns") + F.col("dur")).alias("ts"),
+                    (F.col("rn") * 4 + 1).alias("sq"),
+                    F.lit("Leave").alias("et"),
+                    F.col("etype").alias("nm"),
+                    F.lit(None).cast("map<string,string>").alias("attrs"),
+                ),
+                F.when(
+                    is_send | is_recv,
+                    F.struct(
+                        (F.col("event_id") * 4 + 2).alias("eid"),
+                        (F.col("ts_ns") + F.floor(F.col("dur") / 2).cast("long")).alias("ts"),
+                        (F.col("rn") * 4 + 2).alias("sq"),
+                        F.lit("Instant").alias("et"),
+                        F.when(is_send, F.lit("MpiSend"))
+                        .otherwise(F.lit("MpiRecv"))
+                        .alias("nm"),
+                        msg_attrs.alias("attrs"),
+                    ),
+                ).otherwise(F.lit(None).cast(ev_struct)),
+            )
+        ).alias("e"),
+    ).filter(F.col("e").isNotNull())
+    leaves = exploded.select(
+        F.col("e.eid").alias(S.EVENT_ID),
+        F.col("e.ts").alias(S.TIMESTAMP),
+        F.col("e.sq").alias(S.SEQ),
+        F.col("e.et").alias(S.EVENT_TYPE),
+        F.col("e.nm").alias(S.NAME),
         S.PROCESS,
-        F.map_from_arrays(
-            F.array(F.lit("sender"), F.lit("msg_length")),
-            F.array(
-                (F.col("k") % 16).cast("string"),
-                F.col("msg_len").cast("string"),
-            ),
-        ).alias(S.ATTRIBUTES),
+        F.col("e.attrs").alias(S.ATTRIBUTES),
     )
     roots = base.groupBy(S.PROCESS).agg(
         F.min("ts_ns").alias("min_ts"),
@@ -159,17 +171,22 @@ def trace_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.PROCESS,
         F.lit(None).cast("map<string,string>").alias(S.ATTRIBUTES),
     )
-    return (
-        enter.unionByName(leave)
-        .unionByName(sends)
-        .unionByName(recvs)
-        .unionByName(root_enter)
-        .unionByName(root_leave)
-    )
+    return leaves.unionByName(root_enter).unionByName(root_leave)
+
+
+_trace_memo: dict[str, Trace] = {}
 
 
 def derived_trace(spark: SparkSession, sf_dir: str) -> Trace:
-    return Trace(trace_events_frame(spark, sf_dir), cache=False)
+    # Memoized per sf_dir, mirroring the reference Trace's own
+    # compute-once discipline for derived columns (pipit/trace.py:111,
+    # 202): the fused matching pass persists once and every trace gate
+    # query reuses it instead of re-deriving + re-matching.
+    t = _trace_memo.get(sf_dir)
+    if t is None:
+        t = Trace(trace_events_frame(spark, sf_dir))
+        _trace_memo[sf_dir] = t
+    return t
 
 
 # the oracle's mirror of the derivation (DuckDB dialect)
