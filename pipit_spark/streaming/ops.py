@@ -1,0 +1,114 @@
+"""Structured Streaming operators over the canonical events schema.
+
+The reference has no streaming at all (SURVEY §2.7) — its
+``comm_over_time`` / ``time_profile`` are batch tumbling windows over a
+closed trace. These operators re-express that family for unbounded
+event streams the Spark-native way: event-time windows + watermarks for
+late data, ``session_window`` for gap-based grouping, and
+``availableNow`` triggers so the same code does incremental batch
+backfill at 100 TB.
+
+All operators take/return streaming DataFrames; sources/sinks stay with
+the caller (``spark.readStream.schema(...).parquet(dir)`` for the
+canonical store, any sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import schema as S
+
+
+def with_event_time(events: DataFrame, col: str = "event_time") -> DataFrame:
+    """Attach a TimestampType event-time column derived from the ns-long
+    canonical timestamp (µs precision — Spark's timestamp granularity)."""
+    return events.withColumn(
+        col, F.timestamp_micros(F.expr(f"{S.TIMESTAMP} div 1000"))
+    )
+
+
+def streaming_comm_over_time(
+    events: DataFrame,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    output: str = "count",
+    message_type: str = "send",
+) -> DataFrame:
+    """Streaming twin of ``comm_over_time`` (batch: pipit/trace.py:457-496):
+    per event-time tumbling window, count (or byte volume) of MPI
+    send/recv Instants. The watermark bounds state: windows older than
+    it are finalized and emitted (append mode)."""
+    names = S.SEND_NAMES if message_type == "send" else S.RECV_NAMES
+    ev = with_event_time(events)
+    msgs = ev.filter(
+        (F.col(S.EVENT_TYPE) == S.INSTANT) & F.col(S.NAME).isin(*names)
+    )
+    agg_col = (
+        F.count(F.lit(1)).alias("volume")
+        if output == "count"
+        else F.sum(
+            F.element_at(F.col(S.ATTRIBUTES), S.ATTR_MSG_LENGTH).cast("double")
+        ).alias("volume")
+    )
+    return (
+        msgs.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"))
+        .agg(agg_col)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "volume",
+        )
+    )
+
+
+def streaming_event_rates(
+    events: DataFrame,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Per-(process, window) event throughput — the live-monitoring
+    counterpart of the batch time profile's binning."""
+    ev = with_event_time(events)
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), F.col(S.PROCESS))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES), 1).otherwise(0)
+            ).alias("n_enters"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            S.PROCESS,
+            "n_events",
+            "n_enters",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 seconds",
+    watermark: str = "60 seconds",
+) -> DataFrame:
+    """Gap-based session windows per process via the native
+    ``session_window`` — merges events separated by < ``gap`` into one
+    session row (start, end, n_events). State is bounded by the
+    watermark; sessions close once the watermark passes their gap."""
+    ev = with_event_time(events)
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(
+            F.session_window("event_time", gap).alias("sess"), F.col(S.PROCESS)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            S.PROCESS,
+            "n_events",
+        )
+    )

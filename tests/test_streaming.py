@@ -1,0 +1,136 @@
+"""Structured Streaming operator tests: canonical parquet batches →
+file stream source → windowed/sessionized aggregations → memory sink,
+driven to completion with availableNow (the incremental-backfill
+trigger a 100 TB reprocessing job would use)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def event_stream_dir(spark, tmp_path):
+    """Two parquet 'micro-batches' of canonical events: 2 processes,
+    sends at known second offsets."""
+    from pipit_spark.schema import EVENT_SCHEMA
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_id", "timestamp_ns", "seq", "event_type",
+                "name", "process", "thread", "attributes",
+            ],
+        )
+
+    sec = 1_000_000_000
+    batch1 = [
+        (0, 1 * sec, 0, "Enter", "main", 0, 0, None),
+        (1, 2 * sec, 1, "Instant", "MpiSend", 0, 0,
+         {"receiver": "1", "msg_length": "100"}),
+        (2, 3 * sec, 2, "Instant", "MpiSend", 0, 0,
+         {"receiver": "1", "msg_length": "50"}),
+        (3, 1 * sec, 0, "Enter", "main", 1, 0, None),
+    ]
+    batch2 = [
+        (4, 12 * sec, 3, "Instant", "MpiSend", 0, 0,
+         {"receiver": "1", "msg_length": "200"}),
+        (5, 13 * sec, 4, "Leave", "main", 0, 0, None),
+        (6, 60 * sec, 5, "Instant", "MpiSend", 1, 0,
+         {"receiver": "0", "msg_length": "10"}),
+        (7, 61 * sec, 6, "Leave", "main", 1, 0, None),
+    ]
+    d = tmp_path / "stream"
+    d.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(mk(rows), schema=EVENT_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d / f"batch{i}"))
+    return d
+
+
+def _run_to_memory(df, name, mode="complete"):
+    # complete mode for deterministic tests: append mode would (rightly)
+    # withhold windows the watermark hasn't finalized when the bounded
+    # stream ends
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _read_stream(spark, event_stream_dir):
+    from pipit_spark.schema import EVENT_SCHEMA
+
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(event_stream_dir))
+    )
+
+
+def test_streaming_comm_over_time(spark, event_stream_dir):
+    from pipit_spark.streaming.ops import streaming_comm_over_time
+
+    ev = _read_stream(spark, event_stream_dir)
+    out = streaming_comm_over_time(ev, window="10 seconds", output="size")
+    _run_to_memory(out, "comm_windows")
+    res = (
+        spark.sql("select * from comm_windows")
+        .orderBy("window_start")
+        .toPandas()
+    )
+    # sends at t=2,3 (win 0-10: 150 bytes), t=12 (win 10-20: 200),
+    # t=60 (win 60-70: 10)
+    assert list(res.volume) == [150.0, 200.0, 10.0]
+
+
+def test_streaming_comm_append_watermark(spark, event_stream_dir):
+    """Append mode emits only watermark-finalized windows: the last send
+    (t=60s) leaves the watermark at 61−30=31s, so window [60,70) stays
+    open when the bounded stream ends — exactly the late-data contract."""
+    from pipit_spark.streaming.ops import streaming_comm_over_time
+
+    ev = _read_stream(spark, event_stream_dir)
+    out = streaming_comm_over_time(
+        ev, window="10 seconds", watermark="30 seconds", output="size"
+    )
+    _run_to_memory(out, "comm_append", mode="append")
+    res = (
+        spark.sql("select * from comm_append").orderBy("window_start").toPandas()
+    )
+    assert list(res.volume) == [150.0, 200.0]
+
+
+def test_streaming_event_rates(spark, event_stream_dir):
+    from pipit_spark.streaming.ops import streaming_event_rates
+
+    ev = _read_stream(spark, event_stream_dir)
+    out = streaming_event_rates(ev, window="10 seconds")
+    _run_to_memory(out, "rates")
+    res = spark.sql("select * from rates").toPandas()
+    p0_w0 = res[(res.process == 0) & (res.window_start.astype("int64") == 0)]
+    assert int(p0_w0.n_events.iloc[0]) == 3  # Enter + 2 sends in [0,10)
+    assert int(p0_w0.n_enters.iloc[0]) == 1
+
+
+def test_streaming_sessionize(spark, event_stream_dir):
+    from pipit_spark.streaming.ops import streaming_sessionize
+
+    ev = _read_stream(spark, event_stream_dir)
+    out = streaming_sessionize(ev, gap="30 seconds")
+    _run_to_memory(out, "sessions")
+    res = spark.sql("select * from sessions").toPandas()
+    # process 0: events at 1,2,3,12,13s → one session (gaps < 30s)
+    # process 1: events at 1s and 60,61s → two sessions
+    assert len(res[res.process == 0]) == 1
+    assert int(res[res.process == 0].n_events.iloc[0]) == 5
+    assert len(res[res.process == 1]) == 2
