@@ -219,10 +219,12 @@ def time_profile(
 
 
 def multirun_analysis(
-    traces, metric=S.TIME_INC, groupby_column=S.NAME
+    traces, metric=S.TIME_INC, groupby_column=S.NAME, pivot: bool = True
 ) -> DataFrame:
     """Cross-run comparison table (pipit/trace.py:766-804): one row per
-    run (keyed by process count), one column per function."""
+    run (keyed by process count), one column per function. With
+    ``pivot=False`` returns the long form (num_processes, group, metric)
+    — the scale-friendly shape when the function set is wide."""
     parts = []
     for t in traces:
         nproc = t.events.select(S.PROCESS).distinct().count()
@@ -231,6 +233,8 @@ def multirun_analysis(
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
+    if not pivot:
+        return allp.select("num_processes", groupby_column, metric)
     return (
         allp.groupBy("num_processes").pivot(groupby_column).sum(metric)
         .orderBy("num_processes")

@@ -534,6 +534,62 @@ SELECT bin_idx, name, ROUND(t / 1e9, 3) AS time_sec FROM with_idle
 """
 
 
+def q_trace_multirun(spark, sf_dir):
+    """multirun_analysis over two sub-traces (processes split by parity)
+    — long form so the oracle stays plain SQL."""
+    t = derived_trace(spark, sf_dir)
+    ev = t.events
+    # uneven split (⅓ vs ⅔ of ranks) so the two runs have distinct
+    # process counts — equal counts would collapse under the oracle's
+    # GROUP BY num_processes
+    lo = Trace(ev.filter(F.col(S.PROCESS) % 3 == 0), cache=False)
+    hi = Trace(ev.filter(F.col(S.PROCESS) % 3 != 0), cache=False)
+    return Trace.multirun_analysis([lo, hi], metric=S.TIME_INC, pivot=False)
+
+
+ORACLE_TRACE_MULTIRUN = ORACLE_TRACE_CTE + """
+, leaf_pp AS (
+    SELECT CASE WHEN process % 3 = 0 THEN 0 ELSE 1 END AS half,
+           etype AS name, process, CAST(SUM(dur) AS DOUBLE) AS inc
+    FROM leaf GROUP BY 1, 2, 3
+),
+root_pp AS (
+    SELECT CASE WHEN process % 3 = 0 THEN 0 ELSE 1 END AS half,
+           'session' AS name, process,
+           CAST(leave_ts - enter_ts AS DOUBLE) AS inc
+    FROM roots
+),
+pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp),
+nproc AS (SELECT half, COUNT(DISTINCT process) AS n FROM pp GROUP BY 1)
+SELECT CAST(n AS INT) AS num_processes, name, AVG(inc) AS time_inc
+FROM pp JOIN nproc USING (half)
+GROUP BY 1, 2
+"""
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    """Surviving doc_ids after keep-one-representative dedup over the
+    corpus with injected duplicates."""
+    docs = load(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return D.exact_dedup(docs.unionByName(dups)).select("doc_id")
+
+
+ORACLE_DOC_EXACT_DEDUP = r"""
+WITH corpus AS (
+    SELECT * FROM documents
+    UNION ALL
+    SELECT * REPLACE (doc_id + 1000000 AS doc_id) FROM documents
+    WHERE doc_id % 100 = 0
+)
+SELECT MIN(doc_id) AS doc_id
+FROM corpus
+GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+"""
+
+
 # ===================================================================== #
 # relational (TPC-H-ish) gate queries — Spark side is spark.sql over the
 # same declarative text (Catalyst optimizes), oracle is the DuckDB twin.
@@ -706,7 +762,15 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_doc_exact_dups(spark, sf_dir):
-    return D.exact_duplicates(load(spark, sf_dir, "documents"))
+    # the synthetic corpus has no byte-identical documents, which would
+    # make this gate trivially-green on an empty result — inject a
+    # deterministic 1% duplicate set (doc_id+1M copies) so the operator
+    # must actually find groups
+    docs = load(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return D.exact_duplicates(docs.unionByName(dups))
 
 
 def q_doc_minhash(spark, sf_dir):
@@ -738,8 +802,11 @@ def q_emb_topk_pandas(spark, sf_dir):
 
 
 def q_emb_cosine_pairs(spark, sf_dir):
+    # threshold sits in the upper tail of the random-embedding cosine
+    # distribution (p99 ≈ 0.29, max ≈ 0.49) so the result is non-empty —
+    # a 0.9 threshold would green-light an operator that finds nothing
     return V.cosine_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.9, query_max_id=50
+        load(spark, sf_dir, "embeddings"), threshold=0.3, query_max_id=50
     )
 
 
@@ -765,9 +832,20 @@ FROM embeddings GROUP BY label
 
 
 def q_emb_lsh_ann(spark, sf_dir):
+    # 8 planes / 0.2 threshold: enough bucket collisions + passing pairs
+    # on random embeddings that the LSH path demonstrably returns work
     return V.lsh_ann_pairs(
-        load(spark, sf_dir, "embeddings"), num_planes=12, threshold=0.9
+        load(spark, sf_dir, "embeddings"), num_planes=8, threshold=0.2
     )
+
+
+# mirrors q_doc_exact_dups's injected duplicate set (DuckDB * REPLACE)
+ORACLE_DOC_EXACT_DUPS = (
+    "WITH corpus AS (SELECT * FROM documents UNION ALL "
+    "SELECT * REPLACE (doc_id + 1000000 AS doc_id) FROM documents "
+    "WHERE doc_id % 100 = 0) "
+    + D.oracle_exact_duplicates(table="corpus").lstrip()
+)
 
 
 def q_media_decode(spark, sf_dir):
@@ -797,6 +875,7 @@ def queries():
         "trace_message_histogram": q_trace_message_histogram,
         "trace_comm_over_time": q_trace_comm_over_time,
         "trace_time_profile": q_trace_time_profile,
+        "trace_multirun": q_trace_multirun,
         # generic relational layer (SURVEY §2.6)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -811,6 +890,7 @@ def queries():
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dups": q_doc_exact_dups,
+        "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash": q_doc_minhash,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -838,6 +918,7 @@ def oracle_sql():
         "trace_message_histogram": ORACLE_TRACE_MESSAGE_HISTOGRAM,
         "trace_comm_over_time": ORACLE_TRACE_COMM_OVER_TIME,
         "trace_time_profile": ORACLE_TRACE_TIME_PROFILE,
+        "trace_multirun": ORACLE_TRACE_MULTIRUN,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": ORACLE_Q3,
         "q5_local_supplier_volume": Q5_SQL,
@@ -849,12 +930,13 @@ def oracle_sql():
         "doc_token_counts": X.oracle_token_counts(),
         "doc_lang_id": X.oracle_lang_id(),
         "doc_fingerprint": X.oracle_doc_fingerprint(),
-        "doc_exact_dups": D.oracle_exact_duplicates(),
+        "doc_exact_dups": ORACLE_DOC_EXACT_DUPS,
+        "doc_exact_dedup": ORACLE_DOC_EXACT_DEDUP,
         "doc_minhash": D.oracle_minhash_signatures(num_hashes=8),
         "doc_ngram_jaccard": D.oracle_ngram_jaccard_pairs(n=3, threshold=0.5),
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),
-        "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.9, query_max_id=50),
+        "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),
         "emb_norm_stats": ORACLE_EMB_NORM_STATS,
         # doc_minhash_lsh / doc_simhash / emb_lsh_ann / media_decode:
         # rows-only checks (LSH banding + stub codec aren't pure SQL)

@@ -284,10 +284,13 @@ class Trace:
         traces: list["Trace"],
         metric: str = S.TIME_INC,
         groupby_column: str = S.NAME,
+        pivot: bool = True,
     ) -> DataFrame:
         from .operators.profile import multirun_analysis
 
-        return multirun_analysis(traces, metric=metric, groupby_column=groupby_column)
+        return multirun_analysis(
+            traces, metric=metric, groupby_column=groupby_column, pivot=pivot
+        )
 
     def detect_pattern(
         self,
