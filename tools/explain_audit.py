@@ -1,0 +1,48 @@
+"""Regenerate the physical-plan evidence behind PLANS.md.
+
+Usage: PYTHONPATH=. python tools/explain_audit.py [sf_dir]
+Prints the formatted plan tree + scan details (PushedFilters/ReadSchema)
+for each flagship operator.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+
+def cap(df, label: str) -> None:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    print(f"==== {label} ====")
+    print(txt.split("\n\n")[0])
+    for line in txt.splitlines():
+        if "PushedFilters" in line or "ReadSchema" in line:
+            print(line.strip())
+    print()
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pipit_spark.session import get_spark
+    from pipit_spark import queries as Q
+    from pipit_spark.llm import dedup as D
+
+    spark = get_spark(app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cap(Q.q6_forecast_revenue(spark, sf), "q6 selective scan")
+    t = Q.derived_trace(spark, sf)
+    cap(t.matched, "fused matching pass")
+    cap(t.comm_matrix(), "comm_matrix")
+    cap(t.time_profile(num_bins=20), "time_profile")
+    cap(t.flat_profile(), "flat_profile")
+    cap(D.minhash_lsh_pairs(Q.load(spark, sf, "documents"), 16, 8), "minhash_lsh")
+
+
+if __name__ == "__main__":
+    main()
