@@ -15,6 +15,53 @@ from pyspark.sql import functions as F
 from .. import schema as S
 
 
+def _matrix_profile_numpy(series, m: int):
+    """Brute-force z-normalized matrix profile (fallback when stumpy is
+    absent). O(n²·m) — fine for the bounded single-process slices this
+    operator sees; the reference has the same driver-side envelope.
+
+    Returns (profile distances, nearest-neighbor indices)."""
+    import numpy as np
+
+    n = len(series) - m + 1
+    win = np.lib.stride_tricks.sliding_window_view(series, m).astype("float64")
+    mu = win.mean(axis=1, keepdims=True)
+    sd = win.std(axis=1, keepdims=True)
+    sd[sd == 0] = 1.0
+    z = (win - mu) / sd
+    # z-norm Euclidean distance via correlation: d² = 2m(1 − zᵢ·zⱼ/m)
+    dots = z @ z.T
+    d2 = np.maximum(2.0 * m * (1.0 - dots / m), 0.0)
+    np.fill_diagonal(d2, np.inf)
+    excl = max(1, m // 2)  # trivial-match exclusion zone
+    for i in range(n):
+        lo, hi = max(0, i - excl), min(n, i + excl + 1)
+        d2[i, lo:hi] = np.inf
+    d = np.sqrt(d2)
+    return d.min(axis=1), d.argmin(axis=1)
+
+
+def _motifs_numpy(series, m: int, max_motifs: int = 8):
+    """Top motif pairs from the brute-force profile: repeatedly take the
+    globally closest window pair, masking each pick's exclusion zone."""
+    import numpy as np
+
+    prof, nn = _matrix_profile_numpy(series, m)
+    order = np.argsort(prof)
+    picked: list[int] = []
+    excl = max(1, m // 2)
+    for i in order:
+        if not np.isfinite(prof[i]):
+            continue
+        if any(abs(int(i) - p) <= excl or abs(int(nn[i]) - p) <= excl
+               for p in picked):
+            continue
+        picked.extend([int(i), int(nn[i])])
+        if len(picked) >= 2 * max_motifs:
+            break
+    return picked
+
+
 def detect_pattern(
     trace,
     start_event: str,
@@ -25,11 +72,9 @@ def detect_pattern(
 ):
     try:
         import stumpy  # noqa: F401
-    except ImportError as e:  # pragma: no cover - optional dep
-        raise ImportError(
-            "detect_pattern requires the optional 'stumpy' package "
-            "(reference pipit/trace.py:815 lazy-imports it the same way)"
-        ) from e
+    except ImportError:
+        stumpy = None  # numpy fallback below (reference lazy-imports the
+        # same dep, pipit/trace.py:815, but hard-fails without it)
     import numpy as np
 
     df = trace.calc_exc_metrics() if metric.endswith("_exc") else trace.matched
@@ -61,15 +106,22 @@ def detect_pattern(
     if len(series) < 2 * window_size:
         return []
 
-    mp = stumpy.stump(series, m=window_size)
-    motif_distances, motif_indices = stumpy.motifs(series, mp[:, 0], max_motifs=8)
     out = []
-    for dists, idxs in zip(motif_distances, motif_indices):
-        for idx in np.atleast_1d(idxs):
-            if idx >= 0:
-                out.append(
-                    sliced.iloc[int(idx): int(idx) + window_size].reset_index(
-                        drop=True
-                    )
-                )
+    if stumpy is not None:
+        mp = stumpy.stump(series, m=window_size)
+        motif_distances, motif_indices = stumpy.motifs(
+            series, mp[:, 0], max_motifs=8
+        )
+        starts = [
+            int(idx)
+            for dists, idxs in zip(motif_distances, motif_indices)
+            for idx in np.atleast_1d(idxs)
+            if idx >= 0
+        ]
+    else:
+        starts = _motifs_numpy(series, window_size)
+    for idx in starts:
+        out.append(
+            sliced.iloc[idx: idx + window_size].reset_index(drop=True)
+        )
     return out

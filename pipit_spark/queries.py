@@ -738,6 +738,62 @@ def q_sessionize(spark, sf_dir):
 ORACLE_Q_SESSION = Q_SESSION_SQL.format(us="epoch_us(ts)")
 
 
+def q_asof_attribution(spark, sf_dir):
+    """For every purchase, the most recent prior (or same-µs) click by
+    the same user — the classic attribution as-of join, via the
+    union+window single-shuffle operator."""
+    from .operators.relational import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts div 1000").alias("us"), "user_id", "event_type"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "us", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("us"), "user_id", F.col("event_id").alias("click_event")
+    )
+    out = asof_join(
+        purchases, clicks, on="us", by="user_id", value_cols=["us"],
+        suffix="_click",
+    )
+    return out.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        "us",
+        F.col("us_click").alias("click_us"),
+    )
+
+
+ORACLE_ASOF = """
+WITH ev AS (
+    SELECT event_id, epoch_us(ts) AS us, user_id, event_type FROM events
+)
+SELECT p.event_id AS event_id, p.user_id AS user_id, p.us AS us,
+       c.us AS click_us
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.us >= c.us
+"""
+
+
+Q_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_rollup_orders(spark, sf_dir):
+    """Hierarchical totals via ROLLUP — grouping-set machinery the
+    reference lacks entirely (SURVEY §2.7), free in Spark SQL."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(Q_ROLLUP_SQL)
+
+
 # ===================================================================== #
 # LLM-data gate queries
 # ===================================================================== #
@@ -883,6 +939,8 @@ def queries():
         "q6_forecast_revenue": q6_forecast_revenue,
         "window_topk_orders": q_window_topk,
         "sessionize_events": q_sessionize,
+        "asof_attribution": q_asof_attribution,
+        "rollup_orders": q_rollup_orders,
         # LLM-data operators (SURVEY §7 step 9)
         "doc_text_stats": q_doc_text_stats,
         "doc_token_frequencies": q_doc_token_frequencies,
@@ -925,6 +983,8 @@ def oracle_sql():
         "q6_forecast_revenue": Q6_SQL,
         "window_topk_orders": ORACLE_Q_TOPK,
         "sessionize_events": ORACLE_Q_SESSION,
+        "asof_attribution": ORACLE_ASOF,
+        "rollup_orders": Q_ROLLUP_SQL,
         "doc_text_stats": X.oracle_text_stats(),
         "doc_token_frequencies": X.oracle_token_frequencies(min_count=5),
         "doc_token_counts": X.oracle_token_counts(),

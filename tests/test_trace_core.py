@@ -185,3 +185,41 @@ def test_chrome_frame(foo_bar_trace, tmp_path):
     assert len(rows) == 20
     assert {r["ph"] for r in rows} == {"B", "E"}
     assert rows[0]["ts"] == 0
+
+
+def test_detect_pattern_fallback(spark):
+    """Pattern mining finds the repeated A/B/C block in a synthetic
+    trace (numpy matrix-profile fallback when stumpy is absent)."""
+    import pandas as pd
+    from pipit_spark import Trace
+    from pipit_spark.schema import EVENT_SCHEMA
+
+    rows = []
+    t = 0
+
+    def add(ts, etype, name):
+        rows.append((len(rows), ts, len(rows), etype, name, 0, 0, None))
+
+    add(t, "Enter", "main")
+    t = 10
+    # 4 repetitions of a distinctive duration pattern A=100, B=300, C=50
+    for rep in range(4):
+        for name, dur in (("A", 100), ("B", 300), ("C", 50)):
+            add(t, "Enter", name)
+            add(t + dur, "Leave", name)
+            t += dur + 10
+    add(t + 100, "Leave", "main")
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "event_id", "timestamp_ns", "seq", "event_type",
+            "name", "process", "thread", "attributes",
+        ],
+    )
+    trace = Trace(spark.createDataFrame(pdf, schema=EVENT_SCHEMA))
+    motifs = trace.detect_pattern("main", window_size=3, metric="time_inc")
+    assert motifs, "expected at least one motif window"
+    # each motif window covers one A/B/C repetition worth of enters
+    assert all(len(m) == 3 for m in motifs)
+    durs = [list(m["time_inc"]) for m in motifs]
+    assert any(d == [100.0, 300.0, 50.0] for d in durs)
