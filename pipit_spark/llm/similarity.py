@@ -226,6 +226,104 @@ def lsh_ann_pairs(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_max_id: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_max_id: int = 256,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means centroids
+    partition the corpus into ``nlist`` cells; each query scores only the
+    vectors in its ``nprobe`` nearest cells.
+
+    Scale shape: centroids train on a bounded driver-side sample (seeded,
+    deterministic) and broadcast; cell assignment is one Arrow-batched
+    narrow pass over the corpus (at 100 TB you'd persist it as a column);
+    the probe step is a broadcast join of (query, probed-cell) pairs
+    against the cell-assigned corpus — candidate count scales with
+    nprobe/nlist of the corpus instead of all of it.
+    ``nprobe == nlist`` degrades to exact brute force (the correctness
+    gate exploits this); recall tunes with nprobe.
+    """
+    from pyspark.sql import Window
+
+    train = np.stack(
+        [
+            np.asarray(r[vec_col], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id") < train_max_id)
+            .select(vec_col)
+            .collect()
+        ]
+    )
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    step = max(1, len(train) // nlist)
+    cent = train[::step][:nlist].copy()
+    for _ in range(kmeans_iters):  # spherical k-means, fixed iterations
+        assign = (train @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = train[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(vs: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series((mat @ c.T).argmax(axis=1).astype("int32"))
+
+    corpus = with_norm(emb, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+        cell_udf(F.col(vec_col)).alias("__cell"),
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(vs: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(-(mat @ c.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = F.broadcast(
+        with_norm(emb, vec_col)
+        .filter(F.col("vec_id") < query_max_id)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("__vq"),
+            F.col("__norm").alias("__nq"),
+            F.explode(probe_udf(F.col(vec_col))).alias("__cell"),
+        )
+    )
+    scored = q.join(corpus, "__cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn(
+        "cosine",
+        _dot(F.col("__vq"), F.col("__vc")) / (F.col("__nq") * F.col("__nc")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("__rk").alias("rank"),
+        )
+    )
+
+
 # ----------------------------------------------------------- oracle SQL
 def oracle_cosine_pairs(
     table: str = "embeddings", threshold: float = 0.99,

@@ -887,6 +887,23 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_emb_ivf_topk_exact(spark, sf_dir):
+    """IVF with nprobe == nlist degrades to exact search — value-checked
+    against the brute-force cosine oracle."""
+    return V.ivf_topk(
+        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
+        nlist=8, nprobe=8,
+    )
+
+
+def q_emb_ivf_topk(spark, sf_dir):
+    """The approximate path: probe 2 of 8 cells (rows-only check)."""
+    return V.ivf_topk(
+        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
+        nlist=8, nprobe=2,
+    )
+
+
 def q_emb_lsh_ann(spark, sf_dir):
     # 8 planes / 0.2 threshold: enough bucket collisions + passing pairs
     # on random embeddings that the LSH path demonstrably returns work
@@ -958,6 +975,8 @@ def queries():
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_ivf_topk_exact": q_emb_ivf_topk_exact,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "media_decode": q_media_decode,
     }
 
@@ -998,6 +1017,7 @@ def oracle_sql():
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),
         "emb_norm_stats": ORACLE_EMB_NORM_STATS,
+        "emb_ivf_topk_exact": V.oracle_cosine_topk(k=5, query_max_id=10),
         # doc_minhash_lsh / doc_simhash / emb_lsh_ann / media_decode:
         # rows-only checks (LSH banding + stub codec aren't pure SQL)
     }
