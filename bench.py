@@ -29,13 +29,16 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q14_promo_revenue",
     "window_topk_orders",
     "sessionize_events",
+    "asof_attribution",
     # LLM-data operators
     "doc_text_stats",
     "doc_minhash_lsh",
     "doc_ngram_jaccard",
     "emb_cosine_topk",
+    "emb_ivf_topk",
 ]
 
 

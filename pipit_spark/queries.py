@@ -686,6 +686,28 @@ def q6_forecast_revenue(spark, sf_dir):
     return spark.sql(Q6_SQL)
 
 
+Q14_SQL = """
+SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(20,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(20,2)))
+                 ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(20,2)))) AS DOUBLE), 6)
+           AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: fact-dim join where the dim (part) broadcasts —
+    no shuffle of lineitem beyond the final 1-row aggregate."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(Q14_SQL)
+
+
 Q_TOPK_SQL = """
 SELECT * FROM (
     SELECT o_custkey, o_orderkey,
@@ -954,6 +976,7 @@ def queries():
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q14_promo_revenue": q14_promo_revenue,
         "window_topk_orders": q_window_topk,
         "sessionize_events": q_sessionize,
         "asof_attribution": q_asof_attribution,
@@ -1000,6 +1023,7 @@ def oracle_sql():
         "q3_shipping_priority": ORACLE_Q3,
         "q5_local_supplier_volume": Q5_SQL,
         "q6_forecast_revenue": Q6_SQL,
+        "q14_promo_revenue": Q14_SQL,
         "window_topk_orders": ORACLE_Q_TOPK,
         "sessionize_events": ORACLE_Q_SESSION,
         "asof_attribution": ORACLE_ASOF,
