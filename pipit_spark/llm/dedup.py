@@ -274,58 +274,90 @@ def minhash_lsh_pairs(
 
 
 # -------------------------------------------------------------- SimHash
+_HEX = "0123456789abcdef"
+
+
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: each distinct token votes ±1 on every
-    bit of its 64-bit hash (md5-derived, portable); the sign of each
-    bit's total becomes that signature bit.
+    bit of its 64-bit hash (first 16 md5 hex nibbles); the sign of each
+    bit's vote total becomes that signature bit, packed back to 16 hex
+    chars.
 
-    Stays JVM-side: token→bit-vector via ``transform``, per-doc fold via
-    ``aggregate`` + ``zip_with`` — no explode blow-up, no Python UDF.
+    Flat formulation: explode distinct tokens, 64 conditional-sum
+    aggregates with map-side combine (one shuffle carrying 64 ints per
+    doc), sign + nibble-pack in the final projection. Everything
+    whole-stage codegen; bit extraction works on hex NIBBLES
+    (``(nibble >> (3−b%4)) & 1``) so the DuckDB oracle replays it
+    byte-identically without 64-bit unsigned gymnastics.
     """
-    toks = F.array_distinct(_tokens(F.col("text")))
-    # token → signed ±1 votes per bit: md5 first 16 hex chars → 64-bit
-    # binary string (conv per 8-hex-digit half to dodge int64 sign), bit
-    # b read via Column.substr (accepts Column positions)
-    def _bin32(t, lo):
-        return F.lpad(F.conv(F.substring(F.md5(t), lo, 8), 16, 2), 32, "0")
-
-    tok_bits = F.transform(
-        toks,
-        lambda t: F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda b: F.when(
-                F.concat(_bin32(t, 1), _bin32(t, 9)).substr(
-                    b + 1, F.lit(1)
-                ) == "1",
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        ),
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .dropDuplicates(["doc_id", "tok"])
+        .withColumn("__h", F.md5("tok"))
     )
-    votes = F.aggregate(
-        tok_bits,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, x: F.zip_with(acc, x, lambda a, v: a + v),
-    )
-    sig_bits = F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
-    # pack to hex string nibble-by-nibble (portable across engines)
-    sig_hex = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits // 4 - 1)),
-        F.lit(""),
-        lambda acc, i: F.concat(
-            acc,
-            F.conv(
+    votes = [
+        F.sum(
+            F.when(
                 (
-                    F.element_at(sig_bits, i * 4 + 1) * 8
-                    + F.element_at(sig_bits, i * 4 + 2) * 4
-                    + F.element_at(sig_bits, i * 4 + 3) * 2
-                    + F.element_at(sig_bits, i * 4 + 4)
-                ).cast("string"),
-                10,
-                16,
+                    F.conv(F.substring("__h", b // 4 + 1, 1), 16, 10)
+                    .cast("int")
+                    .bitwiseAND(F.lit(1 << (3 - b % 4)))
+                )
+                > 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    nibbles = [
+        F.substring(
+            F.lit(_HEX),
+            (
+                F.when(F.col(f"v_{4 * j}") > 0, 8).otherwise(0)
+                + F.when(F.col(f"v_{4 * j + 1}") > 0, 4).otherwise(0)
+                + F.when(F.col(f"v_{4 * j + 2}") > 0, 2).otherwise(0)
+                + F.when(F.col(f"v_{4 * j + 3}") > 0, 1).otherwise(0)
+                + 1
             ),
-        ),
+            1,
+        )
+        for j in range(bits // 4)
+    ]
+    return agg.select("doc_id", F.concat(*nibbles).alias("simhash"))
+
+
+def oracle_simhash(table: str = "documents", bits: int = 64) -> str:
+    """DuckDB twin of :func:`simhash` — same md5-nibble votes, same
+    sign rule, same hex packing."""
+    norm = _sql_norm("text")
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN (strpos('{_HEX}', substr(md5(tok), {b // 4 + 1}, 1)) - 1)"
+        f" & {1 << (3 - b % 4)} > 0 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(bits)
     )
-    return docs.select("doc_id", F.lower(sig_hex).alias("simhash"))
+    nibbles = " || ".join(
+        f"substr('{_HEX}', "
+        f"CASE WHEN v_{4 * j} > 0 THEN 8 ELSE 0 END + "
+        f"CASE WHEN v_{4 * j + 1} > 0 THEN 4 ELSE 0 END + "
+        f"CASE WHEN v_{4 * j + 2} > 0 THEN 2 ELSE 0 END + "
+        f"CASE WHEN v_{4 * j + 3} > 0 THEN 1 ELSE 0 END + 1, 1)"
+        for j in range(bits // 4)
+    )
+    return f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split({norm}, ' ')) AS tok
+    FROM {table}
+),
+votes AS (
+    SELECT doc_id,
+       {votes}
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {nibbles} AS simhash FROM votes
+"""
 
 
 # ----------------------------------------------------------- oracle SQL

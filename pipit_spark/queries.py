@@ -1042,6 +1042,8 @@ def oracle_sql():
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),
         "emb_norm_stats": ORACLE_EMB_NORM_STATS,
         "emb_ivf_topk_exact": V.oracle_cosine_topk(k=5, query_max_id=10),
-        # doc_minhash_lsh / doc_simhash / emb_lsh_ann / media_decode:
-        # rows-only checks (LSH banding + stub codec aren't pure SQL)
+        "doc_simhash": D.oracle_simhash(),
+        # doc_minhash_lsh / emb_lsh_ann / emb_ivf_topk / media_decode:
+        # rows-only checks (LSH banding, probe-limited ANN, and the stub
+        # codec aren't SQL-replayable)
     }
