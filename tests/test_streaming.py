@@ -134,3 +134,69 @@ def test_streaming_sessionize(spark, event_stream_dir):
     assert len(res[res.process == 0]) == 1
     assert int(res[res.process == 0].n_events.iloc[0]) == 5
     assert len(res[res.process == 1]) == 2
+
+
+def test_streaming_stateful_matching(spark, tmp_path):
+    """The open-Enter stack survives micro-batch boundaries: an Enter in
+    batch 0 matches its Leave arriving in batch 1."""
+    import pandas as pd
+    from pipit_spark.schema import EVENT_SCHEMA
+    from pipit_spark.streaming.matching import streaming_match
+
+    cols = [
+        "event_id", "timestamp_ns", "seq", "event_type",
+        "name", "process", "thread", "attributes",
+    ]
+    batch0 = pd.DataFrame(
+        [
+            (0, 100, 0, "Enter", "main", 0, 0, None),
+            (1, 200, 1, "Enter", "work", 0, 0, None),
+            (2, 500, 2, "Leave", "work", 0, 0, None),
+        ],
+        columns=cols,
+    )
+    batch1 = pd.DataFrame(
+        [
+            (3, 600, 3, "Enter", "work", 0, 0, None),
+            (4, 650, 4, "Leave", "work", 0, 0, None),
+            (5, 900, 5, "Leave", "main", 0, 0, None),
+        ],
+        columns=cols,
+    )
+    d = tmp_path / "match_stream"
+    d.mkdir()
+    ckpt = tmp_path / "ckpt"
+    for i, b in enumerate([batch0, batch1]):
+        spark.createDataFrame(b, schema=EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    q = (
+        streaming_match(stream)
+        .writeStream.format("memory")
+        .queryName("matched_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = (
+        spark.sql("select * from matched_stream")
+        .toPandas()
+        .sort_values("enter_event_id")
+        .reset_index(drop=True)
+    )
+    assert len(res) == 3
+    main_row = res[res.name == "main"].iloc[0]
+    # main's Enter (batch 0) matched by its Leave (batch 1) → state
+    # crossed the micro-batch boundary
+    assert main_row.enter_event_id == 0 and main_row.leave_event_id == 5
+    assert main_row.time_inc == 800.0
+    assert sorted(res[res.name == "work"].time_inc) == [50.0, 300.0]
