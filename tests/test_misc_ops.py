@@ -1,0 +1,108 @@
+"""Round-trip, zero-shuffle matching, as-of join, and multimodal tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+
+def test_parquet_roundtrip(foo_bar_trace, spark, tmp_path):
+    """Canonical persistence: process-partitioned parquet reads back to
+    an equivalent trace (partition pruning layout, SURVEY §4)."""
+    from pipit_spark import Trace
+    from pipit_spark import schema as S
+
+    path = str(tmp_path / "trace_pq")
+    foo_bar_trace.to_parquet(path)
+    back = Trace.from_parquet(spark, path)
+    a = foo_bar_trace.flat_profile(metrics=[S.TIME_INC, S.TIME_EXC]).toPandas()
+    b = back.flat_profile(metrics=[S.TIME_INC, S.TIME_EXC]).toPandas()
+    merged = a.merge(b, on="name", suffixes=("_a", "_b"))
+    assert len(merged) == len(a)
+    assert (merged.time_inc_a == merged.time_inc_b).all()
+    assert (merged.time_exc_a == merged.time_exc_b).all()
+
+
+def test_match_events_iter_zero_shuffle(foo_bar_trace, spark, tmp_path):
+    """The mapInPandas variant (for pre-partitioned/sorted storage)
+    produces the same matching as the shuffle path."""
+    from pipit_spark.operators.matching import match_events, match_events_iter
+    from pipit_spark import schema as S
+
+    path = str(tmp_path / "sorted_pq")
+    foo_bar_trace.events.repartition(1).sortWithinPartitions(
+        S.PROCESS, S.TIMESTAMP, S.SEQ
+    ).write.parquet(path)
+    ev = spark.read.parquet(path)
+    a = (
+        match_events(ev)
+        .select(S.EVENT_ID, S.MATCHING_EVENT, S.DEPTH, S.PARENT)
+        .toPandas()
+        .sort_values(S.EVENT_ID)
+        .reset_index(drop=True)
+    )
+    b = (
+        match_events_iter(ev)
+        .select(S.EVENT_ID, S.MATCHING_EVENT, S.DEPTH, S.PARENT)
+        .toPandas()
+        .sort_values(S.EVENT_ID)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_join_matches_pandas(spark):
+    """asof_join (union+window form) agrees with pandas merge_asof on a
+    small case with ties and missing matches."""
+    from pipit_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"t": [5, 10, 10, 3], "k": ["a", "a", "b", "b"], "lid": [1, 2, 3, 4]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"t": [4, 10, 2, 11], "k": ["a", "a", "b", "b"], "rv": [40, 100, 20, 110]}
+        )
+    )
+    out = (
+        asof_join(left, right, on="t", by="k", value_cols=["rv"])
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # a@5 → rv=40 (t=4); a@10 → rv=100 (t=10 inclusive); b@10 → rv=20
+    # (t=2; t=11 is in the future); b@3 → rv=20
+    assert list(out.rv_right) == [40, 100, 20, 20]
+
+
+def test_multimodal_pipeline(spark):
+    """Synthesize → decode (stub codec, real plumbing) → stats/frames."""
+    from pipit_spark.llm import multimodal as M
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": [f"doc number {i} body" * (i + 1) for i in range(6)],
+                "source": ["web"] * 6,
+            }
+        )
+    )
+    media = M.synthesize_media(docs)
+    decoded = M.decode_media(media).toPandas()
+    assert len(decoded) == 6
+    assert set(decoded.kind) == {"image", "audio", "video"}
+    assert (decoded.n_bytes > 0).all()
+    assert all(len(f) == 16 for f in decoded.features)
+    # determinism: same bytes → same features
+    again = M.decode_media(media).toPandas()
+    assert list(decoded.sort_values("media_id").n_bytes) == list(
+        again.sort_values("media_id").n_bytes
+    )
+    stats = M.media_stats(media).toPandas()
+    assert set(stats.kind) == {"image", "audio", "video"}
+    frames = M.frame_sample(media, every_n=5).toPandas()
+    assert (frames.frame_idx % 5 == 0).all()
