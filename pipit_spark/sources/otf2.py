@@ -25,16 +25,26 @@ from .. import schema as S  # noqa: F401
 def read_otf2(
     spark: SparkSession, dirname: str, num_partitions: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
+    """Primary path: the self-contained native binary parser
+    (otf2_native.py, golden-tested against the reference's ping-pong
+    trace). The ``otf2``-library path remains as a fallback for archive
+    features the native grammar doesn't cover yet (e.g. substream
+    mapping tables, metric records)."""
+    from .otf2_native import read_otf2_native
+
     try:
-        import otf2  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "OTF2 ingestion requires the 'otf2' python package on driver and "
-            "executors (the reference has the same dependency, "
-            "pipit/readers/otf2_reader.py:6). Alternative: convert offline to "
-            "canonical Parquet and use Trace.from_parquet()."
-        ) from e
-    return _read_with_otf2(spark, dirname, num_partitions)
+        return read_otf2_native(spark, dirname)
+    except Exception:
+        try:
+            import otf2  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "native OTF2 parse failed and the 'otf2' python package "
+                "fallback is unavailable (the reference hard-requires it, "
+                "pipit/readers/otf2_reader.py:6). Alternative: convert "
+                "offline to canonical Parquet and use Trace.from_parquet()."
+            ) from e
+        return _read_with_otf2(spark, dirname, num_partitions)
 
 
 def _read_with_otf2(spark, dirname, num_partitions):  # pragma: no cover

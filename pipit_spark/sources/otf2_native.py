@@ -1,0 +1,291 @@
+"""Native OTF2 (Score-P) trace reader — no external ``otf2`` dependency.
+
+A ground-up parser of the OTF2 archive layout (anchor + ``traces.def``
+global definitions + per-location ``traces/<ref>.evt`` event files),
+validated record-by-record against the reference's golden ping-pong
+trace (pipit/tests/otf2-tests.py: 120 events, 60/rank, exact name set,
+533 definition records across 17 types).
+
+Binary grammar (empirically verified on Score-P 7.1 output):
+
+* every ``.def``/``.evt`` file: 2-byte magic ``03 42`` + u64 chunk id +
+  u64 event count, then a record stream, terminated by type ``0x02``;
+* integers are size-prefixed: 1 length byte n (0xFF = undefined/None)
+  followed by n little-endian bytes;
+* ``0x05`` in event files is a timestamp record (8 raw LE bytes) that
+  applies to the following event; in the global def file ``0x05`` is
+  ClockProperties (timerResolution, globalOffset, traceLength);
+* other records: type byte + payload-length byte + payload of
+  size-prefixed fields (enums ride as 1-byte values).
+
+Spark shape mirrors the reference's multiprocessing fan-out
+(otf2_reader.py:436-452): the tiny definitions parse on the driver and
+broadcast; each location's ``.evt`` file is one executor task (the
+archive must be on shared storage, same requirement as the reference).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schema as S
+
+# global definition record ids (OTF2_GlobalDefinitions.h public ids),
+# named as the otf2 python bindings name them (pipit's def_type values)
+GLOBAL_DEF_NAMES = {
+    5: "ClockProperties",
+    6: "Paradigm",
+    7: "ParadigmProperty",
+    8: "IoParadigm",
+    10: "String",
+    11: "Attribute",
+    12: "SystemTreeNode",
+    13: "LocationGroup",
+    14: "Location",
+    15: "Region",
+    16: "Callsite",
+    17: "Callpath",
+    18: "Group",
+    19: "MetricMember",
+    20: "MetricClass",
+    21: "MetricInstance",
+    22: "Comm",
+    23: "Parameter",
+    24: "RmaWin",
+    25: "MetricClassRecorder",
+    26: "SystemTreeNodeProperty",
+    27: "SystemTreeNodeDomain",
+    28: "LocationGroupProperty",
+    29: "LocationProperty",
+    30: "CartDimension",
+    31: "CartTopology",
+    32: "CartCoordinate",
+    33: "SourceCodeLocation",
+    34: "CallingContext",
+    35: "CallingContextProperty",
+    36: "InterruptGenerator",
+    37: "IoFileProperty",
+    38: "IoRegularFile",
+    39: "IoDirectory",
+    40: "IoHandle",
+    41: "IoPreCreatedHandleState",
+    42: "CallpathParameter",
+}
+
+# event record ids (subset; Enter/Leave/sends/recvs/program markers are
+# golden-verified, the rest become Instants named by record, matching
+# the reference's collapse of non-Enter/Leave events to Instant rows
+# with the event-type name, otf2_reader.py:293-302)
+EVT_ENTER = 0x0C
+EVT_LEAVE = 0x0D
+EVT_MPI_SEND = 0x0E
+EVT_MPI_ISEND = 0x0F
+EVT_MPI_ISEND_COMPLETE = 0x10
+EVT_MPI_IRECV_REQUEST = 0x11
+EVT_MPI_RECV = 0x12
+EVT_MPI_IRECV = 0x13
+EVT_PROGRAM_BEGIN = 0x53
+EVT_PROGRAM_END = 0x54
+EVT_NAMES = {
+    EVT_MPI_SEND: "MpiSend",
+    EVT_MPI_ISEND: "MpiIsend",
+    EVT_MPI_ISEND_COMPLETE: "MpiIsendComplete",
+    EVT_MPI_IRECV_REQUEST: "MpiIrecvRequest",
+    EVT_MPI_RECV: "MpiRecv",
+    EVT_MPI_IRECV: "MpiIrecv",
+    EVT_PROGRAM_BEGIN: "ProgramBegin",
+    EVT_PROGRAM_END: "ProgramEnd",
+}
+
+_HEADER_LEN = 18
+_END_OF_STREAM = 0x02
+_TIMESTAMP = 0x05
+_ATTRIBUTE_LIST = 0x06
+
+
+def _sp_int(buf: bytes, pos: int) -> tuple[int | None, int]:
+    """Size-prefixed integer: length byte (0xFF = undefined) + LE bytes."""
+    n = buf[pos]
+    if n == 0xFF:
+        return None, pos + 1
+    return int.from_bytes(buf[pos + 1: pos + 1 + n], "little"), pos + 1 + n
+
+
+def _records(buf: bytes, with_timestamps: bool):
+    """Yield (timestamp|None, record_type, payload) from a record stream."""
+    pos = _HEADER_LEN
+    ts = None
+    while pos < len(buf):
+        t = buf[pos]
+        if t == _END_OF_STREAM:
+            return
+        if with_timestamps and t == _TIMESTAMP:
+            ts = int.from_bytes(buf[pos + 1: pos + 9], "little")
+            pos += 9
+            continue
+        ln = buf[pos + 1]
+        payload = buf[pos + 2: pos + 2 + ln]
+        pos += 2 + ln
+        yield ts, t, payload
+
+
+def parse_global_defs(path: str) -> dict:
+    """Driver-side parse of traces.def → lookup dicts + definition rows."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    strings: dict[int, str] = {}
+    region_name: dict[int, int] = {}
+    locations: list[tuple[int, int, int]] = []  # (loc_ref, name_ref, group_ref)
+    clock = {"resolution": 1_000_000_000, "offset": 0}
+    def_rows: list[tuple[str, int | None, dict | None]] = []
+
+    for _, t, p in _records(buf, with_timestamps=False):
+        name = GLOBAL_DEF_NAMES.get(t, f"Def{t}")
+        ref = None
+        attrs: dict[str, str] = {}
+        if t == 10:  # String: ref + NUL-terminated text
+            ref, q = _sp_int(p, 0)
+            strings[ref] = p[q:-1].decode("utf-8", errors="replace")
+            attrs["name"] = strings[ref]
+        elif t == 15:  # Region: ref, name ref, ...
+            ref, q = _sp_int(p, 0)
+            nref, _ = _sp_int(p, q)
+            region_name[ref] = nref
+            attrs["name"] = str(nref)
+        elif t == 14:  # Location: ref, name, type(u8), numEvents, group
+            ref, q = _sp_int(p, 0)
+            nref, q = _sp_int(p, q)
+            q += 1  # location type enum, 1 raw byte
+            nev, q = _sp_int(p, q)
+            group, q = _sp_int(p, q)
+            locations.append((ref, nref, group or 0))
+            attrs = {"name": str(nref), "group": str(group or 0),
+                     "num_events": str(nev)}
+        elif t == 5:  # ClockProperties: resolution, offset, length
+            res, q = _sp_int(p, 0)
+            off, q = _sp_int(p, q)
+            clock = {"resolution": res, "offset": off}
+            attrs = {"timer_resolution": str(res), "global_offset": str(off)}
+        else:
+            ref, _ = _sp_int(p, 0) if p else (None, 0)
+        def_rows.append((name, ref, attrs or None))
+
+    return {
+        "strings": strings,
+        "region_name": {r: strings.get(n, str(n)) for r, n in region_name.items()},
+        "locations": locations,
+        "clock": clock,
+        "def_rows": def_rows,
+    }
+
+
+def read_location_events(
+    evt_path: str,
+    process: int,
+    thread: int,
+    region_names: dict[int, str],
+    resolution: int,
+    offset: int,
+):
+    """One location's .evt file → canonical event tuples (driver- or
+    executor-side; pure function of the file bytes + broadcast defs)."""
+    with open(evt_path, "rb") as f:
+        buf = f.read()
+
+    def to_ns(ticks: int) -> int:
+        return (ticks - offset) * 1_000_000_000 // resolution
+
+    rows = []
+    seq = 0
+    for ts, t, p in _records(buf, with_timestamps=True):
+        if t == _ATTRIBUTE_LIST:
+            continue  # extra attrs for the next event; not an event row
+        attrs = None
+        if t == EVT_ENTER or t == EVT_LEAVE:
+            # single-field record: the record-length byte IS the region
+            # integer's size prefix, so the payload bytes are the value
+            region = int.from_bytes(p, "little")
+            etype = S.ENTER if t == EVT_ENTER else S.LEAVE
+            name = region_names.get(region, f"Region{region}")
+        elif t in (EVT_MPI_SEND, EVT_MPI_ISEND):
+            peer, q = _sp_int(p, 0)
+            comm, q = _sp_int(p, q)
+            tag, q = _sp_int(p, q)
+            length, q = _sp_int(p, q)
+            etype, name = S.INSTANT, EVT_NAMES[t]
+            attrs = {"receiver": str(peer), "communicator": str(comm),
+                     "msg_tag": str(tag), "msg_length": str(length)}
+        elif t in (EVT_MPI_RECV, EVT_MPI_IRECV):
+            peer, q = _sp_int(p, 0)
+            comm, q = _sp_int(p, q)
+            tag, q = _sp_int(p, q)
+            length, q = _sp_int(p, q)
+            etype, name = S.INSTANT, EVT_NAMES[t]
+            attrs = {"sender": str(peer), "communicator": str(comm),
+                     "msg_tag": str(tag), "msg_length": str(length)}
+        else:
+            etype = S.INSTANT
+            name = EVT_NAMES.get(t, f"Event{t}")
+        rows.append(
+            (
+                (process << 40) | (thread << 32) | seq,
+                to_ns(ts),
+                seq,
+                etype,
+                name,
+                process,
+                thread,
+                attrs,
+            )
+        )
+        seq += 1
+    return rows
+
+
+def read_otf2_native(
+    spark: SparkSession, dirname: str
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed OTF2 archive read → (events DF, definitions DF)."""
+    import pandas as pd
+
+    defs = parse_global_defs(os.path.join(dirname, "traces.def"))
+    res = defs["clock"]["resolution"]
+    off = defs["clock"]["offset"]
+
+    # process = location-group ref (MPI rank); thread = per-group
+    # renumber in location order (otf2_reader.py:357-407)
+    per_group: dict[int, int] = {}
+    loc_map = []
+    for ref, _n, group in sorted(defs["locations"]):
+        thread = per_group.get(group, 0)
+        per_group[group] = thread + 1
+        path = os.path.join(dirname, "traces", f"{ref}.evt")
+        if os.path.exists(path):
+            loc_map.append((path, group, thread))
+    if not loc_map:  # fall back to whatever evt files exist
+        for i, path in enumerate(
+            sorted(glob.glob(os.path.join(dirname, "traces", "*.evt")))
+        ):
+            loc_map.append((path, i, 0))
+
+    b_regions = spark.sparkContext.broadcast(defs["region_name"])
+    rdd = spark.sparkContext.parallelize(loc_map, max(1, len(loc_map)))
+
+    def emit(rec):
+        path, process, thread = rec
+        return read_location_events(
+            path, process, thread, b_regions.value, res, off
+        )
+
+    events = spark.createDataFrame(rdd.flatMap(emit), S.EVENT_SCHEMA).orderBy(
+        S.TIMESTAMP, S.SEQ
+    )
+    definitions = spark.createDataFrame(
+        pd.DataFrame(defs["def_rows"], columns=["def_type", "id", "attributes"]),
+        schema=S.DEFINITIONS_SCHEMA,
+    )
+    return events, definitions

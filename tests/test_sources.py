@@ -184,3 +184,56 @@ def test_nsight_unpivot(spark, tmp_path):
     assert set(ev[ev.process == 1].thread) == {0}
     a0 = ev[(ev.name == "kernel_a") & (ev.process == 0)]
     assert list(a0.sort_values("timestamp_ns").timestamp_ns) == [100, 200]
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(f"{REF_DATA}/ping-pong-otf2"),
+    reason="reference golden traces unavailable",
+)
+def test_otf2_golden(spark):
+    """Same assertions as reference pipit/tests/otf2-tests.py, via the
+    native (no-otf2-lib) binary parser."""
+    import numpy as np
+    from pipit_spark import Trace
+
+    t = Trace.from_otf2(spark, f"{REF_DATA}/ping-pong-otf2")
+    ev = t.events.toPandas()
+
+    assert len(ev) == 120
+    assert set(ev.event_type.unique()) == {"Enter", "Instant", "Leave"}
+    assert set(ev.name.unique()) == {
+        "ProgramBegin", "ProgramEnd", "MPI_Send", "MPI_Recv",
+        "MpiSend", "MpiRecv", "MPI_Init", "MPI_Finalize",
+        "MPI_Comm_rank", "MPI_Comm_size", "int main(int, char**)",
+    }
+    assert len(ev[ev.name == "MPI_Send"]) == 32
+    assert set(ev.process.unique()) == {0, 1}
+    assert set(ev.thread.unique()) == {0}
+    assert len(ev[ev.process == 0]) == 60
+    assert (np.diff(ev.timestamp_ns) > 0).all()
+
+    # definitions — otf2-tests.py:54-67
+    d = t.definitions.toPandas()
+    assert len(d) == 533
+    assert d.def_type.nunique() == 17
+    assert len(d[d.def_type == "Location"]) == 2
+    assert "Comm" in set(d.def_type)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(f"{REF_DATA}/ping-pong-otf2"),
+    reason="reference golden traces unavailable",
+)
+def test_otf2_comm_matrix_golden(spark):
+    """The comm-matrix golden values (pipit/tests/trace.py:10-32):
+    4,177,920 bytes / 8 messages per direction, zero diagonal — through
+    the native OTF2 reader AND the comm operator."""
+    from pipit_spark import Trace
+
+    t = Trace.from_otf2(spark, f"{REF_DATA}/ping-pong-otf2")
+    size = t.comm_matrix_numpy(output="size")
+    count = t.comm_matrix_numpy(output="count")
+    assert size[0][1] == size[1][0] == 4_177_920
+    assert size[0][0] == size[1][1] == 0
+    assert count[0][1] == count[1][0] == 8
+    assert count[0][0] == count[1][1] == 0
