@@ -88,6 +88,7 @@ EVT_MPI_ISEND_COMPLETE = 0x10
 EVT_MPI_IRECV_REQUEST = 0x11
 EVT_MPI_RECV = 0x12
 EVT_MPI_IRECV = 0x13
+EVT_METRIC = 0x1F
 EVT_PROGRAM_BEGIN = 0x53
 EVT_PROGRAM_END = 0x54
 EVT_NAMES = {
@@ -141,6 +142,8 @@ def parse_global_defs(path: str) -> dict:
     region_name: dict[int, int] = {}
     locations: list[tuple[int, int, int]] = []  # (loc_ref, name_ref, group_ref)
     clock = {"resolution": 1_000_000_000, "offset": 0}
+    metric_members: dict[int, int] = {}  # member ref -> name string ref
+    metric_class_members: dict[int, list[int]] = {}  # class ref -> member refs
     def_rows: list[tuple[str, int | None, dict | None]] = []
 
     for _, t, p in _records(buf, with_timestamps=False):
@@ -170,16 +173,37 @@ def parse_global_defs(path: str) -> dict:
             off, q = _sp_int(p, q)
             clock = {"resolution": res, "offset": off}
             attrs = {"timer_resolution": str(res), "global_offset": str(off)}
+        elif t == 19:  # MetricMember: ref, name ref, ...
+            ref, q = _sp_int(p, 0)
+            nref, q = _sp_int(p, q)
+            metric_members[ref] = nref
+            attrs["name"] = str(nref)
+        elif t == 20:  # MetricClass: ref, count(u8), member refs...
+            ref, q = _sp_int(p, 0)
+            cnt, q = p[q], q + 1
+            members = []
+            for _i in range(cnt):
+                m, q = _sp_int(p, q)
+                members.append(m)
+            metric_class_members[ref] = members
+            attrs["members"] = ",".join(map(str, members))
         else:
             ref, _ = _sp_int(p, 0) if p else (None, 0)
         def_rows.append((name, ref, attrs or None))
 
+    member_names = [
+        strings.get(metric_members[m], f"Metric{m}")
+        for m in sorted(metric_members)
+    ]
     return {
         "strings": strings,
         "region_name": {r: strings.get(n, str(n)) for r, n in region_name.items()},
         "locations": locations,
         "clock": clock,
         "def_rows": def_rows,
+        "metric_members": sorted(metric_members),
+        "metric_names": member_names,
+        "metric_class_members": metric_class_members,
     }
 
 
@@ -190,20 +214,48 @@ def read_location_events(
     region_names: dict[int, str],
     resolution: int,
     offset: int,
+    metric_members: list[int] | None = None,
+    metric_class_members: dict[int, list[int]] | None = None,
 ):
     """One location's .evt file → canonical event tuples (driver- or
-    executor-side; pure function of the file bytes + broadcast defs)."""
+    executor-side; pure function of the file bytes + broadcast defs).
+
+    Synchronous Metric records (0x1f) are merged onto their equal-
+    timestamp Enter/Leave row as one float column per MetricMember —
+    the reference does the same join-by-timestamp
+    (otf2_reader.py:199-260)."""
     with open(evt_path, "rb") as f:
         buf = f.read()
+    metric_members = metric_members or []
+    metric_class_members = metric_class_members or {}
+    n_metrics = len(metric_members)
+    member_idx = {m: i for i, m in enumerate(metric_members)}
 
     def to_ns(ticks: int) -> int:
         return (ticks - offset) * 1_000_000_000 // resolution
 
     rows = []
     seq = 0
+    pending_ts: int | None = None
+    pending_vals: list[float | None] = [None] * n_metrics
     for ts, t, p in _records(buf, with_timestamps=True):
         if t == _ATTRIBUTE_LIST:
             continue  # extra attrs for the next event; not an event row
+        if t == EVT_METRIC and n_metrics:
+            # metricRef(sp), count(u8), count × (typeID u8, value sp)
+            mref, q = _sp_int(p, 0)
+            cnt, q = p[q], q + 1
+            members = metric_class_members.get(mref, metric_members[:cnt])
+            if pending_ts != ts:
+                pending_vals = [None] * n_metrics
+                pending_ts = ts
+            for i in range(cnt):
+                q += 1  # typeID
+                v, q = _sp_int(p, q)
+                mi = member_idx.get(members[i] if i < len(members) else i)
+                if mi is not None and v is not None:
+                    pending_vals[mi] = float(v)
+            continue
         attrs = None
         if t == EVT_ENTER or t == EVT_LEAVE:
             # single-field record: the record-length byte IS the region
@@ -230,6 +282,10 @@ def read_location_events(
         else:
             etype = S.INSTANT
             name = EVT_NAMES.get(t, f"Event{t}")
+        mvals = (
+            tuple(pending_vals) if n_metrics and pending_ts == ts
+            else (None,) * n_metrics
+        )
         rows.append(
             (
                 (process << 40) | (thread << 32) | seq,
@@ -241,6 +297,7 @@ def read_location_events(
                 thread,
                 attrs,
             )
+            + mvals
         )
         seq += 1
     return rows
@@ -272,16 +329,30 @@ def read_otf2_native(
         ):
             loc_map.append((path, i, 0))
 
-    b_regions = spark.sparkContext.broadcast(defs["region_name"])
+    b_defs = spark.sparkContext.broadcast(
+        (defs["region_name"], defs["metric_members"],
+         defs["metric_class_members"])
+    )
     rdd = spark.sparkContext.parallelize(loc_map, max(1, len(loc_map)))
 
     def emit(rec):
         path, process, thread = rec
+        regions, members, class_members = b_defs.value
         return read_location_events(
-            path, process, thread, b_regions.value, res, off
+            path, process, thread, regions, res, off,
+            metric_members=members, metric_class_members=class_members,
         )
 
-    events = spark.createDataFrame(rdd.flatMap(emit), S.EVENT_SCHEMA).orderBy(
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(S.EVENT_SCHEMA.fields)
+        + [
+            T.StructField(nm, T.DoubleType(), True)
+            for nm in defs["metric_names"]
+        ]
+    )
+    events = spark.createDataFrame(rdd.flatMap(emit), schema).orderBy(
         S.TIMESTAMP, S.SEQ
     )
     definitions = spark.createDataFrame(

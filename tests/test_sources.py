@@ -237,3 +237,26 @@ def test_otf2_comm_matrix_golden(spark):
     assert size[0][0] == size[1][1] == 0
     assert count[0][1] == count[1][0] == 8
     assert count[0][0] == count[1][1] == 0
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(f"{REF_DATA}/ping-pong-otf2-papi"),
+    reason="reference golden traces unavailable",
+)
+def test_otf2_papi_metrics(spark):
+    """PAPI metric records merge onto their equal-timestamp Enter/Leave
+    rows (reference otf2_reader.py:199-260) and flow through the fused
+    matching pass as <metric>_inc columns."""
+    from pipit_spark import Trace
+
+    t = Trace.from_otf2(spark, f"{REF_DATA}/ping-pong-otf2-papi")
+    ev = t.events.toPandas()
+    assert len(ev) == 120  # metric records are merged, not rows
+    for col in ("PAPI_TOT_CYC", "PAPI_L2_TCM", "PAPI_BR_MSP"):
+        assert col in ev.columns
+        assert ev[ev.event_type == "Enter"][col].notna().all()
+    assert t.numeric_cols == ["PAPI_TOT_CYC", "PAPI_L2_TCM", "PAPI_BR_MSP"]
+    fp = t.flat_profile(metrics=["PAPI_TOT_CYC_inc"]).toPandas()
+    # cycle counters are monotone per location → inclusive >= 0
+    assert (fp.PAPI_TOT_CYC_inc.dropna() >= 0).all()
+    assert len(fp) > 3
