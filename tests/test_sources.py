@@ -312,3 +312,62 @@ def test_otf2_time_profile_vampir_golden(spark):
     assert close(norm.loc[61]["MPI_Send"], 0.29640222)
     assert close(norm.loc[61]["MPI_Recv"], 0.24300865)
     assert close(norm.loc[61]["MPI_Finalize"], 0.01614835)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(f"{REF_DATA}/ping-pong-otf2"),
+    reason="reference golden traces unavailable",
+)
+def test_otf2_matching_and_comm_golden(spark):
+    """Remaining reference trace.py goldens on the OTF2 trace: matching
+    adjacency invariants (trace.py:71-133), caller/callee counts
+    (136-146), comm_over_time mass (35-51), comm_by_process symmetry
+    (53-68)."""
+    import numpy as np
+    from pipit_spark import Trace
+    from pipit_spark import schema as S
+    from pyspark.sql import functions as F
+
+    t = Trace.from_otf2(spark, f"{REF_DATA}/ping-pong-otf2")
+    m = t.matched.toPandas().sort_values([S.PROCESS, S.SEQ])
+
+    # leaf-call adjacency: every non-main Enter matches the row
+    # immediately after it (trace.py:89-104)
+    for rank in (0, 1):
+        sub = m[(m.process == rank) & (m.event_type != "Instant")].reset_index(
+            drop=True
+        )
+        for i in range(len(sub)):
+            if (
+                sub.event_type[i] == "Enter"
+                and sub.name[i] != "int main(int, char**)"
+            ):
+                assert sub.matching_event_id[i] == sub.event_id[i + 1]
+                assert sub.matching_timestamp_ns[i] == sub.timestamp_ns[i + 1]
+
+    # Enter rows match strictly forward in time (trace.py:124-133)
+    enters = m[m.event_type == "Enter"]
+    assert (enters.matching_timestamp_ns > enters.timestamp_ns).all()
+
+    # caller/callee: 40 Enter rows with parents, 2 with children (main
+    # per rank) — trace.py:136-146. The reference sets _parent on Enter
+    # rows only; our pass mirrors it onto the matched Leave as well, so
+    # count Enters. children = inverse of parent (distinct parent ids)
+    assert m[m.event_type == "Enter"].parent_event_id.notna().sum() == 40
+    assert m[m.event_type == "Enter"].parent_event_id.dropna().nunique() == 2
+
+    # comm_over_time mass concentrates in the last bins (trace.py:35-51)
+    hist = (
+        t.comm_over_time(output="size", message_type="send", bins=5)
+        .toPandas()
+        .sort_values("bin_idx")
+    )
+    assert list(hist["count"][:3]) == [0.0, 0.0, 0.0]
+    assert hist["count"].iloc[4] == 4_177_920 * 2
+
+    # comm_by_process: each rank sent == received == 4177920 bytes / 8
+    for output, val in (("size", 4_177_920.0), ("count", 8.0)):
+        bp = t.comm_by_process(output=output).toPandas().set_index("process")
+        for rank in (0, 1):
+            assert bp.loc[rank]["sent"] == val
+            assert bp.loc[rank]["received"] == val
