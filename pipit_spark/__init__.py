@@ -9,6 +9,19 @@ designed for the 100 TB scale point.
 
 from .trace import Trace
 from .session import get_spark
+from .config import (
+    get_option,
+    set_option,
+    reset_option,
+    reset_all_options,
+)
 
-__all__ = ["Trace", "get_spark"]
+__all__ = [
+    "Trace",
+    "get_spark",
+    "get_option",
+    "set_option",
+    "reset_option",
+    "reset_all_options",
+]
 __version__ = "0.1.0"

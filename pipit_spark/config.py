@@ -1,0 +1,77 @@
+"""Engine option registry (reference pipit/util/config.py + pipit/tests/
+config.py semantics: validated get/set/reset of named options).
+
+Spark-relevant options are added alongside the reference's UI-oriented
+ones — matching-pass batch sizing, default shuffle parallelism hints —
+so deployments tune the engine the same way users tune the reference.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+_LOG_LEVELS = ("CRITICAL", "ERROR", "WARNING", "INFO", "DEBUG", "NOTSET")
+_URL_RE = re.compile(r"^https?://[\w.\-]+(:\d+)?(/.*)?$")
+
+
+def _log_level(key: str, value: Any) -> None:
+    if not isinstance(value, str) or value.upper() not in _LOG_LEVELS:
+        raise ValueError(
+            f"invalid value {value!r} for {key!r}: one of {_LOG_LEVELS}"
+        )
+
+
+def _url(key: str, value: Any) -> None:
+    if not isinstance(value, str) or not _URL_RE.match(value):
+        raise ValueError(f"invalid value {value!r} for {key!r}: expected a URL")
+
+
+def _pos_int(key: str, value: Any) -> None:
+    if not isinstance(value, int) or isinstance(value, bool) or value < 1:
+        raise ValueError(
+            f"invalid value {value!r} for {key!r}: expected a positive int"
+        )
+
+
+def _bool(key: str, value: Any) -> None:
+    if not isinstance(value, bool):
+        raise ValueError(f"invalid value {value!r} for {key!r}: expected bool")
+
+
+# key -> (default, validator)
+_REGISTRY: dict[str, tuple[Any, Callable[[str, Any], None]]] = {
+    # reference options (pipit/tests/config.py golden values)
+    "log_level": ("INFO", _log_level),
+    "notebook_url": ("http://localhost:8888", _url),
+    # engine options
+    "matching.max_records_per_batch": (65536, _pos_int),
+    "shuffle.partitions_hint": (32, _pos_int),
+    "cache.matched_frame": (True, _bool),
+}
+
+_options: dict[str, Any] = {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def get_option(key: str) -> Any:
+    if key not in _REGISTRY:
+        raise ValueError(f"unknown option {key!r}")
+    return _options[key]
+
+
+def set_option(key: str, value: Any) -> None:
+    if key not in _REGISTRY:
+        raise ValueError(f"unknown option {key!r}")
+    _REGISTRY[key][1](key, value)
+    _options[key] = value
+
+
+def reset_option(key: str) -> None:
+    if key not in _REGISTRY:
+        raise ValueError(f"unknown option {key!r}")
+    _options[key] = _REGISTRY[key][0]
+
+
+def reset_all_options() -> None:
+    for k in _REGISTRY:
+        reset_option(k)

@@ -106,3 +106,31 @@ def test_multimodal_pipeline(spark):
     assert set(stats.kind) == {"image", "audio", "video"}
     frames = M.frame_sample(media, every_n=5).toPandas()
     assert (frames.frame_idx % 5 == 0).all()
+
+
+def test_config_options():
+    """Reference pipit/tests/config.py semantics: defaults, validated
+    set, unknown-key/invalid-value errors, reset."""
+    import pytest
+    import pipit_spark as pp
+
+    pp.reset_all_options()
+    assert pp.get_option("log_level") == "INFO"
+    assert pp.get_option("notebook_url") == "http://localhost:8888"
+    with pytest.raises(ValueError):
+        pp.get_option("invalid_key")
+
+    pp.set_option("log_level", "DEBUG")
+    assert pp.get_option("log_level") == "DEBUG"
+    pp.set_option("notebook_url", "http://127.0.0.1:8080")
+    assert pp.get_option("notebook_url") == "http://127.0.0.1:8080"
+    with pytest.raises(ValueError):
+        pp.set_option("invalid_key", "x")
+    with pytest.raises(ValueError):
+        pp.set_option("log_level", "invalid_value")
+    with pytest.raises(ValueError):
+        pp.set_option("notebook_url", "invalid_value")
+
+    pp.reset_option("log_level")
+    assert pp.get_option("log_level") == "INFO"
+    pp.reset_all_options()
