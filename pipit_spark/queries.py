@@ -83,6 +83,14 @@ def trace_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("msg_len", F.floor(F.col("value") * 100).cast("long"))
+        # whole-partition max leave, for the session-root Leave emitted off
+        # the rn==1 row; same partitioning as `w` → no extra exchange
+        .withColumn(
+            "max_leave",
+            F.max(F.col("ts_ns") + F.col("dur")).over(
+                Window.partitionBy(S.PROCESS)
+            ),
+        )
     )
 
     # one pass: each source row explodes into Enter + Leave (+ optional
@@ -133,10 +141,44 @@ def trace_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                         msg_attrs.alias("attrs"),
                     ),
                 ).otherwise(F.lit(None).cast(ev_struct)),
+                # the per-process `session` root rows ride along on the
+                # rn==1 row (min_ts == its ts_ns, the partition is ordered
+                # by ts_ns; max_leave from the unbounded window above) —
+                # one scan + one window exchange for the WHOLE derivation
+                # instead of a second groupBy branch re-evaluating it
+                F.when(
+                    F.col("rn") == 1,
+                    F.struct(
+                        (
+                            F.lit(4_000_000_000_000_000)
+                            + F.col(S.PROCESS).cast("long") * 2
+                        ).alias("eid"),
+                        (F.col("ts_ns") - F.lit(1_000_000_000)).alias("ts"),
+                        F.lit(0).cast("long").alias("sq"),
+                        F.lit("Enter").alias("et"),
+                        F.lit("session").alias("nm"),
+                        F.lit(None).cast("map<string,string>").alias("attrs"),
+                    ),
+                ).otherwise(F.lit(None).cast(ev_struct)),
+                F.when(
+                    F.col("rn") == 1,
+                    F.struct(
+                        (
+                            F.lit(4_000_000_000_000_000)
+                            + F.col(S.PROCESS).cast("long") * 2
+                            + 1
+                        ).alias("eid"),
+                        (F.col("max_leave") + F.lit(1_000_000_000)).alias("ts"),
+                        F.lit(1).cast("long").alias("sq"),
+                        F.lit("Leave").alias("et"),
+                        F.lit("session").alias("nm"),
+                        F.lit(None).cast("map<string,string>").alias("attrs"),
+                    ),
+                ).otherwise(F.lit(None).cast(ev_struct)),
             )
         ).alias("e"),
     ).filter(F.col("e").isNotNull())
-    leaves = exploded.select(
+    return exploded.select(
         F.col("e.eid").alias(S.EVENT_ID),
         F.col("e.ts").alias(S.TIMESTAMP),
         F.col("e.sq").alias(S.SEQ),
@@ -145,33 +187,6 @@ def trace_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.PROCESS,
         F.col("e.attrs").alias(S.ATTRIBUTES),
     )
-    roots = base.groupBy(S.PROCESS).agg(
-        F.min("ts_ns").alias("min_ts"),
-        F.max(F.col("ts_ns") + F.col("dur")).alias("max_leave"),
-    )
-    root_enter = roots.select(
-        (F.lit(4_000_000_000_000_000) + F.col(S.PROCESS).cast("long") * 2).alias(
-            S.EVENT_ID
-        ),
-        (F.col("min_ts") - F.lit(1_000_000_000)).alias(S.TIMESTAMP),
-        F.lit(0).cast("long").alias(S.SEQ),
-        F.lit("Enter").alias(S.EVENT_TYPE),
-        F.lit("session").alias(S.NAME),
-        S.PROCESS,
-        F.lit(None).cast("map<string,string>").alias(S.ATTRIBUTES),
-    )
-    root_leave = roots.select(
-        (F.lit(4_000_000_000_000_000) + F.col(S.PROCESS).cast("long") * 2 + 1).alias(
-            S.EVENT_ID
-        ),
-        (F.col("max_leave") + F.lit(1_000_000_000)).alias(S.TIMESTAMP),
-        F.lit(1).cast("long").alias(S.SEQ),
-        F.lit("Leave").alias(S.EVENT_TYPE),
-        F.lit("session").alias(S.NAME),
-        S.PROCESS,
-        F.lit(None).cast("map<string,string>").alias(S.ATTRIBUTES),
-    )
-    return leaves.unionByName(root_enter).unionByName(root_leave)
 
 
 _trace_memo: dict[str, Trace] = {}
