@@ -158,6 +158,7 @@ def _stack_match_multi(
     safe_par = np.where(hasp, parent_pos, 0)
     out[S.PARENT] = pd.array(np.where(hasp, event_ids[safe_par], 0), dtype="Int64")
     out.loc[~hasp, S.PARENT] = pd.NA
+    out[S.PARENT_NAME] = np.where(hasp, names[safe_par], None)
 
     out[S.NODE_ID] = pd.array(node_of, dtype="Int64")
     out.loc[~has_node, S.NODE_ID] = pd.NA

@@ -149,7 +149,7 @@ def time_profile(
     enters = m.filter(
         F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES) & F.col(S.MATCHING_TS).isNotNull()
     ).select(
-        S.EVENT_ID, S.PARENT, S.NAME,
+        S.NAME, S.PARENT_NAME,
         F.col(S.TIMESTAMP).cast("double").alias("enter_ts"),
         F.col(S.MATCHING_TS).cast("double").alias("leave_ts"),
     )
@@ -165,22 +165,34 @@ def time_profile(
         F.least("leave_ts", "bin_end") - F.greatest("enter_ts", "bin_start"),
     )
 
-    child_sums = (
-        overlaps.filter(F.col(S.PARENT).isNotNull())
-        .groupBy(F.col(S.PARENT).alias("__p"), F.col("bin_idx").alias("__b"))
-        .agg(F.sum("inc_in_bin").alias("__child_inc"))
-    )
-    exc = overlaps.join(
-        child_sums,
-        (overlaps[S.EVENT_ID] == child_sums["__p"])
-        & (overlaps["bin_idx"] == child_sums["__b"]),
-        "left",
-    ).withColumn(
-        "exc_in_bin",
-        F.col("inc_in_bin") - F.coalesce(F.col("__child_inc"), F.lit(0.0)),
-    )
+    # exclusive-in-bin correction without a self-join: a parent's interval
+    # encloses its children's, so a child overlapping bin b implies the
+    # parent overlaps bin b — summing (+overlap under own name) and
+    # (−overlap under the caller's name) per (bin, name) therefore equals
+    # the reference's per-event child subtraction (pipit/trace.py:666-698)
+    # after its groupBy(Name) (pipit/trace.py:744). One explode + ONE hash
+    # aggregation replaces groupBy-parent + equi-join on the exploded
+    # interval×bin frame + groupBy.
+    contrib = overlaps.select(
+        "bin_idx",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(S.NAME).alias("nm"), F.col("inc_in_bin").alias("v")
+                ),
+                F.struct(
+                    F.col(S.PARENT_NAME).alias("nm"),
+                    (-F.col("inc_in_bin")).alias("v"),
+                ),
+            )
+        ).alias("c"),
+    ).select("bin_idx", F.col("c.nm").alias(S.NAME), F.col("c.v").alias("v"))
 
-    per_fn = exc.groupBy("bin_idx", S.NAME).agg(F.sum("exc_in_bin").alias("time"))
+    per_fn = (
+        contrib.filter(F.col(S.NAME).isNotNull())
+        .groupBy("bin_idx", S.NAME)
+        .agg(F.sum("v").alias("time"))
+    )
     # threshold tiny values to zero (pipit/trace.py:754)
     per_fn = per_fn.withColumn(
         "time", F.when(F.col("time") < 0.01, 0.0).otherwise(F.col("time"))

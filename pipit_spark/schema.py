@@ -43,6 +43,10 @@ MATCHING_EVENT = "matching_event_id"      # reference: _matching_event
 MATCHING_TS = "matching_timestamp_ns"     # reference: _matching_timestamp
 DEPTH = "depth"                           # reference: _depth
 PARENT = "parent_event_id"                # reference: _parent
+PARENT_NAME = "parent_name"               # caller's name, free in the kernel;
+                                          # lets profile aggregations do the
+                                          # child-subtraction without a
+                                          # self-join on event ids
 NODE_ID = "node_id"                       # reference: Graph_Node object column
 TIME_INC = "time_inc"                     # reference: time.inc
 TIME_EXC = "time_exc"                     # reference: time.exc
@@ -95,6 +99,7 @@ MATCH_FIELDS = [
     T.StructField(MATCHING_TS, T.LongType(), True),
     T.StructField(DEPTH, T.IntegerType(), True),
     T.StructField(PARENT, T.LongType(), True),
+    T.StructField(PARENT_NAME, T.StringType(), True),
     T.StructField(NODE_ID, T.LongType(), True),
 ]
 
