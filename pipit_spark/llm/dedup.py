@@ -69,33 +69,29 @@ def _shingles(col, n: int = 3):
 def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) rows — distinct word n-grams per document.
 
-    Flat formulation: posexplode the token array, window-lead the next
-    n−1 tokens, concat. Everything stays in whole-stage codegen; the HOF
-    equivalent (transform + slice per position) evaluates interpreted at
-    ~13µs/shingle — 10×+ slower. ``concat_ws`` skips the null leads at
-    the tail, which reproduces the truncated final shingle of documents
-    shorter than ``n`` tokens (position filter ≤ max(len−n, 0) matches
-    the oracle's ``range(0, greatest(len-n,0)+1)``)."""
-    from pyspark.sql import Window
-
-    # explicit partition count: with bare repartition("doc_id") AQE
-    # right-sizes the exchange to the PRE-explode bytes (tiny) and
-    # coalesces to ~1 partition, serializing all downstream work — the
-    # classic AQE pitfall below row-expanding operators
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(n_part, "doc_id").select(
+    Flat formulation: explode the shingle START positions
+    (1..max(len−n,0)+1, matching the oracle's
+    ``range(0, greatest(len-n,0)+1)``), then ``slice`` the carried token
+    array at each position. ``slice``/``concat_ws`` are ordinary codegen
+    expressions — unlike the ``transform`` HOF lambda, which evaluates
+    interpreted at ~13µs/shingle — and unlike the earlier
+    posexplode + window-lead formulation this needs NO exchange or sort
+    before the dedup: the only shuffle is the final distinct, whose
+    map-side partial aggregation absorbs most duplicate shingles before
+    they hit the wire. A short document's final shingle truncates to the
+    available tokens (slice past the end), same as the oracle."""
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    pos = toked.select(
         "doc_id",
-        F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
-        F.size(_tokens(F.col("text"))).alias("sz"),
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - n + 1, F.lit(1)))
+        ).alias("p"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    return (
-        toks.withColumn("shingle", F.concat_ws(" ", *leads))
-        .filter(F.col("pos") <= F.greatest(F.col("sz") - n, F.lit(0)))
-        .select("doc_id", "shingle")
-        .dropDuplicates(["doc_id", "shingle"])
-    )
+    return pos.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(n))).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
 
 
 # ------------------------------------------------------- n-gram Jaccard
