@@ -17,24 +17,22 @@ from .. import schema as S
 
 def create_cct(matched: DataFrame) -> DataFrame:
     """Distinct calling-context nodes. The matched frame already carries
-    ``node_id`` (stable md5 hash chain over the name path, replacing the
-    reference's dict of callpath strings, pipit/util/cct.py:73-93); this
-    joins each node to its parent's node id and dedups — a tiny result
-    even for huge traces (node count ≪ event count)."""
-    enters = matched.filter(
-        F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES) & F.col(S.NODE_ID).isNotNull()
-    )
-    nodes = enters.select(S.NODE_ID, S.DEPTH, S.NAME, S.PARENT).dropDuplicates(
-        [S.NODE_ID]
-    )
-    parents = enters.select(
-        F.col(S.EVENT_ID).alias("__pe"), F.col(S.NODE_ID).alias("parent_node_id")
-    ).dropDuplicates(["__pe"])
+    ``node_id`` and ``parent_node_id`` (stable md5 hash chain over the
+    name path, replacing the reference's dict of callpath strings,
+    pipit/util/cct.py:73-93) — a tiny result even for huge traces
+    (node count ≪ event count)."""
+    # the kernel emits each event's own node id AND its caller's — so the
+    # node table is one distinct with map-side partial aggregation (the
+    # pre-shuffle combiner reduces every partition to its node set before
+    # anything hits the wire); no self-join over the event frame
     return (
-        nodes.join(parents, nodes[S.PARENT] == parents["__pe"], "left")
+        matched.filter(
+            F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES)
+            & F.col(S.NODE_ID).isNotNull()
+        )
         .select(
             S.NODE_ID,
-            "parent_node_id",
+            F.col(S.PARENT_NODE).alias("parent_node_id"),
             F.col(S.DEPTH).alias("depth"),
             S.NAME,
         )

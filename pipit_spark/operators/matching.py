@@ -162,6 +162,10 @@ def _stack_match_multi(
 
     out[S.NODE_ID] = pd.array(node_of, dtype="Int64")
     out.loc[~has_node, S.NODE_ID] = pd.NA
+    # caller's node id (root calls keep NA): parents are matched Enters,
+    # so node_of[parent] is always populated when parent_pos >= 0
+    out[S.PARENT_NODE] = pd.array(node_of[safe_par], dtype="Int64")
+    out.loc[~hasp, S.PARENT_NODE] = pd.NA
 
     enter_matched = matched & is_enter
     out[S.TIME_INC] = np.where(

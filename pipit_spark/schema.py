@@ -47,6 +47,9 @@ PARENT_NAME = "parent_name"               # caller's name, free in the kernel;
                                           # lets profile aggregations do the
                                           # child-subtraction without a
                                           # self-join on event ids
+PARENT_NODE = "parent_node_id"            # caller's CCT node id, also free in
+                                          # the kernel; makes create_cct a pure
+                                          # distinct instead of a self-join
 NODE_ID = "node_id"                       # reference: Graph_Node object column
 TIME_INC = "time_inc"                     # reference: time.inc
 TIME_EXC = "time_exc"                     # reference: time.exc
@@ -101,6 +104,7 @@ MATCH_FIELDS = [
     T.StructField(PARENT, T.LongType(), True),
     T.StructField(PARENT_NAME, T.StringType(), True),
     T.StructField(NODE_ID, T.LongType(), True),
+    T.StructField(PARENT_NODE, T.LongType(), True),
 ]
 
 
