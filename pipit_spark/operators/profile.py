@@ -40,9 +40,61 @@ def flat_profile(
     (groupby, process), then mean over processes unless ``per_process``.
     Spark executes this as partial (map-side) + final hash aggregation —
     the canonical scalable profile."""
-    df, metrics = _resolve_metrics(trace, metrics)
+    if isinstance(metrics, str):
+        metrics = [metrics]
     if isinstance(groupby_column, str):
         groupby_column = [groupby_column]
+
+    if groupby_column == [S.NAME]:
+        # name-grouped fast path: Σ exc per (name, process) equals
+        # Σ inc(own rows) − Σ inc(rows whose caller has that name) — the
+        # same signed-contribution identity time_profile uses. One explode
+        # + one hash aggregation straight off the matched frame; the
+        # general path below goes through calc_exc_metrics' per-event
+        # groupBy-parent + join.
+        m = trace.matched
+        base = {
+            mm: (mm[:-4] + "_inc" if mm.endswith("_exc") else mm)
+            for mm in metrics
+        }
+        missing = [b for b in base.values() if b not in m.columns]
+        if not missing:
+            enters = m.filter(F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES))
+            plus = F.struct(
+                F.col(S.NAME).alias("nm"),
+                *[F.col(b).alias(f"v{i}") for i, b in enumerate(base.values())],
+            )
+            minus = F.struct(
+                F.col(S.PARENT_NAME).alias("nm"),
+                *[
+                    (
+                        (-F.col(b)).alias(f"v{i}")
+                        if mm.endswith("_exc")
+                        else F.lit(0.0).alias(f"v{i}")
+                    )
+                    for i, (mm, b) in enumerate(base.items())
+                ],
+            )
+            contrib = (
+                enters.select(S.PROCESS, F.explode(F.array(plus, minus)).alias("c"))
+                .select(S.PROCESS, "c.*")
+                .filter(F.col("nm").isNotNull())
+            )
+            per_proc = contrib.groupBy(
+                F.col("nm").alias(S.NAME), F.col(S.PROCESS)
+            ).agg(
+                *[
+                    F.sum(f"v{i}").alias(mm)
+                    for i, mm in enumerate(metrics)
+                ]
+            )
+            if per_process:
+                return per_proc
+            return per_proc.groupBy(S.NAME).agg(
+                *[F.avg(mm).alias(mm) for mm in metrics]
+            )
+
+    df, metrics = _resolve_metrics(trace, metrics)
 
     enters = df.filter(F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES))
     per_proc = enters.groupBy(*groupby_column, S.PROCESS).agg(
@@ -198,23 +250,29 @@ def time_profile(
         "time", F.when(F.col("time") < 0.01, 0.0).otherwise(F.col("time"))
     )
 
-    bin_totals = per_fn.groupBy("bin_idx").agg(F.sum("time").alias("__tot"))
-    idle = (
-        F.broadcast(bins_df.select("bin_idx"))
-        .join(bin_totals, "bin_idx", "left")
-        .select(
-            "bin_idx",
-            F.lit("idle_time").alias(S.NAME),
-            (F.lit(total_bin_duration) - F.coalesce("__tot", F.lit(0.0))).alias(
-                "time"
-            ),
+    # idle_time = bin duration × nprocs − Σ functions (pipit/trace.py:751).
+    # Seed a zero idle row per bin from the (tiny, broadcast) bin table and
+    # fill it with a window sum over the aggregated frame — `per_fn` is
+    # then referenced ONCE, where the earlier groupBy-bin + join-back
+    # formulation re-evaluated the whole interval×bin aggregation for the
+    # totals branch (Spark does not reuse the exchange across the union).
+    idle_seed = bins_df.select(
+        "bin_idx", F.lit("idle_time").alias(S.NAME), F.lit(0.0).alias("time")
+    )
+    w_bin = Window.partitionBy("bin_idx")
+    out = (
+        per_fn.unionByName(idle_seed)
+        .withColumn(
+            "time",
+            F.when(
+                F.col(S.NAME) == "idle_time",
+                F.lit(total_bin_duration) - F.sum("time").over(w_bin),
+            ).otherwise(F.col("time")),
         )
         .withColumn(
             "time", F.when(F.col("time") < 0.01, 0.0).otherwise(F.col("time"))
         )
     )
-
-    out = per_fn.unionByName(idle)
     if normalized:
         out = out.withColumn("time", F.col("time") / F.lit(total_bin_duration))
     out = F.broadcast(bins_df).join(out, "bin_idx").select(
