@@ -53,6 +53,31 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return w_fp.join(keep, ["__fp", "doc_id"]).drop("__fp")
 
 
+def embedding_dedup(
+    docs: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Keep-first near-dup removal by embedding cosine: a document is
+    dropped when any LOWER-id document's embedding has cosine ≥
+    ``threshold`` with its own (``doc_id`` keys ``emb.vec_id``).
+
+    This is the semantic-dedup step of a training-data pipeline. Pair
+    scoring here is the brute-force cosine join (the correctness
+    baseline, quadratic); at corpus scale swap the candidate generator
+    for :func:`pipit_spark.llm.similarity.lsh_ann_pairs` (random-plane
+    LSH buckets) or the IVF coarse quantizer and apply the same
+    left-anti drop rule — the drop side stays a set of ids either way,
+    so the anti-join shape (and this function's contract) is unchanged.
+    """
+    from .similarity import cosine_pairs
+
+    pairs = cosine_pairs(emb, threshold=threshold, vec_col=vec_col)
+    drops = pairs.select(F.col("b").alias("doc_id")).distinct()
+    return docs.join(drops, "doc_id", "left_anti")
+
+
 # ------------------------------------------------------------- shingles
 def _shingles(col, n: int = 3):
     """Word n-gram shingles of the normalized text (distinct)."""
@@ -369,6 +394,23 @@ SELECT md5(lower({_sql_norm('text')})) AS fingerprint,
 FROM {table}
 GROUP BY 1
 HAVING COUNT(*) > 1
+"""
+
+
+def oracle_embedding_dedup(
+    doc_table: str = "documents",
+    emb_table: str = "embeddings",
+    threshold: float = 0.95,
+) -> str:
+    return f"""
+WITH pairs AS (
+    SELECT y.vec_id AS b
+    FROM {emb_table} x JOIN {emb_table} y ON x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(x.embedding, y.embedding) >= {threshold}
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM {doc_table}
+WHERE doc_id NOT IN (SELECT DISTINCT b FROM pairs)
 """
 
 

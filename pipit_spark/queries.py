@@ -886,6 +886,16 @@ def q_doc_simhash(spark, sf_dir):
     return D.simhash(load(spark, sf_dir, "documents"))
 
 
+def q_doc_embedding_dedup(spark, sf_dir):
+    # threshold in the upper tail of the random-embedding cosine
+    # distribution (p99 ≈ 0.29) so the operator must actually drop docs
+    return D.embedding_dedup(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+    )
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     return V.cosine_topk(load(spark, sf_dir, "embeddings"), k=5, query_max_id=10)
 
@@ -1008,6 +1018,7 @@ def queries():
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
+        "doc_embedding_dedup": q_doc_embedding_dedup,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_topk_pandas": q_emb_topk_pandas,
         "emb_cosine_pairs": q_emb_cosine_pairs,
@@ -1058,6 +1069,7 @@ def oracle_sql():
         "emb_norm_stats": ORACLE_EMB_NORM_STATS,
         "emb_ivf_topk_exact": V.oracle_cosine_topk(k=5, query_max_id=10),
         "doc_simhash": D.oracle_simhash(),
+        "doc_embedding_dedup": D.oracle_embedding_dedup(threshold=0.35),
         # doc_minhash_lsh / emb_lsh_ann / emb_ivf_topk / media_decode:
         # rows-only checks (LSH banding, probe-limited ANN, and the stub
         # codec aren't SQL-replayable)

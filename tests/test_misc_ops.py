@@ -134,3 +134,26 @@ def test_config_options():
     pp.reset_option("log_level")
     assert pp.get_option("log_level") == "INFO"
     pp.reset_all_options()
+
+
+def test_embedding_dedup(spark):
+    """Keep-first near-dup removal: doc 1 duplicates doc 0 (cosine 1.0),
+    doc 2 is orthogonal, doc 3 is a near-dup of doc 2."""
+    from pipit_spark.llm.dedup import embedding_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(4)], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [2.0, 0.0]),          # same direction as 0 -> dropped
+            (2, [0.0, 1.0]),          # orthogonal -> kept
+            (3, [0.01, 1.0]),         # near-dup of 2 -> dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = sorted(
+        r.doc_id for r in embedding_dedup(docs, emb, threshold=0.95).collect()
+    )
+    assert kept == [0, 2]
