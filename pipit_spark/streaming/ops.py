@@ -89,6 +89,28 @@ def streaming_event_rates(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: drop rows whose ``keys``
+    already arrived within the watermark horizon
+    (``dropDuplicatesWithinWatermark``).
+
+    Two intended uses: (a) exactly-once re-ingestion of trace events from
+    at-least-once collectors — keys = [event_id]; (b) streaming document
+    dedup for a training-data pipeline — compute a content fingerprint
+    upstream (e.g. ``md5(text)``) and pass it as the key. Unlike plain
+    ``dropDuplicates`` on a stream, state is evicted once the watermark
+    passes, so it runs indefinitely at constant memory."""
+    keys = list(keys or [S.EVENT_ID])
+    ev = with_event_time(events)
+    return ev.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def streaming_sessionize(
     events: DataFrame,
     gap: str = "30 seconds",

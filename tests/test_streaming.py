@@ -200,3 +200,43 @@ def test_streaming_stateful_matching(spark, tmp_path):
     assert main_row.enter_event_id == 0 and main_row.leave_event_id == 5
     assert main_row.time_inc == 800.0
     assert sorted(res[res.name == "work"].time_inc) == [50.0, 300.0]
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Replayed events (same event_id redelivered in a later batch within
+    the watermark horizon) are emitted exactly once; distinct ids all
+    survive."""
+    import pandas as pd
+    from pipit_spark.schema import EVENT_SCHEMA
+    from pipit_spark.streaming.ops import streaming_dedup
+
+    sec = 1_000_000_000
+    cols = [
+        "event_id", "timestamp_ns", "seq", "event_type",
+        "name", "process", "thread", "attributes",
+    ]
+    batch1 = [
+        (0, 1 * sec, 0, "Enter", "main", 0, 0, None),
+        (1, 2 * sec, 1, "Enter", "foo", 0, 0, None),
+    ]
+    batch2 = [
+        (1, 2 * sec, 1, "Enter", "foo", 0, 0, None),   # replay of id 1
+        (2, 3 * sec, 2, "Leave", "foo", 0, 0, None),
+    ]
+    d = tmp_path / "dedup_stream"
+    d.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=cols), schema=EVENT_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"batch{i}"))
+
+    ev = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = streaming_dedup(ev, keys=["event_id"], watermark="1 hour")
+    _run_to_memory(out, "deduped", mode="append")
+    res = spark.sql("select event_id from deduped").toPandas()
+    assert sorted(res.event_id) == [0, 1, 2]
