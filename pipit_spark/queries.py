@@ -582,6 +582,28 @@ GROUP BY 1, 2
 """
 
 
+def q_trace_detect_pattern(spark, sf_dir):
+    """Motif windows from the matrix-profile pattern search on process
+    0's exclusive-time series (reference pipit/trace.py:806-863). The
+    motif search itself is an iterative numeric algorithm (stumpy /
+    numpy matrix profile) — not SQL-expressible, so this gate is
+    rows-only; the relational slice feeding it IS oracle-checked via
+    trace_match_inc / trace_flat_profile."""
+    from .operators.patterns import detect_pattern
+
+    t = derived_trace(spark, sf_dir)
+    wins = detect_pattern(
+        t, start_event="session", process=0, metric=S.TIME_EXC, window_size=8
+    )
+    schema = "motif int, pos int, event_id long, time_exc double"
+    rows = [
+        (i, j, int(w["event_id"].iloc[j]), float(w[S.TIME_EXC].iloc[j]))
+        for i, w in enumerate(wins)
+        for j in range(len(w))
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def q_doc_exact_dedup(spark, sf_dir):
     """Surviving doc_ids after keep-one-representative dedup over the
     corpus with injected duplicates."""
@@ -996,6 +1018,7 @@ def queries():
         "trace_comm_over_time": q_trace_comm_over_time,
         "trace_time_profile": q_trace_time_profile,
         "trace_multirun": q_trace_multirun,
+        "trace_detect_pattern": q_trace_detect_pattern,
         # generic relational layer (SURVEY §2.6)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
