@@ -105,6 +105,12 @@ def streaming_match(events: DataFrame) -> DataFrame:
                 columns=[f.name for f in MATCHED_INTERVAL_SCHEMA.fields],
             )
 
+    # project to the consumed columns before the worker boundary — extra
+    # columns (esp. the MapType attributes, whose Arrow serialization is
+    # ~27× the rest of the row) would otherwise ride through Python
+    events = events.select(
+        S.PROCESS, S.EVENT_ID, S.TIMESTAMP, S.SEQ, S.EVENT_TYPE, S.NAME
+    )
     return events.groupBy(S.PROCESS).applyInPandasWithState(
         fn,
         outputStructType=MATCHED_INTERVAL_SCHEMA,
