@@ -130,31 +130,53 @@ def ngram_jaccard_pairs(
     intersection counts → join per-doc shingle counts → Jaccard =
     |∩| / (|A| + |B| − |∩|). Only docs sharing ≥1 shingle ever pair up.
     """
-    # the inverted index feeds four plan branches (sizes, df cap, both
-    # sides of the intersection join) — persist + eager materialization
-    # so tokenization runs exactly once
-    sh = shingle_table(docs, n).persist()
+    # distinct-per-doc via collect_set keyed by doc_id (instead of a
+    # (doc_id, shingle)-keyed distinct): the re-explode carries each
+    # doc's set SIZE on every row for free, so no separate sizes
+    # aggregation and no size joins after the intersection count — the
+    # sizes ride the group keys. The index feeds three plan branches
+    # (df cap + both intersection sides) → persist, eagerly pinned so
+    # tokenization runs exactly once.
+    sh = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("toks") - n + 1, F.lit(1))
+                )
+            ).alias("p"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(n))).alias(
+                "shingle"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("__set"))
+        .select(
+            "doc_id",
+            F.size("__set").alias("sz"),
+            F.explode("__set").alias("shingle"),
+        )
+        .persist()
+    )
     sh.count()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
     df_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sh_f = sh.join(
         df_cap.filter(F.col("df") <= max_df).select("shingle"), "shingle"
     )
 
-    a = sh_f.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh_f.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
+    a = sh_f.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"), "shingle")
+    return (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        .groupBy("a", "b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "a")
-        .join(sb, "b")
         .withColumn(
             "jaccard",
             F.col("common")
