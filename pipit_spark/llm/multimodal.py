@@ -109,6 +109,63 @@ def decode_media(media: DataFrame, feat_dim: int = 16) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_h: int = 32, target_w: int = 32
+) -> DataFrame:
+    """Resize plumbing for image/video blobs: same mapInPandas shape as
+    :func:`decode_media` (Arrow-batched, bounded memory, narrow — no
+    shuffle), fixed typed output schema carrying source + target
+    dimensions and the re-encoded payload. The resampler itself is the
+    STUB codec (PIL/ffmpeg absent in this container): output bytes are a
+    deterministic content-hash expansion sized ``target_h·target_w`` so
+    downstream batch-shape behavior is realistic; swap in a real
+    decoder+resampler without touching the Spark contract."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "media_id": [], "kind": [], "src_height": [],
+                "src_width": [], "height": [], "width": [], "data": [],
+            }
+            for mid, kind, data in zip(
+                pdf["media_id"], pdf["kind"], pdf["data"]
+            ):
+                raw = bytes(data)
+                h, w, _, _ = _STUB_decode_bytes(raw, kind, 1)
+                n = target_h * target_w
+                seed = hashlib.md5(raw + b"resize").digest()
+                body = (seed * (n // len(seed) + 1))[:n]
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["src_height"].append(h)
+                out["src_width"].append(w)
+                out["height"].append(target_h)
+                out["width"].append(target_w)
+                out["data"].append(body)
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind").isin("image", "video"))
+        .select("media_id", "kind", "data")
+        .mapInPandas(gen, RESIZED_SCHEMA)
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     index (frame count from metadata; decode itself is the stub above).

@@ -106,6 +106,12 @@ def test_multimodal_pipeline(spark):
     assert set(stats.kind) == {"image", "audio", "video"}
     frames = M.frame_sample(media, every_n=5).toPandas()
     assert (frames.frame_idx % 5 == 0).all()
+    resized = M.resize_media(media, target_h=8, target_w=4).toPandas()
+    # only image/video kinds resize; payload sized target_h*target_w
+    assert set(resized.kind) <= {"image", "video"} and len(resized) == 4
+    assert (resized.height == 8).all() and (resized.width == 4).all()
+    assert all(len(b) == 32 for b in resized.data)
+    assert (resized.src_height > 0).all()
 
 
 def test_config_options():
