@@ -1,0 +1,98 @@
+"""Property-based check of the fused matching kernel.
+
+Random multi-location event sequences — including unbalanced ones
+(Leaves without Enters, Enters never closed) — run through
+``_stack_match_multi`` (pure pandas, no Spark session needed) and are
+compared against an independent straight-line transcription of the
+reference's semantics (pipit/trace.py:154-186 nearest-same-name stack
+pop; 240-292 depth/parent over matched rows), plus structural
+invariants. Catches regressions in the multi-group boundary handling
+that example-based tests might miss.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pipit_spark import schema as S
+from pipit_spark.operators.matching import _stack_match_multi
+
+NAMES = ["a", "b", "c"]
+
+
+@st.composite
+def trace_events(draw):
+    n_loc = draw(st.integers(1, 3))
+    rows = []
+    eid = 0
+    for p in range(n_loc):
+        n_ev = draw(st.integers(0, 40))
+        for i in range(n_ev):
+            etype = draw(st.sampled_from(["Enter", "Leave"]))
+            name = draw(st.sampled_from(NAMES))
+            rows.append((eid, i * 10, i, etype, name, p))
+            eid += 1
+    return pd.DataFrame(
+        rows,
+        columns=[S.EVENT_ID, S.TIMESTAMP, S.SEQ, S.EVENT_TYPE, S.NAME, S.PROCESS],
+    )
+
+
+def reference_match(group: pd.DataFrame):
+    """Independent transcription of the reference algorithm for ONE
+    location: returns {row_pos: matched_row_pos} over the group's
+    positional order (already sorted by ts, seq)."""
+    match = {}
+    stack = []  # positions of open Enters
+    evt = list(group[S.EVENT_TYPE])
+    names = list(group[S.NAME])
+    for i in range(len(group)):
+        if evt[i] == "Enter":
+            stack.append(i)
+        else:
+            for k in range(len(stack) - 1, -1, -1):
+                if names[stack[k]] == names[i]:
+                    j = stack.pop(k)
+                    match[i] = j
+                    match[j] = i
+                    break
+    return match
+
+
+@settings(max_examples=200, deadline=None)
+@given(trace_events())
+def test_kernel_matches_reference_semantics(pdf):
+    out = _stack_match_multi(pdf.copy(), [S.PROCESS], [])
+    # kernel output is sorted by (process, ts, seq); compare per location
+    for p, g in out.groupby(S.PROCESS, sort=False):
+        g = g.reset_index(drop=True)
+        expect = reference_match(g)
+        for i in range(len(g)):
+            got = g[S.MATCHING_EVENT].iloc[i]
+            if i in expect:
+                j = expect[i]
+                assert got == g[S.EVENT_ID].iloc[j], (p, i)
+                assert g[S.MATCHING_TS].iloc[i] == g[S.TIMESTAMP].iloc[j]
+                assert g[S.NAME].iloc[i] == g[S.NAME].iloc[j]
+            else:
+                assert pd.isna(got), (p, i)
+
+        # invariants on matched Enter rows
+        for i in range(len(g)):
+            if i in expect and g[S.EVENT_TYPE].iloc[i] == "Enter":
+                j = expect[i]
+                assert j > i  # Leave strictly after its Enter
+                assert g[S.TIME_INC].iloc[i] == float(
+                    g[S.TIMESTAMP].iloc[j] - g[S.TIMESTAMP].iloc[i]
+                )
+                # depth = number of enclosing matched Enters still open
+                depth = 0
+                for k in range(i):
+                    if (
+                        k in expect
+                        and g[S.EVENT_TYPE].iloc[k] == "Enter"
+                        and expect[k] > i
+                    ):
+                        depth += 1
+                assert g[S.DEPTH].iloc[i] == depth, (p, i)
