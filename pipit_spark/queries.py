@@ -865,6 +865,94 @@ def q_rollup_orders(spark, sf_dir):
     return spark.sql(Q_ROLLUP_SQL)
 
 
+Q4_SQL = """
+SELECT o.o_orderpriority AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+"""
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (the tables lack commit/receipt dates, so "late"
+    = shipped after the order date): EXISTS decorrelates to a LEFT SEMI
+    join — lineitem is filtered and projected to (l_orderkey,
+    l_shipdate) before the shuffle, and the semi join never duplicates
+    orders rows, so the aggregate input stays |orders|-bounded no matter
+    how many lineitems match. Expressed with the DataFrame API to
+    exercise the engine's join-type surface directly."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    line = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        line,
+        (line.l_orderkey == orders.o_orderkey)
+        & (line.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q22_SQL = """
+WITH thr AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*)
+               AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment AS c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS total_bal
+FROM customer c, thr
+WHERE c.c_acctbal > thr.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c.c_mktsegment
+"""
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: rich customers lapsed since 1998 (every
+    synthetic customer has SOME order, so the window keeps the anti-join
+    non-trivial). Three engine features in one plan: a scalar aggregate
+    broadcast to every row (the 1-row threshold frame crossJoins in as a
+    BroadcastNestedLoopJoin — no shuffle), NOT EXISTS as a LEFT ANTI
+    join on o_custkey with the date filter pushed below the join, and
+    the final segment aggregate. The decimal-sum / count division makes
+    the threshold bit-identical across engines, so the > predicate
+    cannot flip on a boundary row."""
+    cust = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey")
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(20,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(20,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
 # ===================================================================== #
 # LLM-data gate queries
 # ===================================================================== #
@@ -1002,6 +1090,14 @@ ORACLE_DOC_EXACT_DUPS = (
 )
 
 
+def q_doc_clean_corpus(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline: lang filter +
+    quality/token window + exact dedup, one lazy plan."""
+    from .llm.pipeline import clean_corpus
+
+    return clean_corpus(load(spark, sf_dir, "documents"))
+
+
 def q_media_decode(spark, sf_dir):
     from .llm import multimodal as M
 
@@ -1009,6 +1105,12 @@ def q_media_decode(spark, sf_dir):
     return M.decode_media(media).select(
         "media_id", "kind", "height", "width", "n_bytes"
     )
+
+
+def _oracle_clean_corpus() -> str:
+    from .llm.pipeline import oracle_clean_corpus
+
+    return oracle_clean_corpus()
 
 
 # ===================================================================== #
@@ -1041,6 +1143,8 @@ def queries():
         "sessionize_events": q_sessionize,
         "asof_attribution": q_asof_attribution,
         "rollup_orders": q_rollup_orders,
+        "q4_order_priority": q4_order_priority,
+        "q22_idle_customers": q22_idle_customers,
         # LLM-data operators (SURVEY §7 step 9)
         "doc_text_stats": q_doc_text_stats,
         "doc_token_frequencies": q_doc_token_frequencies,
@@ -1054,6 +1158,7 @@ def queries():
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_embedding_dedup": q_doc_embedding_dedup,
+        "doc_clean_corpus": q_doc_clean_corpus,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_topk_pandas": q_emb_topk_pandas,
         "emb_cosine_pairs": q_emb_cosine_pairs,
@@ -1089,6 +1194,8 @@ def oracle_sql():
         "sessionize_events": ORACLE_Q_SESSION,
         "asof_attribution": ORACLE_ASOF,
         "rollup_orders": Q_ROLLUP_SQL,
+        "q4_order_priority": Q4_SQL,
+        "q22_idle_customers": Q22_SQL,
         "doc_text_stats": X.oracle_text_stats(),
         "doc_token_frequencies": X.oracle_token_frequencies(min_count=5),
         "doc_token_counts": X.oracle_token_counts(),
@@ -1105,6 +1212,7 @@ def oracle_sql():
         "emb_ivf_topk_exact": V.oracle_cosine_topk(k=5, query_max_id=10),
         "doc_simhash": D.oracle_simhash(),
         "doc_embedding_dedup": D.oracle_embedding_dedup(threshold=0.35),
+        "doc_clean_corpus": _oracle_clean_corpus(),
         # doc_minhash_lsh / emb_lsh_ann / emb_ivf_topk / media_decode:
         # rows-only checks (LSH banding, probe-limited ANN, and the stub
         # codec aren't SQL-replayable)

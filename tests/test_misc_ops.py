@@ -163,3 +163,23 @@ def test_embedding_dedup(spark):
         r.doc_id for r in embedding_dedup(docs, emb, threshold=0.95).collect()
     )
     assert kept == [0, 2]
+
+
+def test_clean_corpus_pipeline(spark):
+    """Composed cleaning pipeline: language filter, token window,
+    quality floor, then exact dedup keep-first among the survivors."""
+    from pipit_spark.llm.pipeline import clean_corpus
+
+    en = "the cat and the dog walked to the house of a friend and sat"
+    docs = spark.createDataFrame(
+        [
+            (0, en, "en"),                       # survives (representative)
+            (1, en + " ", "en"),                 # whitespace dup of 0 -> dropped
+            (2, "el la de que los " * 4, "es"),  # Spanish -> dropped
+            (3, "the of", "en"),                 # too short -> dropped
+            (4, "a road to the sea and the sun over it was long and warm", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = clean_corpus(docs, min_tokens=10, min_quality=0.0)
+    assert sorted(r.doc_id for r in out.collect()) == [0, 4]
