@@ -953,6 +953,213 @@ def q22_idle_customers(spark, sf_dir):
     )
 
 
+_REV = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE)"
+)
+
+Q7_SQL = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+       {_REV} AS revenue
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND s.s_nationkey < 5 AND c.c_nationkey < 5
+  AND s.s_nationkey <> c.c_nationkey
+GROUP BY ns.n_name, nc.n_name, CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT)
+"""
+
+
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: trade volume between nation pairs. The one real
+    shuffle is lineitem⋈orders on orderkey; customer joins on the
+    already-shuffled o_custkey side, and supplier + both nation arms are
+    broadcasts, so the fact table crosses the wire once. Year extraction
+    happens before the aggregate so the group key is 3 small columns."""
+    rev = (
+        F.col("l_extendedprice").cast("decimal(20,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(20,2)"))
+    )
+    line = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            rev.alias("rev"),
+        )
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), line.l_suppkey == supp.s_suppkey)
+        .filter(
+            (F.col("s_nationkey") < 5)
+            & (F.col("c_nationkey") < 5)
+            & (F.col("s_nationkey") != F.col("c_nationkey"))
+        )
+        .join(
+            F.broadcast(nation.alias("ns")),
+            F.col("s_nationkey") == F.col("ns.n_nationkey"),
+        )
+        .withColumnRenamed("n_name", "supp_nation")
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nation.alias("nc")),
+            F.col("c_nationkey") == F.col("nc.n_nationkey"),
+        )
+        .withColumnRenamed("n_name", "cust_nation")
+    )
+    return j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum("rev").cast("double").alias("revenue")
+    )
+
+
+Q12_SQL = """
+SELECT l.l_returnflag AS l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_returnflag
+"""
+
+
+def q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (no shipmode column in the synthetic schema, so
+    the split key is o_orderpriority): conditional dual-count
+    aggregation over a fact-fact join — the CASE pair collapses to one
+    pass, and the shipdate filter prunes lineitem before the orderkey
+    shuffle."""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(Q12_SQL)
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer distribution. A LEFT OUTER
+    join (zero-order customers must survive as c_count=0) with a
+    non-key predicate pushed to the orders scan, then two aggregations
+    — the second groups on the first's output, which AQE coalesces to
+    a handful of partitions since it is |customers| rows of two ints."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200
+)
+SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS totalprice,
+       big.sum_qty AS sum_qty
+FROM big
+JOIN orders o   ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold. The HAVING aggregate runs first and shrinks lineitem to
+    one row per qualifying order BEFORE any join — the orders/customer
+    joins then see only the survivors, so at scale the expensive side
+    of the plan is a single map-side-combinable sum."""
+    big = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_q")
+        )
+        .filter(F.col("_q") > 200)
+        .select("l_orderkey", F.col("_q").cast("double").alias("sum_qty"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice")
+            .cast("decimal(20,2)")
+            .cast("double")
+            .alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT {_REV} AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive predicates across
+    both join sides. Catalyst extracts the common single-side factors
+    (brand∈{…} onto the part scan, quantity∈[1,30] onto lineitem) as
+    pushed filters below the broadcast join; the residual OR evaluates
+    post-join on the reduced stream."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(Q19_SQL)
+
+
 # ===================================================================== #
 # LLM-data gate queries
 # ===================================================================== #
@@ -1144,6 +1351,11 @@ def queries():
         "asof_attribution": q_asof_attribution,
         "rollup_orders": q_rollup_orders,
         "q4_order_priority": q4_order_priority,
+        "q7_nation_volume": q7_nation_volume,
+        "q12_priority_lines": q12_priority_lines,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_idle_customers": q22_idle_customers,
         # LLM-data operators (SURVEY §7 step 9)
         "doc_text_stats": q_doc_text_stats,
@@ -1195,6 +1407,11 @@ def oracle_sql():
         "asof_attribution": ORACLE_ASOF,
         "rollup_orders": Q_ROLLUP_SQL,
         "q4_order_priority": Q4_SQL,
+        "q7_nation_volume": Q7_SQL,
+        "q12_priority_lines": Q12_SQL,
+        "q13_customer_distribution": Q13_SQL,
+        "q18_large_volume": Q18_SQL,
+        "q19_disjunctive_revenue": Q19_SQL,
         "q22_idle_customers": Q22_SQL,
         "doc_text_stats": X.oracle_text_stats(),
         "doc_token_frequencies": X.oracle_token_frequencies(min_count=5),
