@@ -41,11 +41,14 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_nation_volume",
     "q14_promo_revenue",
+    "q18_large_volume",
     "window_topk_orders",
     "sessionize_events",
     "asof_attribution",
     # LLM-data operators
+    "doc_clean_corpus",
     "doc_text_stats",
     "doc_minhash_lsh",
     "doc_ngram_jaccard",

@@ -2,37 +2,33 @@
 
 The north-star use case: take a raw document corpus and produce the
 cleaned training set — language filter, quality filter, exact dedup —
-as ONE lazy DataFrame plan. Each stage is an existing first-class
-operator (:mod:`pipit_spark.llm.text`, :mod:`pipit_spark.llm.dedup`);
-composing them stays declarative, so Catalyst collapses the whole
-pipeline into a handful of stages:
+as ONE lazy DataFrame plan. The per-document features (token count,
+quality score, predicted language, content fingerprint) are all narrow
+expressions over the text, so instead of joining the per-operator
+outputs (:func:`text_stats` ⋈ :func:`lang_id` ⋈ fingerprints — three
+shuffles of doc_id-keyed rows), the pipeline evaluates the SAME
+expressions (:func:`stats_exprs`, :func:`pred_lang_expr`,
+:func:`fingerprint_expr` — shared with the standalone operators, so
+they cannot drift) in a single projection.
 
-* the three per-document feature sets (stats, language scores,
-  fingerprint) are all narrow projections over the same scan — Catalyst
-  fuses them into one pass over the text (no join materializes: the
-  "joins" below are on ``doc_id`` against projections of the SAME scan,
-  which the self-join planner turns into a single read at scale when
-  the corpus is bucketed by ``doc_id``; even unbucketed it is one
-  shuffle per side of ~3 small columns, never the text);
-* the dedup keep-first rule is the usual min-id-per-fingerprint
-  aggregation + semi join — one shuffle on the 32-byte fingerprint.
-
-At 100 TB the dominant cost is the text scan; this plan reads the text
-exactly twice (feature pass + fingerprint pass share the scan via
-column pruning) and shuffles only ``(doc_id, fingerprint, 3 numerics)``
-rows, never document bodies.
+At 100 TB the plan is: one text scan → whole-stage-codegen feature
+projection + filters → one shuffle of the survivors' ``(doc_id,
+fingerprint, 2 numerics)`` rows for the keep-first window. Document
+bodies never cross the wire, and the dedup state is bounded by the
+survivor count, not the corpus.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import (
-    lang_id,
+    fingerprint_expr,
     oracle_doc_fingerprint,
     oracle_lang_id,
     oracle_text_stats,
-    text_stats,
+    pred_lang_expr,
+    stats_exprs,
 )
 
 
@@ -50,27 +46,23 @@ def clean_corpus(
 
     Returns ``(doc_id, n_tokens, quality_score)`` for the survivors.
     """
-    stats = text_stats(docs)
-    langs = lang_id(docs).select("doc_id", "pred_lang")
-    keep = (
-        stats.join(langs, "doc_id")
-        .filter(
-            (F.col("pred_lang") == lang)
-            & F.col("n_tokens").between(min_tokens, max_tokens)
-            & (F.col("quality_score") >= min_quality)
-        )
-        .select("doc_id", "n_tokens", "quality_score")
-    )
-    fp = docs.select(
+    se = stats_exprs()
+    keep = docs.select(
         "doc_id",
-        F.md5(
-            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-        ).alias("fingerprint"),
+        se["n_tokens"].alias("n_tokens"),
+        se["quality_score"].alias("quality_score"),
+        pred_lang_expr().alias("pred_lang"),
+        fingerprint_expr().alias("fingerprint"),
+    ).filter(
+        (F.col("pred_lang") == lang)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("quality_score") >= min_quality)
     )
-    kfp = keep.join(fp, "doc_id")
-    reps = kfp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    return kfp.join(reps, ["fingerprint", "doc_id"]).select(
-        "doc_id", "n_tokens", "quality_score"
+    w = Window.partitionBy("fingerprint")
+    return (
+        keep.withColumn("__rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__rep"))
+        .select("doc_id", "n_tokens", "quality_score")
     )
 
 

@@ -36,10 +36,11 @@ def _tokens(col):
     return F.split(_norm(col), " ")
 
 
-def text_stats(docs: DataFrame) -> DataFrame:
-    """Per-document quality statistics: char/token counts, average word
-    length, punctuation ratio, stopword ratio, and a composite quality
-    score — the standard pre-training quality-filter features."""
+def stats_exprs() -> dict:
+    """The text_stats feature set as named column expressions, so fused
+    pipelines (:mod:`pipit_spark.llm.pipeline`) can evaluate them in the
+    same projection as other features — one pass over the text instead
+    of a join between per-operator outputs."""
     toks = _tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_chars = F.length(F.col("text"))
@@ -51,14 +52,22 @@ def text_stats(docs: DataFrame) -> DataFrame:
         F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
         * (F.lit(1.0) - punct.cast("double") / n_chars)
     )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_word_len": F.round(avg_word, 4),
+        "punct_ratio": F.round(punct.cast("double") / n_chars, 6),
+        "stopword_ratio": F.round(n_stop.cast("double") / n_tokens, 6),
+        "quality_score": F.round(quality, 6),
+    }
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality statistics: char/token counts, average word
+    length, punctuation ratio, stopword ratio, and a composite quality
+    score — the standard pre-training quality-filter features."""
     return docs.select(
-        "doc_id",
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(avg_word, 4).alias("avg_word_len"),
-        F.round(punct.cast("double") / n_chars, 6).alias("punct_ratio"),
-        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality_score"),
+        "doc_id", *[c.alias(k) for k, c in stats_exprs().items()]
     )
 
 
@@ -95,36 +104,49 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def pred_lang_expr():
+    """Predicted-language column expression (argmax of marker-word hit
+    counts, fixed language order breaking ties, 'und' when nothing
+    hits). Standalone expression so fused pipelines evaluate it inline;
+    codegen subexpression elimination dedups the per-language scores."""
+    toks = _tokens(F.lower(F.col("text")))
+
+    def _hits(markers):
+        # closure per language: F.filter inspects the lambda's arity,
+        # so the marker array must NOT ride as a default parameter
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lg: _hits(m) for lg, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lg in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(
+            pred
+        )
+    return pred
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-marker language identification (deterministic heuristic):
     score = number of marker-word hits per language; argmax with fixed
     language order as tie-break; 'und' when no markers hit."""
-    toks = _tokens(F.lower(F.col("text")))
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        scores.append(
-            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
-                f"__s_{lang}"
-            )
-        )
-    scored = docs.select("doc_id", F.col("lang").alias("true_lang"), *scores)
-    langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
-    pred = F.lit("und")
-    for lg in reversed(langs):  # earlier langs win ties
-        pred = F.when(
-            (F.col(f"__s_{lg}") == best) & (best > 0), F.lit(lg)
-        ).otherwise(pred)
-    return scored.select("doc_id", "true_lang", pred.alias("pred_lang"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        pred_lang_expr().alias("pred_lang"),
+    )
+
+
+def fingerprint_expr():
+    """md5 over lowercased, whitespace-normalized text."""
+    return F.md5(F.lower(_norm(F.col("text"))))
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 over the normalized text
     (content-addressing for exact dedup and incremental reprocessing)."""
-    return docs.select(
-        "doc_id", F.md5(F.lower(_norm(F.col("text")))).alias("fingerprint")
-    )
+    return docs.select("doc_id", fingerprint_expr().alias("fingerprint"))
 
 
 def _sql_norm(col: str) -> str:
