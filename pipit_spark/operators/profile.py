@@ -206,15 +206,41 @@ def time_profile(
         F.col(S.MATCHING_TS).cast("double").alias("leave_ts"),
     )
 
-    # strict-inequality in-bin test matches the reference
-    # (pipit/trace.py:706-708)
-    overlaps = enters.join(
-        F.broadcast(bins_df),
-        (F.col("leave_ts") > F.col("bin_start"))
-        & (F.col("enter_ts") < F.col("bin_end")),
-    ).withColumn(
-        "inc_in_bin",
-        F.least("leave_ts", "bin_end") - F.greatest("enter_ts", "bin_start"),
+    # Candidate bin range computed arithmetically (±1 slack for float
+    # edge rounding) and exploded, then the EXACT strict-inequality
+    # in-bin test of the reference (pipit/trace.py:706-708) filters
+    # against the authoritative edge values after a broadcast equi-join
+    # on bin_idx. Per-row work is O(bins the interval spans), not
+    # O(num_bins) as with a broadcast nested-loop theta-join — the
+    # difference between 50 and 5,000 bins costing the same per event.
+    bsz = F.lit(float(bin_size))
+    lo_l = F.lit(float(lo))
+    overlaps = (
+        enters.withColumn(
+            "__first",
+            F.greatest(
+                F.lit(0),
+                (F.floor((F.col("enter_ts") - lo_l) / bsz) - 1).cast("int"),
+            ),
+        )
+        .withColumn(
+            "__last",
+            F.least(
+                F.lit(num_bins - 1),
+                (F.floor((F.col("leave_ts") - lo_l) / bsz) + 1).cast("int"),
+            ),
+        )
+        .withColumn("bin_idx", F.explode(F.sequence("__first", "__last")))
+        .join(F.broadcast(bins_df), "bin_idx")
+        .filter(
+            (F.col("leave_ts") > F.col("bin_start"))
+            & (F.col("enter_ts") < F.col("bin_end"))
+        )
+        .withColumn(
+            "inc_in_bin",
+            F.least("leave_ts", "bin_end")
+            - F.greatest("enter_ts", "bin_start"),
+        )
     )
 
     # exclusive-in-bin correction without a self-join: a parent's interval
