@@ -1305,6 +1305,24 @@ def q_doc_clean_corpus(spark, sf_dir):
     return clean_corpus(load(spark, sf_dir, "documents"))
 
 
+def q_doc_sample_stratified(spark, sf_dir):
+    """Deterministic ~20% md5-bucket sample, stratified counts per
+    source."""
+    from .llm.sampling import sample_corpus
+
+    return sample_corpus(load(spark, sf_dir, "documents"), pct=20, strata="source")
+
+
+def q_doc_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into 512-token context windows, sharded
+    by doc_id hash so no global sort exists anywhere in the plan."""
+    from .llm.sampling import pack_sequences
+
+    return pack_sequences(
+        load(spark, sf_dir, "documents"), context_len=512, n_shards=16
+    )
+
+
 def q_media_decode(spark, sf_dir):
     from .llm import multimodal as M
 
@@ -1318,6 +1336,14 @@ def _oracle_clean_corpus() -> str:
     from .llm.pipeline import oracle_clean_corpus
 
     return oracle_clean_corpus()
+
+
+def _oracle_sampling(which: str) -> str:
+    from .llm import sampling as SP
+
+    if which == "sample":
+        return SP.oracle_sample_corpus(pct=20, strata="source")
+    return SP.oracle_pack_sequences(context_len=512, n_shards=16)
 
 
 # ===================================================================== #
@@ -1371,6 +1397,8 @@ def queries():
         "doc_simhash": q_doc_simhash,
         "doc_embedding_dedup": q_doc_embedding_dedup,
         "doc_clean_corpus": q_doc_clean_corpus,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "doc_pack_sequences": q_doc_pack_sequences,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_topk_pandas": q_emb_topk_pandas,
         "emb_cosine_pairs": q_emb_cosine_pairs,
@@ -1430,6 +1458,8 @@ def oracle_sql():
         "doc_simhash": D.oracle_simhash(),
         "doc_embedding_dedup": D.oracle_embedding_dedup(threshold=0.35),
         "doc_clean_corpus": _oracle_clean_corpus(),
+        "doc_sample_stratified": _oracle_sampling("sample"),
+        "doc_pack_sequences": _oracle_sampling("pack"),
         # doc_minhash_lsh / emb_lsh_ann / emb_ivf_topk / media_decode:
         # rows-only checks (LSH banding, probe-limited ANN, and the stub
         # codec aren't SQL-replayable)

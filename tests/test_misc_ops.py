@@ -183,3 +183,33 @@ def test_clean_corpus_pipeline(spark):
     )
     out = clean_corpus(docs, min_tokens=10, min_quality=0.0)
     assert sorted(r.doc_id for r in out.collect()) == [0, 4]
+
+
+def test_pack_sequences_first_token_rule(spark):
+    """A document belongs to the pack its first token lands in;
+    cumsums are independent per shard."""
+    from pipit_spark.llm.sampling import pack_sequences
+
+    # one shard (n_shards=1): docs of 3,3,3,3 tokens, context=8:
+    # starting offsets 0,3,6,9 -> packs 0,0,0,1
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(4)], "doc_id long, text string"
+    )
+    out = {
+        (r.shard, r.pack_in_shard): (r.n_docs, r.total_tokens)
+        for r in pack_sequences(docs, context_len=8, n_shards=1).collect()
+    }
+    assert out == {(0, 0): (3, 9), (0, 1): (1, 3)}
+
+
+def test_sample_corpus_deterministic(spark):
+    """Same input -> same sample; rate lands near pct."""
+    from pipit_spark.llm.sampling import sample_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 5) for i in range(1000)], "doc_id long, text string"
+    )
+    a = sorted(r.doc_id for r in sample_corpus(docs, pct=20).collect())
+    b = sorted(r.doc_id for r in sample_corpus(docs, pct=20).collect())
+    assert a == b
+    assert 120 < len(a) < 280
