@@ -403,6 +403,54 @@ SELECT doc_id, {nibbles} AS simhash FROM votes
 """
 
 
+# ------------------------------------------------------ decontamination
+def decontaminate(
+    corpus: DataFrame, eval_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """Train/eval contamination report: corpus documents sharing at
+    least one word-``n``-gram with any eval-set document, with the
+    overlap count — the standard benchmark-decontamination pass run
+    before training.
+
+    Plan shape for 100 TB: the eval side is benchmarks (thousands of
+    documents), so its distinct shingle set broadcasts and the corpus
+    shingle stream filters against it map-side — a broadcast semi join
+    with NO shuffle of corpus text; the only exchange is the per-doc
+    overlap count on the (tiny) surviving rows."""
+    eval_sh = (
+        shingle_table(eval_docs, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = shingle_table(corpus, n=n).join(
+        F.broadcast(eval_sh), "shingle", "left_semi"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated_ngrams")
+    )
+
+
+def oracle_decontaminate(
+    table: str = "documents",
+    eval_pred: str = "doc_id < 25",
+    corpus_pred: str = "doc_id >= 25",
+    n: int = 5,
+) -> str:
+    return f"""
+WITH ev AS (
+    SELECT DISTINCT unnest({_sql_shingles(n)}) AS shingle
+    FROM {table} WHERE {eval_pred}
+),
+corp AS (
+    SELECT doc_id, unnest({_sql_shingles(n)}) AS shingle
+    FROM {table} WHERE {corpus_pred}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
+FROM corp WHERE shingle IN (SELECT shingle FROM ev)
+GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------------------- oracle SQL
 def _sql_norm(col: str) -> str:
     return f"regexp_replace(trim({col}), '\\s+', ' ', 'g')"

@@ -1323,6 +1323,17 @@ def q_doc_pack_sequences(spark, sf_dir):
     )
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id ≥ 25) sharing any
+    5-gram with the held-out eval slice (doc_id < 25)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.decontaminate(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        n=5,
+    )
+
+
 def q_media_decode(spark, sf_dir):
     from .llm import multimodal as M
 
@@ -1399,6 +1410,7 @@ def queries():
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_decontaminate": q_doc_decontaminate,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_topk_pandas": q_emb_topk_pandas,
         "emb_cosine_pairs": q_emb_cosine_pairs,
@@ -1460,6 +1472,7 @@ def oracle_sql():
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),
         "doc_pack_sequences": _oracle_sampling("pack"),
+        "doc_decontaminate": D.oracle_decontaminate(n=5),
         # doc_minhash_lsh / emb_lsh_ann / emb_ivf_topk / media_decode:
         # rows-only checks (LSH banding, probe-limited ANN, and the stub
         # codec aren't SQL-replayable)

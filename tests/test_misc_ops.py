@@ -213,3 +213,25 @@ def test_sample_corpus_deterministic(spark):
     b = sorted(r.doc_id for r in sample_corpus(docs, pct=20).collect())
     assert a == b
     assert 120 < len(a) < 280
+
+
+def test_decontaminate(spark):
+    """Corpus docs sharing an n-gram with the eval set are flagged with
+    their overlap count; clean docs are absent."""
+    from pipit_spark.llm.dedup import decontaminate
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "x alpha beta gamma y"),     # shares 'alpha beta gamma'
+            (11, "unrelated words entirely"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in decontaminate(corpus, ev, n=3).collect()
+    }
+    assert out == {10: 1}
