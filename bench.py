@@ -48,6 +48,7 @@ HEADLINE = [
     "sessionize_events",
     "asof_attribution",
     # LLM-data operators
+    "doc_training_set",
     "doc_clean_corpus",
     "doc_text_stats",
     "doc_minhash_lsh",

@@ -66,6 +66,50 @@ def clean_corpus(
     )
 
 
+def prepare_training_set(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    ngram: int = 5,
+    context_len: int = 512,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Raw corpus → packed training set, one lazy plan: clean
+    (:func:`clean_corpus`), drop documents contaminated against
+    ``eval_docs`` (:func:`~pipit_spark.llm.dedup.decontaminate` — a
+    broadcast semi join, eval sets are small), then pack the survivors
+    into ``context_len``-token windows
+    (:func:`~pipit_spark.llm.sampling.pack_sequences`, reusing the
+    cleaning stage's token counts instead of re-tokenizing).
+
+    Returns per-pack stats ``(shard, pack_in_shard, n_docs,
+    total_tokens)``."""
+    from .dedup import decontaminate
+    from .sampling import pack_sequences
+
+    clean = clean_corpus(
+        docs,
+        lang=lang,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_quality=min_quality,
+    )
+    survivors_text = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
+    contaminated = decontaminate(survivors_text, eval_docs, n=ngram).select(
+        "doc_id"
+    )
+    final = clean.join(contaminated, "doc_id", "left_anti")
+    return pack_sequences(
+        final,
+        context_len=context_len,
+        n_shards=n_shards,
+        tokens_col="n_tokens",
+    )
+
+
 def oracle_clean_corpus(
     table: str = "documents",
     lang: str = "en",
@@ -90,4 +134,49 @@ kfp AS (SELECT k.*, f.fingerprint FROM keep k JOIN fp f USING (doc_id)),
 reps AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM kfp GROUP BY fingerprint)
 SELECT k.doc_id, k.n_tokens, k.quality_score
 FROM kfp k JOIN reps r ON k.fingerprint = r.fingerprint AND k.doc_id = r.doc_id
+"""
+
+
+def oracle_prepare_training_set(
+    table: str = "documents",
+    eval_pred: str = "doc_id < 25",
+    corpus_pred: str = "doc_id >= 25",
+    lang: str = "en",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    ngram: int = 5,
+    context_len: int = 512,
+    n_shards: int = 16,
+) -> str:
+    """DuckDB twin of :func:`prepare_training_set` over a corpus/eval
+    split of ``table``, composed from the stage oracles."""
+    from .dedup import _sql_shingles
+
+    return f"""
+WITH corpus AS (SELECT * FROM {table} WHERE {corpus_pred}),
+clean AS ({oracle_clean_corpus("corpus", lang, min_tokens, max_tokens, min_quality)}),
+ev AS (
+    SELECT DISTINCT unnest({_sql_shingles(ngram)}) AS shingle
+    FROM {table} WHERE {eval_pred}
+),
+corp_sh AS (
+    SELECT d.doc_id, unnest({_sql_shingles(ngram)}) AS shingle
+    FROM corpus d JOIN clean c USING (doc_id)
+),
+cont AS (SELECT DISTINCT doc_id FROM corp_sh
+         WHERE shingle IN (SELECT shingle FROM ev)),
+final AS (SELECT * FROM clean
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+packed AS (
+    SELECT doc_id % {n_shards} AS shard, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY doc_id % {n_shards}
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / {context_len}) AS BIGINT) AS pack_in_shard
+    FROM final
+)
+SELECT shard, pack_in_shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed GROUP BY shard, pack_in_shard
 """

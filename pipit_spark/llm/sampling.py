@@ -67,7 +67,10 @@ GROUP BY {strata}
 
 
 def pack_sequences(
-    docs: DataFrame, context_len: int = 512, n_shards: int = 64
+    docs: DataFrame,
+    context_len: int = 512,
+    n_shards: int = 64,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: within each hash shard, documents in
     doc_id order are laid end-to-end and a document belongs to the pack
@@ -77,8 +80,13 @@ def pack_sequences(
 
     One shuffle (by shard), one partition-local sort per shard — no
     global ordering anywhere, so the plan is identical at 500 rows and
-    100 TB; shard count is the parallelism knob."""
-    n_tokens = stats_exprs()["n_tokens"]
+    100 TB; shard count is the parallelism knob.
+
+    ``tokens_col`` names a precomputed token-count column (e.g. from an
+    upstream cleaning stage) — otherwise counts derive from ``text``."""
+    n_tokens = (
+        F.col(tokens_col) if tokens_col else stats_exprs()["n_tokens"]
+    )
     base = docs.select(
         "doc_id",
         (F.col("doc_id") % n_shards).alias("shard"),

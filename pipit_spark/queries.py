@@ -1334,6 +1334,18 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_training_set(spark, sf_dir):
+    """Capstone composition: raw corpus (doc_id ≥ 25) → clean →
+    decontaminate vs the eval slice (doc_id < 25) → pack into 512-token
+    windows, all one lazy plan."""
+    from .llm.pipeline import prepare_training_set
+
+    docs = load(spark, sf_dir, "documents")
+    return prepare_training_set(
+        docs.filter(F.col("doc_id") >= 25), docs.filter(F.col("doc_id") < 25)
+    )
+
+
 def q_media_decode(spark, sf_dir):
     from .llm import multimodal as M
 
@@ -1347,6 +1359,12 @@ def _oracle_clean_corpus() -> str:
     from .llm.pipeline import oracle_clean_corpus
 
     return oracle_clean_corpus()
+
+
+def _oracle_training_set() -> str:
+    from .llm.pipeline import oracle_prepare_training_set
+
+    return oracle_prepare_training_set()
 
 
 def _oracle_sampling(which: str) -> str:
@@ -1411,6 +1429,7 @@ def queries():
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_training_set": q_doc_training_set,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_topk_pandas": q_emb_topk_pandas,
         "emb_cosine_pairs": q_emb_cosine_pairs,
@@ -1473,6 +1492,7 @@ def oracle_sql():
         "doc_sample_stratified": _oracle_sampling("sample"),
         "doc_pack_sequences": _oracle_sampling("pack"),
         "doc_decontaminate": D.oracle_decontaminate(n=5),
+        "doc_training_set": _oracle_training_set(),
         # doc_minhash_lsh / emb_lsh_ann / emb_ivf_topk / media_decode:
         # rows-only checks (LSH banding, probe-limited ANN, and the stub
         # codec aren't SQL-replayable)
