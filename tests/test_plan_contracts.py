@@ -1,0 +1,106 @@
+"""Physical-plan contracts for the flagship operators.
+
+The perf work in this engine is encoded in plan *shapes* (PLANS.md):
+one shuffle for the matching pass, join-free aggregation paths, filters
+pushed to the parquet scan, no nested-loop joins on the big side. A
+code change can silently regress a shape while every value-level test
+stays green — these assertions make the shape itself part of the test
+suite.
+
+Plans are captured from ``explain("formatted")`` on the UNEXECUTED
+DataFrame (the pre-AQE plan — what Catalyst committed to; AQE can only
+improve it at runtime).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pipit_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def tree_of(df) -> str:
+    """Just the operator tree (formatted explain repeats every node in
+    the per-node detail section below the tree)."""
+    return plan_of(df).split("\n\n")[0]
+
+
+@pytest.fixture(scope="module")
+def trace(spark):
+    return Q.derived_trace(spark, SF_DIR)
+
+
+def test_matching_pass_single_shuffle(spark):
+    """The fused matching pass: exactly one Exchange (the
+    (process)-partitioning shuffle) and one Python stage."""
+    from pipit_spark.operators.matching import match_events
+
+    t = Q.derived_trace(spark, SF_DIR)
+    tree = tree_of(match_events(t.events, metric_cols=t.numeric_cols))
+    assert tree.count("MapInPandas") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_comm_matrix_no_join(trace):
+    """comm_matrix is pure partial+final hash aggregation."""
+    tree = tree_of(trace.comm_matrix())
+    assert "Join" not in tree, tree
+    assert tree.count("HashAggregate") >= 2
+
+
+def test_flat_profile_no_join(trace):
+    """The name-grouped flat profile uses the signed-contribution
+    identity — no calc_exc join anywhere in the plan."""
+    tree = tree_of(trace.flat_profile())
+    assert "Join" not in tree, tree
+
+
+def test_time_profile_no_nested_loop(trace):
+    """Bin assignment is explode + broadcast equi-join on bin_idx —
+    never a nested-loop theta-join over the big side."""
+    tree = tree_of(trace.time_profile())
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "BroadcastHashJoin" in tree
+
+
+def test_q6_scan_pushdown_and_pruning(spark):
+    """Predicates reach the parquet reader and the scan reads only the
+    referenced columns."""
+    plan = plan_of(Q.queries()["q6_forecast_revenue"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema, read_schema
+
+
+def test_q7_fact_filter_pushed(spark):
+    """Q7's shipdate window is pushed below every join, onto the
+    lineitem scan itself."""
+    plan = plan_of(Q.queries()["q7_nation_volume"](spark, SF_DIR))
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "l_shipdate" in ln
+    ]
+    assert pushed, plan
+
+
+def test_clean_corpus_single_scan(spark):
+    """The fused cleaning pipeline reads the documents table exactly
+    once (features evaluated in one projection, not joined)."""
+    from pipit_spark.llm.pipeline import clean_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tree = tree_of(clean_corpus(docs))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
