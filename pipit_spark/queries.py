@@ -1137,6 +1137,98 @@ def q18_large_volume(spark, sf_dir):
     )
 
 
+Q15_SQL = f"""
+WITH rev AS (
+    SELECT l_suppkey, {_REV} AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.total_rev AS total_rev
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: argmax — supplier(s) achieving the maximum
+    quarterly revenue. The revenue aggregate is computed once and feeds
+    both the 1-row MAX (broadcast back as a scalar) and the equality
+    filter; exact equality is safe because both sides are the same
+    decimal-sum-cast-double values. Supplier joins by broadcast."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(20,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(20,2)"))
+            )
+            .cast("double")
+            .alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+             / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS thr
+      FROM lineitem GROUP BY l_partkey) t
+  ON l.l_partkey = t.l_partkey
+WHERE l.l_quantity < t.thr
+"""
+
+
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-group average predicate
+    (lineitems below 20% of their part's mean quantity), decorrelated
+    to a per-part aggregate joined back to the fact. The threshold side
+    is one small row per part (map-side combined), the brand filter is
+    a broadcast dim join, and the comparison is boundary-safe:
+    quantities are integral while 0.2×avg is generally not."""
+    line = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    thr = line.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thr")
+    )
+    small = (
+        line.join(F.broadcast(brand), line.l_partkey == brand.p_partkey)
+        .join(thr.withColumnRenamed("l_partkey", "t_partkey"),
+              F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("thr"))
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(20,2)"))
+            .cast("double")
+            / 7.0,
+            4,
+        ).alias("avg_yearly")
+    )
+
+
 Q19_SQL = f"""
 SELECT {_REV} AS revenue
 FROM lineitem l
@@ -1409,6 +1501,8 @@ def queries():
         "q7_nation_volume": q7_nation_volume,
         "q12_priority_lines": q12_priority_lines,
         "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
         "q18_large_volume": q18_large_volume,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_idle_customers": q22_idle_customers,
@@ -1469,6 +1563,8 @@ def oracle_sql():
         "q7_nation_volume": Q7_SQL,
         "q12_priority_lines": Q12_SQL,
         "q13_customer_distribution": Q13_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q17_small_quantity": Q17_SQL,
         "q18_large_volume": Q18_SQL,
         "q19_disjunctive_revenue": Q19_SQL,
         "q22_idle_customers": Q22_SQL,

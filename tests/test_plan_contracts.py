@@ -43,14 +43,23 @@ def trace(spark):
 
 
 def test_matching_pass_single_shuffle(spark):
-    """The fused matching pass: exactly one Exchange (the
-    (process)-partitioning shuffle) and one Python stage."""
+    """The fused matching pass adds exactly one Exchange (the
+    (process)-partitioning shuffle) and one Python stage on top of
+    whatever plan produces the events frame. Asserted as a delta so the
+    contract holds whether the input is a parquet scan, a derivation,
+    or a cached relation."""
     from pipit_spark.operators.matching import match_events
+    from pipit_spark.trace import Trace
 
-    t = Q.derived_trace(spark, SF_DIR)
-    tree = tree_of(match_events(t.events, metric_cols=t.numeric_cols))
-    assert tree.count("MapInPandas") == 1, tree
-    assert tree.count("Exchange") == 1, tree
+    # a fresh CSV-sourced trace: no cached plan can substitute into it,
+    # so the delta is deterministic regardless of test order
+    t = Trace.from_csv(spark, "tests/data/foo-bar.csv")
+    ev_tree = tree_of(t.events)
+    m_tree = tree_of(match_events(t.events, metric_cols=t.numeric_cols))
+    d_py = m_tree.count("MapInPandas") - ev_tree.count("MapInPandas")
+    d_ex = m_tree.count("Exchange") - ev_tree.count("Exchange")
+    assert d_py == 1, m_tree
+    assert d_ex == 1, m_tree
 
 
 def test_comm_matrix_no_join(trace):
