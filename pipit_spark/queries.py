@@ -1029,6 +1029,74 @@ def q7_nation_volume(spark, sf_dir):
     )
 
 
+Q8_SQL = """
+WITH flat AS (
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(l.l_extendedprice AS DECIMAL(20,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(20,2))) AS volume,
+           ns.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM flat GROUP BY o_year
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's market share of a region's order
+    volume per year — a conditional-sum / total-sum ratio over a
+    six-table star. All five dimension arms broadcast; lineitem⋈orders
+    on orderkey is the only fact shuffle, and the customer→nation→region
+    restriction prunes before the ratio aggregate. Decimal volumes keep
+    both sums exact so the ratio is bit-stable across engines."""
+    _register(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "supplier",
+    )
+    return spark.sql(Q8_SQL)
+
+
+Q10_SQL = """
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+           AS revenue,
+       n.n_name AS n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+    The global top-k compiles to TakeOrderedAndProject — per-partition
+    heaps of 20 rows merged on the driver, never a full sort of the
+    aggregate (the c_custkey tiebreak makes the order total, so LIMIT
+    is deterministic)."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(Q10_SQL)
+
+
 Q12_SQL = """
 SELECT l.l_returnflag AS l_returnflag,
        CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1499,6 +1567,8 @@ def queries():
         "rollup_orders": q_rollup_orders,
         "q4_order_priority": q4_order_priority,
         "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
         "q12_priority_lines": q12_priority_lines,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
@@ -1561,6 +1631,8 @@ def oracle_sql():
         "rollup_orders": Q_ROLLUP_SQL,
         "q4_order_priority": Q4_SQL,
         "q7_nation_volume": Q7_SQL,
+        "q8_market_share": Q8_SQL,
+        "q10_returned_items": Q10_SQL,
         "q12_priority_lines": Q12_SQL,
         "q13_customer_distribution": Q13_SQL,
         "q15_top_supplier": Q15_SQL,
