@@ -1,0 +1,341 @@
+"""Corpus-quality operators: repetition statistics, heuristic filtering,
+PII redaction, and per-slice percentile summaries.
+
+These are the standard pre-training corpus gates (C4 / Gopher-style rule
+filters, repetition-based spam detection, PII scrubbing) expressed
+Spark-first:
+
+* repetition stats are the same explode + two-level hash-aggregation
+  shape as :func:`pipit_spark.llm.text.token_frequencies` — map-side
+  partial aggregation on ``(doc_id, token)`` absorbs the duplicates
+  before the shuffle, so wire volume is ~distinct tokens per doc, not
+  corpus tokens, and the plan scales linearly over 100 TB;
+* the heuristic filter joins the per-doc aggregate back to the corpus
+  on ``doc_id`` (both sides already partitioned by the groupBy key, so
+  AQE plans a local join) and evaluates every row-local feature in the
+  same projection via :func:`pipit_spark.llm.text.stats_exprs`;
+* PII redaction is pure ``regexp_replace`` / ``regexp_extract_all`` —
+  JVM codegen, no UDFs, no shuffle; patterns are kept in the
+  RE2-compatible subset so the DuckDB oracle replays them verbatim;
+* the corpus summary uses exact interpolated ``percentile`` (both
+  engines implement quantile type 7) over a two-key hash aggregation.
+
+No reference counterpart (pipit has no text operators); these extend
+SURVEY.md §7 step 9 alongside dedup/similarity/text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import _norm, _tokens, _sql_norm, stats_exprs
+
+# RE2-compatible PII patterns (identical strings are interpolated into
+# the DuckDB oracle — keep them free of Java-only constructs like
+# possessive quantifiers or lookbehind)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+
+# (tag, pattern) in application order: emails first (may contain digits
+# and dots), then IPs (all-digit dotted quads), then phones — both
+# sides replay the same nesting so the composition is deterministic
+PII_RULES = [
+    ("<EMAIL>", EMAIL_RE),
+    ("<IP>", IPV4_RE),
+    ("<PHONE>", PHONE_RE),
+]
+
+
+# ---------------------------------------------------------- repetition
+
+
+def repetition_stats(docs: DataFrame, bigrams: bool = True) -> DataFrame:
+    """Per-document repetition features (Gopher-style spam signals):
+
+    * ``n_tokens`` — whitespace token count
+    * ``distinct_token_ratio`` — distinct / total tokens
+    * ``top_token_frac`` — frequency of the modal token / total
+    * ``top_bigram_frac`` — frequency of the modal word bigram / bigram
+      count (0.0 when ``bigrams=False``; a 1-token document contributes
+      its lone token as a degenerate "bigram", mirroring the truncated
+      final shingle of :func:`pipit_spark.llm.dedup.shingle_table`)
+
+    Shape: explode tokens → hash-agg ``(doc_id, token)`` → hash-agg
+    ``doc_id``. Bigrams reuse the slice-at-position formulation from
+    the shingle table (codegen expressions, no HOF lambdas — see
+    PLANS.md on the 13µs/element interpreted-lambda tax).
+    """
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    uni = (
+        toked.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6
+            ).alias("distinct_token_ratio"),
+            F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+    if not bigrams:
+        return uni.withColumn("top_bigram_frac", F.lit(0.0))
+    big = (
+        toked.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(2))).alias(
+                "bigram"
+            ),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    # both sides are post-aggregation outputs keyed by doc_id; the join
+    # key equals both groupBy keys so no extra exchange is introduced
+    return uni.join(big, "doc_id", "left").fillna(
+        {"top_bigram_frac": 0.0}
+    )
+
+
+def oracle_repetition_stats(table: str = "documents") -> str:
+    norm = _sql_norm("text")
+    return f"""
+WITH toked AS (
+    SELECT doc_id, string_split({norm}, ' ') AS toks FROM {table}
+),
+per_tok AS (
+    SELECT doc_id, token, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(toks) AS token FROM toked)
+    GROUP BY doc_id, token
+),
+uni AS (
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6)
+               AS distinct_token_ratio,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_token_frac
+    FROM per_tok GROUP BY doc_id
+),
+per_big AS (
+    SELECT doc_id, bigram, COUNT(*) AS cnt
+    FROM (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, p, p + 1), ' ') AS bigram
+        FROM toked,
+             LATERAL (SELECT unnest(range(1, GREATEST(len(toks) - 1, 1) + 1))
+                      AS p)
+    )
+    GROUP BY doc_id, bigram
+),
+big AS (
+    SELECT doc_id, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6)
+               AS top_bigram_frac
+    FROM per_big GROUP BY doc_id
+)
+SELECT uni.doc_id, uni.n_tokens, uni.distinct_token_ratio,
+       uni.top_token_frac, COALESCE(big.top_bigram_frac, 0.0)
+           AS top_bigram_frac
+FROM uni LEFT JOIN big USING (doc_id)
+"""
+
+
+# ----------------------------------------------------- heuristic filter
+
+
+def heuristic_filter(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_avg_word: float = 2.0,
+    max_avg_word: float = 12.0,
+    min_distinct_ratio: float = 0.40,
+    max_top_token_frac: float = 0.12,
+) -> DataFrame:
+    """C4/Gopher-style rule filter: keep documents inside length,
+    word-shape, and repetition bounds. Returns the surviving documents
+    with their decision features.
+
+    Row-local features (token count, average word length) evaluate in
+    one projection via :func:`stats_exprs`; the repetition aggregate is
+    joined back on its own groupBy key.
+    """
+    st = stats_exprs()
+    local = docs.select(
+        "doc_id",
+        st["n_tokens"].alias("n_tokens"),
+        st["avg_word_len"].alias("avg_word_len"),
+    )
+    rep = repetition_stats(docs, bigrams=False).select(
+        "doc_id", "distinct_token_ratio", "top_token_frac"
+    )
+    return (
+        local.join(rep, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("avg_word_len") >= min_avg_word)
+            & (F.col("avg_word_len") <= max_avg_word)
+            & (F.col("distinct_token_ratio") >= min_distinct_ratio)
+            & (F.col("top_token_frac") <= max_top_token_frac)
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_word_len",
+            "distinct_token_ratio",
+            "top_token_frac",
+        )
+    )
+
+
+def oracle_heuristic_filter(
+    table: str = "documents",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_avg_word: float = 2.0,
+    max_avg_word: float = 12.0,
+    min_distinct_ratio: float = 0.40,
+    max_top_token_frac: float = 0.12,
+) -> str:
+    norm = _sql_norm("text")
+    return f"""
+WITH per_tok AS (
+    SELECT doc_id, token, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split({norm}, ' ')) AS token
+          FROM {table})
+    GROUP BY doc_id, token
+),
+rep AS (
+    SELECT doc_id,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6)
+               AS distinct_token_ratio,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_token_frac
+    FROM per_tok GROUP BY doc_id
+),
+local AS (
+    SELECT doc_id,
+           CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(length({norm}) AS DOUBLE)
+                 / len(string_split({norm}, ' ')), 4) AS avg_word_len
+    FROM {table}
+)
+SELECT local.doc_id, local.n_tokens, local.avg_word_len,
+       rep.distinct_token_ratio, rep.top_token_frac
+FROM local JOIN rep USING (doc_id)
+WHERE local.n_tokens BETWEEN {min_tokens} AND {max_tokens}
+  AND local.avg_word_len BETWEEN {min_avg_word} AND {max_avg_word}
+  AND rep.distinct_token_ratio >= {min_distinct_ratio}
+  AND rep.top_token_frac <= {max_top_token_frac}
+"""
+
+
+# --------------------------------------------------------- PII redaction
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone numbers, replacing each
+    match with a typed tag, and count matches per category (counts are
+    taken on the original text, independently per pattern).
+
+    Pure regexp codegen — a narrow map over the corpus with no shuffle;
+    at 100 TB this is scan-bound, which is the best possible shape.
+    """
+    redacted = F.col("text")
+    for tag, pat in PII_RULES:
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return docs.select(
+        "doc_id",
+        redacted.alias("clean_text"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
+def oracle_pii_redact(table: str = "documents") -> str:
+    redacted = "text"
+    for tag, pat in PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{tag}', 'g')"
+    return f"""
+SELECT doc_id,
+       {redacted} AS clean_text,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+           AS n_phones
+FROM {table}
+"""
+
+
+# -------------------------------------------------------- corpus summary
+
+_PCTS = [0.5, 0.9, 0.99]
+
+
+def corpus_summary(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) corpus profile: document count and exact
+    interpolated length percentiles — the slice-level report a curation
+    pipeline runs before and after each filter stage.
+
+    Exact ``percentile`` (not ``approx_percentile``) so the DuckDB
+    ``quantile_cont`` oracle matches bit-for-bit after rounding; both
+    implement type-7 interpolation at index ``p·(n−1)``. At 100 TB the
+    same query swaps to ``approx_percentile`` — keep the exact form for
+    the correctness gate, where group cardinality is tiny.
+    """
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    ]
+    for p in _PCTS:
+        aggs.append(
+            F.round(F.percentile(F.col("n_chars"), F.lit(p)), 4).alias(
+                f"p{int(p * 100)}_chars"
+            )
+        )
+    return docs.groupBy("source", "lang").agg(*aggs)
+
+
+def oracle_corpus_summary(table: str = "documents") -> str:
+    pct_cols = ", ".join(
+        f"ROUND(quantile_cont(n_chars, {p}), 4) AS p{int(p * 100)}_chars"
+        for p in _PCTS
+    )
+    return f"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       {pct_cols}
+FROM {table}
+GROUP BY source, lang
+"""

@@ -24,6 +24,7 @@ from .trace import Trace
 from .llm import dedup as D
 from .llm import similarity as V
 from .llm import text as X
+from .llm import quality as QL
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -1343,6 +1344,22 @@ def q_doc_fingerprint(spark, sf_dir):
     return X.doc_fingerprint(load(spark, sf_dir, "documents"))
 
 
+def q_doc_repetition(spark, sf_dir):
+    return QL.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+def q_doc_heuristic_filter(spark, sf_dir):
+    return QL.heuristic_filter(load(spark, sf_dir, "documents"))
+
+
+def q_doc_pii_redact(spark, sf_dir):
+    return QL.pii_redact(load(spark, sf_dir, "documents"))
+
+
+def q_doc_corpus_summary(spark, sf_dir):
+    return QL.corpus_summary(load(spark, sf_dir, "documents"))
+
+
 def q_doc_exact_dups(spark, sf_dir):
     # the synthetic corpus has no byte-identical documents, which would
     # make this gate trivially-green on an empty result — inject a
@@ -1582,6 +1599,10 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_repetition": q_doc_repetition,
+        "doc_heuristic_filter": q_doc_heuristic_filter,
+        "doc_pii_redact": q_doc_pii_redact,
+        "doc_corpus_summary": q_doc_corpus_summary,
         "doc_exact_dups": q_doc_exact_dups,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash": q_doc_minhash,
@@ -1645,6 +1666,10 @@ def oracle_sql():
         "doc_token_counts": X.oracle_token_counts(),
         "doc_lang_id": X.oracle_lang_id(),
         "doc_fingerprint": X.oracle_doc_fingerprint(),
+        "doc_repetition": QL.oracle_repetition_stats(),
+        "doc_heuristic_filter": QL.oracle_heuristic_filter(),
+        "doc_pii_redact": QL.oracle_pii_redact(),
+        "doc_corpus_summary": QL.oracle_corpus_summary(),
         "doc_exact_dups": ORACLE_DOC_EXACT_DUPS,
         "doc_exact_dedup": ORACLE_DOC_EXACT_DEDUP,
         "doc_minhash": D.oracle_minhash_signatures(num_hashes=8),

@@ -235,3 +235,50 @@ def test_decontaminate(spark):
         for r in decontaminate(corpus, ev, n=3).collect()
     }
     assert out == {10: 1}
+
+
+def test_pii_redact_synthetic(spark):
+    """The driver corpus has no PII, so the gate only checks pass-through;
+    this exercises real matches on constructed rows."""
+    from pipit_spark.llm.quality import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 555-123-4567"),
+            (2, "server at 10.0.255.3 and 192.168.1.1, no phones"),
+            (3, "plain text without identifiers"),
+            (4, "a@b.io then 1.2.3.4 then 555.1234.5678"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert out[1]["clean_text"] == "mail me at <EMAIL> or call <PHONE>"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 0, 1)
+    assert out[2]["clean_text"] == "server at <IP> and <IP>, no phones"
+    assert out[2]["n_ips"] == 2
+    assert out[3]["clean_text"] == "plain text without identifiers"
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 0)
+    assert out[4]["clean_text"] == "<EMAIL> then <IP> then <PHONE>"
+
+
+def test_repetition_and_heuristic_filter(spark):
+    from pipit_spark.llm.quality import heuristic_filter, repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),          # all one token
+            (2, "the quick brown fox jumps over it"),  # all distinct
+            (3, "solo"),                               # 1-token edge case
+        ],
+        ["doc_id", "text"],
+    )
+    rep = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rep[1]["top_token_frac"] == 1.0
+    assert rep[1]["top_bigram_frac"] == 1.0  # "spam spam" x4
+    assert rep[2]["distinct_token_ratio"] == 1.0
+    assert rep[2]["top_token_frac"] == round(1 / 7, 6)
+    assert rep[3]["n_tokens"] == 1 and rep[3]["top_bigram_frac"] == 1.0
+
+    kept = heuristic_filter(docs, min_tokens=5, min_distinct_ratio=0.5,
+                            max_top_token_frac=0.5, min_avg_word=1.0)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
