@@ -10,10 +10,10 @@ Spark-first:
   partial aggregation on ``(doc_id, token)`` absorbs the duplicates
   before the shuffle, so wire volume is ~distinct tokens per doc, not
   corpus tokens, and the plan scales linearly over 100 TB;
-* the heuristic filter joins the per-doc aggregate back to the corpus
-  on ``doc_id`` (both sides already partitioned by the groupBy key, so
-  AQE plans a local join) and evaluates every row-local feature in the
-  same projection via :func:`pipit_spark.llm.text.stats_exprs`;
+* the heuristic filter is single-scan and join-free: the one row-local
+  feature it needs (normalized text length) rides through the explode
+  as a carried column, so the whole rule set costs one corpus scan and
+  two hash aggregations;
 * PII redaction is pure ``regexp_replace`` / ``regexp_extract_all`` —
   JVM codegen, no UDFs, no shuffle; patterns are kept in the
   RE2-compatible subset so the DuckDB oracle replays them verbatim;
@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import _norm, _tokens, _sql_norm, stats_exprs
+from .text import _norm, _tokens, _sql_norm
 
 # RE2-compatible PII patterns (identical strings are interpolated into
 # the DuckDB oracle — keep them free of Java-only constructs like
@@ -174,22 +174,41 @@ def heuristic_filter(
     word-shape, and repetition bounds. Returns the surviving documents
     with their decision features.
 
-    Row-local features (token count, average word length) evaluate in
-    one projection via :func:`stats_exprs`; the repetition aggregate is
-    joined back on its own groupBy key.
+    Single-scan, join-free shape: the only row-local input the rule set
+    needs beyond token counts is the normalized text length (for average
+    word length), so it rides through the explode as a carried column and
+    is recovered with ``first()`` after aggregation — one scan of the
+    corpus, two hash aggregations, no self-join. (The naive formulation
+    — ``stats_exprs`` projection joined to ``repetition_stats`` — scans
+    the text twice; at 100 TB the second scan dominates.) ``n_tokens``
+    is recovered as ``sum(cnt)`` ≡ ``size(tokens)`` and ``avg_word_len``
+    as ``norm_len / n_tokens``, the same formulas as :func:`stats_exprs`,
+    so the output matches the two-scan form exactly.
     """
-    st = stats_exprs()
-    local = docs.select(
+    ex = docs.select(
         "doc_id",
-        st["n_tokens"].alias("n_tokens"),
-        st["avg_word_len"].alias("avg_word_len"),
+        F.length(_norm(F.col("text"))).alias("norm_len"),
+        F.explode(_tokens(F.col("text"))).alias("token"),
     )
-    rep = repetition_stats(docs, bigrams=False).select(
-        "doc_id", "distinct_token_ratio", "top_token_frac"
+    rep = (
+        ex.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("norm_len").alias("norm_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.first("norm_len").cast("double") / F.sum("cnt"), 4
+            ).alias("avg_word_len"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6
+            ).alias("distinct_token_ratio"),
+            F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(
+                "top_token_frac"
+            ),
+        )
     )
     return (
-        local.join(rep, "doc_id")
-        .filter(
+        rep.filter(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("n_tokens") <= max_tokens)
             & (F.col("avg_word_len") >= min_avg_word)

@@ -113,3 +113,15 @@ def test_clean_corpus_single_scan(spark):
     tree = tree_of(clean_corpus(docs))
     assert tree.count("Scan parquet") == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_heuristic_filter_single_scan_no_join(spark):
+    """The rule filter carries its one row-local feature through the
+    explode instead of joining a second corpus scan to the repetition
+    aggregate — one scan, two hash aggregations, no join."""
+    from pipit_spark.llm.quality import heuristic_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tree = tree_of(heuristic_filter(docs))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
