@@ -282,3 +282,32 @@ def test_repetition_and_heuristic_filter(spark):
     kept = heuristic_filter(docs, min_tokens=5, min_distinct_ratio=0.5,
                             max_top_token_frac=0.5, min_avg_word=1.0)
     assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """Corpus out to sharded gzip JSONL and back with the explicit
+    schema; malformed lines are quarantined, not fatal."""
+    from pipit_spark.llm.io import read_jsonl, write_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, path, num_shards=3, compression="gzip")
+    back = read_jsonl(spark, path)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = docs.orderBy("doc_id").collect()
+    b = back.orderBy("doc_id").collect()
+    assert a == b
+
+    # corrupt-line quarantine
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json\n"
+    )
+    assert read_jsonl(spark, str(bad)).count() == 1
+    kept = read_jsonl(spark, str(bad), keep_corrupt=True)
+    # (full-row collect: Spark forbids queries whose only referenced
+    # column is the internal corrupt-record column)
+    rows = kept.collect()
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
