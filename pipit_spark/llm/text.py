@@ -226,3 +226,37 @@ def oracle_doc_fingerprint(table: str = "documents") -> str:
 SELECT doc_id, md5(lower({_sql_norm('text')})) AS fingerprint
 FROM {table}
 """
+
+
+def vocab_stats(docs: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-source vocabulary profile: distinct token count and total
+    token occurrences. With ``approx=True`` the distinct count uses the
+    HyperLogLog sketch (``approx_count_distinct``) — the 100 TB path,
+    where an exact distinct over (source, token) would shuffle the full
+    token stream; the sketch aggregates locally and merges ~kB of state
+    per partition. The exact form (default) is the correctness-gate
+    twin. Both are one explode + one hash aggregation."""
+    toks = docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    distinct = (
+        F.approx_count_distinct("token")
+        if approx
+        else F.count_distinct("token")
+    )
+    return toks.groupBy("source").agg(
+        distinct.cast("long").alias("vocab_size"),
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+    )
+
+
+def oracle_vocab_stats(table: str = "documents") -> str:
+    norm = _sql_norm("text")
+    return f"""
+SELECT source,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens
+FROM (SELECT source, unnest(string_split({norm}, ' ')) AS token
+      FROM {table})
+GROUP BY source
+"""

@@ -66,3 +66,36 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def percentile_outliers(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    p: float = 0.99,
+) -> DataFrame:
+    """Rows whose ``value_col`` exceeds their group's p-th percentile.
+
+    Plan shape: the per-group threshold table is an aggregate over a
+    low-cardinality key (event types, function names, sources — a few
+    hundred rows at most), so Spark broadcasts it and the flagging pass
+    is a scan + broadcast hash join — no shuffle of the fact table.
+    Exact interpolated ``percentile`` keeps the DuckDB ``quantile_cont``
+    oracle bit-matching; at 100 TB swap in ``approx_percentile`` (the
+    plan shape is identical).
+    """
+    thresholds = events.groupBy(group_col).agg(
+        F.round(F.percentile(F.col(value_col), F.lit(p)), 6).alias(
+            "__threshold"
+        )
+    )
+    return (
+        events.join(F.broadcast(thresholds), group_col)
+        .filter(F.col(value_col) > F.col("__threshold"))
+        .select(
+            "event_id",
+            group_col,
+            F.round(F.col(value_col), 6).alias(value_col),
+            F.col("__threshold").alias("threshold"),
+        )
+    )

@@ -1344,6 +1344,27 @@ def q_doc_fingerprint(spark, sf_dir):
     return X.doc_fingerprint(load(spark, sf_dir, "documents"))
 
 
+def q_events_outliers(spark, sf_dir):
+    from .operators.relational import percentile_outliers
+
+    return percentile_outliers(load(spark, sf_dir, "events"), p=0.99)
+
+
+ORACLE_EVENTS_OUTLIERS = """
+WITH th AS (
+    SELECT event_type, ROUND(quantile_cont(value, 0.99), 6) AS threshold
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS value, th.threshold
+FROM events e JOIN th USING (event_type)
+WHERE e.value > th.threshold
+"""
+
+
+def q_doc_vocab(spark, sf_dir):
+    return X.vocab_stats(load(spark, sf_dir, "documents"))
+
+
 def q_doc_repetition(spark, sf_dir):
     return QL.repetition_stats(load(spark, sf_dir, "documents"))
 
@@ -1581,6 +1602,7 @@ def queries():
         "window_topk_orders": q_window_topk,
         "sessionize_events": q_sessionize,
         "asof_attribution": q_asof_attribution,
+        "events_outliers": q_events_outliers,
         "rollup_orders": q_rollup_orders,
         "q4_order_priority": q4_order_priority,
         "q7_nation_volume": q7_nation_volume,
@@ -1599,6 +1621,7 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_vocab": q_doc_vocab,
         "doc_repetition": q_doc_repetition,
         "doc_heuristic_filter": q_doc_heuristic_filter,
         "doc_pii_redact": q_doc_pii_redact,
@@ -1649,6 +1672,7 @@ def oracle_sql():
         "window_topk_orders": ORACLE_Q_TOPK,
         "sessionize_events": ORACLE_Q_SESSION,
         "asof_attribution": ORACLE_ASOF,
+        "events_outliers": ORACLE_EVENTS_OUTLIERS,
         "rollup_orders": Q_ROLLUP_SQL,
         "q4_order_priority": Q4_SQL,
         "q7_nation_volume": Q7_SQL,
@@ -1666,6 +1690,7 @@ def oracle_sql():
         "doc_token_counts": X.oracle_token_counts(),
         "doc_lang_id": X.oracle_lang_id(),
         "doc_fingerprint": X.oracle_doc_fingerprint(),
+        "doc_vocab": X.oracle_vocab_stats(),
         "doc_repetition": QL.oracle_repetition_stats(),
         "doc_heuristic_filter": QL.oracle_heuristic_filter(),
         "doc_pii_redact": QL.oracle_pii_redact(),

@@ -311,3 +311,18 @@ def test_jsonl_roundtrip(spark, tmp_path):
     # column is the internal corrupt-record column)
     rows = kept.collect()
     assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+
+
+def test_vocab_stats_approx_close(spark):
+    """The HLL scale path tracks the exact path within the sketch's
+    standard error (~2% at default rsd, wide margin here)."""
+    from pipit_spark.llm.text import vocab_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r["source"]: r for r in vocab_stats(docs).collect()}
+    approx = {r["source"]: r for r in vocab_stats(docs, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for s in exact:
+        assert approx[s]["total_tokens"] == exact[s]["total_tokens"]
+        assert abs(approx[s]["vocab_size"] - exact[s]["vocab_size"]) \
+            <= max(3, 0.1 * exact[s]["vocab_size"])

@@ -125,3 +125,15 @@ def test_heuristic_filter_single_scan_no_join(spark):
     tree = tree_of(heuristic_filter(docs))
     assert tree.count("Scan parquet") == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_percentile_outliers_broadcast(spark):
+    """The per-group threshold table is tiny → the flagging pass must be
+    a broadcast hash join; the fact table is never shuffled on the
+    group key for the join."""
+    from pipit_spark.operators.relational import percentile_outliers
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    tree = tree_of(percentile_outliers(events))
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
