@@ -134,3 +134,51 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def streaming_clean_corpus(
+    docs: DataFrame,
+    time_col: str = "ingest_time",
+    lang: str = "en",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming twin of :func:`pipit_spark.llm.pipeline.clean_corpus`
+    for live corpus ingestion: the language / token-window / quality
+    stages are the SAME narrow expressions as the batch pipeline
+    (shared factories in :mod:`pipit_spark.llm.text`, so batch and
+    stream cannot drift) and run stateless per micro-batch; the exact
+    dedup stage becomes ``dropDuplicatesWithinWatermark`` on the
+    content fingerprint — bounded state, evicted as the watermark
+    passes, so the stream runs indefinitely at constant memory.
+
+    Semantics difference vs batch, inherent to streaming: batch keeps
+    the *min doc_id* per fingerprint; the stream keeps the *first
+    arrival* within the watermark horizon (and a duplicate arriving
+    after eviction would re-emit — size the watermark to the
+    redelivery window of the upstream collector).
+
+    ``docs`` must carry an event-time column ``time_col``.
+    """
+    from ..llm.text import fingerprint_expr, pred_lang_expr, stats_exprs
+
+    se = stats_exprs()
+    keep = docs.select(
+        "doc_id",
+        F.col(time_col),
+        se["n_tokens"].alias("n_tokens"),
+        se["quality_score"].alias("quality_score"),
+        pred_lang_expr().alias("pred_lang"),
+        fingerprint_expr().alias("fingerprint"),
+    ).filter(
+        (F.col("pred_lang") == lang)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("quality_score") >= min_quality)
+    )
+    return (
+        keep.withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("doc_id", "n_tokens", "quality_score")
+    )

@@ -240,3 +240,42 @@ def test_streaming_dedup(spark, tmp_path):
     _run_to_memory(out, "deduped", mode="append")
     res = spark.sql("select event_id from deduped").toPandas()
     assert sorted(res.event_id) == [0, 1, 2]
+
+
+def test_streaming_clean_corpus(spark, tmp_path):
+    """The live-ingest twin applies the same lang/length/quality rules
+    as the batch pipeline and dedups by fingerprint across
+    micro-batches within the watermark."""
+    from datetime import datetime, timedelta
+
+    from pipit_spark.streaming.ops import streaming_clean_corpus
+
+    en = "the cat and the dog walked to the house of a friend and sat"
+    schema = "doc_id long, text string, ingest_time timestamp"
+    t0 = datetime(2026, 1, 1)
+    t1 = t0 + timedelta(seconds=5)
+    batch1 = [(0, en, t0), (2, "el la de que los " * 4, t0), (3, "the of", t0)]
+    batch2 = [
+        (1, en + " ", t1),  # whitespace dup of 0
+        (4, "a road to the sea and the sun over it was long and warm", t1),
+    ]
+    d = tmp_path / "doc_stream"
+    d.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch{i}"))
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = streaming_clean_corpus(
+        docs, min_tokens=10, min_quality=0.0, watermark="1 hour"
+    )
+    _run_to_memory(out, "clean_stream", mode="append")
+    res = spark.sql("select doc_id from clean_stream").toPandas()
+    # same survivors as the batch pipeline on the union of both batches
+    assert sorted(res.doc_id) == [0, 4]
