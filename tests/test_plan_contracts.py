@@ -19,6 +19,8 @@ import io
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from pipit_spark import queries as Q
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -137,3 +139,67 @@ def test_percentile_outliers_broadcast(spark):
     tree = tree_of(percentile_outliers(events))
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join with no Exchange on
+    either side — the write-time shuffle is reused."""
+    from pipit_spark.sinks.bucketed import read_table, write_bucketed
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt.db'"
+    )
+    try:
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        write_bucketed(orders, "bkt.orders_b", "o_orderkey", num_buckets=8)
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bkt.lineitem_b", "o_orderkey", num_buckets=8,
+        )
+        # disable auto-broadcast: at real scale neither fact side fits a
+        # broadcast, which is exactly when bucketing pays — the contract
+        # is that the sort-merge join runs with NO shuffle exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_table(spark, "bkt.orders_b").join(
+            read_table(spark, "bkt.lineitem_b"), "o_orderkey"
+        )
+        tree = tree_of(j)
+        assert tree.count("Exchange") == 0, tree
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_salted_count_distinct_exact(spark):
+    """The skew-split distinct count equals the direct one on every key
+    (hash-partitioning distinct values across salts is exact, not
+    approximate)."""
+    from pipit_spark.operators.skew import salted_count_distinct
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    direct = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: r["n_distinct"]
+        for r in salted_count_distinct(ev, "event_type", "user_id").collect()
+    }
+    assert salted == direct
+
+
+def test_salted_collect_list_complete(spark):
+    from pipit_spark.operators.skew import salted_collect_list
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(2000)
+    out = salted_collect_list(ev, "event_type", "event_id", salt=4)
+    direct = ev.groupBy("event_type").agg(
+        F.collect_list("event_id").alias("values")
+    )
+    a = {r["event_type"]: sorted(r["values"]) for r in out.collect()}
+    b = {r["event_type"]: sorted(r["values"]) for r in direct.collect()}
+    assert a == b
