@@ -99,3 +99,91 @@ def percentile_outliers(
             F.col("__threshold").alias("threshold"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest timestamp of each
+    step given the previous step already happened strictly before it;
+    one row per user who completed step 1, with NULL timestamps from
+    the first missed step on, plus ``steps_completed``.
+
+    Plan shape: one aggregation per step over the (pre-filtered) step's
+    events, each joined to the accumulating per-user frame on
+    ``user_col`` — k−1 shuffle-aligned joins of per-user aggregates
+    (grouped frames, not the fact table; after the first groupBy every
+    side is already hash-partitioned by user, so AQE plans local
+    joins). The fact table is scanned once per step with the step
+    predicate pushed to parquet.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    acc = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_step1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("__t"))
+            .join(acc.select(user_col, f"t_step{i - 1}"), user_col)
+            .filter(F.col("__t") > F.col(f"t_step{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min("__t").alias(f"t_step{i}"))
+        )
+        acc = acc.join(nxt, user_col, "left")
+    completed = sum(
+        F.when(F.col(f"t_step{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return acc.select(
+        user_col,
+        *[f"t_step{i}" for i in range(1, len(steps) + 1)],
+        completed.cast("int").alias("steps_completed"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity period, counted
+    by distinct activity in each later period offset.
+
+    Two aggregations: per-user first period (groupBy user), then
+    distinct users per (cohort, offset) — both hash aggregations with
+    map-side combine; the join aligning activity rows to their user's
+    cohort is on the already-partitioned user key. Long-form output
+    (cohort, period_offset, n_users): pivot to a matrix only at
+    display, as with comm_matrix (SURVEY §2.4).
+    """
+    per = F.date_trunc(bucket, F.col(ts_col))
+    firsts = events.groupBy(user_col).agg(
+        F.min(per).alias("cohort_start")
+    )
+    activity = events.select(
+        user_col, per.alias("__period")
+    ).distinct()
+    return (
+        activity.join(firsts, user_col)
+        .select(
+            user_col,
+            F.col("cohort_start"),
+            (
+                F.datediff(F.col("__period"), F.col("cohort_start"))
+                / (7 if bucket == "week" else 1)
+            )
+            .cast("int")
+            .alias("period_offset"),
+        )
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.count_distinct(user_col).cast("long").alias("n_users"))
+    )

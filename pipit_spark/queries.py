@@ -1344,6 +1344,77 @@ def q_doc_fingerprint(spark, sf_dir):
     return X.doc_fingerprint(load(spark, sf_dir, "documents"))
 
 
+def q_events_funnel(spark, sf_dir):
+    from .operators.relational import funnel
+
+    out = funnel(load(spark, sf_dir, "events"), ["view", "click", "purchase"])
+    # ts is long ns on the Spark side; oracle's epoch_us is µs
+    return out.select(
+        "user_id",
+        *[F.expr(f"t_step{i} div 1000").alias(f"t_step{i}") for i in (1, 2, 3)],
+        "steps_completed",
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       epoch_us(s1.t1) AS t_step1,
+       epoch_us(s2.t2) AS t_step2,
+       epoch_us(s3.t3) AS t_step3,
+       CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_events_retention(spark, sf_dir):
+    from .operators.relational import retention_cohorts
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    out = retention_cohorts(ev)
+    return out.select(
+        F.unix_micros(F.col("cohort_start")).alias("cohort_start"),
+        "period_offset",
+        "n_users",
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH per AS (
+    SELECT user_id, date_trunc('week', ts) AS period FROM events
+),
+firsts AS (
+    SELECT user_id, MIN(period) AS cohort_start FROM per GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, period FROM per)
+SELECT epoch_us(f.cohort_start) AS cohort_start,
+       CAST(date_diff('day', f.cohort_start, a.period) / 7 AS INT)
+           AS period_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN firsts f USING (user_id)
+GROUP BY f.cohort_start, period_offset
+"""
+
+
 def q_events_outliers(spark, sf_dir):
     from .operators.relational import percentile_outliers
 
@@ -1603,6 +1674,8 @@ def queries():
         "sessionize_events": q_sessionize,
         "asof_attribution": q_asof_attribution,
         "events_outliers": q_events_outliers,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "rollup_orders": q_rollup_orders,
         "q4_order_priority": q4_order_priority,
         "q7_nation_volume": q7_nation_volume,
@@ -1673,6 +1746,8 @@ def oracle_sql():
         "sessionize_events": ORACLE_Q_SESSION,
         "asof_attribution": ORACLE_ASOF,
         "events_outliers": ORACLE_EVENTS_OUTLIERS,
+        "events_funnel": ORACLE_EVENTS_FUNNEL,
+        "events_retention": ORACLE_EVENTS_RETENTION,
         "rollup_orders": Q_ROLLUP_SQL,
         "q4_order_priority": Q4_SQL,
         "q7_nation_volume": Q7_SQL,
