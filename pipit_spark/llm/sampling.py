@@ -130,3 +130,161 @@ SELECT shard, pack_in_shard,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM packed GROUP BY shard, pack_in_shard
 """
+
+
+def mix_sources(
+    docs: DataFrame, temperature: float = 2.0, target_frac: float = 0.5
+) -> DataFrame:
+    """Temperature-based source mixing (the multi-corpus weighting step
+    of LLM training-data assembly): source ``s`` with share ``p_s`` of
+    the corpus is sampled at a rate ∝ ``p_s^(1/T)`` (T>1 flattens the
+    mix toward small sources, T=1 keeps natural proportions), scaled so
+    the expected kept fraction is ``target_frac`` and clamped at 1.
+
+    Per-source rates derive from one tiny count aggregation that is
+    broadcast back onto the corpus; the keep decision is the same
+    deterministic md5-bucket rule as :func:`sample_corpus`, so the
+    sample is reproducible across engines and runs (rates are rounded
+    to 4 decimals before thresholding to keep float `pow` differences
+    between engines from moving a bucket boundary). Returns kept-count
+    + token totals per source.
+    """
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__total"))
+    weights = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "__n",
+        F.pow(F.col("__n") / F.col("__total"), 1.0 / temperature).alias(
+            "__w"
+        ),
+    )
+    wsum = weights.agg(F.sum("__w").alias("__wsum"))
+    rates = weights.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        F.round(
+            F.col("__w") / F.col("__wsum") * target_frac, 4
+        ).alias("__rate"),
+        "__n",
+    )
+    # per-doc keep rate for source s = (w_s/wsum)·target_frac·N/n_s,
+    # clamped to 1 — expected total kept ≈ target_frac·N
+    rates = rates.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.least(
+            F.round(
+                F.col("__rate") * F.col("__total") / F.col("__n"), 4
+            ),
+            F.lit(1.0),
+        ).alias("rate"),
+    )
+    thr = F.format_string(
+        "%04x", F.floor(F.col("rate") * 0xFFFF).cast("int")
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    n_tokens = stats_exprs()["n_tokens"]
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < thr)
+        .select("source", n_tokens.alias("n_tokens"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def oracle_mix_sources(
+    table: str = "documents",
+    temperature: float = 2.0,
+    target_frac: float = 0.5,
+) -> str:
+    from .text import _sql_norm
+
+    norm = _sql_norm("text")
+    return f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n FROM {table} GROUP BY source
+),
+tot AS (SELECT SUM(n) AS total FROM counts),
+weights AS (
+    SELECT source, n, POW(CAST(n AS DOUBLE) / total, 1.0 / {temperature})
+           AS w
+    FROM counts, tot
+),
+rates AS (
+    SELECT source,
+           LEAST(ROUND(ROUND(w / (SELECT SUM(w) FROM weights)
+                             * {target_frac}, 4)
+                       * (SELECT total FROM tot) / n, 4), 1.0) AS rate
+    FROM weights
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split({norm}, ' '))) AS BIGINT) AS total_tokens
+FROM {table} d JOIN rates r USING (source)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+      < printf('%04x', CAST(FLOOR(r.rate * 65535) AS INT))
+GROUP BY d.source
+"""
+
+
+def select_by_token_budget(
+    docs: DataFrame, budget_per_source: int = 5000
+) -> DataFrame:
+    """Quality-first curriculum selection: within each source, take
+    documents in descending quality order (doc_id tie-break) until the
+    source's token budget is exhausted — a document is kept iff the
+    tokens BEFORE it fit the budget (so the budget may be exceeded by
+    at most one document, the standard greedy rule).
+
+    One shuffle (by source), one partition-local sort — same shape as
+    :func:`pack_sequences`; at 100 TB the per-source sort is the only
+    non-scan cost, and a skewed source splits via AQE.
+    """
+    se = stats_exprs()
+    feats = docs.select(
+        "doc_id",
+        "source",
+        se["n_tokens"].alias("n_tokens"),
+        se["quality_score"].alias("quality_score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        feats.withColumn(
+            "__before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .filter(F.col("__before") < budget_per_source)
+        .select("doc_id", "source", "n_tokens", "quality_score")
+    )
+
+
+def oracle_select_by_token_budget(
+    table: str = "documents", budget_per_source: int = 5000
+) -> str:
+    from .text import _sql_norm, oracle_text_stats  # noqa: F401
+
+    norm = _sql_norm("text")
+    return f"""
+WITH feats AS (
+    SELECT doc_id, source,
+           CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_tokens,
+           ROUND(LEAST(CAST(len(string_split({norm}, ' ')) AS DOUBLE)
+                       / 50.0, 1.0)
+                 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '',
+                                                     'g')) AS DOUBLE)
+                          / length(text)), 6) AS quality_score
+    FROM {table}
+),
+ranked AS (
+    SELECT *,
+           SUM(n_tokens) OVER (PARTITION BY source
+                               ORDER BY quality_score DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+    FROM feats
+)
+SELECT doc_id, source, n_tokens, quality_score
+FROM ranked WHERE cum_before < {budget_per_source}
+"""

@@ -25,6 +25,7 @@ from .llm import dedup as D
 from .llm import similarity as V
 from .llm import text as X
 from .llm import quality as QL
+from .llm import sampling as _SP
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -1592,6 +1593,24 @@ def q_doc_pack_sequences(spark, sf_dir):
     )
 
 
+def q_doc_mix_sources(spark, sf_dir):
+    """Temperature-flattened source mixing at T=2, ~50% target."""
+    from .llm.sampling import mix_sources
+
+    return mix_sources(
+        load(spark, sf_dir, "documents"), temperature=2.0, target_frac=0.5
+    )
+
+
+def q_doc_token_budget(spark, sf_dir):
+    """Quality-first selection under a 500-token budget per source."""
+    from .llm.sampling import select_by_token_budget
+
+    return select_by_token_budget(
+        load(spark, sf_dir, "documents"), budget_per_source=500
+    )
+
+
 def q_doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs (doc_id ≥ 25) sharing any
     5-gram with the held-out eval slice (doc_id < 25)."""
@@ -1709,6 +1728,8 @@ def queries():
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_mix_sources": q_doc_mix_sources,
+        "doc_token_budget": q_doc_token_budget,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_training_set": q_doc_training_set,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1784,6 +1805,12 @@ def oracle_sql():
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),
         "doc_pack_sequences": _oracle_sampling("pack"),
+        "doc_mix_sources": _SP.oracle_mix_sources(
+            temperature=2.0, target_frac=0.5
+        ),
+        "doc_token_budget": _SP.oracle_select_by_token_budget(
+            budget_per_source=500
+        ),
         "doc_decontaminate": D.oracle_decontaminate(n=5),
         "doc_training_set": _oracle_training_set(),
         # doc_minhash_lsh / emb_lsh_ann / emb_ivf_topk / media_decode:

@@ -326,3 +326,38 @@ def test_vocab_stats_approx_close(spark):
         assert approx[s]["total_tokens"] == exact[s]["total_tokens"]
         assert abs(approx[s]["vocab_size"] - exact[s]["vocab_size"]) \
             <= max(3, 0.1 * exact[s]["vocab_size"])
+
+
+def test_mix_sources_t1_is_uniform_sampling(spark):
+    """At temperature 1 the mix keeps natural proportions, so every
+    source gets the same keep-rate and the result must equal the plain
+    stratified sample at the same fraction (identical md5-bucket rule)."""
+    from pipit_spark.llm.sampling import mix_sources, sample_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mixed = {
+        r["source"]: (r["n_docs"], r["total_tokens"])
+        for r in mix_sources(docs, temperature=1.0, target_frac=0.2).collect()
+    }
+    plain = {
+        r["source"]: (r["n_docs"], r["total_tokens"])
+        for r in sample_corpus(docs, pct=20, strata="source").collect()
+    }
+    assert mixed == plain
+
+
+def test_token_budget_greedy_rule(spark):
+    """A document is kept iff the tokens before it (quality-desc order)
+    fit the budget — so the budget is exceeded by at most one doc."""
+    from pipit_spark.llm.sampling import select_by_token_budget
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = select_by_token_budget(docs, budget_per_source=200).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (-r["quality_score"], r["doc_id"]))
+        # all but the last fit entirely; the last one's predecessor sum
+        # is under budget
+        assert sum(r["n_tokens"] for r in rows[:-1]) < 200
