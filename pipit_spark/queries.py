@@ -1345,6 +1345,36 @@ def q_doc_fingerprint(spark, sf_dir):
     return X.doc_fingerprint(load(spark, sf_dir, "documents"))
 
 
+def q_events_props_stats(spark, sf_dir):
+    """JSON payload extraction in the hot path (SURVEY §2.6 map/dict
+    field extraction): pull ``props.k`` with ``get_json_object`` — JVM
+    codegen, no UDF — and aggregate per event type. The same shape the
+    Attributes promotion uses at trace ingest."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_EVENTS_PROPS_STATS = """
+SELECT event_type,
+       CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS n_with_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_events_funnel(spark, sf_dir):
     from .operators.relational import funnel
 
@@ -1695,6 +1725,7 @@ def queries():
         "events_outliers": q_events_outliers,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_props_stats": q_events_props_stats,
         "rollup_orders": q_rollup_orders,
         "q4_order_priority": q4_order_priority,
         "q7_nation_volume": q7_nation_volume,
@@ -1769,6 +1800,7 @@ def oracle_sql():
         "events_outliers": ORACLE_EVENTS_OUTLIERS,
         "events_funnel": ORACLE_EVENTS_FUNNEL,
         "events_retention": ORACLE_EVENTS_RETENTION,
+        "events_props_stats": ORACLE_EVENTS_PROPS_STATS,
         "rollup_orders": Q_ROLLUP_SQL,
         "q4_order_priority": Q4_SQL,
         "q7_nation_volume": Q7_SQL,
