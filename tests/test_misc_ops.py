@@ -361,3 +361,40 @@ def test_token_budget_greedy_rule(spark):
         # all but the last fit entirely; the last one's predecessor sum
         # is under budget
         assert sum(r["n_tokens"] for r in rows[:-1]) < 200
+
+
+def test_pack_sequences_matches_naive(spark):
+    """Randomized differential check: the sharded window-cumsum packing
+    equals an independent straight-line packer on random corpora
+    (seeded, several shard counts and context lengths)."""
+    import random
+
+    from pipit_spark.llm.sampling import pack_sequences
+
+    for seed, n_shards, ctx in [(1, 1, 64), (2, 4, 128), (3, 7, 32)]:
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join("w" for _ in range(rng.randint(1, 50))))
+            for i in range(rng.randint(20, 120))
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["shard"], r["pack_in_shard"]): (r["n_docs"], r["total_tokens"])
+            for r in pack_sequences(
+                docs, context_len=ctx, n_shards=n_shards
+            ).collect()
+        }
+        # independent packer: per shard, docs in doc_id order; a doc
+        # joins the pack its first token lands in
+        expect = {}
+        for shard in range(n_shards):
+            cum = 0
+            for doc_id, text in rows:
+                if doc_id % n_shards != shard:
+                    continue
+                n = len(text.split())
+                pack = (shard, cum // ctx)
+                d, t = expect.get(pack, (0, 0))
+                expect[pack] = (d + 1, t + n)
+                cum += n
+        assert got == expect, (seed, n_shards, ctx)
