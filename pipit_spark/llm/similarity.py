@@ -376,3 +376,87 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector int8 affine quantization (the 4× memory lever for
+    ANN indexes at 100 TB): ``q = round((x − min) / scale)`` with
+    ``scale = (max − min)/255`` per vector, plus the reconstruction
+    MAE so pipelines can monitor quantization loss.
+
+    Entirely higher-order array functions — JVM-side, no UDF, no
+    shuffle, no self-join (every expression is row-local; codegen
+    common-subexpression elimination dedups the repeated min/scale).
+    Constant vectors (scale 0) quantize to all-zeros with zero error.
+    Rounding is ``floor(x+0.5)`` (half-up) spelled explicitly so the
+    DuckDB twin (also half-up) matches bit-for-bit.
+    """
+    v = F.col(vec_col)
+    vmin = F.array_min(v).cast("double")
+    scale = (F.array_max(v).cast("double") - vmin) / F.lit(255.0)
+    codes = F.when(
+        scale == 0, F.transform(v, lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(
+                (x.cast("double") - vmin) / scale + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    recon_mae = F.when(scale == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.zip_with(
+                codes,
+                v,
+                lambda c, x: F.abs(
+                    c.cast("double") * scale + vmin - x.cast("double")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        / F.size(v)
+    )
+    return emb.select(
+        "vec_id",
+        F.round(vmin, 6).alias("q_min"),
+        F.round(scale, 6).alias("q_scale"),
+        F.round(recon_mae, 6).alias("recon_mae"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("codes_sum"),
+    )
+
+
+def oracle_quantize_embeddings(table: str = "embeddings") -> str:
+    return """
+WITH q AS (
+    SELECT vec_id, embedding,
+           CAST(list_min(embedding) AS DOUBLE) AS m,
+           (CAST(list_max(embedding) AS DOUBLE)
+            - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS s
+    FROM {table}
+),
+coded AS (
+    SELECT vec_id, embedding, m, s,
+           CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                     x -> CAST(FLOOR((CAST(x AS DOUBLE) - m) / s + 0.5)
+                               AS INT))
+           END AS q_codes
+    FROM q
+)
+SELECT vec_id,
+       ROUND(m, 6) AS q_min,
+       ROUND(s, 6) AS q_scale,
+       CASE WHEN s = 0 THEN 0.0
+            ELSE ROUND(list_sum(list_transform(
+                     list_zip(q_codes, embedding),
+                     p -> ABS(CAST(p[1] AS DOUBLE) * s + m
+                              - CAST(p[2] AS DOUBLE))))
+                 / len(embedding), 6)
+       END AS recon_mae,
+       CAST(list_sum(q_codes) AS BIGINT) AS codes_sum
+FROM coded
+""".replace("{table}", table)

@@ -1345,6 +1345,10 @@ def q_doc_fingerprint(spark, sf_dir):
     return X.doc_fingerprint(load(spark, sf_dir, "documents"))
 
 
+def q_emb_quantize(spark, sf_dir):
+    return V.quantize_embeddings(load(spark, sf_dir, "embeddings"))
+
+
 def q_events_props_stats(spark, sf_dir):
     """JSON payload extraction in the hot path (SURVEY §2.6 map/dict
     field extraction): pull ``props.k`` with ``get_json_object`` — JVM
@@ -1770,6 +1774,7 @@ def queries():
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_ivf_topk_exact": q_emb_ivf_topk_exact,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_quantize": q_emb_quantize,
         "media_decode": q_media_decode,
     }
 
@@ -1832,6 +1837,7 @@ def oracle_sql():
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),
         "emb_norm_stats": ORACLE_EMB_NORM_STATS,
         "emb_ivf_topk_exact": V.oracle_cosine_topk(k=5, query_max_id=10),
+        "emb_quantize": V.oracle_quantize_embeddings(),
         "doc_simhash": D.oracle_simhash(),
         "doc_embedding_dedup": D.oracle_embedding_dedup(threshold=0.35),
         "doc_clean_corpus": _oracle_clean_corpus(),
