@@ -43,6 +43,26 @@ def main() -> None:
     cap(t.flat_profile(), "flat_profile")
     cap(D.minhash_lsh_pairs(Q.load(spark, sf, "documents"), 16, 8), "minhash_lsh")
 
+    from pipit_spark.llm import quality as QL
+    from pipit_spark.llm import similarity as V
+    from pipit_spark.operators.relational import funnel, percentile_outliers
+
+    docs = Q.load(spark, sf, "documents")
+    cap(QL.heuristic_filter(docs), "heuristic_filter (single scan)")
+    cap(QL.pii_redact(docs), "pii_redact (narrow map)")
+    cap(
+        percentile_outliers(Q.load(spark, sf, "events")),
+        "percentile_outliers (broadcast threshold)",
+    )
+    cap(
+        funnel(Q.load(spark, sf, "events"), ["view", "click", "purchase"]),
+        "funnel (per-step pushdown)",
+    )
+    cap(
+        V.quantize_embeddings(Q.load(spark, sf, "embeddings")),
+        "quantize_embeddings (no shuffle)",
+    )
+
 
 if __name__ == "__main__":
     main()
