@@ -531,3 +531,111 @@ JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= {threshold}
 """
+
+
+# --------------------------------------------- cluster-based dedup (CC)
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph
+    ``(a, b)``: returns ``(doc_id, component)`` where ``component`` is
+    the minimum doc_id reachable from ``doc_id`` — the canonical
+    representative of each duplicate cluster. Pairwise keep-first dedup
+    under-merges (A~B, B~C but A≁C keeps two of three); clustering is
+    the standard completion.
+
+    Algorithm: iterative min-label propagation — each round every
+    vertex takes the min of its own label and its neighbours' labels
+    (one join + one aggregation per round over the *pair graph*, which
+    is tiny relative to the corpus), until a round changes nothing.
+    Rounds needed = graph diameter; duplicate clusters are
+    near-cliques, so this converges in 2–3 rounds in practice. The
+    convergence probe is a single driver-side count per round — no
+    collect of the labels themselves, so the loop shape is unchanged at
+    100 TB. ``max_iter`` bounds pathological chain graphs.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "__old"), "doc_id"
+            )
+            .filter(F.col("component") != F.col("__old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def cluster_dedup(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Keep one document (the min-id representative) per duplicate
+    cluster; documents in no pair survive untouched. An anti-join of
+    the corpus against the non-representative cluster members — the
+    corpus itself is never shuffled (the label table is pair-graph
+    sized and broadcasts)."""
+    labels = dedup_clusters(pairs)
+    losers = labels.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+def oracle_dedup_clusters(
+    n: int = 3, threshold: float = 0.5, table: str = "documents"
+) -> str:
+    """Transitive closure by recursive CTE over the same pair graph:
+    component = min reachable doc_id (incl. self)."""
+    pairs = oracle_ngram_jaccard_pairs(n=n, threshold=threshold, table=table)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION
+    SELECT b AS src, a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+    SELECT doc_id, doc_id AS r FROM verts
+    UNION
+    SELECT e.dst AS doc_id, reach.r
+    FROM reach JOIN edges e ON reach.doc_id = e.src
+)
+SELECT doc_id, CAST(MIN(r) AS BIGINT) AS component
+FROM reach GROUP BY doc_id
+"""

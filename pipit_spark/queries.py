@@ -1345,6 +1345,14 @@ def q_doc_fingerprint(spark, sf_dir):
     return X.doc_fingerprint(load(spark, sf_dir, "documents"))
 
 
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Connected components over the Jaccard near-dup pair graph —
+    cluster-based dedup labels (min-id representative per cluster)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return D.dedup_clusters(pairs)
+
+
 def q_emb_quantize(spark, sf_dir):
     return V.quantize_embeddings(load(spark, sf_dir, "embeddings"))
 
@@ -1757,6 +1765,7 @@ def queries():
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash": q_doc_minhash,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_embedding_dedup": q_doc_embedding_dedup,
@@ -1832,6 +1841,7 @@ def oracle_sql():
         "doc_exact_dedup": ORACLE_DOC_EXACT_DEDUP,
         "doc_minhash": D.oracle_minhash_signatures(num_hashes=8),
         "doc_ngram_jaccard": D.oracle_ngram_jaccard_pairs(n=3, threshold=0.5),
+        "doc_dedup_clusters": D.oracle_dedup_clusters(n=3, threshold=0.5),
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),

@@ -398,3 +398,25 @@ def test_pack_sequences_matches_naive(spark):
                 expect[pack] = (d + 1, t + n)
                 cum += n
         assert got == expect, (seed, n_shards, ctx)
+
+
+def test_cluster_dedup_transitive_chain(spark):
+    """A~B and B~C (but never A~C) must collapse to ONE representative
+    — the case pairwise keep-first dedup under-merges. Components get
+    min-id labels; isolated docs survive untouched."""
+    from pipit_spark.llm.dedup import cluster_dedup, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "a long, b long"
+    )
+    labels = {
+        r["doc_id"]: r["component"] for r in dedup_clusters(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 5, 7, 9]],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in cluster_dedup(docs, pairs).collect())
+    assert kept == [1, 5, 7]
