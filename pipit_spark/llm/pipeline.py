@@ -180,3 +180,53 @@ SELECT shard, pack_in_shard,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM packed GROUP BY shard, pack_in_shard
 """
+
+
+def incremental_new_docs(
+    docs: DataFrame, seen_fingerprints: DataFrame
+) -> DataFrame:
+    """Incremental ingestion: of an incoming batch, keep only documents
+    whose content fingerprint is NEW — not in the already-processed set
+    and not duplicated earlier in the batch itself (min doc_id wins,
+    as in :func:`clean_corpus`).
+
+    Shape: one narrow fingerprint projection over the batch, a
+    keep-first window on the batch's own fingerprints, then an
+    anti-join against the seen-set. The seen-set side carries ONLY the
+    fingerprint column (32-byte md5 hex), so at 100 TB it is a compact
+    shuffle or — for daily increments against a bounded seen-set — a
+    broadcast; document bodies never join anything.
+
+    Returns the surviving documents with their fingerprints, which is
+    exactly the delta to append to the seen-set for the next run.
+    """
+    fp = docs.select("doc_id", fingerprint_expr().alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    batch_first = (
+        fp.withColumn("__rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__rep"))
+        .select("doc_id", "fingerprint")
+    )
+    return batch_first.join(
+        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    ).select("doc_id", "fingerprint")
+
+
+def oracle_incremental_new_docs(
+    table: str = "documents", seen_doc_id_below: int = 250
+) -> str:
+    fp = oracle_doc_fingerprint(table)
+    return f"""
+WITH fp AS ({fp}),
+seen AS (SELECT fingerprint FROM fp WHERE doc_id < {seen_doc_id_below}),
+batch_first AS (
+    SELECT doc_id, fingerprint FROM (
+        SELECT doc_id, fingerprint,
+               MIN(doc_id) OVER (PARTITION BY fingerprint) AS rep
+        FROM fp
+    ) WHERE doc_id = rep
+)
+SELECT b.doc_id, b.fingerprint
+FROM batch_first b
+WHERE b.fingerprint NOT IN (SELECT fingerprint FROM seen)
+"""

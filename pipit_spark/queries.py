@@ -26,6 +26,7 @@ from .llm import similarity as V
 from .llm import text as X
 from .llm import quality as QL
 from .llm import sampling as _SP
+from .llm import pipeline as _PL
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -1345,6 +1346,20 @@ def q_doc_fingerprint(spark, sf_dir):
     return X.doc_fingerprint(load(spark, sf_dir, "documents"))
 
 
+def q_doc_incremental(spark, sf_dir):
+    """Incremental ingestion: the batch is the full corpus, the seen-set
+    is the fingerprints of doc_id < 250 — survivors are the genuinely
+    new unique documents."""
+    from .llm.pipeline import incremental_new_docs
+    from .llm.text import fingerprint_expr
+
+    docs = load(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") < 250).select(
+        fingerprint_expr().alias("fingerprint")
+    )
+    return incremental_new_docs(docs, seen)
+
+
 def q_doc_dedup_clusters(spark, sf_dir):
     """Connected components over the Jaccard near-dup pair graph —
     cluster-based dedup labels (min-id representative per cluster)."""
@@ -1766,6 +1781,7 @@ def queries():
         "doc_minhash": q_doc_minhash,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_incremental": q_doc_incremental,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_embedding_dedup": q_doc_embedding_dedup,
@@ -1842,6 +1858,9 @@ def oracle_sql():
         "doc_minhash": D.oracle_minhash_signatures(num_hashes=8),
         "doc_ngram_jaccard": D.oracle_ngram_jaccard_pairs(n=3, threshold=0.5),
         "doc_dedup_clusters": D.oracle_dedup_clusters(n=3, threshold=0.5),
+        "doc_incremental": _PL.oracle_incremental_new_docs(
+            seen_doc_id_below=250
+        ),
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),
