@@ -371,3 +371,39 @@ def test_otf2_matching_and_comm_golden(spark):
         for rank in (0, 1):
             assert bp.loc[rank]["sent"] == val
             assert bp.loc[rank]["received"] == val
+
+
+def test_chrome_roundtrip(foo_bar_trace, spark, tmp_path):
+    """write_chrome → read_chrome reproduces the canonical events
+    (names, types, ns timestamps, processes) and the derived flat
+    profile, for both the single-file and part-dir layouts."""
+    from pipit_spark import Trace
+    from pipit_spark import schema as S
+    from pipit_spark.sinks.chrome import write_chrome
+    from pipit_spark.sources.chrome import read_chrome
+
+    single = str(tmp_path / "trace.json")
+    parts = str(tmp_path / "trace_parts")
+    write_chrome(foo_bar_trace.events, single, single_file=True)
+    write_chrome(foo_bar_trace.events, parts, single_file=False)
+
+    for path in (single, parts):
+        ev = read_chrome(spark, path)
+        a = (
+            foo_bar_trace.events.groupBy(S.EVENT_TYPE, S.NAME, S.PROCESS)
+            .count()
+            .collect()
+        )
+        b = ev.groupBy(S.EVENT_TYPE, S.NAME, S.PROCESS).count().collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # derived metrics survive the round-trip
+        t = Trace(ev)
+        fa = {
+            r["name"]: r["time_inc"]
+            for r in foo_bar_trace.flat_profile(metrics=[S.TIME_INC]).collect()
+        }
+        fb = {
+            r["name"]: r["time_inc"]
+            for r in t.flat_profile(metrics=[S.TIME_INC]).collect()
+        }
+        assert fa == fb
