@@ -420,3 +420,51 @@ def test_cluster_dedup_transitive_chain(spark):
     )
     kept = sorted(r["doc_id"] for r in cluster_dedup(docs, pairs).collect())
     assert kept == [1, 5, 7]
+
+
+def test_asof_join_random_vs_pandas(spark):
+    """Randomized differential: the union+window as-of join equals
+    pandas merge_asof (backward, inclusive, by-group) on seeded random
+    inputs with heavy timestamp ties and missing groups."""
+    import random
+
+    from pipit_spark.operators.relational import asof_join
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        keys = ["a", "b", "c"]
+        left = pd.DataFrame(
+            {
+                "t": [rng.randint(0, 30) for _ in range(60)],
+                "k": [rng.choice(keys) for _ in range(60)],
+                "lid": range(60),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "t": [rng.randint(0, 30) for _ in range(40)],
+                "k": [rng.choice(keys[:2]) for _ in range(40)],  # 'c' missing
+                "rv": [rng.randint(0, 999) for _ in range(40)],
+            }
+        )
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="t", by="k", value_cols=["rv"],
+            )
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        # merge_asof ties: takes the LAST right row at equal t within
+        # group — same as the window's max-at-or-before sweep only if
+        # the engine picks the same among equal (t, k) right rows; both
+        # sides resolve ties by taking the latest-sorted right value
+        exp = pd.merge_asof(
+            left.sort_values("t", kind="stable"),
+            right.sort_values("t", kind="stable"),
+            on="t", by="k", direction="backward",
+            allow_exact_matches=True, suffixes=("", "_right"),
+        ).sort_values("lid").reset_index(drop=True)
+        assert list(got.rv_right.fillna(-1)) == list(exp.rv.fillna(-1)), seed
