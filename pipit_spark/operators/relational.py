@@ -187,3 +187,70 @@ def retention_cohorts(
         .groupBy("cohort_start", "period_offset")
         .agg(F.count_distinct(user_col).cast("long").alias("n_users"))
     )
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Column profile (the ANALYZE-style summary a pipeline runs before
+    touching a new dataset): per column — row count, nulls, exact
+    distinct count, and for numeric columns min/max/mean.
+
+    Long-form output ``(column, n_rows, n_nulls, n_distinct, min_val,
+    max_val, mean_val)`` with numerics cast to double (NULL for
+    non-numeric columns). All metrics for ALL columns evaluate in ONE
+    aggregation pass over a single scan (one row of structs, unpivoted
+    driver-side into the long form) — not one job per column. Exact
+    ``count_distinct`` keeps the oracle twin exact; at 100 TB swap
+    ``approx_count_distinct`` per column (same single-pass shape).
+    """
+    from pyspark.sql import types as T
+
+    cols = columns or df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.NumericType)
+    }
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+            (
+                F.round(F.min(F.col(c)).cast("double"), 6)
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias(f"__min_{c}"),
+            (
+                F.round(F.max(F.col(c)).cast("double"), 6)
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias(f"__max_{c}"),
+            (
+                F.round(F.avg(F.col(c)), 6)
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias(f"__mean_{c}"),
+        ]
+    row = df.agg(*aggs)
+    spark = df.sparkSession
+    r = row.collect()[0]
+    out = [
+        (
+            c,
+            r[f"__n_{c}"],
+            r[f"__nulls_{c}"],
+            r[f"__dist_{c}"],
+            r[f"__min_{c}"],
+            r[f"__max_{c}"],
+            r[f"__mean_{c}"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows long, n_nulls long, n_distinct long, "
+        "min_val double, max_val double, mean_val double",
+    )

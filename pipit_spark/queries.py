@@ -1346,6 +1346,42 @@ def q_doc_fingerprint(spark, sf_dir):
     return X.doc_fingerprint(load(spark, sf_dir, "documents"))
 
 
+_LINEITEM_NUMERIC = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+_LINEITEM_OTHER = ["l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def q_profile_lineitem(spark, sf_dir):
+    """ANALYZE-style column profile of the biggest fact table — all
+    metrics for all columns in one aggregation pass."""
+    from .operators.relational import profile_table
+
+    return profile_table(
+        load(spark, sf_dir, "lineitem"),
+        _LINEITEM_NUMERIC + _LINEITEM_OTHER,
+    )
+
+
+def _oracle_profile_lineitem() -> str:
+    parts = []
+    for c in _LINEITEM_NUMERIC + _LINEITEM_OTHER:
+        num = c in _LINEITEM_NUMERIC
+        mn = f"ROUND(CAST(MIN({c}) AS DOUBLE), 6)" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"ROUND(CAST(MAX({c}) AS DOUBLE), 6)" if num else "CAST(NULL AS DOUBLE)"
+        av = f"ROUND(AVG({c}), 6)" if num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            f"  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_nulls,\n"
+            f"  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"  {mn} AS min_val, {mx} AS max_val, {av} AS mean_val\n"
+            "FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_doc_incremental(spark, sf_dir):
     """Incremental ingestion: the batch is the full corpus, the seen-set
     is the fingerprints of doc_id < 250 — survivors are the genuinely
@@ -1753,6 +1789,7 @@ def queries():
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_props_stats": q_events_props_stats,
+        "profile_lineitem": q_profile_lineitem,
         "rollup_orders": q_rollup_orders,
         "q4_order_priority": q4_order_priority,
         "q7_nation_volume": q7_nation_volume,
@@ -1831,6 +1868,7 @@ def oracle_sql():
         "events_funnel": ORACLE_EVENTS_FUNNEL,
         "events_retention": ORACLE_EVENTS_RETENTION,
         "events_props_stats": ORACLE_EVENTS_PROPS_STATS,
+        "profile_lineitem": _oracle_profile_lineitem(),
         "rollup_orders": Q_ROLLUP_SQL,
         "q4_order_priority": Q4_SQL,
         "q7_nation_volume": Q7_SQL,
