@@ -35,11 +35,35 @@ def _t(sf_dir: str, name: str) -> str:
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark must read it as
-        # long ns (DuckDB coerces the same column to µs — consumers
-        # truncate to µs so both engines see identical values)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return load_events(spark, _t(sf_dir, name))
     return spark.read.parquet(_t(sf_dir, name))
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read an events table and normalize ``ts`` to epoch-long **ns**.
+
+    Real-world parquet carries timestamps as any of TIMESTAMP(NANOS),
+    timestamp[us]/[ms], or a plain long — and the fixture generator has
+    shipped more than one of these across rounds.  Adapt per input
+    (reference normalizes units at every reader the same way:
+    reference/pipit/trace.py:74-78, otf2_reader.py:459-471):
+
+    - TIMESTAMP(NANOS) parquet → read directly as long ns via the
+      ``nanosAsLong`` legacy conf (exact; no µs truncation);
+    - timestamp / timestamp_ntz columns → ``unix_micros`` × 1000.  The
+      session TZ is UTC (session.py) so the NTZ→timestamp cast is an
+      exact relabeling and agrees with DuckDB's ``epoch_us(ts)``;
+    - long columns pass through untouched (assumed already ns).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if "ts" in df.columns:
+        t = df.schema["ts"].dataType.typeName()
+        if t in ("timestamp", "timestamp_ntz"):
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+            )
+    return df
 
 
 def _ts_us(col: str = "ts"):
