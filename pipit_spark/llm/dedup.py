@@ -58,22 +58,41 @@ def embedding_dedup(
     emb: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
+    method: str = "lsh",
+    num_planes: int = 4,
+    num_tables: int = 8,
 ) -> DataFrame:
     """Keep-first near-dup removal by embedding cosine: a document is
     dropped when any LOWER-id document's embedding has cosine ≥
     ``threshold`` with its own (``doc_id`` keys ``emb.vec_id``).
 
-    This is the semantic-dedup step of a training-data pipeline. Pair
-    scoring here is the brute-force cosine join (the correctness
-    baseline, quadratic); at corpus scale swap the candidate generator
-    for :func:`pipit_spark.llm.similarity.lsh_ann_pairs` (random-plane
-    LSH buckets) or the IVF coarse quantizer and apply the same
-    left-anti drop rule — the drop side stays a set of ids either way,
-    so the anti-join shape (and this function's contract) is unchanged.
-    """
-    from .similarity import cosine_pairs
+    This is the semantic-dedup step of a training-data pipeline.
+    ``method`` picks the candidate generator; the drop side is a set of
+    ids either way, so the anti-join shape is identical:
 
-    pairs = cosine_pairs(emb, threshold=threshold, vec_col=vec_col)
+    - ``"lsh"`` (default, the 100 TB path): banded random-hyperplane
+      LSH (:func:`pipit_spark.llm.similarity.lsh_ann_pairs`) — only
+      same-bucket pairs are scored; recall 1-(1-p^b)^T, ≈1 for the
+      near-identical pairs dedup targets at the default 4 planes × 8
+      tables.
+    - ``"exact"``: brute-force cosine join
+      (:func:`pipit_spark.llm.similarity.cosine_pairs`) — quadratic;
+      the correctness baseline and the oracle gate's path, opt-in only.
+    """
+    from .similarity import cosine_pairs, lsh_ann_pairs
+
+    if method == "exact":
+        pairs = cosine_pairs(emb, threshold=threshold, vec_col=vec_col)
+    elif method == "lsh":
+        pairs = lsh_ann_pairs(
+            emb,
+            num_planes=num_planes,
+            num_tables=num_tables,
+            threshold=threshold,
+            vec_col=vec_col,
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r} (use 'lsh' or 'exact')")
     drops = pairs.select(F.col("b").alias("doc_id")).distinct()
     return docs.join(drops, "doc_id", "left_anti")
 
@@ -606,14 +625,17 @@ def dedup_clusters(
 def cluster_dedup(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Keep one document (the min-id representative) per duplicate
     cluster; documents in no pair survive untouched. An anti-join of
-    the corpus against the non-representative cluster members — the
-    corpus itself is never shuffled (the label table is pair-graph
-    sized and broadcasts)."""
+    the corpus against the non-representative cluster members. The
+    loser set is pair-graph sized and unbounded (a 50% dup rate makes
+    it corpus-scale), so no broadcast hint: AQE picks broadcast when
+    the set is actually small and falls back to a shuffle join when it
+    isn't — a forced broadcast would OOM the driver at high dup
+    rates."""
     labels = dedup_clusters(pairs)
     losers = labels.filter(F.col("doc_id") != F.col("component")).select(
         "doc_id"
     )
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    return docs.join(losers, "doc_id", "left_anti")
 
 
 def oracle_dedup_clusters(

