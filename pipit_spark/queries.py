@@ -328,11 +328,17 @@ FROM pp GROUP BY name
 
 
 def q_trace_load_imbalance(spark, sf_dir):
+    # num_processes=2 gates the reference's top-N-ranks output
+    # (pipit/trace.py:588-592) — serialized as "p1,p2" so both engines
+    # compare a plain string
     t = derived_trace(spark, sf_dir)
-    return t.load_imbalance(metric=S.TIME_INC).select(
+    return t.load_imbalance(metric=S.TIME_INC, num_processes=2).select(
         S.NAME,
         F.round(f"{S.TIME_INC}_imbalance", 6).alias("imbalance"),
         F.round(f"{S.TIME_INC}_mean", 6).alias("mean_inc"),
+        F.concat_ws(
+            ",", F.col("top_processes").cast("array<string>")
+        ).alias("top_processes"),
     )
 
 
@@ -346,10 +352,25 @@ root_pp AS (
            CAST(leave_ts - enter_ts AS DOUBLE) AS inc
     FROM roots
 ),
-pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp)
-SELECT name, ROUND(MAX(inc) / AVG(inc), 6) AS imbalance,
-       ROUND(AVG(inc), 6) AS mean_inc
-FROM pp GROUP BY name
+pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp),
+ranked AS (
+    SELECT name, process, inc,
+           ROW_NUMBER() OVER (
+               PARTITION BY name ORDER BY inc DESC, process
+           ) AS rk
+    FROM pp
+),
+tops AS (
+    SELECT name,
+           STRING_AGG(CAST(process AS VARCHAR), ',' ORDER BY rk)
+               AS top_processes
+    FROM ranked WHERE rk <= 2 GROUP BY name
+)
+SELECT p.name, ROUND(MAX(p.inc) / AVG(p.inc), 6) AS imbalance,
+       ROUND(AVG(p.inc), 6) AS mean_inc,
+       ANY_VALUE(t.top_processes) AS top_processes
+FROM pp p JOIN tops t ON t.name = p.name
+GROUP BY p.name
 """
 
 
@@ -389,9 +410,14 @@ SELECT 'session' AS name, 0 AS depth
 
 
 def q_trace_idle_time(spark, sf_dir):
-    """idle_time() with 'error' as the idle function."""
+    """idle_time() over a multi-function idle set with mpi_events=True
+    (reference pipit/trace.py:600-629: the flag appends
+    MPI_Wait/MPI_Waitall/MPI_Recv to the idle list — names absent from
+    this derived trace, so the oracle is the two named functions; the
+    flag's additive semantics are golden-tested on the ping-pong trace
+    where MPI_Recv exists)."""
     t = derived_trace(spark, sf_dir)
-    return t.idle_time(idle_functions=["error"])
+    return t.idle_time(idle_functions=["error", "signup"], mpi_events=True)
 
 
 ORACLE_TRACE_IDLE = ORACLE_TRACE_CTE + """
@@ -400,7 +426,7 @@ SELECT p.process AS process,
 FROM (SELECT DISTINCT process FROM leaf) p
 LEFT JOIN (
     SELECT process, SUM(dur) AS idle FROM leaf
-    WHERE etype = 'error' GROUP BY 1
+    WHERE etype IN ('error', 'signup') GROUP BY 1
 ) s ON s.process = p.process
 """
 

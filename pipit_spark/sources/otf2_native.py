@@ -224,6 +224,17 @@ def read_location_events(
     timestamp Enter/Leave row as one float column per MetricMember —
     the reference does the same join-by-timestamp
     (otf2_reader.py:199-260)."""
+    # event ids bit-pack as (process<<40)|(thread<<32)|seq: 23 bits of
+    # process keep the id positive in int64, 8 bits of thread, 32 bits
+    # of per-location sequence. Out-of-range inputs would silently
+    # collide ids across locations — fail loudly instead (seq is
+    # guarded in the append loop).
+    if not 0 <= process < (1 << 23):
+        raise ValueError(
+            f"process {process} out of packed-id range [0, 2^23)"
+        )
+    if not 0 <= thread < (1 << 8):
+        raise ValueError(f"thread {thread} out of packed-id range [0, 256)")
     with open(evt_path, "rb") as f:
         buf = f.read()
     metric_members = metric_members or []
@@ -286,6 +297,11 @@ def read_location_events(
             tuple(pending_vals) if n_metrics and pending_ts == ts
             else (None,) * n_metrics
         )
+        if seq >= (1 << 32):
+            raise ValueError(
+                f"location ({process},{thread}) exceeds 2^32 events — "
+                "packed event ids would collide; widen the id scheme"
+            )
         rows.append(
             (
                 (process << 40) | (thread << 32) | seq,

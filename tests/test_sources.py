@@ -407,3 +407,24 @@ def test_chrome_roundtrip(foo_bar_trace, spark, tmp_path):
             for r in t.flat_profile(metrics=[S.TIME_INC]).collect()
         }
         assert fa == fb
+
+
+def test_otf2_packed_id_overflow_guard(tmp_path):
+    """Packed event ids are (process<<40)|(thread<<32)|seq — 23/8/32
+    bits. Out-of-range process/thread must raise instead of silently
+    colliding ids across locations."""
+    import pytest
+
+    from pipit_spark.sources.otf2_native import read_location_events
+
+    evt = tmp_path / "loc.evt"
+    evt.write_bytes(b"")
+    common = dict(
+        region_names={}, resolution=1_000_000_000, offset=0
+    )
+    with pytest.raises(ValueError, match="process"):
+        read_location_events(str(evt), 1 << 23, 0, **common)
+    with pytest.raises(ValueError, match="thread"):
+        read_location_events(str(evt), 0, 256, **common)
+    # in-range empty location parses to no rows
+    assert read_location_events(str(evt), (1 << 23) - 1, 255, **common) == []

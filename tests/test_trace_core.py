@@ -223,3 +223,43 @@ def test_detect_pattern_fallback(spark):
     assert all(len(m) == 3 for m in motifs)
     durs = [list(m["time_inc"]) for m in motifs]
     assert any(d == [100.0, 300.0, 50.0] for d in durs)
+
+
+def test_idle_time_mpi_events(ping_pong_trace):
+    """mpi_events=True appends MPI_Wait/MPI_Waitall/MPI_Recv to the idle
+    set (reference pipit/trace.py:619-621). Ping-pong golden: rank 0's 8
+    MPI_Recv calls are 400 ns each (enter base+200 → leave base+600),
+    rank 1's are 500 ns (base → base+500)."""
+    base = {
+        r[S.PROCESS]: r["idle_time"]
+        for r in ping_pong_trace.idle_time(idle_functions=["Idle"]).collect()
+    }
+    assert base == {0: 0.0, 1: 0.0}
+    mpi = {
+        r[S.PROCESS]: r["idle_time"]
+        for r in ping_pong_trace.idle_time(
+            idle_functions=["Idle"], mpi_events=True
+        ).collect()
+    }
+    assert mpi == {0: 8 * 400.0, 1: 8 * 500.0}
+
+
+def test_idle_time_does_not_mutate_caller_list(ping_pong_trace):
+    fns = ["Idle"]
+    ping_pong_trace.idle_time(idle_functions=fns, mpi_events=True).collect()
+    assert fns == ["Idle"]
+
+
+def test_load_imbalance_top_n_ranks(ping_pong_trace):
+    """num_processes=2 returns the two most-loaded ranks per function in
+    load order (reference pipit/trace.py:588-592). MPI_Recv: rank 1
+    (500 ns/call) above rank 0 (400 ns/call)."""
+    li = {
+        r[S.NAME]: r["top_processes"]
+        for r in ping_pong_trace.load_imbalance(
+            metric=S.TIME_INC, num_processes=2
+        ).collect()
+    }
+    assert li["MPI_Recv"] == [1, 0]
+    assert li["MPI_Send"] == [1, 0]  # rank1 sends 350ns vs rank0 100ns
+    assert len(li["main"]) == 2
