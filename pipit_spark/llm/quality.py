@@ -317,16 +317,16 @@ FROM {table}
 _PCTS = [0.5, 0.9, 0.99]
 
 
-def corpus_summary(docs: DataFrame) -> DataFrame:
-    """Per-(source, lang) corpus profile: document count and exact
+def corpus_summary(docs: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-(source, lang) corpus profile: document count and
     interpolated length percentiles — the slice-level report a curation
     pipeline runs before and after each filter stage.
 
-    Exact ``percentile`` (not ``approx_percentile``) so the DuckDB
-    ``quantile_cont`` oracle matches bit-for-bit after rounding; both
-    implement type-7 interpolation at index ``p·(n−1)``. At 100 TB the
-    same query swaps to ``approx_percentile`` — keep the exact form for
-    the correctness gate, where group cardinality is tiny.
+    Default is exact ``percentile`` (not ``approx_percentile``) so the
+    DuckDB ``quantile_cont`` oracle matches bit-for-bit after rounding;
+    both implement type-7 interpolation at index ``p·(n−1)``.
+    ``approx=True`` is the 100 TB path: ``approx_percentile`` (bounded
+    error, no per-group sort buffer) in the identical single-pass plan.
     """
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -335,10 +335,13 @@ def corpus_summary(docs: DataFrame) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
     ]
     for p in _PCTS:
+        pct = (
+            F.approx_percentile(F.col("n_chars"), F.lit(p), F.lit(10000))
+            if approx
+            else F.percentile(F.col("n_chars"), F.lit(p))
+        )
         aggs.append(
-            F.round(F.percentile(F.col("n_chars"), F.lit(p)), 4).alias(
-                f"p{int(p * 100)}_chars"
-            )
+            F.round(pct.cast("double"), 4).alias(f"p{int(p * 100)}_chars")
         )
     return docs.groupBy("source", "lang").agg(*aggs)
 

@@ -190,19 +190,21 @@ def retention_cohorts(
 
 
 def profile_table(
-    df: DataFrame, columns: list[str] | None = None
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
 ) -> DataFrame:
     """Column profile (the ANALYZE-style summary a pipeline runs before
-    touching a new dataset): per column — row count, nulls, exact
-    distinct count, and for numeric columns min/max/mean.
+    touching a new dataset): per column — row count, nulls, distinct
+    count, and for numeric columns min/max/mean.
 
     Long-form output ``(column, n_rows, n_nulls, n_distinct, min_val,
     max_val, mean_val)`` with numerics cast to double (NULL for
     non-numeric columns). All metrics for ALL columns evaluate in ONE
     aggregation pass over a single scan (one row of structs, unpivoted
     driver-side into the long form) — not one job per column. Exact
-    ``count_distinct`` keeps the oracle twin exact; at 100 TB swap
-    ``approx_count_distinct`` per column (same single-pass shape).
+    ``count_distinct`` (default) keeps the oracle twin exact;
+    ``approx=True`` is the 100 TB path — HyperLogLog
+    ``approx_count_distinct`` per column, ~2% relative error, constant
+    memory, same single-pass shape.
     """
     from pyspark.sql import types as T
 
@@ -217,7 +219,11 @@ def profile_table(
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+            (
+                F.approx_count_distinct(F.col(c))
+                if approx
+                else F.count_distinct(F.col(c))
+            ).alias(f"__dist_{c}"),
             (
                 F.round(F.min(F.col(c)).cast("double"), 6)
                 if c in numeric

@@ -545,3 +545,54 @@ def test_config_engine_option_validators():
     pp.reset_all_options()
     assert pp.get_option("matching.max_records_per_batch") == 65536
     assert pp.get_option("cache.matched_frame") is True
+
+
+def test_corpus_summary_approx_close(spark):
+    """approx_percentile (the 100 TB path) tracks exact percentile
+    within the sketch accuracy bound; exact-by-construction columns
+    (count/avg/min/max) are identical."""
+    from pipit_spark.llm.quality import corpus_summary
+
+    # sf0.1: 20 of the (source, lang) groups have ≥50 docs — dense
+    # enough that the no-interpolation gap of approx_percentile stays
+    # small relative to the exact interpolated value
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    key = lambda r: (r["source"], r["lang"])  # noqa: E731
+    exact = {key(r): r for r in corpus_summary(docs).collect()}
+    approx = {key(r): r for r in corpus_summary(docs, approx=True).collect()}
+    assert set(exact) == set(approx)
+    checked = 0
+    for k, e in exact.items():
+        a = approx[k]
+        for c in ("n_docs", "avg_chars", "min_chars", "max_chars"):
+            assert a[c] == e[c], (k, c)
+        # the approx value is always a group member — bounded by range
+        for c in ("p50_chars", "p90_chars", "p99_chars"):
+            assert e["min_chars"] <= a[c] <= e["max_chars"], (k, c)
+        # approx_percentile returns a member value (no interpolation):
+        # on a 2-doc group the interpolated exact p50 sits mid-gap, so a
+        # relative bound only means something once the group is dense
+        if e["n_docs"] >= 50:
+            checked += 1
+            for c in ("p50_chars", "p90_chars", "p99_chars"):
+                assert abs(a[c] - e[c]) <= max(50, 0.10 * e[c]), (
+                    k, c, a[c], e[c],
+                )
+    assert checked >= 5, f"only {checked} dense groups — test lost its teeth"
+
+
+def test_profile_table_approx_close(spark):
+    """HLL distinct counts track exact within ~2% rsd (wide margin);
+    every non-distinct metric is bit-identical between the paths."""
+    from pipit_spark.operators.relational import profile_table
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {r["column"]: r for r in profile_table(ev).collect()}
+    approx = {r["column"]: r for r in profile_table(ev, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        for m in ("n_rows", "n_nulls", "min_val", "max_val", "mean_val"):
+            assert a[m] == e[m], (c, m)
+        assert abs(a["n_distinct"] - e["n_distinct"]) \
+            <= max(3, 0.1 * e["n_distinct"]), c
