@@ -219,24 +219,45 @@ def lsh_ann_pairs(
             out.append([s[t * npl:(t + 1) * npl] for t in range(nt)])
         return pd.Series(out)
 
+    # Bucket-grouping formulation (not a self-join): ONE corpus scan and
+    # ONE signature-UDF evaluation, then a groupBy on (table, signature)
+    # collects each bucket's members and explodes intra-bucket pairs —
+    # the same inverted-index shape as the n-gram Jaccard op.
+    # ``max_bucket`` caps the quadratic blow-up of pathological buckets
+    # (near-constant embedding regions at corpus scale) exactly like the
+    # max_df cap there; capped buckets are skipped, which only lowers
+    # recall — never correctness — of an already-approximate stage.
+    max_bucket = 10_000
     signed = with_norm(emb, vec_col).select(
-        "vec_id", F.col(vec_col).alias("__v"), "__norm",
+        F.struct(
+            F.col("vec_id"),
+            F.col(vec_col).alias("v"),
+            F.col("__norm").alias("n"),
+        ).alias("__m"),
         F.posexplode(sig_udf(F.col(vec_col))).alias("__tbl", "__sig"),
     )
-    x = signed.select(
-        F.col("vec_id").alias("a"), F.col("__v").alias("__va"),
-        F.col("__norm").alias("__na"), "__tbl", "__sig",
+    buckets = (
+        signed.groupBy("__tbl", "__sig")
+        .agg(F.collect_list("__m").alias("__ms"))
+        .filter(F.size("__ms").between(2, max_bucket))
     )
-    y = signed.select(
-        F.col("vec_id").alias("b"), F.col("__v").alias("__vb"),
-        F.col("__norm").alias("__nb"), "__tbl", "__sig",
-    )
-    return (
-        x.join(y, ["__tbl", "__sig"])
-        .filter(F.col("a") < F.col("b"))
+    pairs = (
+        buckets.select(F.explode("__ms").alias("__x"), "__ms")
+        .select("__x", F.explode("__ms").alias("__y"))
+        .filter(F.col("__x.vec_id") < F.col("__y.vec_id"))
+        .select(
+            F.col("__x.vec_id").alias("a"),
+            F.col("__y.vec_id").alias("b"),
+            F.col("__x.v").alias("__va"),
+            F.col("__y.v").alias("__vb"),
+            F.col("__x.n").alias("__na"),
+            F.col("__y.n").alias("__nb"),
+        )
         # a pair colliding in several tables must score once, not T times
         .dropDuplicates(["a", "b"])
-        .withColumn(
+    )
+    return (
+        pairs.withColumn(
             "cosine",
             _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         )
