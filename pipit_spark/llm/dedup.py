@@ -275,39 +275,77 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on ALL
     rows of ≥1 band collide in a bucket; bucket join emits pairs.
     Estimated similarity = fraction of agreeing minhashes.
 
+    ``portable=False`` (default): linear-permutation minhash over ONE
+    xxhash64 per shingle — the fast path. ``portable=True``: md5-string
+    minhash (:func:`minhash_signatures`'s scheme), byte-identical in
+    any engine with md5 — slower (``num_hashes`` md5s per shingle) but
+    exactly replayable by the DuckDB oracle, which value-checks the
+    whole banding pipeline, not just the signatures.
+
     The signature table is persisted before the fan-out: the bucket
     self-join plus the signature lookups reference it four times, and
     without the cache barrier Catalyst inlines (and re-executes) the
-    md5-over-shingles subtree into every branch. At scale the sig table
-    is ~`num_hashes`·33 bytes/doc — orders smaller than the text.
+    hash-over-shingles subtree into every branch. At scale the sig
+    table is ~`num_hashes`·33 bytes/doc — orders smaller than the text.
     """
     rows_per_band = num_hashes // bands
-    # minhash_sig_array persists + eagerly materializes the signature
-    # table, so both sides of the bucket self-join read the cache
-    sigs = minhash_sig_array(docs, num_hashes, shingle_n)
+    if portable:
+        sh = shingle_table(docs, shingle_n)
+        sigs = (
+            sh.groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+                    ).alias(f"__mh_{i}")
+                    for i in range(num_hashes)
+                ]
+            )
+            .select(
+                "doc_id",
+                F.array(
+                    *[F.col(f"__mh_{i}") for i in range(num_hashes)]
+                ).alias("sig"),
+            )
+            .persist()
+        )
+        sigs.count()
+        # band key = the raw band values — exact in every engine
+        band_key = lambda b: F.concat_ws(  # noqa: E731
+            "|",
+            F.lit(str(b)),
+            *[
+                F.element_at("sig", b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ],
+        )
+    else:
+        # minhash_sig_array persists + eagerly materializes the
+        # signature table, so both sides of the bucket self-join read
+        # the cache
+        sigs = minhash_sig_array(docs, num_hashes, shingle_n)
+        band_key = lambda b: F.concat(  # noqa: E731
+            F.lit(f"{b}:"),
+            F.xxhash64(
+                *[
+                    F.element_at("sig", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ]
+            ).cast("string"),
+        )
 
     buckets = sigs.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(*[
-                F.concat(
-                    F.lit(f"{b}:"),
-                    F.xxhash64(
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ]
-                    ).cast("string"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bucket"),
+        F.explode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "bucket"
+        ),
     )
     x = buckets.select("bucket", F.col("doc_id").alias("a"),
                        F.col("sig").alias("sig_a"))
@@ -524,6 +562,49 @@ def oracle_minhash_signatures(
         for i in range(num_hashes)
     )
     return f"SELECT doc_id,\n       {cols}\nFROM {table}"
+
+
+def oracle_minhash_lsh_pairs(
+    table: str = "documents",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> str:
+    """Full DuckDB replay of ``minhash_lsh_pairs(portable=True)``:
+    md5-string minhash signatures, banding, bucket self-join, and the
+    agreeing-minhash similarity estimate."""
+    rpb = num_hashes // bands
+    sig_items = ",\n        ".join(
+        f"list_min(list_transform({_sql_shingles(shingle_n)}, "
+        f"s -> md5('{i}:' || s)))"
+        for i in range(num_hashes)
+    )
+    band_list = ", ".join(str(b) for b in range(bands))
+    idx_list = ", ".join(str(i + 1) for i in range(num_hashes))
+    return f"""
+WITH sigs AS (
+    SELECT doc_id, [{sig_items}] AS sig FROM {table}
+),
+bnd AS (
+    SELECT doc_id, sig,
+           CAST(t.b AS VARCHAR) || '|' ||
+           array_to_string(sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], '|') AS bucket
+    FROM sigs CROSS JOIN (SELECT UNNEST([{band_list}]) AS b) t
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bnd x JOIN bnd y USING (bucket)
+    WHERE x.doc_id < y.doc_id
+)
+SELECT c.a, c.b,
+       ROUND(list_sum(list_transform([{idx_list}],
+             i -> CASE WHEN sx.sig[i] = sy.sig[i]
+                       THEN 1.0 ELSE 0.0 END)) / {num_hashes}, 6)
+           AS est_jaccard
+FROM cand c
+JOIN sigs sx ON sx.doc_id = c.a
+JOIN sigs sy ON sy.doc_id = c.b
+"""
 
 
 def oracle_ngram_jaccard_pairs(

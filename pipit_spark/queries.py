@@ -1627,6 +1627,19 @@ def q_doc_ngram_jaccard(spark, sf_dir):
 
 
 def q_doc_minhash_lsh(spark, sf_dir):
+    """portable=True (md5-string minhash): the whole banding pipeline —
+    signatures, buckets, pair join, similarity estimate — replays
+    byte-identically in DuckDB, making this a value-checked gate."""
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=16, bands=8,
+        portable=True,
+    )
+
+
+def q_doc_minhash_lsh_fast(spark, sf_dir):
+    """The scale path: linear-permutation minhash over one xxhash64 per
+    shingle — not engine-portable, so rows-only; value parity of the
+    banding logic itself is covered by doc_minhash_lsh."""
     return D.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), num_hashes=16, bands=8
     )
@@ -1916,6 +1929,7 @@ def queries():
         "emb_ivf_topk_exact": q_emb_ivf_topk_exact,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_lsh_ann": q_emb_lsh_ann,
+        "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
         "media_decode": q_media_decode,
     }
@@ -1974,6 +1988,9 @@ def oracle_sql():
         "doc_exact_dups": ORACLE_DOC_EXACT_DUPS,
         "doc_exact_dedup": ORACLE_DOC_EXACT_DEDUP,
         "doc_minhash": D.oracle_minhash_signatures(num_hashes=8),
+        "doc_minhash_lsh": D.oracle_minhash_lsh_pairs(
+            num_hashes=16, bands=8
+        ),
         "doc_ngram_jaccard": D.oracle_ngram_jaccard_pairs(n=3, threshold=0.5),
         "doc_dedup_clusters": D.oracle_dedup_clusters(n=3, threshold=0.5),
         "doc_incremental": _PL.oracle_incremental_new_docs(
@@ -1998,7 +2015,9 @@ def oracle_sql():
         ),
         "doc_decontaminate": D.oracle_decontaminate(n=5),
         "doc_training_set": _oracle_training_set(),
-        # doc_minhash_lsh / emb_lsh_ann / emb_ivf_topk / media_decode:
-        # rows-only checks (LSH banding, probe-limited ANN, and the stub
-        # codec aren't SQL-replayable)
+        # doc_minhash_lsh_fast / emb_lsh_ann / emb_ivf_topk /
+        # media_decode: rows-only checks (xxhash64 permutations,
+        # random-plane signatures, probe-limited ANN, and the stub codec
+        # aren't SQL-replayable; the banding pipeline itself is
+        # value-checked via doc_minhash_lsh's portable md5 mode)
     }
