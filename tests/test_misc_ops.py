@@ -596,3 +596,56 @@ def test_profile_table_approx_close(spark):
             assert a[m] == e[m], (c, m)
         assert abs(a["n_distinct"] - e["n_distinct"]) \
             <= max(3, 0.1 * e["n_distinct"]), c
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """The probe-limited IVF path (nprobe < nlist) must still recover
+    most true neighbors — recall@5 ≥ 0.6 averaged over queries on the
+    fixture (exact equality holds at nprobe == nlist, which the
+    value-checked gate pins; this bounds the approximation quality of
+    the path the rows-only gate runs)."""
+    from pipit_spark.llm.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {}
+    for r in cosine_topk(emb, k=5, query_max_id=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_topk(emb, k=5, query_max_id=10, nlist=8, nprobe=2).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(exact) == set(approx)
+    recalls = [
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_minhash_lsh_portable_matches_fast_candidates(spark):
+    """Both hash schemes estimate the same underlying Jaccard: on
+    near-duplicate documents (shared shingle sets) the two paths agree
+    on the high-similarity pairs (est >= 0.5), though bucket boundaries
+    differ for borderline ones."""
+    from pipit_spark.llm.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [
+            (0, base * 3),
+            (1, base * 3),                       # exact dup of 0
+            (2, base * 3 + "with a small tail"),  # near dup
+            (3, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    fast = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(docs, 16, 8).collect()
+        if r["est_jaccard"] >= 0.5
+    }
+    portable = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(docs, 16, 8, portable=True).collect()
+        if r["est_jaccard"] >= 0.5
+    }
+    assert (0, 1) in fast and (0, 1) in portable
+    assert fast == portable
