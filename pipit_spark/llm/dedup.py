@@ -719,6 +719,53 @@ def cluster_dedup(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def fuzzy_dedup(
+    docs: DataFrame,
+    method: str = "minhash_lsh",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """One-call fuzzy corpus dedup: candidate pairs → connected
+    components → keep the min-id representative per cluster.
+
+    ``method="minhash_lsh"`` (default, the 100 TB path): banded-LSH
+    candidates filtered to estimated Jaccard ≥ ``threshold``.
+    ``method="jaccard"``: exact n-gram Jaccard pairs via the
+    df-capped inverted index — the correctness baseline the oracle
+    gate replays. Either way the pair graph (tiny relative to the
+    corpus) drives :func:`cluster_dedup`'s anti-join; the corpus text
+    is scanned once for shingles and once for the final anti-join.
+    """
+    if method == "minhash_lsh":
+        pairs = minhash_lsh_pairs(
+            docs, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        ).filter(F.col("est_jaccard") >= threshold)
+    elif method == "jaccard":
+        pairs = ngram_jaccard_pairs(docs, n=shingle_n, threshold=threshold)
+    else:
+        raise ValueError(
+            f"unknown method: {method!r} (use 'minhash_lsh' or 'jaccard')"
+        )
+    return cluster_dedup(docs, pairs.select("a", "b"))
+
+
+def oracle_fuzzy_dedup(
+    n: int = 3, threshold: float = 0.5, table: str = "documents"
+) -> str:
+    """Survivors of ``fuzzy_dedup(method="jaccard")``: every document
+    that is its own cluster representative (or in no pair at all)."""
+    clusters = oracle_dedup_clusters(n=n, threshold=threshold, table=table)
+    return f"""
+WITH labels AS ({clusters})
+SELECT d.doc_id
+FROM {table} d
+LEFT JOIN labels l ON l.doc_id = d.doc_id
+WHERE l.doc_id IS NULL OR l.doc_id = l.component
+"""
+
+
 def oracle_dedup_clusters(
     n: int = 3, threshold: float = 0.5, table: str = "documents"
 ) -> str:

@@ -1462,6 +1462,16 @@ def q_doc_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(pairs)
 
 
+def q_doc_fuzzy_dedup(spark, sf_dir):
+    """End-to-end fuzzy dedup: exact-Jaccard pair graph → connected
+    components → keep-first anti-join, value-checked against the
+    recursive-CTE oracle. The minhash_lsh candidate mode is the scale
+    default (pair-level parity via doc_minhash_lsh)."""
+    return D.fuzzy_dedup(
+        load(spark, sf_dir, "documents"), method="jaccard", threshold=0.5
+    ).select("doc_id")
+
+
 def q_emb_quantize(spark, sf_dir):
     return V.quantize_embeddings(load(spark, sf_dir, "embeddings"))
 
@@ -1928,6 +1938,7 @@ def queries():
         "emb_topk_pandas": q_emb_topk_pandas,
         "emb_ivf_topk_exact": q_emb_ivf_topk_exact,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -1993,6 +2004,7 @@ def oracle_sql():
         ),
         "doc_ngram_jaccard": D.oracle_ngram_jaccard_pairs(n=3, threshold=0.5),
         "doc_dedup_clusters": D.oracle_dedup_clusters(n=3, threshold=0.5),
+        "doc_fuzzy_dedup": D.oracle_fuzzy_dedup(n=3, threshold=0.5),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),

@@ -649,3 +649,29 @@ def test_minhash_lsh_portable_matches_fast_candidates(spark):
     }
     assert (0, 1) in fast and (0, 1) in portable
     assert fast == portable
+
+
+def test_fuzzy_dedup_methods_agree_on_clear_clusters(spark):
+    """Both candidate modes collapse obvious duplicate clusters to the
+    same min-id representatives; singletons survive untouched."""
+    from pipit_spark.llm.dedup import fuzzy_dedup
+
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    b = "one two three four five six seven eight nine ten " * 4
+    docs = spark.createDataFrame(
+        [
+            (0, a), (1, a), (2, a + "iota"),        # cluster -> keep 0
+            (10, b), (11, b),                        # cluster -> keep 10
+            (20, "a lone document about nothing in particular at all"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        r.doc_id for r in fuzzy_dedup(docs, method="jaccard", threshold=0.5).collect()
+    )
+    lsh = sorted(
+        r.doc_id
+        for r in fuzzy_dedup(docs, method="minhash_lsh", threshold=0.5).collect()
+    )
+    assert exact == [0, 10, 20]
+    assert lsh == exact
