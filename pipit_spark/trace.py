@@ -208,6 +208,14 @@ class Trace:
     def create_cct(self) -> DataFrame:
         return self.cct
 
+    def cct_graph(self):
+        """Driver-side linked-object view of :attr:`cct` (the
+        reference's Node/Graph traversal API, pipit/graph.py:7-98).
+        Node-table-sized collect — safe at any trace scale."""
+        from .operators.cct_graph import cct_graph
+
+        return cct_graph(self.cct)
+
     # ------------------------------------------------------------------ #
     # communication analysis (pipit/trace.py:367-512)
     # ------------------------------------------------------------------ #

@@ -263,3 +263,33 @@ def test_load_imbalance_top_n_ranks(ping_pong_trace):
     assert li["MPI_Recv"] == [1, 0]
     assert li["MPI_Send"] == [1, 0]  # rank1 sends 350ns vs rank0 100ns
     assert len(li["main"]) == 2
+
+
+def test_cct_graph_object_view(foo_bar_trace):
+    """The driver-side Node/Graph view (reference pipit/graph.py
+    semantics): levels from the table, LCA, ancestry lists, root
+    wiring. foo-bar call shape: main -> foo -> {bar, baz...}."""
+    g = foo_bar_trace.cct_graph()
+    assert len(g) > 0 and g.roots, g
+    by_name = {}
+    for n in g:
+        by_name.setdefault(n.name, []).append(n)
+    roots = {r.name for r in g.roots}
+    assert all(r.level == 0 for r in g.roots)
+    # every child is exactly one level below its parent
+    for n in g:
+        if n.parent is not None:
+            assert n.level == n.parent.level + 1
+            assert n in n.parent.children
+    # LCA of two siblings is their shared parent; LCA with self is self
+    for n in g:
+        assert n.get_intersection(n) == n
+        for c1 in n.children:
+            for c2 in n.children:
+                assert c1.get_intersection(c2) == (c1 if c1 == c2 else n)
+    # ancestry list walks to (but not through) min_level
+    deepest = max(g, key=lambda n: n.level)
+    chain = deepest.get_node_list(0)
+    assert [c.level for c in chain] == list(range(deepest.level, 0, -1))
+    assert deepest.get_intersection(None) is None
+    assert roots  # at least one distinct root name
