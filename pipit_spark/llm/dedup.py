@@ -153,9 +153,8 @@ def ngram_jaccard_pairs(
     # (doc_id, shingle)-keyed distinct): the re-explode carries each
     # doc's set SIZE on every row for free, so no separate sizes
     # aggregation and no size joins after the intersection count — the
-    # sizes ride the group keys. The index feeds three plan branches
-    # (df cap + both intersection sides) → persist, eagerly pinned so
-    # tokenization runs exactly once.
+    # sizes ride the group keys. Single consumer downstream → fully
+    # lazy, no persist barrier.
     sh = (
         docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
         .select(
@@ -180,21 +179,33 @@ def ngram_jaccard_pairs(
             F.size("__set").alias("sz"),
             F.explode("__set").alias("shingle"),
         )
-        .persist()
-    )
-    sh.count()
-
-    df_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sh_f = sh.join(
-        df_cap.filter(F.col("df") <= max_df).select("shingle"), "shingle"
     )
 
-    a = sh_f.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"), "shingle")
-    b = sh_f.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"), "shingle")
+    # ONE shuffle on the shingle key builds the posting list per
+    # shingle; the df cap is just a size() filter on it (no separate
+    # df aggregation + join back), and intra-bucket pair explosion
+    # replaces the index self-join — the string-keyed shingle shuffle
+    # happens once instead of three times (df_cap + both join sides)
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(
+            F.collect_list(F.struct("doc_id", "sz")).alias("__ds")
+        )
+        .filter(F.size("__ds").between(2, max_df))
+    )
+    pairs = (
+        buckets.select(F.explode("__ds").alias("__x"), "__ds")
+        .select("__x", F.explode("__ds").alias("__y"))
+        .filter(F.col("__x.doc_id") < F.col("__y.doc_id"))
+        .select(
+            F.col("__x.doc_id").alias("a"),
+            F.col("__y.doc_id").alias("b"),
+            F.col("__x.sz").alias("sz_a"),
+            F.col("__y.sz").alias("sz_b"),
+        )
+    )
     return (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "sz_a", "sz_b")
+        pairs.groupBy("a", "b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("common"))
         .withColumn(
             "jaccard",
