@@ -288,3 +288,47 @@ ranked AS (
 SELECT doc_id, source, n_tokens, quality_score
 FROM ranked WHERE cum_before < {budget_per_source}
 """
+
+
+def shuffle_corpus(docs: DataFrame, seed: int = 0) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every
+    document gets a reproducible pseudo-random rank ``md5(seed:doc_id)``
+    and a dense position within its hash shard. The order is stable
+    across runs, engines, and partitionings — the property a training
+    job needs to resume mid-epoch.
+
+    Shape: shard by the top hex digits of the rank (so position is a
+    partition-local window, never a global sort), position densely
+    within the shard. Consumers read shards in shard order; at 100 TB
+    each shard sorts independently and the output is
+    write-partitionable by ``shard``.
+    """
+    ranked = docs.withColumn(
+        "__rank",
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))),
+    ).withColumn(
+        # first hex digit → 16 shards; rank order within a shard is
+        # rank order globally for that shard's slice
+        "shard", F.conv(F.substring("__rank", 1, 1), 16, 10).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__rank", "doc_id")
+    return (
+        ranked.withColumn("pos_in_shard", F.row_number().over(w))
+        .select("doc_id", "shard", F.col("pos_in_shard").cast("long").alias("pos_in_shard"))
+    )
+
+
+def oracle_shuffle_corpus(table: str = "documents", seed: int = 0) -> str:
+    return f"""
+WITH ranked AS (
+    SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS rk
+    FROM {table}
+)
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(rk, 1, 1)) - 1 AS INT)
+           AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY substr(rk, 1, 1) ORDER BY rk, doc_id
+       ) AS BIGINT) AS pos_in_shard
+FROM ranked
+"""

@@ -1462,6 +1462,12 @@ def q_doc_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(pairs)
 
 
+def q_doc_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle: md5 rank, hash-sharded
+    dense positions — reproducible across engines and runs."""
+    return _SP.shuffle_corpus(load(spark, sf_dir, "documents"))
+
+
 def q_doc_fuzzy_dedup(spark, sf_dir):
     """End-to-end fuzzy dedup: exact-Jaccard pair graph → connected
     components → keep-first anti-join, value-checked against the
@@ -1939,6 +1945,7 @@ def queries():
         "emb_ivf_topk_exact": q_emb_ivf_topk_exact,
         "emb_ivf_topk": q_emb_ivf_topk,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
+        "doc_shuffle": q_doc_shuffle,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2005,6 +2012,7 @@ def oracle_sql():
         "doc_ngram_jaccard": D.oracle_ngram_jaccard_pairs(n=3, threshold=0.5),
         "doc_dedup_clusters": D.oracle_dedup_clusters(n=3, threshold=0.5),
         "doc_fuzzy_dedup": D.oracle_fuzzy_dedup(n=3, threshold=0.5),
+        "doc_shuffle": _SP.oracle_shuffle_corpus(),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),

@@ -41,12 +41,26 @@ class Trace:
     state handled through :meth:`matched` instead of in-place columns.
     """
 
+    #: columns every canonical events frame must carry — anything else
+    #: (attributes, metrics) is optional
+    REQUIRED_COLUMNS = (
+        S.EVENT_ID, S.TIMESTAMP, S.SEQ, S.EVENT_TYPE, S.NAME, S.PROCESS,
+    )
+
     def __init__(
         self,
         events: DataFrame,
         definitions: DataFrame | None = None,
         cache: bool = True,
     ) -> None:
+        missing = [c for c in self.REQUIRED_COLUMNS if c not in events.columns]
+        if missing:
+            raise ValueError(
+                f"events frame is missing canonical columns {missing}; "
+                f"have {events.columns}. Use a Trace.from_* reader or "
+                "rename/derive the columns (pipit_spark.schema lists the "
+                "canonical names)."
+            )
         self.events = events
         self.definitions = definitions
         self._cache = cache

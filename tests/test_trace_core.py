@@ -293,3 +293,15 @@ def test_cct_graph_object_view(foo_bar_trace):
     assert [c.level for c in chain] == list(range(deepest.level, 0, -1))
     assert deepest.get_intersection(None) is None
     assert roots  # at least one distinct root name
+
+
+def test_trace_rejects_noncanonical_frame(spark):
+    """A frame without the canonical columns fails fast with a message
+    naming what's missing, instead of erroring deep in an operator."""
+    import pytest
+
+    from pipit_spark import Trace
+
+    df = spark.createDataFrame([(1, "x")], "id long, label string")
+    with pytest.raises(ValueError, match="missing canonical columns"):
+        Trace(df)
