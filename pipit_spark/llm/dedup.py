@@ -498,6 +498,57 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    corpus: DataFrame, eval_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """Per-EVAL-document contamination audit (the inverse of
+    :func:`decontaminate`): for each eval document, how many corpus
+    documents share ≥1 word-``n``-gram with it and how many of its
+    distinct n-grams leak — the eval-integrity report published before
+    trusting a benchmark score.
+
+    Same 100 TB shape as decontaminate: the eval shingle table (doc-
+    keyed this time) broadcasts; corpus text is scanned once and never
+    shuffled — only matching (corpus_doc, eval_doc, shingle) hits reach
+    the aggregation."""
+    ev = shingle_table(eval_docs, n=n).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    hits = shingle_table(corpus, n=n).join(F.broadcast(ev), "shingle")
+    return hits.groupBy("eval_doc").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_corpus_docs"),
+        F.count_distinct("shingle").cast("long").alias("n_leaked_ngrams"),
+    )
+
+
+def oracle_contamination_report(
+    table: str = "documents",
+    eval_pred: str = "doc_id < 25",
+    corpus_pred: str = "doc_id >= 25",
+    n: int = 5,
+) -> str:
+    return f"""
+WITH ev AS (
+    SELECT doc_id AS eval_doc, unnest({_sql_shingles(n)}) AS shingle
+    FROM {table} WHERE {eval_pred}
+),
+ev_d AS (SELECT DISTINCT eval_doc, shingle FROM ev),
+co AS (
+    SELECT doc_id, unnest({_sql_shingles(n)}) AS shingle
+    FROM {table} WHERE {corpus_pred}
+),
+co_d AS (SELECT DISTINCT doc_id, shingle FROM co),
+hits AS (
+    SELECT e.eval_doc, c.doc_id, e.shingle
+    FROM ev_d e JOIN co_d c USING (shingle)
+)
+SELECT eval_doc,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_corpus_docs,
+       CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_leaked_ngrams
+FROM hits GROUP BY eval_doc
+"""
+
+
 def oracle_decontaminate(
     table: str = "documents",
     eval_pred: str = "doc_id < 25",

@@ -1807,6 +1807,17 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_contamination_report(spark, sf_dir):
+    """Per-eval-doc contamination audit over the same corpus/eval split
+    as doc_decontaminate."""
+    docs = load(spark, sf_dir, "documents")
+    return D.contamination_report(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        n=5,
+    )
+
+
 def q_doc_training_set(spark, sf_dir):
     """Capstone composition: raw corpus (doc_id ≥ 25) → clean →
     decontaminate vs the eval slice (doc_id < 25) → pack into 512-token
@@ -1946,6 +1957,7 @@ def queries():
         "emb_ivf_topk": q_emb_ivf_topk,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "doc_shuffle": q_doc_shuffle,
+        "doc_contamination_report": q_doc_contamination_report,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2013,6 +2025,7 @@ def oracle_sql():
         "doc_dedup_clusters": D.oracle_dedup_clusters(n=3, threshold=0.5),
         "doc_fuzzy_dedup": D.oracle_fuzzy_dedup(n=3, threshold=0.5),
         "doc_shuffle": _SP.oracle_shuffle_corpus(),
+        "doc_contamination_report": D.oracle_contamination_report(n=5),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),
