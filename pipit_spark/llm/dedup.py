@@ -110,8 +110,11 @@ def _shingles(col, n: int = 3):
     )
 
 
-def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) rows — distinct word n-grams per document.
+def shingle_table(
+    docs: DataFrame, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) rows — word n-grams per document, distinct by
+    default.
 
     Flat formulation: explode the shingle START positions
     (1..max(len−n,0)+1, matching the oracle's
@@ -123,7 +126,12 @@ def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
     before the dedup: the only shuffle is the final distinct, whose
     map-side partial aggregation absorbs most duplicate shingles before
     they hit the wire. A short document's final shingle truncates to the
-    available tokens (slice past the end), same as the oracle."""
+    available tokens (slice past the end), same as the oracle.
+
+    ``distinct=False`` skips the dedup shuffle entirely — the right
+    call when the consumer is duplicate-invariant (MIN aggregations,
+    ``count_distinct``, post-filter dedup): the whole shingle stream
+    then stays narrow from scan to consumer."""
     toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     pos = toked.select(
         "doc_id",
@@ -132,10 +140,11 @@ def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
             F.sequence(F.lit(1), F.greatest(F.size("toks") - n + 1, F.lit(1)))
         ).alias("p"),
     )
-    return pos.select(
+    out = pos.select(
         "doc_id",
         F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(n))).alias("shingle"),
-    ).dropDuplicates(["doc_id", "shingle"])
+    )
+    return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
 
 
 # ------------------------------------------------------- n-gram Jaccard
@@ -229,8 +238,9 @@ def minhash_signatures(
     exchangeability. Computed entirely with JVM array expressions —
     one narrow pass, no shuffle, no Python."""
     # explode + map-side-combined groupBy minima: md5 evaluates in
-    # codegen over flat rows, the shuffle carries only partial mins
-    sh = shingle_table(docs, shingle_n)
+    # codegen over flat rows, the shuffle carries only partial mins.
+    # MIN is duplicate-invariant -> skip the shingle dedup shuffle
+    sh = shingle_table(docs, shingle_n, distinct=False)
     return sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
@@ -261,7 +271,8 @@ def minhash_sig_array(
     rng = np.random.default_rng(42)
     a = rng.integers(1, p, size=num_hashes).tolist()
     bvec = rng.integers(0, p, size=num_hashes).tolist()
-    sh = shingle_table(docs, shingle_n)
+    # MIN is duplicate-invariant -> skip the shingle dedup shuffle
+    sh = shingle_table(docs, shingle_n, distinct=False)
     h = F.pmod(F.xxhash64("shingle"), F.lit(p))
     mins = [
         F.min(F.pmod(F.lit(int(a[i])) * h + F.lit(int(bvec[i])), F.lit(p))).alias(
@@ -307,7 +318,8 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     if portable:
-        sh = shingle_table(docs, shingle_n)
+        # MIN is duplicate-invariant -> skip the shingle dedup shuffle
+        sh = shingle_table(docs, shingle_n, distinct=False)
         sigs = (
             sh.groupBy("doc_id")
             .agg(
@@ -486,15 +498,18 @@ def decontaminate(
     with NO shuffle of corpus text; the only exchange is the per-doc
     overlap count on the (tiny) surviving rows."""
     eval_sh = (
-        shingle_table(eval_docs, n=n)
+        shingle_table(eval_docs, n=n, distinct=False)
         .select("shingle")
         .distinct()
     )
-    hits = shingle_table(corpus, n=n).join(
+    # corpus shingles stay raw: the broadcast semi filter runs map-side
+    # on the narrow stream, and the distinct-count dedups only the HITS
+    # -- no corpus-wide shingle shuffle before the join
+    hits = shingle_table(corpus, n=n, distinct=False).join(
         F.broadcast(eval_sh), "shingle", "left_semi"
     )
     return hits.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_contaminated_ngrams")
+        F.count_distinct("shingle").cast("long").alias("n_contaminated_ngrams")
     )
 
 
@@ -511,10 +526,15 @@ def contamination_report(
     keyed this time) broadcasts; corpus text is scanned once and never
     shuffled — only matching (corpus_doc, eval_doc, shingle) hits reach
     the aggregation."""
-    ev = shingle_table(eval_docs, n=n).select(
-        F.col("doc_id").alias("eval_doc"), "shingle"
+    ev = (
+        shingle_table(eval_docs, n=n)  # distinct: bounds broadcast size
+        .select(F.col("doc_id").alias("eval_doc"), "shingle")
     )
-    hits = shingle_table(corpus, n=n).join(F.broadcast(ev), "shingle")
+    # corpus side raw -- both outputs are count_distinct, so hit
+    # duplicates are absorbed in the aggregation, not a prior shuffle
+    hits = shingle_table(corpus, n=n, distinct=False).join(
+        F.broadcast(ev), "shingle"
+    )
     return hits.groupBy("eval_doc").agg(
         F.count_distinct("doc_id").cast("long").alias("n_corpus_docs"),
         F.count_distinct("shingle").cast("long").alias("n_leaked_ngrams"),
