@@ -27,6 +27,7 @@ from .llm import text as X
 from .llm import quality as QL
 from .llm import sampling as _SP
 from .llm import pipeline as _PL
+from .llm import scoring as _SC
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -1807,6 +1808,18 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_model_score(spark, sf_dir):
+    """Model-scoring plumbing (mapInPandas, per-partition model init)
+    with the deterministic md5 stub scorer — the full Arrow batch path
+    is value-checked against the DuckDB replay."""
+    from .llm.scoring import score_documents
+
+    out = score_documents(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.round("model_score", 10).alias("model_score")
+    )
+
+
 def q_doc_contamination_report(spark, sf_dir):
     """Per-eval-doc contamination audit over the same corpus/eval split
     as doc_decontaminate."""
@@ -1958,6 +1971,7 @@ def queries():
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "doc_shuffle": q_doc_shuffle,
         "doc_contamination_report": q_doc_contamination_report,
+        "doc_model_score": q_doc_model_score,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2026,6 +2040,7 @@ def oracle_sql():
         "doc_fuzzy_dedup": D.oracle_fuzzy_dedup(n=3, threshold=0.5),
         "doc_shuffle": _SP.oracle_shuffle_corpus(),
         "doc_contamination_report": D.oracle_contamination_report(n=5),
+        "doc_model_score": _SC.oracle_score_documents(),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),

@@ -675,3 +675,35 @@ def test_fuzzy_dedup_methods_agree_on_clear_clusters(spark):
     )
     assert exact == [0, 10, 20]
     assert lsh == exact
+
+
+def test_score_documents_plumbing(spark):
+    """Model-scoring plumbing: vectorized batches, per-PARTITION scorer
+    init (not per batch/row), declared output schema, deterministic
+    stub scores."""
+    import pandas as pd
+
+    from pipit_spark.llm.scoring import score_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(40)],
+        "doc_id long, text string",
+    ).repartition(4)
+
+    inits = spark.sparkContext.accumulator(0)
+
+    def counting_factory():
+        inits.add(1)
+        return lambda texts: pd.Series([0.5] * len(texts), index=texts.index)
+
+    out = score_documents(docs, scorer_factory=counting_factory)
+    assert dict(out.dtypes)["model_score"] == "double"
+    rows = out.collect()
+    assert len(rows) == 40 and all(r["model_score"] == 0.5 for r in rows)
+    # factory ran at most once per partition (empty partitions skip)
+    assert 0 < inits.value <= 4, inits.value
+
+    # default stub: deterministic across runs
+    a = {r["doc_id"]: r["model_score"] for r in score_documents(docs).collect()}
+    b = {r["doc_id"]: r["model_score"] for r in score_documents(docs).collect()}
+    assert a == b and all(0.0 <= v < 1.0 for v in a.values())
