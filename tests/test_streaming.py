@@ -279,3 +279,37 @@ def test_streaming_clean_corpus(spark, tmp_path):
     res = spark.sql("select doc_id from clean_stream").toPandas()
     # same survivors as the batch pipeline on the union of both batches
     assert sorted(res.doc_id) == [0, 4]
+
+
+def test_streaming_model_scoring(spark, tmp_path):
+    """score_documents' mapInPandas plumbing runs unchanged on a
+    stream: file source → scored micro-batches → memory sink, scores
+    identical to the batch path."""
+    import pandas as pd
+
+    from pipit_spark.llm.scoring import score_documents
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {"doc_id": range(8), "text": [f"stream doc {i}" for i in range(8)]}
+    )
+    pdf.iloc[:4].to_parquet(src / "b1.parquet")
+    pdf.iloc[4:].to_parquet(src / "b2.parquet")
+
+    batch_docs = spark.createDataFrame(pdf)
+    expected = {
+        r["doc_id"]: r["model_score"]
+        for r in score_documents(batch_docs).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    out = score_documents(stream)
+    _run_to_memory(out, "scored_stream", mode="append")
+    got = {
+        r["doc_id"]: r["model_score"]
+        for r in spark.sql("SELECT * FROM scored_stream").collect()
+    }
+    assert got == expected
