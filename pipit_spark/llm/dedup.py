@@ -45,9 +45,14 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
-    """Keep one representative (min doc_id) per fingerprint group."""
+    """Keep one representative (min doc_id) per fingerprint group.
+
+    Null text coalesces to '' before fingerprinting: md5(NULL) is NULL,
+    and a NULL fingerprint never equi-joins — null-text rows would
+    silently vanish from the output instead of deduping with the other
+    content-empty documents."""
     w_fp = docs.withColumn(
-        "__fp", F.md5(F.lower(_norm(F.col("text"))))
+        "__fp", F.md5(F.lower(F.coalesce(_norm(F.col("text")), F.lit(""))))
     )
     keep = w_fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
     return w_fp.join(keep, ["__fp", "doc_id"]).drop("__fp")

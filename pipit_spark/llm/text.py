@@ -48,15 +48,21 @@ def stats_exprs() -> dict:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     punct = F.length(F.regexp_replace(F.col("text"), _PUNCT_RE, ""))
     avg_word = F.length(_norm(F.col("text"))) / n_tokens
+    # try_divide: empty text (n_chars=0) yields NULL ratios instead of
+    # an ANSI DIVIDE_BY_ZERO crash — real corpora contain empty docs,
+    # and a NULL quality score correctly fails any quality floor.
+    # (n_tokens is never 0: split('') is [''].) The DuckDB oracles are
+    # unaffected — the fixture corpus has no empty text.
+    punct_ratio = F.try_divide(punct.cast("double"), n_chars)
     quality = (
         F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
-        * (F.lit(1.0) - punct.cast("double") / n_chars)
+        * (F.lit(1.0) - punct_ratio)
     )
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
         "avg_word_len": F.round(avg_word, 4),
-        "punct_ratio": F.round(punct.cast("double") / n_chars, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
         "stopword_ratio": F.round(n_stop.cast("double") / n_tokens, 6),
         "quality_score": F.round(quality, 6),
     }

@@ -707,3 +707,31 @@ def test_score_documents_plumbing(spark):
     a = {r["doc_id"]: r["model_score"] for r in score_documents(docs).collect()}
     b = {r["doc_id"]: r["model_score"] for r in score_documents(docs).collect()}
     assert a == b and all(0.0 <= v < 1.0 for v in a.values())
+
+
+def test_text_ops_null_and_empty_safe(spark):
+    """Empty and null text must not crash (ANSI divide-by-zero) or
+    silently vanish: stats yield NULL ratios for empty docs, quality
+    floors drop them, and exact_dedup keeps one representative of the
+    content-empty group instead of dropping null rows."""
+    from pipit_spark.llm.dedup import exact_dedup
+    from pipit_spark.llm.quality import heuristic_filter
+    from pipit_spark.llm.text import text_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a perfectly normal document body"), (1, None), (2, ""),
+         (3, "   ")],
+        "doc_id long, text string",
+    )
+    st = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert st[0]["punct_ratio"] is not None
+    assert st[2]["n_chars"] == 0 and st[2]["punct_ratio"] is None
+    assert st[2]["quality_score"] is None
+    assert st[1]["n_chars"] is None
+    # quality filter silently (and correctly) drops the degenerate docs
+    kept = {r["doc_id"] for r in heuristic_filter(docs).collect()}
+    assert 1 not in kept and 2 not in kept
+    # exact dedup: the three content-empty docs form ONE group with a
+    # surviving representative — nothing vanishes
+    surv = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert surv == [0, 1]
