@@ -55,13 +55,18 @@ def cosine_pairs(
     left = nn
     if query_max_id is not None:
         left = nn.filter(F.col("vec_id") < query_max_id)
-    left = F.broadcast(
-        left.select(
-            F.col("vec_id").alias("a"),
-            F.col("__v").alias("__va"),
-            F.col("__norm").alias("__na"),
-        )
+    left = left.select(
+        F.col("vec_id").alias("a"),
+        F.col("__v").alias("__va"),
+        F.col("__norm").alias("__na"),
     )
+    if query_max_id is not None:
+        # bounded query set → broadcast so the corpus scans once with
+        # no shuffle; with NO bound the left side is the whole corpus —
+        # forcing a broadcast there would OOM the driver, so leave the
+        # all-pairs join strategy to AQE (the quadratic baseline is
+        # opt-in either way)
+        left = F.broadcast(left)
     right = nn.select(
         F.col("vec_id").alias("b"),
         F.col("__v").alias("__vb"),
