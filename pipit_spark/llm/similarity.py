@@ -271,31 +271,35 @@ def lsh_ann_pairs(
     )
 
 
-def ivf_topk(
+class IVFIndex:
+    """A built IVF index: broadcast centroids + the cell-assigned
+    corpus. Build once with :func:`ivf_build`, run any number of query
+    batches with :func:`ivf_search` — the production ANN pattern (at
+    100 TB the ``assigned`` frame is what you'd persist as a table,
+    partitioned by ``__cell``)."""
+
+    def __init__(self, centroids, assigned: DataFrame, vec_col: str):
+        self.centroids = centroids          # np.ndarray (nlist, dim)
+        self.assigned = assigned            # (neighbor_id, __vc, __nc, __cell)
+        self.vec_col = vec_col
+
+    def cache(self) -> "IVFIndex":
+        """Pin the assigned corpus for repeated query batches."""
+        self.assigned = self.assigned.persist()
+        return self
+
+
+def ivf_build(
     emb: DataFrame,
-    k: int = 5,
-    query_max_id: int = 10,
     nlist: int = 16,
-    nprobe: int = 4,
     train_max_id: int = 256,
     kmeans_iters: int = 5,
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: coarse k-means centroids
-    partition the corpus into ``nlist`` cells; each query scores only the
-    vectors in its ``nprobe`` nearest cells.
-
-    Scale shape: centroids train on a bounded driver-side sample (seeded,
+) -> IVFIndex:
+    """Train the coarse quantizer and assign every corpus vector to its
+    cell. Centroids train on a bounded driver-side sample (seeded,
     deterministic) and broadcast; cell assignment is one Arrow-batched
-    narrow pass over the corpus (at 100 TB you'd persist it as a column);
-    the probe step is a broadcast join of (query, probed-cell) pairs
-    against the cell-assigned corpus — candidate count scales with
-    nprobe/nlist of the corpus instead of all of it.
-    ``nprobe == nlist`` degrades to exact brute force (the correctness
-    gate exploits this); recall tunes with nprobe.
-    """
-    from pyspark.sql import Window
-
+    narrow pass over the corpus."""
     train = np.stack(
         [
             np.asarray(r[vec_col], dtype=np.float64)
@@ -332,6 +336,27 @@ def ivf_topk(
         F.col("__norm").alias("__nc"),
         cell_udf(F.col(vec_col)).alias("__cell"),
     )
+    return IVFIndex(cent, corpus, vec_col)
+
+
+def ivf_search(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k search against a built index: each query probes its
+    ``nprobe`` nearest cells; the (query, cell) pairs broadcast against
+    the cell-assigned corpus, so candidates scale with nprobe/nlist of
+    the corpus, not all of it. ``nprobe == nlist`` degrades to exact
+    brute force; recall tunes with nprobe."""
+    from pyspark.sql import Window
+
+    vec_col = index.vec_col
+    corpus = index.assigned
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(index.centroids)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_udf(vs: pd.Series) -> pd.Series:
@@ -342,10 +367,9 @@ def ivf_topk(
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     q = F.broadcast(
-        with_norm(emb, vec_col)
-        .filter(F.col("vec_id") < query_max_id)
+        with_norm(queries, vec_col)
         .select(
-            F.col("vec_id").alias("query_id"),
+            F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__vq"),
             F.col("__norm").alias("__nq"),
             F.explode(probe_udf(F.col(vec_col))).alias("__cell"),
@@ -366,6 +390,29 @@ def ivf_topk(
             F.round("cosine", 4).alias("cosine"),
             F.col("__rk").alias("rank"),
         )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_max_id: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_max_id: int = 256,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-call IVF approximate top-k — :func:`ivf_build` +
+    :func:`ivf_search` with the query set drawn from the corpus
+    (``vec_id < query_max_id``)."""
+    index = ivf_build(
+        emb, nlist=nlist, train_max_id=train_max_id,
+        kmeans_iters=kmeans_iters, vec_col=vec_col,
+    )
+    return ivf_search(
+        index, emb.filter(F.col("vec_id") < query_max_id), k=k,
+        nprobe=nprobe,
     )
 
 

@@ -735,3 +735,27 @@ def test_text_ops_null_and_empty_safe(spark):
     # surviving representative — nothing vanishes
     surv = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
     assert surv == [0, 1]
+
+
+def test_ivf_build_search_split(spark):
+    """The index API: one build serves multiple query batches, results
+    identical to the one-call form; cache() pins the assigned corpus."""
+    from pipit_spark.llm.similarity import ivf_build, ivf_search, ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one_call = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, k=3, query_max_id=10, nlist=8, nprobe=8).collect()
+    }
+    index = ivf_build(emb, nlist=8).cache()
+    batch1 = ivf_search(index, emb.filter(F.col("vec_id") < 5), k=3, nprobe=8)
+    batch2 = ivf_search(
+        index, emb.filter(F.col("vec_id").between(5, 9)), k=3, nprobe=8
+    )
+    split = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in batch1.collect() + batch2.collect()
+    }
+    assert split == one_call
+    index.assigned.unpersist()
