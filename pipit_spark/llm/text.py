@@ -266,3 +266,79 @@ FROM (SELECT source, unnest(string_split({norm}, ' ')) AS token
       FROM {table})
 GROUP BY source
 """
+
+
+def fluency_score(
+    docs: DataFrame, top_k: int = 50_000, smoothing: float = 1.0
+) -> DataFrame:
+    """Unigram language-model fluency per document: the mean
+    add-``smoothing`` log-probability of the document's tokens under
+    the corpus's own top-``top_k`` unigram distribution — the cheap
+    fluency signal curation pipelines use between heuristics and a real
+    classifier (gibberish and boilerplate score low; OOV tokens get the
+    smoothed floor).
+
+    Scale shape: the frequency table is capped at ``top_k`` entries
+    (count desc, token asc — deterministic), so the probability table
+    BROADCASTS no matter how large the corpus; scoring is one explode +
+    broadcast left join + per-doc mean. Two corpus scans total (train,
+    score) and one bounded shuffle for the frequency aggregation.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).filter(F.length("token") > 0)
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # orderBy+limit → TakeOrderedAndProject: distributed partial top-K
+    # per partition, merged on the driver — never a single-partition
+    # global-window sort of the whole vocabulary
+    top = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(top_k)
+    # scalar totals ride a 1-row broadcast cross join (no collect)
+    totals = freq.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    )
+    scored = (
+        toks.join(F.broadcast(top.select("token", "cnt")), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(smoothing))
+                / (F.col("__total") + F.lit(smoothing) * F.col("__vocab"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("__logp"), 6).alias("fluency"),
+        F.count(F.lit(1)).cast("long").alias("n_scored_tokens"),
+    )
+
+
+def oracle_fluency_score(
+    table: str = "documents", top_k: int = 50_000, smoothing: float = 1.0
+) -> str:
+    norm = _sql_norm("text")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({norm}, ' ')) AS token
+    FROM {table}
+),
+tf AS (SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> ''
+       GROUP BY token),
+top AS (
+    SELECT token, cnt FROM (
+        SELECT token, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS r
+        FROM tf
+    ) WHERE r <= {top_k}
+),
+tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM tf)
+SELECT t.doc_id,
+       ROUND(AVG(LN((COALESCE(p.cnt, 0) + {smoothing})
+                    / (tot.total + {smoothing} * tot.vocab))), 6) AS fluency,
+       CAST(COUNT(*) AS BIGINT) AS n_scored_tokens
+FROM toks t
+LEFT JOIN top p USING (token)
+CROSS JOIN tot
+WHERE t.token <> ''
+GROUP BY t.doc_id
+"""

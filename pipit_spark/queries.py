@@ -1808,6 +1808,12 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_fluency(spark, sf_dir):
+    """Unigram LM fluency: mean add-1 log-prob under the corpus's own
+    top-K unigram distribution (bounded broadcast prob table)."""
+    return X.fluency_score(load(spark, sf_dir, "documents"), top_k=1000)
+
+
 def q_doc_model_score(spark, sf_dir):
     """Model-scoring plumbing (mapInPandas, per-partition model init)
     with the deterministic md5 stub scorer — the full Arrow batch path
@@ -1972,6 +1978,7 @@ def queries():
         "doc_shuffle": q_doc_shuffle,
         "doc_contamination_report": q_doc_contamination_report,
         "doc_model_score": q_doc_model_score,
+        "doc_fluency": q_doc_fluency,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2041,6 +2048,7 @@ def oracle_sql():
         "doc_shuffle": _SP.oracle_shuffle_corpus(),
         "doc_contamination_report": D.oracle_contamination_report(n=5),
         "doc_model_score": _SC.oracle_score_documents(),
+        "doc_fluency": X.oracle_fluency_score(top_k=1000),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),

@@ -759,3 +759,24 @@ def test_ivf_build_search_split(spark):
     }
     assert split == one_call
     index.assigned.unpersist()
+
+
+def test_fluency_score_ranks_gibberish_low(spark):
+    """A document of corpus-common words outscores unique-token
+    gibberish; OOV-only docs get the smoothed floor."""
+    from pipit_spark.llm.text import fluency_score
+
+    common = "the cat sat on the mat and the dog ran to the cat"
+    docs = spark.createDataFrame(
+        [(0, common), (1, common), (2, common),
+         (3, "zxqv wkjh qpwo mnbv zzyx")],
+        "doc_id long, text string",
+    )
+    sc = {r["doc_id"]: r["fluency"] for r in fluency_score(docs).collect()}
+    assert sc[0] == sc[1] == sc[2]
+    assert sc[3] < sc[0]
+    # top_k=1 keeps only the most common token in the table; everything
+    # else takes the OOV floor but nothing crashes or vanishes
+    from pipit_spark.llm.text import fluency_score as fs
+    small = {r["doc_id"]: r["fluency"] for r in fs(docs, top_k=1).collect()}
+    assert set(small) == {0, 1, 2, 3} and small[3] < small[0]
