@@ -106,6 +106,63 @@ def pack_sequences(
     )
 
 
+def pack_assignments(
+    docs: DataFrame,
+    context_len: int = 512,
+    n_shards: int = 64,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """The doc-level packing manifest a shard writer consumes:
+    ``(doc_id, shard, pack_in_shard, offset_in_pack, n_tokens)`` under
+    the same first-token rule as :func:`pack_sequences` (whose output
+    is exactly this frame aggregated). Same single-shuffle shard-local
+    cumsum plan; write it partitioned by ``shard`` and each writer task
+    streams its packs in (pack_in_shard, offset) order."""
+    n_tokens = (
+        F.col(tokens_col) if tokens_col else stats_exprs()["n_tokens"]
+    )
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "shard",
+        F.floor(before / F.lit(context_len)).alias("pack_in_shard"),
+        (before % F.lit(context_len)).cast("long").alias("offset_in_pack"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def oracle_pack_assignments(
+    table: str = "documents", context_len: int = 512, n_shards: int = 64
+) -> str:
+    from .text import _sql_norm
+
+    norm = _sql_norm("text")
+    return f"""
+WITH base AS (
+    SELECT doc_id, doc_id % {n_shards} AS shard,
+           len(string_split({norm}, ' ')) AS n_tokens
+    FROM {table}
+),
+cum AS (
+    SELECT doc_id, shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+    FROM base
+)
+SELECT doc_id, shard,
+       CAST(FLOOR(before / {context_len}) AS BIGINT) AS pack_in_shard,
+       CAST(before % {context_len} AS BIGINT) AS offset_in_pack,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM cum
+"""
+
+
 def oracle_pack_sequences(
     table: str = "documents", context_len: int = 512, n_shards: int = 64
 ) -> str:

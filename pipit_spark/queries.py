@@ -1808,6 +1808,14 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_pack_manifest(spark, sf_dir):
+    """Doc-level packing manifest (first-token rule), the frame
+    pack_sequences aggregates."""
+    return _SP.pack_assignments(
+        load(spark, sf_dir, "documents"), context_len=512, n_shards=16
+    )
+
+
 def q_doc_fluency(spark, sf_dir):
     """Unigram LM fluency: mean add-1 log-prob under the corpus's own
     top-K unigram distribution (bounded broadcast prob table)."""
@@ -1979,6 +1987,7 @@ def queries():
         "doc_contamination_report": q_doc_contamination_report,
         "doc_model_score": q_doc_model_score,
         "doc_fluency": q_doc_fluency,
+        "doc_pack_manifest": q_doc_pack_manifest,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2049,6 +2058,9 @@ def oracle_sql():
         "doc_contamination_report": D.oracle_contamination_report(n=5),
         "doc_model_score": _SC.oracle_score_documents(),
         "doc_fluency": X.oracle_fluency_score(top_k=1000),
+        "doc_pack_manifest": _SP.oracle_pack_assignments(
+            context_len=512, n_shards=16
+        ),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),
