@@ -457,6 +457,105 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", F.concat(*nibbles).alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 64
+) -> DataFrame:
+    """SimHash near-duplicate pairs: documents whose 64-bit signatures
+    differ in at most ``max_hamming`` bits, with the distance.
+
+    Candidate generation is the classic pigeonhole banding: split the
+    16-nibble signature into ``max_hamming + 1`` blocks — any pair
+    within the distance budget must agree on at least one whole block —
+    and bucket-group on (block index, block value), the same
+    posting-list shape as the LSH and Jaccard ops. Exact hamming
+    distance (16 nibble XOR popcounts, all codegen) verifies the
+    survivors. No cross join at any scale; the only quadratic work is
+    intra-bucket, bounded by block-collision rates."""
+    n_blocks = max_hamming + 1
+    nibbles = bits // 4
+    if nibbles % n_blocks:
+        raise ValueError(
+            f"bits/4={nibbles} must divide into max_hamming+1={n_blocks} blocks"
+        )
+    blk = nibbles // n_blocks
+    sigs = simhash(docs, bits=bits)
+    blocks = sigs.select(
+        F.struct("doc_id", "simhash").alias("__m"),
+        F.posexplode(
+            F.array(*[
+                F.substring("simhash", b * blk + 1, blk)
+                for b in range(n_blocks)
+            ])
+        ).alias("__b", "__blk"),
+    )
+    buckets = (
+        blocks.groupBy("__b", "__blk")
+        .agg(F.collect_list("__m").alias("__ms"))
+        .filter(F.size("__ms") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode("__ms").alias("__x"), "__ms")
+        .select("__x", F.explode("__ms").alias("__y"))
+        .filter(F.col("__x.doc_id") < F.col("__y.doc_id"))
+        .select(
+            F.col("__x.doc_id").alias("a"),
+            F.col("__y.doc_id").alias("b"),
+            F.col("__x.simhash").alias("__sa"),
+            F.col("__y.simhash").alias("__sb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+
+    def nib(col, j):
+        return F.conv(F.substring(col, j + 1, 1), 16, 10).cast("int")
+
+    hamming = sum(
+        F.bit_count(nib("__sa", j).bitwiseXOR(nib("__sb", j)))
+        for j in range(nibbles)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def oracle_simhash_pairs(
+    table: str = "documents", max_hamming: int = 3, bits: int = 64
+) -> str:
+    """Full DuckDB replay of :func:`simhash_pairs`: signatures via the
+    simhash oracle, pigeonhole block candidates, exact nibble-XOR
+    hamming verify."""
+    n_blocks = max_hamming + 1
+    nibbles = bits // 4
+    blk = nibbles // n_blocks
+    sig_sql = oracle_simhash(table=table, bits=bits).strip()
+    block_list = ", ".join(str(b) for b in range(n_blocks))
+    ham = " + ".join(
+        f"bit_count(xor(strpos('{_HEX}', substr(sx.simhash, {j + 1}, 1)) - 1, "
+        f"strpos('{_HEX}', substr(sy.simhash, {j + 1}, 1)) - 1))"
+        for j in range(nibbles)
+    )
+    return f"""
+WITH sigs AS ({sig_sql}),
+blocks AS (
+    SELECT doc_id, simhash,
+           t.b AS bi, substr(simhash, t.b * {blk} + 1, {blk}) AS blkv
+    FROM sigs CROSS JOIN (SELECT UNNEST([{block_list}]) AS b) t
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM blocks x JOIN blocks y ON x.bi = y.bi AND x.blkv = y.blkv
+    WHERE x.doc_id < y.doc_id
+)
+SELECT c.a, c.b, CAST({ham} AS INT) AS hamming
+FROM cand c
+JOIN sigs sx ON sx.doc_id = c.a
+JOIN sigs sy ON sy.doc_id = c.b
+WHERE {ham} <= {max_hamming}
+"""
+
+
 def oracle_simhash(table: str = "documents", bits: int = 64) -> str:
     """DuckDB twin of :func:`simhash` — same md5-nibble votes, same
     sign rule, same hex packing."""

@@ -1808,6 +1808,12 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: pigeonhole block candidates + exact
+    nibble-XOR hamming verify, both replayed in the oracle."""
+    return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def q_doc_pack_manifest(spark, sf_dir):
     """Doc-level packing manifest (first-token rule), the frame
     pack_sequences aggregates."""
@@ -1988,6 +1994,7 @@ def queries():
         "doc_model_score": q_doc_model_score,
         "doc_fluency": q_doc_fluency,
         "doc_pack_manifest": q_doc_pack_manifest,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2061,6 +2068,7 @@ def oracle_sql():
         "doc_pack_manifest": _SP.oracle_pack_assignments(
             context_len=512, n_shards=16
         ),
+        "doc_simhash_pairs": D.oracle_simhash_pairs(max_hamming=3),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),

@@ -780,3 +780,22 @@ def test_fluency_score_ranks_gibberish_low(spark):
     from pipit_spark.llm.text import fluency_score as fs
     small = {r["doc_id"]: r["fluency"] for r in fs(docs, top_k=1).collect()}
     assert set(small) == {0, 1, 2, 3} and small[3] < small[0]
+
+
+def test_simhash_pairs_identity_and_bound(spark):
+    """Identical documents pair at hamming 0; every reported pair
+    respects the max_hamming bound; the block invariant holds (a pair
+    within budget shares >= 1 of the 4 signature blocks)."""
+    from pipit_spark.llm.dedup import simhash_pairs
+
+    text = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [(0, text), (1, text),
+         (2, "an entirely different subject matter concerning database engines and storage layouts"),
+         (3, text + " extra")],
+        "doc_id long, text string",
+    )
+    rows = simhash_pairs(docs, max_hamming=3).collect()
+    got = {(r["a"], r["b"]): r["hamming"] for r in rows}
+    assert got[(0, 1)] == 0
+    assert all(h <= 3 for h in got.values())
