@@ -920,9 +920,12 @@ def fuzzy_dedup(
     candidates filtered to estimated Jaccard ≥ ``threshold``.
     ``method="jaccard"``: exact n-gram Jaccard pairs via the
     df-capped inverted index — the correctness baseline the oracle
-    gate replays. Either way the pair graph (tiny relative to the
-    corpus) drives :func:`cluster_dedup`'s anti-join; the corpus text
-    is scanned once for shingles and once for the final anti-join.
+    gate replays. ``method="simhash"``: pigeonhole-banded hamming
+    pairs (``threshold`` is then the max hamming distance, default 3
+    when left at the Jaccard default). Either way the pair graph (tiny
+    relative to the corpus) drives :func:`cluster_dedup`'s anti-join;
+    the corpus text is scanned once for shingles/signatures and once
+    for the final anti-join.
     """
     if method == "minhash_lsh":
         pairs = minhash_lsh_pairs(
@@ -930,9 +933,13 @@ def fuzzy_dedup(
         ).filter(F.col("est_jaccard") >= threshold)
     elif method == "jaccard":
         pairs = ngram_jaccard_pairs(docs, n=shingle_n, threshold=threshold)
+    elif method == "simhash":
+        max_h = 3 if threshold == 0.5 else int(threshold)
+        pairs = simhash_pairs(docs, max_hamming=max_h)
     else:
         raise ValueError(
-            f"unknown method: {method!r} (use 'minhash_lsh' or 'jaccard')"
+            f"unknown method: {method!r} "
+            "(use 'minhash_lsh', 'jaccard', or 'simhash')"
         )
     return cluster_dedup(docs, pairs.select("a", "b"))
 

@@ -673,8 +673,16 @@ def test_fuzzy_dedup_methods_agree_on_clear_clusters(spark):
         r.doc_id
         for r in fuzzy_dedup(docs, method="minhash_lsh", threshold=0.5).collect()
     )
+    sim = sorted(
+        r.doc_id
+        for r in fuzzy_dedup(docs, method="simhash", threshold=3).collect()
+    )
     assert exact == [0, 10, 20]
     assert lsh == exact
+    # simhash at hamming<=3 is a STRICTER near-dup notion: the exact
+    # duplicates must collapse (1, 11 dropped), but the suffixed doc 2
+    # may legitimately survive on a short text
+    assert {0, 10, 20} <= set(sim) and 1 not in sim and 11 not in sim
 
 
 def test_score_documents_plumbing(spark):
