@@ -607,13 +607,17 @@ def decontaminate(
         .distinct()
     )
     # corpus shingles stay raw: the broadcast semi filter runs map-side
-    # on the narrow stream, and the distinct-count dedups only the HITS
-    # -- no corpus-wide shingle shuffle before the join
-    hits = shingle_table(corpus, n=n, distinct=False).join(
-        F.broadcast(eval_sh), "shingle", "left_semi"
+    # on the narrow stream, and dedup applies only to the HITS — no
+    # corpus-wide shingle shuffle before the join. dropDuplicates (not
+    # count_distinct) so the same plan runs on a STREAMING corpus,
+    # where distinct aggregations are unsupported
+    hits = (
+        shingle_table(corpus, n=n, distinct=False)
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .dropDuplicates(["doc_id", "shingle"])
     )
     return hits.groupBy("doc_id").agg(
-        F.count_distinct("shingle").cast("long").alias("n_contaminated_ngrams")
+        F.count(F.lit(1)).cast("long").alias("n_contaminated_ngrams")
     )
 
 

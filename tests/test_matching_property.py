@@ -96,3 +96,38 @@ def test_kernel_matches_reference_semantics(pdf):
                     ):
                         depth += 1
                 assert g[S.DEPTH].iloc[i] == depth, (p, i)
+
+
+def test_pack_assignments_invariants(spark):
+    """Property check over randomized corpora: offsets stay inside the
+    context window, pack ids are dense per shard, and aggregating the
+    manifest reproduces pack_sequences exactly."""
+    import random
+
+    from pipit_spark.llm.sampling import pack_assignments, pack_sequences
+
+    rng = random.Random(11)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join("tok" for _ in range(rng.randint(1, 40))))
+            for i in range(120)
+        ],
+        "doc_id long, text string",
+    )
+    m = pack_assignments(docs, context_len=64, n_shards=8).collect()
+    assert all(0 <= r["offset_in_pack"] < 64 for r in m)
+    by_shard = {}
+    for r in m:
+        by_shard.setdefault(r["shard"], set()).add(r["pack_in_shard"])
+    for packs in by_shard.values():
+        assert packs == set(range(max(packs) + 1))  # dense ids
+    agg = {}
+    for r in m:
+        key = (r["shard"], r["pack_in_shard"])
+        n, t = agg.get(key, (0, 0))
+        agg[key] = (n + 1, t + r["n_tokens"])
+    stats = {
+        (r["shard"], r["pack_in_shard"]): (r["n_docs"], r["total_tokens"])
+        for r in pack_sequences(docs, context_len=64, n_shards=8).collect()
+    }
+    assert agg == stats

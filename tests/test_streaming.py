@@ -313,3 +313,46 @@ def test_streaming_model_scoring(spark, tmp_path):
         for r in spark.sql("SELECT * FROM scored_stream").collect()
     }
     assert got == expected
+
+
+def test_streaming_decontaminate(spark, tmp_path):
+    """decontaminate's broadcast-semi shape runs on a streaming corpus
+    against a static eval set (complete-mode agg), matching the batch
+    result."""
+    import pandas as pd
+
+    from pipit_spark.llm.dedup import decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the secret eval passage about unicorns and rainbows today")],
+        "doc_id long, text string",
+    )
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "nothing in common with anything held out at all here",
+                "includes the secret eval passage about unicorns and rainbows today verbatim",
+                "another unrelated piece of text entirely on its own",
+            ],
+        }
+    )
+    src = tmp_path / "corpus_stream"
+    src.mkdir()
+    corpus.iloc[:2].to_parquet(src / "b1.parquet")
+    corpus.iloc[2:].to_parquet(src / "b2.parquet")
+
+    batch = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in decontaminate(spark.createDataFrame(corpus), eval_docs).collect()
+    }
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    out = decontaminate(stream, eval_docs)
+    _run_to_memory(out, "decon_stream", mode="complete")
+    got = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in spark.sql("SELECT * FROM decon_stream").collect()
+    }
+    assert got == batch and set(got) == {1}
