@@ -361,3 +361,90 @@ SELECT source, lang,
 FROM {table}
 GROUP BY source, lang
 """
+
+
+def dedup_lines(docs: DataFrame, max_line_df: int = 2) -> DataFrame:
+    """C4-style corpus-level line dedup: drop every line that occurs in
+    more than ``max_line_df`` documents (navigation chrome, cookie
+    banners, boilerplate headers), then reassemble each document from
+    its surviving lines in original order.
+
+    Plan: split+posexplode lines; count DISTINCT (line, doc) pairs per
+    line hash with map-side combine; the boilerplate line set is
+    typically tiny after the frequency filter, so it rides a broadcast
+    anti-join back onto the line stream; reassembly is one groupBy with
+    an array_sort on (idx, line) structs — no window, no global sort.
+    Returns ``(doc_id, text, n_lines_kept, n_lines_dropped)``.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"),
+    )
+    key = F.md5(F.trim(F.col("line")))
+    per_doc = lines.select("doc_id", key.alias("__k")).dropDuplicates()
+    hot = (
+        per_doc.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_line_df)
+        .select("__k")
+    )
+    tagged = lines.withColumn("__k", key).join(
+        F.broadcast(hot), "__k", "left_anti"
+    )
+    kept = tagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_total")
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("__n_total") - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )
+
+
+def oracle_dedup_lines(table: str = "documents", max_line_df: int = 2) -> str:
+    return f"""
+WITH lines AS (
+    SELECT doc_id, i - 1 AS idx, parts[i] AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM {table}),
+         LATERAL (SELECT UNNEST(generate_series(1, len(parts))) AS i)
+),
+hot AS (
+    SELECT md5(trim(line)) AS k
+    FROM (SELECT DISTINCT doc_id, md5(trim(line)) AS line_k, line
+          FROM lines)
+    GROUP BY md5(trim(line))
+    HAVING COUNT(DISTINCT doc_id) > {max_line_df}
+),
+keptl AS (
+    SELECT l.* FROM lines l
+    LEFT JOIN hot h ON h.k = md5(trim(l.line))
+    WHERE h.k IS NULL
+),
+kept AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
+           COUNT(*) AS n_kept
+    FROM keptl GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(k.text, '') AS text,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(t.n_total - COALESCE(k.n_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM tot t LEFT JOIN kept k USING (doc_id)
+"""

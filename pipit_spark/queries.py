@@ -1808,6 +1808,13 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_dedup_lines(spark, sf_dir):
+    """C4-style corpus-level duplicate-line removal (boilerplate
+    scrub): lines in more than 2 documents drop everywhere, docs
+    reassemble in original line order."""
+    return QL.dedup_lines(load(spark, sf_dir, "documents"), max_line_df=2)
+
+
 def q_doc_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: pigeonhole block candidates + exact
     nibble-XOR hamming verify, both replayed in the oracle."""
@@ -1995,6 +2002,7 @@ def queries():
         "doc_fluency": q_doc_fluency,
         "doc_pack_manifest": q_doc_pack_manifest,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_dedup_lines": q_doc_dedup_lines,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2069,6 +2077,7 @@ def oracle_sql():
             context_len=512, n_shards=16
         ),
         "doc_simhash_pairs": D.oracle_simhash_pairs(max_hamming=3),
+        "doc_dedup_lines": QL.oracle_dedup_lines(max_line_df=2),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),

@@ -807,3 +807,26 @@ def test_simhash_pairs_identity_and_bound(spark):
     got = {(r["a"], r["b"]): r["hamming"] for r in rows}
     assert got[(0, 1)] == 0
     assert all(h <= 3 for h in got.values())
+
+
+def test_dedup_lines_c4_boilerplate(spark):
+    """A line appearing in >max_line_df documents drops everywhere;
+    survivors keep original line order; all-boilerplate docs reduce to
+    empty text but stay present."""
+    from pipit_spark.llm.dedup import exact_dedup  # noqa: F401 (module warm)
+    from pipit_spark.llm.quality import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "keep me\ncookie banner\nalso keep"),
+            (1, "unique one\ncookie banner"),
+            (2, "cookie banner"),
+            (3, "solo doc line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs, max_line_df=2).collect()}
+    assert out[0]["text"] == "keep me\nalso keep"
+    assert out[1]["text"] == "unique one"
+    assert out[2]["text"] == "" and out[2]["n_lines_dropped"] == 1
+    assert out[3]["text"] == "solo doc line" and out[3]["n_lines_dropped"] == 0
