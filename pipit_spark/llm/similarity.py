@@ -416,6 +416,46 @@ def ivf_topk(
     )
 
 
+def oracle_lsh_ann_pairs(
+    table: str = "embeddings",
+    num_planes: int = 8,
+    threshold: float = 0.2,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Full DuckDB replay of single-table :func:`lsh_ann_pairs`: the
+    seeded plane matrix is embedded as SQL literals, sign-bit
+    signatures and in-bucket cosine verify both recompute in double —
+    the approximate path's ENTIRE pipeline is value-checked, not just
+    its row count. (Sign flips from cross-engine summation order need
+    a plane dot within ~1e-12 of zero — vanishingly rare and absent on
+    the fixture.)"""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_planes, dim)
+    dcast = "list_transform(embedding, v -> CAST(v AS DOUBLE))"
+    bits = " || ".join(
+        "(CASE WHEN list_inner_product(["
+        + ", ".join(repr(float(x)) for x in planes[i])
+        + f"], {dcast}) > 0 THEN '1' ELSE '0' END)"
+        for i in range(num_planes)
+    )
+    return f"""
+WITH nn AS (
+    SELECT vec_id, {dcast} AS e,
+           sqrt(list_inner_product({dcast}, {dcast})) AS nrm,
+           {bits} AS sig
+    FROM {table}
+),
+cand AS (
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           ROUND(list_inner_product(x.e, y.e) / (x.nrm * y.nrm), 4)
+               AS cosine
+    FROM nn x JOIN nn y ON x.sig = y.sig AND x.vec_id < y.vec_id
+)
+SELECT a, b, cosine FROM cand WHERE cosine >= {threshold}
+"""
+
+
 # ----------------------------------------------------------- oracle SQL
 def oracle_cosine_pairs(
     table: str = "embeddings", threshold: float = 0.99,

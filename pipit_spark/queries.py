@@ -2078,6 +2078,9 @@ def oracle_sql():
         ),
         "doc_simhash_pairs": D.oracle_simhash_pairs(max_hamming=3),
         "doc_dedup_lines": QL.oracle_dedup_lines(max_line_df=2),
+        "emb_lsh_ann": V.oracle_lsh_ann_pairs(
+            num_planes=8, threshold=0.2
+        ),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),
@@ -2100,9 +2103,11 @@ def oracle_sql():
         ),
         "doc_decontaminate": D.oracle_decontaminate(n=5),
         "doc_training_set": _oracle_training_set(),
-        # doc_minhash_lsh_fast / emb_lsh_ann / emb_ivf_topk /
-        # media_decode: rows-only checks (xxhash64 permutations,
-        # random-plane signatures, probe-limited ANN, and the stub codec
-        # aren't SQL-replayable; the banding pipeline itself is
-        # value-checked via doc_minhash_lsh's portable md5 mode)
+        # Remaining rows-only gates — each has a value-checked sibling
+        # covering the same pipeline: doc_minhash_lsh_fast (xxhash64
+        # permutations; banding value-checked via doc_minhash_lsh's md5
+        # mode), emb_ivf_topk (probe-limited k-means; exact-probe path
+        # value-checked via emb_ivf_topk_exact), trace_detect_pattern
+        # (iterative matrix profile; its input slice value-checked via
+        # trace_match_inc), media_decode (stub codec binary synthesis).
     }
