@@ -230,3 +230,133 @@ SELECT b.doc_id, b.fingerprint
 FROM batch_first b
 WHERE b.fingerprint NOT IN (SELECT fingerprint FROM seen)
 """
+
+
+def clean_corpus_report(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+) -> DataFrame:
+    """Per-stage drop accounting for :func:`clean_corpus` — the funnel
+    audit a curation pipeline publishes next to its output. One row per
+    stage: ``(stage, stage_order, n_dropped, n_remaining)``, with each
+    document attributed to the FIRST stage that rejects it (lang →
+    token window → quality floor → exact dup), mirroring the pipeline's
+    sequential semantics.
+
+    Single corpus scan: every stage verdict is a flag in one
+    projection; the dup flag reuses the same fingerprint-window rule as
+    clean_corpus restricted to filter survivors; the report is a tiny
+    conditional aggregation over the flags.
+    """
+    se = stats_exprs()
+    flagged = docs.select(
+        "doc_id",
+        se["n_tokens"].alias("__nt"),
+        se["quality_score"].alias("__q"),
+        pred_lang_expr().alias("__pl"),
+        fingerprint_expr().alias("__fp"),
+    ).select(
+        "doc_id",
+        "__fp",
+        (F.col("__pl") != lang).alias("__drop_lang"),
+        (~F.col("__nt").between(min_tokens, max_tokens)).alias("__drop_len"),
+        # NULL quality (empty text) fails the floor — treat as dropped
+        (~(F.col("__q") >= min_quality)).alias("__drop_q"),
+    )
+    survives_filters = (
+        ~F.col("__drop_lang") & ~F.col("__drop_len") & ~F.col("__drop_q")
+    )
+    w = Window.partitionBy("__fp")
+    flagged = flagged.withColumn(
+        "__rep",
+        F.min(F.when(survives_filters, F.col("doc_id"))).over(w),
+    ).withColumn(
+        "__drop_dup",
+        survives_filters & (F.col("doc_id") != F.col("__rep")),
+    )
+    first_stage = (
+        F.when(F.col("__drop_lang"), "lang_filter")
+        .when(F.col("__drop_len"), "token_window")
+        .when(F.col("__drop_q"), "quality_floor")
+        .when(F.col("__drop_dup"), "exact_dup")
+        .otherwise("kept")
+    )
+    agg = flagged.select(first_stage.alias("stage")).groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    order = {
+        "lang_filter": 1, "token_window": 2, "quality_floor": 3,
+        "exact_dup": 4, "kept": 5,
+    }
+    total = docs.count()
+    rows = {r["stage"]: r["n"] for r in agg.collect()}
+    out, remaining = [], total
+    for stage in ("lang_filter", "token_window", "quality_floor",
+                  "exact_dup", "kept"):
+        n = rows.get(stage, 0)
+        if stage == "kept":
+            out.append((stage, order[stage], 0, n))
+        else:
+            remaining -= n
+            out.append((stage, order[stage], n, remaining))
+    return docs.sparkSession.createDataFrame(
+        out, "stage string, stage_order int, n_dropped long, n_remaining long"
+    )
+
+
+def oracle_clean_corpus_report(
+    table: str = "documents",
+    lang: str = "en",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+) -> str:
+    return f"""
+WITH stats AS ({oracle_text_stats(table)}),
+langs AS ({oracle_lang_id(table)}),
+fp AS ({oracle_doc_fingerprint(table)}),
+flags AS (
+    SELECT s.doc_id, f.fingerprint,
+           (l.pred_lang <> '{lang}') AS drop_lang,
+           (s.n_tokens NOT BETWEEN {min_tokens} AND {max_tokens}) AS drop_len,
+           (NOT (s.quality_score >= {min_quality})) AS drop_q
+    FROM stats s JOIN langs l USING (doc_id) JOIN fp f USING (doc_id)
+),
+reps AS (
+    SELECT doc_id, fingerprint,
+           MIN(CASE WHEN NOT drop_lang AND NOT drop_len AND NOT drop_q
+                    THEN doc_id END)
+               OVER (PARTITION BY fingerprint) AS rep,
+           drop_lang, drop_len, drop_q
+    FROM flags
+),
+staged AS (
+    SELECT CASE
+        WHEN drop_lang THEN 'lang_filter'
+        WHEN drop_len THEN 'token_window'
+        WHEN drop_q THEN 'quality_floor'
+        WHEN doc_id <> rep THEN 'exact_dup'
+        ELSE 'kept' END AS stage
+    FROM reps
+),
+counts AS (SELECT stage, COUNT(*) AS n FROM staged GROUP BY stage),
+ladder AS (
+    SELECT * FROM (VALUES
+        ('lang_filter', 1), ('token_window', 2), ('quality_floor', 3),
+        ('exact_dup', 4), ('kept', 5)) s(stage, stage_order)
+)
+SELECT l.stage, l.stage_order,
+       CAST(CASE WHEN l.stage = 'kept' THEN 0
+                 ELSE COALESCE(c.n, 0) END AS BIGINT) AS n_dropped,
+       CAST(CASE WHEN l.stage = 'kept' THEN COALESCE(c.n, 0)
+                 ELSE (SELECT COUNT(*) FROM {table})
+                      - (SELECT COALESCE(SUM(c2.n), 0) FROM counts c2
+                         JOIN ladder l2 ON l2.stage = c2.stage
+                         WHERE l2.stage_order <= l.stage_order
+                           AND l2.stage <> 'kept')
+            END AS BIGINT) AS n_remaining
+FROM ladder l LEFT JOIN counts c USING (stage)
+"""

@@ -1808,6 +1808,12 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_clean_report(spark, sf_dir):
+    """Cleaning funnel audit: per-stage drop counts with first-reject
+    attribution, mirroring clean_corpus's sequential semantics."""
+    return _PL.clean_corpus_report(load(spark, sf_dir, "documents"))
+
+
 def q_doc_dedup_lines(spark, sf_dir):
     """C4-style corpus-level duplicate-line removal (boilerplate
     scrub): lines in more than 2 documents drop everywhere, docs
@@ -2003,6 +2009,7 @@ def queries():
         "doc_pack_manifest": q_doc_pack_manifest,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_dedup_lines": q_doc_dedup_lines,
+        "doc_clean_report": q_doc_clean_report,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2081,6 +2088,7 @@ def oracle_sql():
         "emb_lsh_ann": V.oracle_lsh_ann_pairs(
             num_planes=8, threshold=0.2
         ),
+        "doc_clean_report": _PL.oracle_clean_corpus_report(),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),
