@@ -81,3 +81,37 @@ def write_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    context_len: int = 512,
+    n_shards: int = 64,
+    tokens_col: str | None = None,
+) -> None:
+    """End of the training-data pipeline: join the packing manifest
+    (:func:`~pipit_spark.llm.sampling.pack_assignments`) back onto the
+    documents and write JSONL partitioned by ``shard`` — each shard
+    directory holds its documents tagged with (pack_in_shard,
+    offset_in_pack, n_tokens), in the layout a data loader streams
+    pack-by-pack.
+
+    The manifest join is on doc_id (both sides already carry it; AQE
+    picks the strategy) and the write's partitionBy reuses the
+    manifest's shard key — one shuffle total beyond the manifest's own
+    cumsum."""
+    from .sampling import pack_assignments
+
+    manifest = pack_assignments(
+        docs, context_len=context_len, n_shards=n_shards,
+        tokens_col=tokens_col,
+    )
+    out = docs.join(manifest, "doc_id")
+    (
+        out.repartition("shard")
+        .sortWithinPartitions("pack_in_shard", "offset_in_pack")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )

@@ -830,3 +830,32 @@ def test_dedup_lines_c4_boilerplate(spark):
     assert out[1]["text"] == "unique one"
     assert out[2]["text"] == "" and out[2]["n_lines_dropped"] == 1
     assert out[3]["text"] == "solo doc line" and out[3]["n_lines_dropped"] == 0
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """prepare -> manifest -> write round-trip: shard directories exist,
+    every document lands exactly once with its packing coordinates, and
+    reading back reproduces the manifest."""
+    import glob
+
+    from pipit_spark.llm.io import write_training_shards
+    from pipit_spark.llm.sampling import pack_assignments
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("tok" for _ in range(5 + i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, context_len=32, n_shards=4)
+    assert len(glob.glob(f"{path}/shard=*")) == 4
+    back = spark.read.json(path)
+    assert back.count() == 40
+    got = {
+        r["doc_id"]: (r["pack_in_shard"], r["offset_in_pack"])
+        for r in back.collect()
+    }
+    expected = {
+        r["doc_id"]: (r["pack_in_shard"], r["offset_in_pack"])
+        for r in pack_assignments(docs, context_len=32, n_shards=4).collect()
+    }
+    assert got == expected
