@@ -448,3 +448,63 @@ SELECT t.doc_id,
        CAST(t.n_total - COALESCE(k.n_kept, 0) AS BIGINT) AS n_lines_dropped
 FROM tot t LEFT JOIN kept k USING (doc_id)
 """
+
+
+def dedup_lines_within(docs: DataFrame) -> DataFrame:
+    """Intra-document repeated-line removal: keep each distinct line's
+    FIRST occurrence within its document, preserving order — the local
+    complement of corpus-level :func:`dedup_lines` (chat transcripts
+    and scraped pages repeat their own headers).
+
+    Entirely row-local — no shuffle, no join: a higher-order
+    ``filter`` keeps positions whose line's first index equals their
+    own. Returns ``(doc_id, text, n_lines_kept, n_lines_dropped)``.
+    """
+    parts = F.split(F.col("text"), "\n")
+    # two-arg filter lambda (element, 0-based index): keep a line iff
+    # its first occurrence in the array is at this very position.
+    # The filter result is projected ONCE and the counts read the
+    # projected column — repeating an indexed-lambda HOF across several
+    # expressions in one projection miscounts under Spark's
+    # subexpression elimination (observed on 4.1: size() of the repeat
+    # disagreed with the joined text).
+    staged = docs.select(
+        "doc_id",
+        F.size(parts).alias("__n_total"),
+        F.filter(
+            parts, lambda x, i: F.array_position(parts, x) == i + 1
+        ).alias("__kept"),
+    )
+    return staged.select(
+        "doc_id",
+        F.array_join("__kept", "\n").alias("text"),
+        F.size("__kept").cast("long").alias("n_lines_kept"),
+        (F.col("__n_total") - F.size("__kept"))
+        .cast("long")
+        .alias("n_lines_dropped"),
+    )
+
+
+def oracle_dedup_lines_within(table: str = "documents") -> str:
+    return f"""
+WITH lines AS (
+    SELECT doc_id, i, parts[i] AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM {table}),
+         LATERAL (SELECT UNNEST(generate_series(1, len(parts))) AS i)
+),
+firsts AS (
+    SELECT doc_id, i, line,
+           MIN(i) OVER (PARTITION BY doc_id, line) AS first_i,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_total
+    FROM lines
+)
+SELECT doc_id,
+       string_agg(CASE WHEN i = first_i THEN line END, chr(10)
+                  ORDER BY i) AS text,
+       CAST(SUM(CASE WHEN i = first_i THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lines_kept,
+       CAST(ANY_VALUE(n_total)
+            - SUM(CASE WHEN i = first_i THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lines_dropped
+FROM firsts GROUP BY doc_id
+"""

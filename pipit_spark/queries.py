@@ -1808,6 +1808,11 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_dedup_lines_within(spark, sf_dir):
+    """Intra-document repeated-line removal (row-local, shuffle-free)."""
+    return QL.dedup_lines_within(load(spark, sf_dir, "documents"))
+
+
 def q_doc_clean_report(spark, sf_dir):
     """Cleaning funnel audit: per-stage drop counts with first-reject
     attribution, mirroring clean_corpus's sequential semantics."""
@@ -2010,6 +2015,7 @@ def queries():
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_dedup_lines": q_doc_dedup_lines,
         "doc_clean_report": q_doc_clean_report,
+        "doc_dedup_lines_within": q_doc_dedup_lines_within,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2089,6 +2095,7 @@ def oracle_sql():
             num_planes=8, threshold=0.2
         ),
         "doc_clean_report": _PL.oracle_clean_corpus_report(),
+        "doc_dedup_lines_within": QL.oracle_dedup_lines_within(),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),

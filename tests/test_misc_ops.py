@@ -859,3 +859,20 @@ def test_write_training_shards_layout(spark, tmp_path):
         for r in pack_assignments(docs, context_len=32, n_shards=4).collect()
     }
     assert got == expected
+
+
+def test_dedup_lines_within_doc(spark):
+    """First occurrence of each line survives in order; the op is
+    row-local (no exchange in the plan)."""
+    from pipit_spark.llm.quality import dedup_lines_within
+
+    docs = spark.createDataFrame(
+        [(0, "a\nb\na\nc\nb"), (1, "solo"), (2, "x\nx\nx")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_within(docs).collect()}
+    assert out[0]["text"] == "a\nb\nc"
+    assert (out[0]["n_lines_kept"], out[0]["n_lines_dropped"]) == (3, 2)
+    assert out[2]["text"] == "x" and out[2]["n_lines_dropped"] == 2
+    plan = dedup_lines_within(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
