@@ -291,8 +291,8 @@ def clean_corpus_report(
         "lang_filter": 1, "token_window": 2, "quality_floor": 3,
         "exact_dup": 4, "kept": 5,
     }
-    total = docs.count()
     rows = {r["stage"]: r["n"] for r in agg.collect()}
+    total = sum(rows.values())  # stages partition the corpus — no 2nd scan
     out, remaining = [], total
     for stage in ("lang_filter", "token_window", "quality_floor",
                   "exact_dup", "kept"):
