@@ -230,6 +230,30 @@ class Trace:
 
         return cct_graph(self.cct)
 
+    def slice(
+        self,
+        processes: list[int] | None = None,
+        names: list[str] | None = None,
+        t_min: int | None = None,
+        t_max: int | None = None,
+    ) -> "Trace":
+        """A sub-trace filtered by process set, function names, and/or a
+        half-open time window ``[t_min, t_max)`` in ns — the ad-hoc
+        filter every analysis session writes by hand. All predicates
+        push down to the events scan (plain conjunctive filters, no
+        UDF); the result is a fresh Trace so derived state (matching,
+        CCT) recomputes on the slice."""
+        ev = self.events
+        if processes is not None:
+            ev = ev.filter(F.col(S.PROCESS).isin(list(processes)))
+        if names is not None:
+            ev = ev.filter(F.col(S.NAME).isin(list(names)))
+        if t_min is not None:
+            ev = ev.filter(F.col(S.TIMESTAMP) >= t_min)
+        if t_max is not None:
+            ev = ev.filter(F.col(S.TIMESTAMP) < t_max)
+        return Trace(ev, definitions=self.definitions, cache=self._cache)
+
     # ------------------------------------------------------------------ #
     # communication analysis (pipit/trace.py:367-512)
     # ------------------------------------------------------------------ #

@@ -305,3 +305,23 @@ def test_trace_rejects_noncanonical_frame(spark):
     df = spark.createDataFrame([(1, "x")], "id long, label string")
     with pytest.raises(ValueError, match="missing canonical columns"):
         Trace(df)
+
+
+def test_trace_slice(ping_pong_trace):
+    from pyspark.sql import functions as F
+
+    """slice() filters by process / name / time window with pushed-down
+    predicates and yields a self-consistent sub-trace."""
+    one = ping_pong_trace.slice(processes=[0])
+    assert {r[S.PROCESS] for r in one.events.select(S.PROCESS).distinct().collect()} == {0}
+    recvs = ping_pong_trace.slice(names=["MPI_Recv"])
+    assert {r[S.NAME] for r in recvs.events.select(S.NAME).distinct().collect()} == {"MPI_Recv"}
+    # rank 0's MPI_Recv calls live at [base+200, base+600); a window over
+    # the first 3 rounds keeps 3 Enter events
+    w = ping_pong_trace.slice(
+        processes=[0], names=["MPI_Recv"], t_min=0, t_max=2000 + 3 * 1000
+    )
+    n_enter = w.events.filter(
+        F.col(S.EVENT_TYPE) == "Enter"
+    ).count()
+    assert n_enter == 3
