@@ -360,3 +360,56 @@ SELECT l.stage, l.stage_order,
             END AS BIGINT) AS n_remaining
 FROM ladder l LEFT JOIN counts c USING (stage)
 """
+
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff between two corpus versions: per-doc status
+    ``added`` (only in new), ``removed`` (only in old), ``changed``
+    (same id, different content fingerprint), or ``unchanged`` — the
+    audit an incremental reprocessing run makes before deciding what to
+    recompute (complements :func:`incremental_new_docs`, which handles
+    the append-only case).
+
+    One full outer join on doc_id over two fingerprint projections —
+    the text itself never shuffles, only (id, md5)."""
+    o = old.select("doc_id", fingerprint_expr().alias("__fo"))
+    n = new.select("doc_id", fingerprint_expr().alias("__fn"))
+    full = o.join(n, "doc_id", "full_outer")
+    return full.select(
+        "doc_id",
+        F.when(F.col("__fo").isNull(), "added")
+        .when(F.col("__fn").isNull(), "removed")
+        .when(F.col("__fo") != F.col("__fn"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
+def oracle_corpus_diff(
+    table: str = "documents",
+    old_pred: str = "doc_id < 400",
+    new_pred: str = "doc_id >= 25",
+    changed_pred: str = "doc_id % 10 = 0",
+) -> str:
+    """Oracle over the gate's synthetic old/new split: old = rows with
+    ``old_pred``; new = rows with ``new_pred``, with ``changed_pred``
+    rows' text suffixed (same derivation as the gate query)."""
+    fp = "md5(lower(regexp_replace(trim({t}), '\\s+', ' ', 'g')))"
+    return f"""
+WITH old_v AS (
+    SELECT doc_id, {fp.format(t='text')} AS f
+    FROM {table} WHERE {old_pred}
+),
+new_v AS (
+    SELECT doc_id,
+           {fp.format(t=("CASE WHEN " + changed_pred +
+                         " THEN text || ' x' ELSE text END"))} AS f
+    FROM {table} WHERE {new_pred}
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.f <> n.f THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+"""

@@ -1808,6 +1808,20 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_corpus_diff(spark, sf_dir):
+    """Snapshot diff audit: old = doc_id<400; new = doc_id>=25 with
+    every 10th doc's text suffixed — exercises all four statuses."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 25).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" x"))
+        ).otherwise(F.col("text")),
+    )
+    return _PL.corpus_diff(old, new)
+
+
 def q_doc_dedup_lines_within(spark, sf_dir):
     """Intra-document repeated-line removal (row-local, shuffle-free)."""
     return QL.dedup_lines_within(load(spark, sf_dir, "documents"))
@@ -2016,6 +2030,7 @@ def queries():
         "doc_dedup_lines": q_doc_dedup_lines,
         "doc_clean_report": q_doc_clean_report,
         "doc_dedup_lines_within": q_doc_dedup_lines_within,
+        "doc_corpus_diff": q_doc_corpus_diff,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2096,6 +2111,7 @@ def oracle_sql():
         ),
         "doc_clean_report": _PL.oracle_clean_corpus_report(),
         "doc_dedup_lines_within": QL.oracle_dedup_lines_within(),
+        "doc_corpus_diff": _PL.oracle_corpus_diff(),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),

@@ -876,3 +876,20 @@ def test_dedup_lines_within_doc(spark):
     assert out[2]["text"] == "x" and out[2]["n_lines_dropped"] == 2
     plan = dedup_lines_within(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_corpus_diff_statuses(spark):
+    """All four statuses attribute correctly on a constructed pair of
+    snapshots."""
+    from pipit_spark.llm.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(0, "same"), (1, "will change"), (2, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(0, "same"), (1, "did change"), (3, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
