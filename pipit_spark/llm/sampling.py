@@ -389,3 +389,45 @@ SELECT doc_id,
        ) AS BIGINT) AS pos_in_shard
 FROM ranked
 """
+
+
+def sample_exact_k(
+    docs: DataFrame, k: int = 100, strata: str | None = None, seed: int = 0
+) -> DataFrame:
+    """Exactly ``k`` documents (per stratum when ``strata`` names a
+    column), chosen by deterministic md5 rank — the reproducible
+    equivalent of a reservoir sample. Strata smaller than ``k`` return
+    whole.
+
+    One shuffle (by stratum), per-stratum window rank — at 100 TB each
+    stratum ranks independently; with no strata the rank is a global
+    TakeOrderedAndProject-style top-k via a single-partition window
+    over only the k-smallest candidates... so for the unstratified case
+    we instead route through orderBy+limit (distributed partial
+    top-k)."""
+    rank = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    if strata is None:
+        return docs.withColumn("__r", rank).orderBy("__r").limit(k).drop("__r")
+    w = Window.partitionBy(strata).orderBy(rank, F.col("doc_id"))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def oracle_sample_exact_k(
+    table: str = "documents", k: int = 100, strata: str | None = None,
+    seed: int = 0,
+) -> str:
+    rank = f"md5('{seed}:' || CAST(doc_id AS VARCHAR))"
+    if strata is None:
+        return f"SELECT * FROM {table} ORDER BY {rank} LIMIT {k}"
+    return f"""
+SELECT * EXCLUDE (__rn) FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {strata} ORDER BY {rank}, doc_id
+    ) AS __rn
+    FROM {table}
+) WHERE __rn <= {k}
+"""

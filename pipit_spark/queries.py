@@ -1808,6 +1808,14 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_sample_exact_k(spark, sf_dir):
+    """Exactly-k-per-source deterministic sample (md5 rank)."""
+    out = _SP.sample_exact_k(
+        load(spark, sf_dir, "documents"), k=5, strata="source"
+    )
+    return out.select("doc_id", "source")
+
+
 def q_doc_corpus_diff(spark, sf_dir):
     """Snapshot diff audit: old = doc_id<400; new = doc_id>=25 with
     every 10th doc's text suffixed — exercises all four statuses."""
@@ -2031,6 +2039,7 @@ def queries():
         "doc_clean_report": q_doc_clean_report,
         "doc_dedup_lines_within": q_doc_dedup_lines_within,
         "doc_corpus_diff": q_doc_corpus_diff,
+        "doc_sample_exact_k": q_doc_sample_exact_k,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2112,6 +2121,11 @@ def oracle_sql():
         "doc_clean_report": _PL.oracle_clean_corpus_report(),
         "doc_dedup_lines_within": QL.oracle_dedup_lines_within(),
         "doc_corpus_diff": _PL.oracle_corpus_diff(),
+        "doc_sample_exact_k": (
+            "SELECT doc_id, source FROM ("
+            + _SP.oracle_sample_exact_k(k=5, strata="source").strip()
+            + ") s"
+        ),
         "doc_incremental": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),

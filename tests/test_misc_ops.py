@@ -893,3 +893,22 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
+
+
+def test_sample_exact_k(spark):
+    """Exactly k per stratum (whole stratum when smaller); global mode
+    returns exactly k; both deterministic across calls."""
+    from pipit_spark.llm.sampling import sample_exact_k
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "big" if i < 30 else "small") for i in range(35)],
+        "doc_id long, text string, source string",
+    )
+    per = sample_exact_k(docs, k=8, strata="source").groupBy("source").count()
+    got = {r["source"]: r["count"] for r in per.collect()}
+    assert got == {"big": 8, "small": 5}
+    g1 = sorted(r.doc_id for r in sample_exact_k(docs, k=10).collect())
+    g2 = sorted(r.doc_id for r in sample_exact_k(docs, k=10).collect())
+    assert len(g1) == 10 and g1 == g2
+    g3 = sorted(r.doc_id for r in sample_exact_k(docs, k=10, seed=1).collect())
+    assert g3 != g1  # different seed, different sample
