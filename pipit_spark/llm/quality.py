@@ -386,34 +386,32 @@ def dedup_lines(docs: DataFrame, max_line_df: int = 2) -> DataFrame:
         per_doc.groupBy("__k")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_line_df)
-        .select("__k")
+        .select("__k", F.lit(True).alias("__hot"))
     )
-    tagged = lines.withColumn("__k", key).join(
-        F.broadcast(hot), "__k", "left_anti"
+    # flag hot lines instead of anti-joining them away: ONE aggregation
+    # then computes kept text (collect_list skips the nulled hot lines)
+    # and both counts together — no separate totals aggregation, no
+    # join of two aggregated branches
+    flagged = lines.withColumn("__k", key).join(
+        F.broadcast(hot), "__k", "left"
     )
-    kept = tagged.groupBy("doc_id").agg(
+    agg = flagged.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("__hot").isNull(), F.struct("idx", "line"))
+            )
+        ).alias("__kept"),
+        F.count(F.lit(1)).alias("__n_total"),
+    )
+    return agg.select(
+        "doc_id",
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
+            F.transform(F.col("__kept"), lambda s: s["line"]), "\n"
         ).alias("text"),
-        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
-    )
-    totals = lines.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("__n_total")
-    )
-    return (
-        totals.join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-            (F.col("__n_total") - F.coalesce("n_lines_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_lines_dropped"),
-        )
+        F.size("__kept").cast("long").alias("n_lines_kept"),
+        (F.col("__n_total") - F.size("__kept"))
+        .cast("long")
+        .alias("n_lines_dropped"),
     )
 
 

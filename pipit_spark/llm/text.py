@@ -284,10 +284,19 @@ def fluency_score(
     broadcast left join + per-doc mean. Two corpus scans total (train,
     score) and one bounded shuffle for the frequency aggregation.
     """
+    from pyspark import StorageLevel
+
     toks = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
     ).filter(F.length("token") > 0)
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # the frequency table feeds two branches (top-K and the totals) —
+    # persist it (disk-allowed: vocabulary-sized, not corpus-sized) so
+    # the corpus is tokenized once, not re-scanned per branch
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # orderBy+limit → TakeOrderedAndProject: distributed partial top-K
     # per partition, merged on the driver — never a single-partition
     # global-window sort of the whole vocabulary
