@@ -351,3 +351,84 @@ CROSS JOIN tot
 WHERE t.token <> ''
 GROUP BY t.doc_id
 """
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints: hash every character k-gram of
+    the normalized text, slide a window of ``w`` consecutive hashes,
+    and keep each window's minimum (ties to the rightmost position, the
+    standard rule) — the shift-robust document fingerprint set used for
+    local-similarity detection, where the md5 whole-doc fingerprint is
+    defeated by a single edit.
+
+    Guarantee: any shared substring of length ≥ k + w - 1 between two
+    documents yields at least one shared fingerprint.
+
+    Shape: explode k-gram start positions (slice/sequence, codegen),
+    hash each k-gram, one per-doc window min over position order (the
+    only shuffle, keyed by doc), then distinct surviving hashes. The
+    hash is the first 8 md5 hex chars — engine-portable, so the DuckDB
+    oracle replays the whole pipeline ("rolling" evaluation is an
+    implementation detail of single-pass engines; the hash VALUES are
+    position-independent)."""
+    from pyspark.sql import Window
+
+    norm = _norm(F.col("text"))
+    pos = docs.select(
+        "doc_id",
+        norm.alias("__t"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(norm) - k + 1, F.lit(1)),
+            )
+        ).alias("p"),
+    )
+    grams = pos.select(
+        "doc_id",
+        "p",
+        F.substring(F.col("__t"), F.col("p"), k).alias("__g"),
+    ).withColumn("__h", F.substring(F.md5("__g"), 1, 8))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    # rightmost-minimum rule: a position is selected iff its window's
+    # min occurs at its LAST position among equals — implement by
+    # tagging each hash with -p and taking min of (hash, -p) structs
+    sel = grams.withColumn(
+        "__m", F.min(F.struct(F.col("__h"), (-F.col("p")).alias("np"))).over(win)
+    )
+    picked = sel.filter(
+        (F.col("__m.__h") == F.col("__h")) & (F.col("__m.np") == -F.col("p"))
+    )
+    return picked.select("doc_id", F.col("__h").alias("fingerprint")).distinct()
+
+
+def oracle_winnow_fingerprints(
+    table: str = "documents", k: int = 8, w: int = 4
+) -> str:
+    norm = _sql_norm("text")
+    return f"""
+WITH pos AS (
+    SELECT doc_id, t, UNNEST(generate_series(1, GREATEST(length(t) - {k} + 1, 1)))
+               AS p
+    FROM (SELECT doc_id, {norm} AS t FROM {table})
+),
+grams AS (
+    SELECT doc_id, p, substr(md5(substr(t, p, {k})), 1, 8) AS h FROM pos
+),
+sel AS (
+    SELECT doc_id, p, h,
+           MIN(struct_pack(h := h, np := -p)) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+           ) AS m
+    FROM grams
+)
+SELECT DISTINCT doc_id, h AS fingerprint
+FROM sel WHERE m.h = h AND m.np = -p
+"""

@@ -1808,6 +1808,12 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_winnow(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (k-gram hash + min-per-window,
+    rightmost tie rule) — the shift-robust rolling-hash fingerprint."""
+    return X.winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
 def q_doc_sample_exact_k(spark, sf_dir):
     """Exactly-k-per-source deterministic sample (md5 rank)."""
     out = _SP.sample_exact_k(
@@ -2040,6 +2046,7 @@ def queries():
         "doc_dedup_lines_within": q_doc_dedup_lines_within,
         "doc_corpus_diff": q_doc_corpus_diff,
         "doc_sample_exact_k": q_doc_sample_exact_k,
+        "doc_winnow": q_doc_winnow,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2121,6 +2128,7 @@ def oracle_sql():
         "doc_clean_report": _PL.oracle_clean_corpus_report(),
         "doc_dedup_lines_within": QL.oracle_dedup_lines_within(),
         "doc_corpus_diff": _PL.oracle_corpus_diff(),
+        "doc_winnow": X.oracle_winnow_fingerprints(),
         "doc_sample_exact_k": (
             "SELECT doc_id, source FROM ("
             + _SP.oracle_sample_exact_k(k=5, strata="source").strip()

@@ -912,3 +912,25 @@ def test_sample_exact_k(spark):
     assert len(g1) == 10 and g1 == g2
     g3 = sorted(r.doc_id for r in sample_exact_k(docs, k=10, seed=1).collect())
     assert g3 != g1  # different seed, different sample
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing's core guarantee: a shared substring of length
+    >= k + w - 1 produces at least one shared fingerprint; disjoint
+    texts share none; a single edit still leaves most fingerprints
+    intact (unlike the whole-doc md5)."""
+    from pipit_spark.llm.text import winnow_fingerprints
+
+    shared = "this exact passage is common to both documents entirely"
+    docs = spark.createDataFrame(
+        [(0, "prefix one " + shared + " and a tail"),
+         (1, "other start " + shared + " different end"),
+         (2, "zweiundvierzig xylophone quarks jumble frazzle kipper")],
+        "doc_id long, text string",
+    )
+    fp = {0: set(), 1: set(), 2: set()}
+    for r in winnow_fingerprints(docs, k=8, w=4).collect():
+        fp[r["doc_id"]].add(r["fingerprint"])
+    assert fp[0] & fp[1], "shared substring must share a fingerprint"
+    assert not (fp[0] & fp[2])
+    assert not (fp[1] & fp[2])
