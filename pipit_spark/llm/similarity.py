@@ -448,11 +448,13 @@ WITH nn AS (
 ),
 cand AS (
     SELECT x.vec_id AS a, y.vec_id AS b,
-           ROUND(list_inner_product(x.e, y.e) / (x.nrm * y.nrm), 4)
-               AS cosine
+           list_inner_product(x.e, y.e) / (x.nrm * y.nrm) AS raw
     FROM nn x JOIN nn y ON x.sig = y.sig AND x.vec_id < y.vec_id
 )
-SELECT a, b, cosine FROM cand WHERE cosine >= {threshold}
+-- filter on the RAW cosine (as the engine does), round only for output:
+-- filtering post-round admits pairs like 0.19996 that round up to the
+-- threshold
+SELECT a, b, ROUND(raw, 4) AS cosine FROM cand WHERE raw >= {threshold}
 """
 
 
