@@ -320,7 +320,7 @@ def select_by_token_budget(
 def oracle_select_by_token_budget(
     table: str = "documents", budget_per_source: int = 5000
 ) -> str:
-    from .text import _sql_norm, oracle_text_stats  # noqa: F401
+    from .text import _sql_norm
 
     norm = _sql_norm("text")
     return f"""

@@ -16,7 +16,6 @@ no UDF).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
 
 from .. import schema as S
 

@@ -33,10 +33,9 @@ from __future__ import annotations
 import struct
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F, types as T
+from pyspark.sql import types as T
 
 from .. import schema as S
 

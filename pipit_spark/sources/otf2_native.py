@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import glob
 import os
-import struct
 
 from pyspark.sql import DataFrame, SparkSession
 
