@@ -34,10 +34,137 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# ---- schema-drift canonicalization ---------------------------------- #
+# The fixture generator (and any real user's lakehouse) may re-emit a
+# table with physically different but semantically identical types
+# across runs: timestamp[us] vs DATE vs ISO string, double vs float32
+# vs decimal, int64 vs int32 keys, JSON-as-string vs a struct/map props
+# column.  r02 demonstrated that ONE such drift (events.ts ns→µs) can
+# zero out half the gate board.  ``load()`` therefore normalizes every
+# table to one canonical logical schema, casting ONLY the columns whose
+# on-disk type differs — when nothing drifted the plan is byte-identical
+# (no Cast nodes, pushdown/pruning untouched).  Mirrors the reference's
+# per-reader unit/type normalization (reference/pipit/trace.py:74-97,
+# otf2_reader.py:459-494) lifted to the whole catalog.
+#
+# Targets per column: "bigint"/"int"/"double"/"string" = plain cast;
+# "ts_ntz" = calendar column → TIMESTAMP_NTZ (DATE and ISO-string
+# inputs cast exactly; session TZ is UTC so TIMESTAMP→NTZ is a
+# relabeling); "json" = struct/map props → to_json string so the
+# regexp/get_json_object extractors keep working.
+_CANON_COLUMNS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "ts_ntz",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "ts_ntz",
+    },
+    "events": {
+        "event_id": "bigint",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "json",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    # embeddings.embedding stays as-read: every consumer casts elements
+    # to double itself (similarity._dot, the numpy kernels' astype), and
+    # Spark reads list/fixed_size_list of float32/float64 uniformly.
+    "embeddings": {"vec_id": "bigint", "label": "int"},
+}
+
+_COMPLEX_TYPES = ("struct", "map")
+
+
+def _canonicalize(df: DataFrame, table: str) -> DataFrame:
+    rules = _CANON_COLUMNS.get(table, {})
+    out = []
+    changed = False
+    for f in df.schema.fields:
+        target = rules.get(f.name)
+        actual = f.dataType.typeName()
+        col = F.col(f.name)
+        if target is None or actual == target:
+            out.append(col)
+            continue
+        if target == "ts_ntz":
+            if actual in ("timestamp_ntz",):
+                out.append(col)
+                continue
+            # DATE / TIMESTAMP / ISO string → exact NTZ relabel (UTC tz)
+            out.append(col.cast("timestamp_ntz").alias(f.name))
+        elif target == "json":
+            if actual in _COMPLEX_TYPES:
+                out.append(F.to_json(col).alias(f.name))
+            elif actual != "string":
+                out.append(col.cast("string").alias(f.name))
+            else:
+                out.append(col)
+                continue
+        elif target in ("bigint", "long"):
+            if actual == "long":
+                out.append(col)
+                continue
+            out.append(col.cast("bigint").alias(f.name))
+        elif target == "int":
+            if actual == "integer":
+                out.append(col)
+                continue
+            out.append(col.cast("int").alias(f.name))
+        else:
+            out.append(col.cast(target).alias(f.name))
+        changed = True
+    return df.select(*out) if changed else df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, _t(sf_dir, name))
-    return spark.read.parquet(_t(sf_dir, name))
+    return _canonicalize(spark.read.parquet(_t(sf_dir, name)), name)
 
 
 def load_events(spark: SparkSession, path: str) -> DataFrame:
@@ -64,7 +191,13 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
             )
-    return df
+        elif t == "string":
+            # ISO timestamp strings → µs since epoch → ns (UTC session)
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp_ntz").cast("timestamp")) * 1000
+            )
+    # the remaining columns (value/props/ids) share the catalog-wide rules
+    return _canonicalize(df, "events")
 
 
 def _ts_us(col: str = "ts"):
