@@ -698,6 +698,168 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------- repeated-span removal
+def remove_repeated_spans(
+    docs: DataFrame, k: int = 5, min_run: int = 2
+) -> DataFrame:
+    """Substring-level corpus dedup: remove word spans that repeat
+    ACROSS documents (boilerplate headers, license blocks, templated
+    paragraphs), keeping each document's unique remainder — the
+    span-granular companion to document-level fuzzy dedup (cf. the
+    suffix-array dedup of "Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022, re-expressed relationally).
+
+    A position's word k-gram is *duplicated* when the identical shingle
+    occurs in ≥2 distinct documents; runs of ≥ ``min_run`` consecutive
+    duplicated positions mark their covered words (run + k−1 trailing)
+    for removal. Wholly JVM-side:
+
+    * one map-side-combined aggregate finds cross-doc shingles — the
+      ``MIN(doc_id) <> MAX(doc_id)`` trick needs no DISTINCT shuffle
+      and no skew-prone count for high-frequency boilerplate;
+    * a shuffle hash semi-join marks duplicated positions (the dup set
+      is unbounded — boilerplate IS high-df — so no broadcast hint);
+    * runs via the classic gaps-and-islands ``p − row_number()`` window
+      over only the duplicated positions (small side);
+    * covered positions explode from run spans; the final anti-join +
+      per-doc ordered re-concat rebuilds the cleaned text.
+
+    Returns (doc_id, text, n_removed_words); documents fully covered by
+    repeated spans come back with empty text, fully-unique documents
+    unchanged (modulo whitespace normalization).
+    """
+    from pyspark.sql import Window
+
+    toked = docs.select(
+        "doc_id",
+        _tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+    )
+    sh = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - k + 1, F.lit(1)))
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "p",
+        F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(k))).alias(
+            "shingle"
+        ),
+    )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .select("shingle")
+    )
+    dup_pos = sh.join(dup, "shingle", "left_semi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = (
+        dup_pos.withColumn("_grp", F.col("p") - F.row_number().over(w))
+        .groupBy("doc_id", "_grp")
+        .agg(F.min("p").alias("start"), F.count("*").alias("rl"))
+        .filter(F.col("rl") >= min_run)
+    )
+    covered = runs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("start"), F.col("start") + F.col("rl") + F.lit(k - 2)
+            )
+        ).alias("wp"),
+    ).dropDuplicates(["doc_id", "wp"])
+    words = toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("_n"),
+        F.posexplode("toks").alias("wp0", "word"),
+    ).select("doc_id", "_n", (F.col("wp0") + 1).alias("wp"), "word")
+    kept = words.join(covered, ["doc_id", "wp"], "left_anti")
+    cleaned = kept.groupBy("doc_id", "_n").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wp", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("_kept"),
+    )
+    base = toked.select("doc_id", F.size("toks").cast("long").alias("_n"))
+    return base.join(cleaned, ["doc_id", "_n"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        (F.col("_n") - F.coalesce(F.col("_kept"), F.lit(0))).alias(
+            "n_removed_words"
+        ),
+    )
+
+
+def oracle_remove_repeated_spans(
+    k: int = 5, min_run: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`remove_repeated_spans` (identical
+    shingling, MIN<>MAX dup rule, gaps-and-islands runs)."""
+    norm = _sql_norm(f"COALESCE({table}.text, '')")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}
+),
+pos AS (
+    SELECT doc_id, t,
+           unnest(range(1, GREATEST(len(t) - {k} + 1, 1) + 1)) AS p
+    FROM toks
+),
+sh AS (
+    SELECT doc_id, p,
+           array_to_string(list_slice(t, p, p + {k} - 1), ' ') AS shingle
+    FROM pos
+),
+dup AS (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING MIN(doc_id) <> MAX(doc_id)
+),
+dp AS (
+    SELECT doc_id, p FROM sh
+    WHERE shingle IN (SELECT shingle FROM dup)
+),
+runs AS (
+    SELECT doc_id, p,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+    FROM dp
+),
+spans AS (
+    SELECT doc_id, MIN(p) AS start, COUNT(*) AS rl
+    FROM runs GROUP BY doc_id, grp
+    HAVING COUNT(*) >= {min_run}
+),
+covered AS (
+    SELECT DISTINCT doc_id, unnest(range(start, start + rl + {k} - 1)) AS wp
+    FROM spans
+),
+words AS (
+    SELECT doc_id, unnest(t) AS word, generate_subscripts(t, 1) AS wp,
+           len(t) AS n
+    FROM toks
+),
+kept AS (
+    SELECT w.doc_id, w.wp, w.word, w.n
+    FROM words w
+    LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.wp = c.wp
+    WHERE c.wp IS NULL
+),
+cleaned AS (
+    SELECT doc_id, string_agg(word, ' ' ORDER BY wp) AS text,
+           COUNT(*) AS n_kept, ANY_VALUE(n) AS n
+    FROM kept GROUP BY doc_id
+)
+SELECT t0.doc_id,
+       COALESCE(c.text, '') AS text,
+       CAST(len(t0.t) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed_words
+FROM toks t0 LEFT JOIN cleaned c ON t0.doc_id = c.doc_id
+"""
+
+
 # ----------------------------------------------------------- oracle SQL
 def _sql_norm(col: str) -> str:
     return f"regexp_replace(trim({col}), '\\s+', ' ', 'g')"

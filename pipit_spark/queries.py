@@ -2311,6 +2311,15 @@ def q_doc_winnow(spark, sf_dir):
     return X.winnow_fingerprints(load(spark, sf_dir, "documents"))
 
 
+def q_doc_despan(spark, sf_dir):
+    """Substring-level corpus dedup: cross-document repeated word spans
+    removed from each document (suffix-array dedup semantics expressed
+    relationally; one aggregate + semi-join + gaps-and-islands window)."""
+    return D.remove_repeated_spans(
+        load(spark, sf_dir, "documents"), k=5, min_run=2
+    )
+
+
 def q_doc_sample_exact_k(spark, sf_dir):
     """Exactly-k-per-source deterministic sample (md5 rank)."""
     out = _SP.sample_exact_k(
@@ -2550,6 +2559,7 @@ def queries():
         "doc_corpus_diff": q_doc_corpus_diff,
         "doc_sample_exact_k": q_doc_sample_exact_k,
         "doc_winnow": q_doc_winnow,
+        "doc_despan": q_doc_despan,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2638,6 +2648,7 @@ def oracle_sql():
         "doc_dedup_lines_within": QL.oracle_dedup_lines_within(),
         "doc_corpus_diff": _PL.oracle_corpus_diff(),
         "doc_winnow": X.oracle_winnow_fingerprints(),
+        "doc_despan": D.oracle_remove_repeated_spans(k=5, min_run=2),
         "doc_sample_exact_k": (
             "SELECT doc_id, source FROM ("
             + _SP.oracle_sample_exact_k(k=5, strata="source").strip()

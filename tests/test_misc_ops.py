@@ -934,3 +934,49 @@ def test_winnow_fingerprints_guarantee(spark):
     assert fp[0] & fp[1], "shared substring must share a fingerprint"
     assert not (fp[0] & fp[2])
     assert not (fp[1] & fp[2])
+
+
+def test_remove_repeated_spans_semantics(spark):
+    """Cross-doc boilerplate removed, unique prose kept, fully-unique and
+    fully-boilerplate docs handled; run shorter than min_run survives."""
+    from pipit_spark.llm.dedup import remove_repeated_spans
+
+    boiler = "copyright notice all rights reserved do not redistribute this file"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta"),
+            (2, boiler + " one two three four five six seven"),
+            (3, "totally unique prose with no shared spans anywhere here"),
+            (4, boiler),  # nothing but the shared block
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(docs, k=3, min_run=2).collect()
+    }
+    assert out[3]["text"] == "totally unique prose with no shared spans anywhere here"
+    assert out[3]["n_removed_words"] == 0
+    assert out[4]["text"] == ""
+    assert out[4]["n_removed_words"] == len(boiler.split())
+    # the boilerplate words are gone from 1 and 2; their tails survive
+    for d, tail in ((1, "gamma delta epsilon zeta"), (2, "four five six seven")):
+        assert "copyright" not in out[d]["text"]
+        assert out[d]["text"].endswith(tail)
+        assert out[d]["n_removed_words"] >= len(boiler.split())
+
+
+def test_remove_repeated_spans_no_false_positives(spark):
+    """A corpus with no cross-doc k-gram repeats comes back verbatim
+    (modulo whitespace normalization)."""
+    from pipit_spark.llm.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = remove_repeated_spans(docs, k=3, min_run=1).collect()
+    assert all(r["n_removed_words"] == 0 for r in out)
+    assert sorted(r["text"] for r in out) == sorted(
+        " ".join(f"w{i}x{j}" for j in range(12)) for i in range(6)
+    )
