@@ -416,6 +416,103 @@ def ivf_topk(
     )
 
 
+SEMANTIC_DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("kept", T.BooleanType()),
+        T.StructField("dup_of", T.LongType()),
+    ]
+)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    nlist: int = 16,
+    threshold: float = 0.95,
+    train_max_id: int = 256,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, re-expressed for Spark): cluster the corpus with
+    the spherical-k-means coarse quantizer (:func:`ivf_build`), then
+    WITHIN each cluster drop every vector whose cosine to a lower-id
+    cluster member is ≥ ``threshold``. Deterministic keep-lowest-id
+    rule; ``dup_of`` is the smallest such lower id (NULL when kept).
+
+    Scale shape: clustering makes the quadratic pairwise step
+    O(n²/nlist) and embarrassingly parallel — one ``applyInPandas``
+    BLAS kernel per cell, one shuffle on the cell id. At corpus scale
+    ``nlist`` grows with n (the paper uses ~√n clusters) so per-cell
+    membership stays bounded; cells are balanced by construction of
+    spherical k-means on normalized embeddings, and a pathologically
+    hot cell degrades to that cell's O(m²) only. ``nlist=1`` degrades
+    to exact all-pairs — the oracle gate's configuration."""
+    idx = ivf_build(emb, nlist=nlist, train_max_id=train_max_id,
+                    vec_col=vec_col)
+    assigned = idx.assigned.select(
+        F.col("neighbor_id").alias("vec_id"), "__vc", "__cell"
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(pdf["__vc"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ids = pdf["vec_id"].to_numpy()
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        for i in range(1, len(ids)):
+            hits = np.nonzero(sims[i, :i] >= threshold)[0]
+            if len(hits):
+                dup_of[i] = ids[hits[0]]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["__cell"].to_numpy(),
+                "kept": dup_of < 0,
+                "dup_of": pd.array(
+                    [None if d < 0 else d for d in dup_of], dtype="Int64"
+                ),
+            }
+        )
+
+    return assigned.groupBy("__cell").applyInPandas(
+        per_cell, SEMANTIC_DEDUP_SCHEMA
+    )
+
+
+def oracle_semantic_dedup(
+    threshold: float = 0.95, table: str = "embeddings"
+) -> str:
+    """DuckDB mirror of :func:`semantic_dedup` at ``nlist=1`` (single
+    cell: the in-cluster restriction vanishes and the keep rule is the
+    pure lower-id cosine test)."""
+    return f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+    FROM {table}
+),
+n AS (
+    SELECT vec_id, v,
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+    FROM e
+),
+hits AS (
+    SELECT a.vec_id AS id, MIN(b.vec_id) AS dup_of
+    FROM n a JOIN n b ON b.vec_id < a.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                                  i -> a.v[i] * b.v[i]))
+          / (a.nrm * b.nrm) >= {threshold}
+    GROUP BY a.vec_id
+)
+SELECT n.vec_id, CAST(0 AS INT) AS cell,
+       hits.id IS NULL AS kept,
+       CAST(hits.dup_of AS BIGINT) AS dup_of
+FROM n LEFT JOIN hits ON n.vec_id = hits.id
+"""
+
+
 def oracle_lsh_ann_pairs(
     table: str = "embeddings",
     num_planes: int = 8,

@@ -2320,6 +2320,16 @@ def q_doc_despan(spark, sf_dir):
     )
 
 
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: spherical-k-means cells + per-cell
+    lower-id cosine drop rule. Gate pins nlist=1 (single cell) so the
+    oracle is the pure all-pairs rule; the clustered path is covered by
+    the kept-set monotonicity pytest."""
+    return V.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), nlist=1, threshold=0.95
+    )
+
+
 def q_doc_sample_exact_k(spark, sf_dir):
     """Exactly-k-per-source deterministic sample (md5 rank)."""
     out = _SP.sample_exact_k(
@@ -2560,6 +2570,7 @@ def queries():
         "doc_sample_exact_k": q_doc_sample_exact_k,
         "doc_winnow": q_doc_winnow,
         "doc_despan": q_doc_despan,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2649,6 +2660,7 @@ def oracle_sql():
         "doc_corpus_diff": _PL.oracle_corpus_diff(),
         "doc_winnow": X.oracle_winnow_fingerprints(),
         "doc_despan": D.oracle_remove_repeated_spans(k=5, min_run=2),
+        "emb_semantic_dedup": V.oracle_semantic_dedup(threshold=0.95),
         "doc_sample_exact_k": (
             "SELECT doc_id, source FROM ("
             + _SP.oracle_sample_exact_k(k=5, strata="source").strip()

@@ -980,3 +980,27 @@ def test_remove_repeated_spans_no_false_positives(spark):
     assert sorted(r["text"] for r in out) == sorted(
         " ".join(f"w{i}x{j}" for j in range(12)) for i in range(6)
     )
+
+
+def test_semantic_dedup_clustered_monotone(spark):
+    """Clustering only removes comparisons: the exact (nlist=1) kept set
+    is a subset of every clustered kept set, and every clustered drop is
+    a genuine >=threshold cosine to its recorded lower-id dup_of."""
+    import numpy as np
+    from pipit_spark.llm.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = semantic_dedup(emb, nlist=1, threshold=0.95).collect()
+    clus = semantic_dedup(emb, nlist=4, threshold=0.95).collect()
+    kept1 = {r["vec_id"] for r in exact if r["kept"]}
+    kept4 = {r["vec_id"] for r in clus if r["kept"]}
+    assert kept1 <= kept4
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for r in clus:
+        if not r["kept"]:
+            a, b = vecs[r["vec_id"]], vecs[r["dup_of"]]
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+            assert r["dup_of"] < r["vec_id"] and cos >= 0.95 - 1e-9
