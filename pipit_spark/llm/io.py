@@ -115,3 +115,35 @@ def write_training_shards(
         .partitionBy("shard")
         .json(path)
     )
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read an ORC corpus. ORC is self-describing (schema rides in the
+    file footer — no inference pass to suppress, unlike JSONL); an
+    explicit ``schema`` acts as projection + type check, which keeps
+    column pruning exact when callers only need a subset. Predicate
+    pushdown into ORC stripe/row-group indexes comes free from the
+    native source."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(
+    docs: DataFrame,
+    path: str,
+    num_shards: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Write a corpus as sharded ORC (columnar interchange for
+    warehouses that speak ORC rather than parquet). Same sharding
+    contract as :func:`write_jsonl`: one file per partition by default,
+    ``num_shards`` repartitions for explicit control."""
+    if num_shards is not None:
+        docs = docs.repartition(num_shards)
+    docs.write.mode("overwrite").option("compression", compression).orc(path)

@@ -194,3 +194,80 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("start_sample", T.LongType()),
+        T.StructField("end_sample", T.LongType()),
+    ]
+)
+
+
+def audio_windows(
+    media: DataFrame, window_samples: int = 16_000, hop: int | None = None
+) -> DataFrame:
+    """Fixed-size audio windowing plumbing: one row per (clip, window)
+    with sample offsets, from typed metadata (``sample_rate`` /
+    ``n_samples`` map entries when present, stub-derived from payload
+    size otherwise). Pure lateral explode — narrow, no shuffle, no
+    decode; the decoder consumes (media_id, start, end) slices later so
+    window planning never touches the blobs."""
+    hop = hop or window_samples
+    clips = media.filter(F.col("kind") == "audio").select(
+        "media_id",
+        F.coalesce(
+            F.element_at(F.col("meta"), "n_samples").cast("long"),
+            (F.length("data").cast("long") * 8),  # stub: bytes -> samples
+        ).alias("__n"),
+    )
+    return clips.select(
+        "media_id",
+        "__n",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.floor((F.col("__n") - 1) / hop).cast("int"),
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: i.cast("long") * hop,
+            )
+        ).alias("window_idx", "start_sample"),
+    ).select(
+        "media_id",
+        F.col("window_idx").cast("int").alias("window_idx"),
+        "start_sample",
+        # ragged tail window clamps to the clip length
+        F.least(
+            F.col("start_sample") + window_samples, F.col("__n")
+        ).alias("end_sample"),
+    )
+
+
+def multimodal_manifest(
+    media: DataFrame, docs: DataFrame, feat_dim: int = 16
+) -> DataFrame:
+    """Paired (media, caption) training manifest: decoded media features
+    joined with the caption text keyed by id. The decode pass is narrow
+    (mapInPandas); the caption join is the only shuffle, on the id both
+    sides already carry — at scale both sides arrive partitioned by id
+    from their sources, so AQE plans a co-located join. Output is the
+    loader-facing schema (id, kind, dims, features, caption,
+    caption_tokens)."""
+    decoded = decode_media(media, feat_dim=feat_dim)
+    captions = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").alias("caption"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "caption_tokens"
+        ),
+    )
+    return decoded.join(captions, "media_id").select(
+        "media_id", "kind", "height", "width", "n_bytes",
+        "features", "caption", "caption_tokens",
+    )

@@ -1004,3 +1004,51 @@ def test_semantic_dedup_clustered_monotone(spark):
             a, b = vecs[r["vec_id"]], vecs[r["dup_of"]]
             cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
             assert r["dup_of"] < r["vec_id"] and cos >= 0.95 - 1e-9
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC corpus interchange: schema and values survive a write/read
+    cycle; explicit-schema read prunes to the requested columns."""
+    from pipit_spark.llm import io as IO
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "corpus_orc")
+    IO.write_orc(docs, path, num_shards=4)
+    back = IO.read_orc(spark, path)
+    assert back.schema == docs.schema
+    assert sorted(map(str, back.collect())) == sorted(map(str, docs.collect()))
+    from pyspark.sql import types as T
+
+    pruned = IO.read_orc(
+        spark, path,
+        schema=T.StructType([T.StructField("doc_id", T.LongType())]),
+    )
+    assert pruned.columns == ["doc_id"]
+    assert pruned.count() == docs.count()
+
+
+def test_audio_windows_and_manifest(spark):
+    """Window planning covers every sample exactly once at hop=window,
+    tails clamp; the multimodal manifest pairs features with captions."""
+    from pipit_spark.llm import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.synthesize_media(docs)
+    win = M.audio_windows(media, window_samples=1000).collect()
+    assert win, "audio clips expected in the synthetic media table"
+    by_clip = {}
+    for r in win:
+        by_clip.setdefault(r["media_id"], []).append(r)
+    for rows in by_clip.values():
+        rows.sort(key=lambda r: r["window_idx"])
+        assert rows[0]["start_sample"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_sample"] == a["start_sample"] + 1000
+            assert a["end_sample"] == a["start_sample"] + 1000
+        last = rows[-1]
+        assert last["end_sample"] - last["start_sample"] <= 1000
+
+    man = M.multimodal_manifest(media, docs, feat_dim=8)
+    got = man.limit(50).collect()
+    assert got and all(len(r["features"]) == 8 for r in got)
+    assert all(r["caption_tokens"] >= 1 for r in got)
