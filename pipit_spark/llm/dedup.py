@@ -770,28 +770,30 @@ def remove_repeated_spans(
         ).alias("wp"),
     ).dropDuplicates(["doc_id", "wp"])
     words = toked.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("_n"),
-        F.posexplode("toks").alias("wp0", "word"),
-    ).select("doc_id", "_n", (F.col("wp0") + 1).alias("wp"), "word")
-    kept = words.join(covered, ["doc_id", "wp"], "left_anti")
-    cleaned = kept.groupBy("doc_id", "_n").agg(
+        "doc_id", F.posexplode("toks").alias("wp0", "word")
+    ).select("doc_id", (F.col("wp0") + 1).alias("wp"), "word")
+    # one LEFT join + conditional aggregation rebuilds every document
+    # (collect_list skips the NULLed covered words; fully-covered docs
+    # come back as '') — no anti-join and no re-scan of the corpus for
+    # the all-removed stragglers
+    marked = words.join(
+        covered.withColumn("_c", F.lit(1)), ["doc_id", "wp"], "left"
+    )
+    return marked.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("wp", "word"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_c").isNull(), F.struct("wp", "word"))
+                    )
+                ),
                 lambda x: x["word"],
             ),
         ).alias("text"),
-        F.count("*").alias("_kept"),
-    )
-    base = toked.select("doc_id", F.size("toks").cast("long").alias("_n"))
-    return base.join(cleaned, ["doc_id", "_n"], "left").select(
-        "doc_id",
-        F.coalesce(F.col("text"), F.lit("")).alias("text"),
-        (F.col("_n") - F.coalesce(F.col("_kept"), F.lit(0))).alias(
-            "n_removed_words"
-        ),
+        F.sum(F.coalesce(F.col("_c"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed_words"),
     )
 
 
