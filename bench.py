@@ -53,8 +53,11 @@ HEADLINE = [
     "doc_text_stats",
     "doc_minhash_lsh",
     "doc_ngram_jaccard",
+    "doc_despan",
     "emb_cosine_topk",
     "emb_ivf_topk",
+    "emb_semantic_dedup",
+    "q21_waiting_orders",
 ]
 
 
