@@ -20,7 +20,7 @@ SURVEY.md §7 step 9.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 DOCUMENTS_SCHEMA = T.StructType(
@@ -147,3 +147,43 @@ def write_orc(
     if num_shards is not None:
         docs = docs.repartition(num_shards)
     docs.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def write_partitioned_corpus(
+    docs: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("source", "lang"),
+    fmt: str = "parquet",
+) -> None:
+    """Hive-layout corpus lake: directory-partitioned by low-cardinality
+    routing columns (source/lang are the natural pruning axes of a
+    training corpus — per-source reprocessing and per-language selection
+    are the two most common scoped reads). A read filtered on the
+    partition columns then prunes whole directories BEFORE any IO
+    (PartitionFilters in the scan, contract-tested), which at 100 TB is
+    the difference between touching one source's shard and listing the
+    whole lake.
+
+    The write repartitions on the partition columns first so each
+    directory is written by the tasks that own its rows — without it
+    every task appends a file into every directory (task_count ×
+    n_partitions small files, the classic partitionBy explosion)."""
+    w = (
+        docs.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+    )
+    getattr(w, fmt)(path)
+
+
+def read_partitioned_corpus(
+    spark: SparkSession, path: str, fmt: str = "parquet", **filters: str
+) -> DataFrame:
+    """Read back a partitioned corpus lake, with optional equality
+    filters on partition columns passed as kwargs (``source="web"``) —
+    expressed as ordinary ``filter`` calls so Catalyst turns them into
+    partition pruning."""
+    df = getattr(spark.read, fmt)(path)
+    for c, v in filters.items():
+        df = df.filter(F.col(c) == v)
+    return df

@@ -1052,3 +1052,31 @@ def test_audio_windows_and_manifest(spark):
     got = man.limit(50).collect()
     assert got and all(len(r["features"]) == 8 for r in got)
     assert all(r["caption_tokens"] >= 1 for r in got)
+
+
+def test_partitioned_corpus_prunes(spark, tmp_path):
+    """Partition-pruning contract: a source/lang-filtered read of the
+    Hive-layout corpus shows PartitionFilters in the scan and touches
+    only the matching directories; values round-trip."""
+    from pipit_spark.llm import io as IO
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "lake")
+    IO.write_partitioned_corpus(docs, path)
+    one = docs.limit(1).collect()[0]
+    back = IO.read_partitioned_corpus(
+        spark, path, source=one["source"], lang=one["lang"]
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert f"isnotnull(source" in plan
+    want = docs.filter(
+        (F.col("source") == one["source"]) & (F.col("lang") == one["lang"])
+    )
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    # pruned scan lists only the selected leaf directory
+    import re
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert "source" in m.group(1) and "lang" in m.group(1)
