@@ -356,3 +356,29 @@ def test_streaming_decontaminate(spark, tmp_path):
         for r in spark.sql("SELECT * FROM decon_stream").collect()
     }
     assert got == batch and set(got) == {1}
+
+
+def test_streaming_ann_topk(spark, tmp_path):
+    """Online retrieval twin: streamed query embeddings against the
+    static replicated IVF index return the exact ivf_search results at
+    nprobe=nlist (both exhaustive), rank for rank."""
+    from pipit_spark.llm.similarity import ivf_build, ivf_search
+    from pipit_spark.streaming.ops import streaming_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    index = ivf_build(emb, nlist=4)
+    queries = emb.filter(F.col("vec_id") < 6)
+    expected = sorted(
+        map(str, ivf_search(index, queries, k=5, nprobe=4).collect())
+    )
+
+    src = tmp_path / "qstream"
+    src.mkdir()
+    qp = queries.toPandas()
+    qp.iloc[:3].to_parquet(src / "b1.parquet")
+    qp.iloc[3:].to_parquet(src / "b2.parquet")
+    stream = spark.readStream.schema(queries.schema).parquet(str(src))
+    out = streaming_ann_topk(stream, index, k=5, nprobe=4)
+    _run_to_memory(out, "ann_stream", mode="append")
+    got = sorted(map(str, spark.sql("SELECT * FROM ann_stream").collect()))
+    assert got == expected
