@@ -1080,3 +1080,71 @@ def test_partitioned_corpus_prunes(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert "source" in m.group(1) and "lang" in m.group(1)
+
+
+def _ref_bpe_train(word_freqs, num_merges):
+    """Independent pure-Python transcription of the published BPE
+    training loop (Sennrich et al. 2016, Algorithm 1) used as the
+    golden reference for the distributed trainer."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+
+        def merge_word(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        vocab = {merge_word(s): c for s, c in vocab.items()}
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed trainer reproduces the reference merge sequence
+    exactly (same ties, same leftmost-nonoverlapping merge rule)."""
+    from collections import Counter
+
+    from pipit_spark.llm.bpe import train_bpe, apply_bpe, _encode_word
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new new newer",
+        "wider wide wide widest",
+        "low new wide lower newer",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    freqs = Counter(w for t in texts for w in t.split())
+    want = _ref_bpe_train(freqs, 12)
+    got = train_bpe(docs, num_merges=12, checkpoint_every=4)
+    assert got == want
+
+    # encoding round-trips: concatenated tokens rebuild each word
+    ranks = {p: i for i, p in enumerate(got)}
+    for w in freqs:
+        assert "".join(_encode_word(w, ranks)) == w + "</w>"
+
+    toks = {r["doc_id"]: r for r in apply_bpe(docs, got).collect()}
+    for i, t in enumerate(texts):
+        joined = "".join(toks[i]["tokens"])
+        assert joined == "".join(w + "</w>" for w in t.split())
+        assert toks[i]["n_tokens"] == len(toks[i]["tokens"])
