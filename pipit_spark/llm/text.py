@@ -432,3 +432,39 @@ sel AS (
 SELECT DISTINCT doc_id, h AS fingerprint
 FROM sel WHERE m.h = h AND m.np = -p
 """
+
+
+# GPT-2-style pre-tokenizer classes, ASCII-restricted so the Java and
+# POSIX regex engines agree byte-for-byte: letter runs, digit runs,
+# punctuation runs (whitespace separates, never emitted).
+_PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+_US = "\x1f"  # unit separator joins the token stream
+
+
+def pretokenize(docs: DataFrame) -> DataFrame:
+    """BPE-style regex pre-tokenization (the split GPT-2-family
+    tokenizers apply before byte-pair merges): letter / digit /
+    punctuation runs via ``regexp_extract_all`` — a single JVM
+    expression, no UDF, no shuffle. Output carries the token count and
+    the unit-separator-joined token stream (scalar columns hash
+    deterministically across engines; the array form is
+    ``split(pretokens, US)``)."""
+    # pattern as a lit Column — routing it through F.expr would hit the
+    # SQL string parser, which eats the \s escape
+    toks = F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_pretokens"),
+        F.concat_ws(_US, toks).alias("pretokens"),
+    )
+
+
+def oracle_pretokenize(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PRETOKEN_RE}')) AS BIGINT)
+           AS n_pretokens,
+       array_to_string(regexp_extract_all(text, '{_PRETOKEN_RE}'),
+                       chr(31)) AS pretokens
+FROM {table}
+"""

@@ -2330,6 +2330,11 @@ def q_emb_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_doc_pretokenize(spark, sf_dir):
+    """GPT-2-style regex pre-tokenization - single JVM expression."""
+    return X.pretokenize(load(spark, sf_dir, "documents"))
+
+
 def q_doc_sample_exact_k(spark, sf_dir):
     """Exactly-k-per-source deterministic sample (md5 rank)."""
     out = _SP.sample_exact_k(
@@ -2571,6 +2576,7 @@ def queries():
         "doc_winnow": q_doc_winnow,
         "doc_despan": q_doc_despan,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "doc_pretokenize": q_doc_pretokenize,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2661,6 +2667,7 @@ def oracle_sql():
         "doc_winnow": X.oracle_winnow_fingerprints(),
         "doc_despan": D.oracle_remove_repeated_spans(k=5, min_run=2),
         "emb_semantic_dedup": V.oracle_semantic_dedup(threshold=0.95),
+        "doc_pretokenize": X.oracle_pretokenize(),
         "doc_sample_exact_k": (
             "SELECT doc_id, source FROM ("
             + _SP.oracle_sample_exact_k(k=5, strata="source").strip()
