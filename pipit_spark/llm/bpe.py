@@ -66,7 +66,6 @@ def train_bpe(
     pair frequency break lexicographically (deterministic across
     engines and partitionings — a plain max would be
     partition-order-dependent)."""
-    spark = docs.sparkSession
     words = word_counts(docs, text_col).select(
         F.concat(
             F.split(F.col("word"), ""), F.array(F.lit(_EOW))

@@ -840,19 +840,18 @@ covered AS (
     FROM spans
 ),
 words AS (
-    SELECT doc_id, unnest(t) AS word, generate_subscripts(t, 1) AS wp,
-           len(t) AS n
+    SELECT doc_id, unnest(t) AS word, generate_subscripts(t, 1) AS wp
     FROM toks
 ),
 kept AS (
-    SELECT w.doc_id, w.wp, w.word, w.n
+    SELECT w.doc_id, w.wp, w.word
     FROM words w
     LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.wp = c.wp
     WHERE c.wp IS NULL
 ),
 cleaned AS (
     SELECT doc_id, string_agg(word, ' ' ORDER BY wp) AS text,
-           COUNT(*) AS n_kept, ANY_VALUE(n) AS n
+           COUNT(*) AS n_kept
     FROM kept GROUP BY doc_id
 )
 SELECT t0.doc_id,

@@ -154,6 +154,7 @@ def write_partitioned_corpus(
     path: str,
     partition_cols: tuple[str, ...] = ("source", "lang"),
     fmt: str = "parquet",
+    files_per_partition: int = 8,
 ) -> None:
     """Hive-layout corpus lake: directory-partitioned by low-cardinality
     routing columns (source/lang are the natural pruning axes of a
@@ -164,12 +165,19 @@ def write_partitioned_corpus(
     the difference between touching one source's shard and listing the
     whole lake.
 
-    The write repartitions on the partition columns first so each
-    directory is written by the tasks that own its rows — without it
-    every task appends a file into every directory (task_count ×
-    n_partitions small files, the classic partitionBy explosion)."""
+    The write repartitions on (partition columns, content bucket) —
+    partition columns alone would collapse parallelism to the number
+    of distinct (source, lang) combos and write one giant file per
+    directory; without any repartition every task appends a file into
+    every directory (task_count × n_partitions small files). The
+    bucket term keeps directory locality while fanning each directory
+    across ``files_per_partition`` tasks/files."""
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in docs.columns]),
+        F.lit(files_per_partition),
+    )
     w = (
-        docs.repartition(*[F.col(c) for c in partition_cols])
+        docs.repartition(*[F.col(c) for c in partition_cols], bucket)
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
     )

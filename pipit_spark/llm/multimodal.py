@@ -222,6 +222,12 @@ def audio_windows(
             F.element_at(F.col("meta"), "n_samples").cast("long"),
             (F.length("data").cast("long") * 8),  # stub: bytes -> samples
         ).alias("__n"),
+    ).filter(
+        # unknown-length clips (NULL data, no n_samples metadata) and
+        # empty clips plan no windows — greatest()/least() skip NULLs,
+        # which would otherwise fabricate a full-length window over a
+        # blob that cannot be sliced
+        F.col("__n").isNotNull() & (F.col("__n") > 0)
     )
     return clips.select(
         "media_id",
@@ -259,13 +265,17 @@ def multimodal_manifest(
     from their sources, so AQE plans a co-located join. Output is the
     loader-facing schema (id, kind, dims, features, caption,
     caption_tokens)."""
+    from .text import _tokens
+
     decoded = decode_media(media, feat_dim=feat_dim)
+    # token counting via the shared text.py tokenizer so manifest
+    # counts agree with text_stats.n_tokens on the same documents
     captions = docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").alias("caption"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias(
-            "caption_tokens"
-        ),
+        F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("caption_tokens"),
     )
     return decoded.join(captions, "media_id").select(
         "media_id", "kind", "height", "width", "n_bytes",

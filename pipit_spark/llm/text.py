@@ -450,8 +450,11 @@ def pretokenize(docs: DataFrame) -> DataFrame:
     deterministically across engines; the array form is
     ``split(pretokens, US)``)."""
     # pattern as a lit Column — routing it through F.expr would hit the
-    # SQL string parser, which eats the \s escape
-    toks = F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), F.lit(0))
+    # SQL string parser, which eats the \s escape. Null text coalesces
+    # to '' so count/stream stay (0, '') instead of (NULL, '').
+    toks = F.regexp_extract_all(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(_PRETOKEN_RE), F.lit(0)
+    )
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_pretokens"),
@@ -462,9 +465,9 @@ def pretokenize(docs: DataFrame) -> DataFrame:
 def oracle_pretokenize(table: str = "documents") -> str:
     return f"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{_PRETOKEN_RE}')) AS BIGINT)
-           AS n_pretokens,
-       array_to_string(regexp_extract_all(text, '{_PRETOKEN_RE}'),
-                       chr(31)) AS pretokens
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{_PRETOKEN_RE}'))
+            AS BIGINT) AS n_pretokens,
+       array_to_string(regexp_extract_all(COALESCE(text, ''),
+                       '{_PRETOKEN_RE}'), chr(31)) AS pretokens
 FROM {table}
 """

@@ -217,15 +217,17 @@ def streaming_ann_topk(
     from pyspark.sql import types as T
 
     rows = index.assigned.select("neighbor_id", "__vc", "__cell").collect()
+    groups: dict[int, list] = {}
+    for r in rows:  # single pass — a per-cell rescan is O(cells × rows)
+        groups.setdefault(int(r["__cell"]), []).append(r)
     by_cell: dict[int, tuple] = {}
-    for c in {r["__cell"] for r in rows}:
-        mem = [r for r in rows if r["__cell"] == c]
+    for c, mem in groups.items():
         ids = np.array([r["neighbor_id"] for r in mem], dtype=np.int64)
         mat = np.stack(
             [np.asarray(r["__vc"], dtype=np.float64) for r in mem]
         )
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        by_cell[int(c)] = (ids, mat)
+        by_cell[c] = (ids, mat)
     spark = queries.sparkSession
     bc_index = spark.sparkContext.broadcast((index.centroids, by_cell))
 
@@ -248,12 +250,14 @@ def streaming_ann_topk(
                 q = np.asarray(vec, dtype=np.float64)
                 q /= np.linalg.norm(q)
                 probes = np.argsort(-(cent @ q))[:nprobe]
-                ids = np.concatenate(
-                    [cells[int(c)][0] for c in probes if int(c) in cells]
-                )
-                mats = np.concatenate(
-                    [cells[int(c)][1] for c in probes if int(c) in cells]
-                )
+                hit = [int(c) for c in probes if int(c) in cells]
+                if not hit:
+                    # every probed cell is empty (k-means can strand
+                    # centroids with zero members) — no neighbors, same
+                    # as batch ivf_search yielding zero rows
+                    continue
+                ids = np.concatenate([cells[c][0] for c in hit])
+                mats = np.concatenate([cells[c][1] for c in hit])
                 sims = mats @ q
                 # self excluded before ranking, then desc cosine with
                 # asc neighbor_id tie-break — the batch window's exact
