@@ -1148,3 +1148,70 @@ def test_bpe_train_matches_reference(spark):
         joined = "".join(toks[i]["tokens"])
         assert joined == "".join(w + "</w>" for w in t.split())
         assert toks[i]["n_tokens"] == len(toks[i]["tokens"])
+
+
+def _ref_despan(texts, k, min_run):
+    """Brute-force pure-Python reference of remove_repeated_spans."""
+    import re
+
+    toks = {d: re.sub(r"\s+", " ", t.strip()).split(" ") for d, t in texts.items()}
+
+    def shingles(words):
+        n = max(len(words) - k + 1, 1)
+        return [" ".join(words[p : p + k]) for p in range(n)]
+
+    seen = {}
+    for d, words in toks.items():
+        for sh in set(shingles(words)):
+            seen.setdefault(sh, set()).add(d)
+    dup = {sh for sh, ds in seen.items() if len(ds) >= 2}
+    out = {}
+    for d, words in toks.items():
+        dup_pos = [p for p, sh in enumerate(shingles(words)) if sh in dup]
+        covered = set()
+        run = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if len(run) >= min_run:
+                    covered.update(range(run[0], run[-1] + k))
+                run = []
+            if p is not None:
+                run.append(p)
+        kept = [w for i, w in enumerate(words) if i not in covered]
+        out[d] = (" ".join(kept), len(words) - len(kept))
+    return out
+
+
+def test_remove_repeated_spans_randomized(spark):
+    """Randomized differential: the relational pipeline agrees with the
+    brute-force reference on corpora with seeded repetition, short docs,
+    and empty docs."""
+    import random
+
+    from pipit_spark.llm.dedup import remove_repeated_spans
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = " ".join(rng.choice(vocab) for _ in range(8))
+    texts = {}
+    for d in range(25):
+        n = rng.randrange(0, 18)
+        body = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.5:
+            pos = rng.randrange(0, len(body) + 1)
+            body[pos:pos] = shared.split()
+        texts[d] = " ".join(body)
+    texts[25] = ""          # empty doc
+    texts[26] = "w1"        # single-token doc
+    texts[27] = "w1"        # its exact twin
+
+    for kk, mr in ((3, 2), (2, 1), (4, 3)):
+        want = _ref_despan(texts, kk, mr)
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_removed_words"])
+            for r in remove_repeated_spans(docs, k=kk, min_run=mr).collect()
+        }
+        assert got == want, (kk, mr)
