@@ -698,6 +698,84 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------- dedup quality monitoring
+def dedup_quality_report(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_df: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Precision/recall monitor for the approximate dedup tier: the
+    banded-LSH candidate pairs (estimate ≥ threshold) scored against
+    the exact n-gram-Jaccard pairs on the same corpus (in production,
+    run it on a deterministic sample — both inputs are plain
+    DataFrames). Every large-scale pipeline that replaces exact dedup
+    with LSH needs this needle: banding parameters drift out of tune as
+    the corpus distribution shifts, and recall decays silently.
+
+    One row: n_true, n_pred, n_hit, recall, precision (NULL when the
+    denominator is empty — 'no pairs' is a different signal than
+    'perfect score')."""
+    true_pairs = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, max_df=max_df
+    ).select("a", "b", F.lit(1).alias("_t"))
+    pred_pairs = (
+        minhash_lsh_pairs(
+            docs, num_hashes=num_hashes, bands=bands, shingle_n=n,
+            portable=portable,
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", F.lit(1).alias("_p"))
+    )
+    j = true_pairs.join(pred_pairs, ["a", "b"], "full_outer")
+    return j.agg(
+        F.sum("_t").cast("bigint").alias("n_true"),
+        F.sum("_p").cast("bigint").alias("n_pred"),
+        F.sum(F.col("_t") * F.col("_p")).cast("bigint").alias("n_hit"),
+        F.round(
+            F.sum(F.col("_t") * F.col("_p")) / F.sum("_t"), 6
+        ).alias("recall"),
+        F.round(
+            F.sum(F.col("_t") * F.col("_p")) / F.sum("_p"), 6
+        ).alias("precision"),
+    )
+
+
+def oracle_dedup_quality_report(
+    table: str = "documents",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_df: int = 1000,
+) -> str:
+    """DuckDB mirror composed from the exact-Jaccard and portable-LSH
+    pair oracles (nested-CTE subqueries)."""
+    exact = oracle_ngram_jaccard_pairs(
+        table=table, n=n, threshold=threshold, max_df=max_df
+    )
+    lsh = oracle_minhash_lsh_pairs(
+        table=table, num_hashes=num_hashes, bands=bands, shingle_n=n
+    )
+    return f"""
+WITH t AS (SELECT a, b, 1 AS _t FROM ({exact})),
+p AS (SELECT a, b, 1 AS _p FROM ({lsh}) WHERE est_jaccard >= {threshold}),
+j AS (
+    SELECT COALESCE(t.a, p.a) AS a, COALESCE(t.b, p.b) AS b, _t, _p
+    FROM t FULL OUTER JOIN p ON t.a = p.a AND t.b = p.b
+)
+SELECT CAST(SUM(_t) AS BIGINT) AS n_true,
+       CAST(SUM(_p) AS BIGINT) AS n_pred,
+       CAST(SUM(_t * _p) AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(_t * _p) AS DOUBLE) / SUM(_t), 6) AS recall,
+       ROUND(CAST(SUM(_t * _p) AS DOUBLE) / SUM(_p), 6) AS precision
+FROM j
+"""
+
+
 # ------------------------------------------- repeated-span removal
 def remove_repeated_spans(
     docs: DataFrame, k: int = 5, min_run: int = 2

@@ -2335,6 +2335,14 @@ def q_doc_pretokenize(spark, sf_dir):
     return X.pretokenize(load(spark, sf_dir, "documents"))
 
 
+def q_doc_dedup_quality(spark, sf_dir):
+    """LSH-vs-exact dedup precision/recall monitor (portable minhash so
+    the whole two-sided pipeline replays in DuckDB)."""
+    return D.dedup_quality_report(
+        load(spark, sf_dir, "documents"), portable=True
+    )
+
+
 def q_doc_sample_exact_k(spark, sf_dir):
     """Exactly-k-per-source deterministic sample (md5 rank)."""
     out = _SP.sample_exact_k(
@@ -2577,6 +2585,7 @@ def queries():
         "doc_despan": q_doc_despan,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_pretokenize": q_doc_pretokenize,
+        "doc_dedup_quality": q_doc_dedup_quality,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2668,6 +2677,7 @@ def oracle_sql():
         "doc_despan": D.oracle_remove_repeated_spans(k=5, min_run=2),
         "emb_semantic_dedup": V.oracle_semantic_dedup(threshold=0.95),
         "doc_pretokenize": X.oracle_pretokenize(),
+        "doc_dedup_quality": D.oracle_dedup_quality_report(),
         "doc_sample_exact_k": (
             "SELECT doc_id, source FROM ("
             + _SP.oracle_sample_exact_k(k=5, strata="source").strip()
