@@ -1215,3 +1215,29 @@ def test_remove_repeated_spans_randomized(spark):
             for r in remove_repeated_spans(docs, k=kk, min_run=mr).collect()
         }
         assert got == want, (kk, mr)
+
+
+def test_bpe_train_randomized(spark):
+    """Randomized differential vs the reference trainer: skewed word
+    frequencies force tie-breaks through both code paths."""
+    import random
+    from collections import Counter
+
+    from pipit_spark.llm.bpe import train_bpe
+
+    rng = random.Random(11)
+    alphabet = "abcde"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 6)))
+        for _ in range(30)
+    ]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(3, 15)))
+        for _ in range(10)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    freqs = Counter(w for t in texts for w in t.split())
+    assert train_bpe(docs, num_merges=10, checkpoint_every=3) == \
+        _ref_bpe_train(freqs, 10)

@@ -382,3 +382,36 @@ def test_streaming_ann_topk(spark, tmp_path):
     _run_to_memory(out, "ann_stream", mode="append")
     got = sorted(map(str, spark.sql("SELECT * FROM ann_stream").collect()))
     assert got == expected
+
+
+def test_streaming_bpe_encode(spark, tmp_path):
+    """apply_bpe's mapInPandas encoder runs unchanged on a stream,
+    token-identical to the batch path."""
+    import pandas as pd
+
+    from pipit_spark.llm.bpe import train_bpe, apply_bpe
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["low lower lowest new newer wide"] * 3
+            + ["widest low new wide"] * 3,
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    merges = train_bpe(docs, num_merges=8, checkpoint_every=4)
+    expected = sorted(map(str, apply_bpe(docs, merges).collect()))
+
+    src = tmp_path / "bpe_stream"
+    src.mkdir()
+    pdf.iloc[:3].to_parquet(src / "b1.parquet")
+    pdf.iloc[3:].to_parquet(src / "b2.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    out = apply_bpe(stream, merges)
+    _run_to_memory(out, "bpe_stream_out", mode="append")
+    got = sorted(
+        map(str, spark.sql("SELECT * FROM bpe_stream_out").collect())
+    )
+    assert got == expected
