@@ -94,38 +94,27 @@ def train_bpe(
         a, b = top[0]["p"]["a"], top[0]["p"]["b"]
         merges.append((a, b))
         merged = a + b
-        # leftmost-first non-overlapping merge as a left fold: append x,
-        # unless the accumulator ends with `a` AND that `a` was not
-        # itself just produced by this merge (tracked by folding structs
-        # of (array, just_merged))
+        # leftmost-first non-overlapping merge as a left fold: replace
+        # the accumulator's last element with `merged` when it equals
+        # `a` and x equals `b`, else append x. Overlap cannot chain:
+        # after a merge the last element is a+b, and a+b == a would
+        # need an empty b — symbols are never empty (chars + '</w>') —
+        # so no just-merged flag is needed and the fold stays a plain
+        # array accumulator (half the per-element expression tree of
+        # the hottest per-iteration op)
         nxt = words.select(
             F.aggregate(
                 "syms",
-                F.struct(
-                    F.array().cast("array<string>").alias("acc"),
-                    F.lit(False).alias("just"),
-                ),
-                lambda st, x: F.when(
-                    (F.size(st["acc"]) > 0)
-                    & (F.element_at(st["acc"], -1) == a)
-                    & (x == b)
-                    & ~st["just"],
-                    F.struct(
-                        F.concat(
-                            F.slice(
-                                st["acc"], 1, F.size(st["acc"]) - 1
-                            ),
-                            F.array(F.lit(merged)),
-                        ).alias("acc"),
-                        F.lit(True).alias("just"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == a)
+                    & (x == b),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
                     ),
-                ).otherwise(
-                    F.struct(
-                        F.concat(st["acc"], F.array(x)).alias("acc"),
-                        F.lit(False).alias("just"),
-                    )
-                ),
-                lambda st: st["acc"],
+                ).otherwise(F.concat(acc, F.array(x))),
             ).alias("syms"),
             "cnt",
         )
@@ -163,9 +152,11 @@ def apply_bpe(
 ) -> DataFrame:
     """Tokenize the corpus with a trained merge list: (doc_id, tokens,
     n_tokens). The merge table broadcasts; the corpus streams through
-    an Arrow-batched encoder with a per-batch word cache (Zipf: most
-    words repeat, so the cache turns per-word merge search into a dict
-    hit). Narrow — no shuffle."""
+    an Arrow-batched encoder with a bounded per-task word cache (Zipf:
+    most words repeat, so the cache turns per-word merge search into a
+    dict hit; the cap keeps heavy-tailed vocabularies — URLs, hex ids —
+    from growing it without bound on a long-lived task). Narrow — no
+    shuffle."""
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(
         {pair: i for i, pair in enumerate(merges)}
@@ -190,6 +181,8 @@ def apply_bpe(
                 for w in (text or "").split():
                     enc = cache.get(w)
                     if enc is None:
+                        if len(cache) >= 200_000:
+                            cache.clear()  # heavy-tail cap
                         enc = _encode_word(w, ranks)
                         cache[w] = enc
                     out.extend(enc)

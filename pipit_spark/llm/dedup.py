@@ -116,7 +116,8 @@ def _shingles(col, n: int = 3):
 
 
 def shingle_table(
-    docs: DataFrame, n: int = 3, distinct: bool = True
+    docs: DataFrame, n: int = 3, distinct: bool = True,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle) rows — word n-grams per document, distinct by
     default.
@@ -136,7 +137,11 @@ def shingle_table(
     ``distinct=False`` skips the dedup shuffle entirely — the right
     call when the consumer is duplicate-invariant (MIN aggregations,
     ``count_distinct``, post-filter dedup): the whole shingle stream
-    then stays narrow from scan to consumer."""
+    then stays narrow from scan to consumer.
+
+    ``keep_pos=True`` additionally carries the 1-based start position
+    ``p`` (positional consumers like repeated-span removal); positions
+    are unique per doc, so it implies the non-distinct stream."""
     toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     pos = toked.select(
         "doc_id",
@@ -145,10 +150,13 @@ def shingle_table(
             F.sequence(F.lit(1), F.greatest(F.size("toks") - n + 1, F.lit(1)))
         ).alias("p"),
     )
+    cols = ["doc_id"] + (["p"] if keep_pos else [])
     out = pos.select(
-        "doc_id",
+        *cols,
         F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(n))).alias("shingle"),
     )
+    if keep_pos:
+        return out
     return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
 
 
@@ -707,6 +715,7 @@ def dedup_quality_report(
     bands: int = 8,
     max_df: int = 1000,
     portable: bool = False,
+    pred_threshold: float | None = None,
 ) -> DataFrame:
     """Precision/recall monitor for the approximate dedup tier: the
     banded-LSH candidate pairs (estimate ≥ threshold) scored against
@@ -722,25 +731,32 @@ def dedup_quality_report(
     true_pairs = ngram_jaccard_pairs(
         docs, n=n, threshold=threshold, max_df=max_df
     ).select("a", "b", F.lit(1).alias("_t"))
+    # pred_threshold decouples the LSH acceptance bar from the exact
+    # ground-truth bar (threshold sweeps are how banding gets re-tuned)
+    pt = threshold if pred_threshold is None else pred_threshold
     pred_pairs = (
         minhash_lsh_pairs(
             docs, num_hashes=num_hashes, bands=bands, shingle_n=n,
             portable=portable,
         )
-        .filter(F.col("est_jaccard") >= threshold)
+        .filter(F.col("est_jaccard") >= pt)
         .select("a", "b", F.lit(1).alias("_p"))
     )
     j = true_pairs.join(pred_pairs, ["a", "b"], "full_outer")
+    # markers coalesce to 0 inside the product: after the full-outer
+    # join a pair in only one set has a NULL marker, and SUM skipping
+    # NULL products would report n_hit/recall NULL precisely when the
+    # sets are disjoint — the total-recall-collapse this monitor exists
+    # to catch must read 0, not NULL
+    hit = F.coalesce(F.col("_t"), F.lit(0)) * F.coalesce(
+        F.col("_p"), F.lit(0)
+    )
     return j.agg(
         F.sum("_t").cast("bigint").alias("n_true"),
         F.sum("_p").cast("bigint").alias("n_pred"),
-        F.sum(F.col("_t") * F.col("_p")).cast("bigint").alias("n_hit"),
-        F.round(
-            F.sum(F.col("_t") * F.col("_p")) / F.sum("_t"), 6
-        ).alias("recall"),
-        F.round(
-            F.sum(F.col("_t") * F.col("_p")) / F.sum("_p"), 6
-        ).alias("precision"),
+        F.sum(hit).cast("bigint").alias("n_hit"),
+        F.round(F.sum(hit) / F.sum("_t"), 6).alias("recall"),
+        F.round(F.sum(hit) / F.sum("_p"), 6).alias("precision"),
     )
 
 
@@ -769,9 +785,11 @@ j AS (
 )
 SELECT CAST(SUM(_t) AS BIGINT) AS n_true,
        CAST(SUM(_p) AS BIGINT) AS n_pred,
-       CAST(SUM(_t * _p) AS BIGINT) AS n_hit,
-       ROUND(CAST(SUM(_t * _p) AS DOUBLE) / SUM(_t), 6) AS recall,
-       ROUND(CAST(SUM(_t * _p) AS DOUBLE) / SUM(_p), 6) AS precision
+       CAST(SUM(COALESCE(_t, 0) * COALESCE(_p, 0)) AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(COALESCE(_t, 0) * COALESCE(_p, 0)) AS DOUBLE)
+             / SUM(_t), 6) AS recall,
+       ROUND(CAST(SUM(COALESCE(_t, 0) * COALESCE(_p, 0)) AS DOUBLE)
+             / SUM(_p), 6) AS precision
 FROM j
 """
 
@@ -808,23 +826,13 @@ def remove_repeated_spans(
     """
     from pyspark.sql import Window
 
-    toked = docs.select(
-        "doc_id",
-        _tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+    safe = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
-    sh = toked.select(
-        "doc_id",
-        "toks",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - k + 1, F.lit(1)))
-        ).alias("p"),
-    ).select(
-        "doc_id",
-        "p",
-        F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(k))).alias(
-            "shingle"
-        ),
-    )
+    toked = safe.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    # one shared shingling implementation module-wide (shingle_table):
+    # the positional stream, no dedup shuffle
+    sh = shingle_table(safe, n=k, keep_pos=True)
     dup = (
         sh.groupBy("shingle")
         .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))

@@ -1578,20 +1578,18 @@ def q2_min_cost_supplier(spark, sf_dir):
             ).alias("unit_cost")
         )
     )
-    best = cost.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
     parts = (
         load(spark, sf_dir, "part")
         .filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
         .select("p_partkey")
     )
+    # per-part MIN as a window over the aggregated cost table — a
+    # second groupBy branch would re-execute the whole cost subtree
+    # (Spark shares no unpersisted subtrees), re-scanning lineitem
+    wp = Window.partitionBy("l_partkey")
     return (
-        cost.join(
-            best,
-            (cost.l_partkey == best._pk)
-            & (cost.unit_cost == best.min_cost),
-        )
+        cost.withColumn("min_cost", F.min("unit_cost").over(wp))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(parts), cost.l_partkey == parts.p_partkey)
         .select("p_partkey", "s_name", "unit_cost")
     )
@@ -1637,7 +1635,8 @@ WITH val AS (
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
-    WHERE n.n_name = 'NATION_7'
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
     GROUP BY l.l_partkey
 )
 SELECT l_partkey AS p_partkey, ROUND(part_value, 2) AS part_value
@@ -1648,19 +1647,24 @@ WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
 
 def q11_important_stock(spark, sf_dir):
     """TPC-H Q11 shape: GROUP BY ... HAVING > fraction-of-global-scalar.
-    The per-part value aggregate is computed ONCE and feeds both the
-    1-row global sum (broadcast back as a scalar crossJoin) and the
-    filter — no second scan of the fact. Nation restriction is a
-    broadcast dim chain; value = Σ price·qty in exact decimals."""
+    The per-part value aggregate is persisted and computed ONCE, feeding
+    both the 1-row global sum (broadcast back as a scalar crossJoin) and
+    the filter — without the persist Spark re-executes the whole val
+    subtree for the scalar, scanning lineitem twice. Region (not single
+    nation) restriction so the gate is non-vacuous at every fixture
+    scale; value = Σ price·qty in exact decimals."""
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nat = (
-        load(spark, sf_dir, "nation")
-        .filter(F.col("n_name") == "NATION_7")
-        .select("n_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
     )
-    nat_supp = sup.join(
-        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
-    ).select("s_suppkey")
+    nat_supp = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
     val = (
         load(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
@@ -1674,7 +1678,7 @@ def q11_important_stock(spark, sf_dir):
             .cast("double")
             .alias("part_value")
         )
-    )
+    ).persist()  # cleared by clear_state/clearCache, minhash-sigs precedent
     thr = val.agg((F.sum("part_value") * 0.001).alias("_thr"))
     return (
         val.crossJoin(F.broadcast(thr))
@@ -1757,18 +1761,20 @@ dominant AS (
 )
 SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name
 FROM supplier s
-JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
 WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
 """
 
 
 def q20_excess_stock(spark, sf_dir):
     """TPC-H Q20 shape: nested semi-join chain — suppliers (in one
-    nation) who dominated a filtered part's yearly shipments (> 50% of
-    the part's total quantity; availqty proxy, no partsupp). The inner
-    per-(part, supplier) aggregate feeds the per-part total via a
-    second map-side-combined aggregate; the final membership tests are
-    LEFT SEMI joins so no supplier row duplicates."""
+    region) who dominated a filtered part's yearly shipments (> 50% of
+    the part's total quantity; availqty proxy, no partsupp). The
+    per-part total is a window over the SAME per-(part, supplier)
+    aggregate — a second groupBy branch would re-execute the subtree
+    and scan lineitem twice; the final membership tests are LEFT SEMI
+    joins so no supplier row duplicates."""
     line = (
         load(spark, sf_dir, "lineitem")
         .filter(
@@ -1782,27 +1788,28 @@ def q20_excess_stock(spark, sf_dir):
         .cast("double")
         .alias("qty")
     )
-    tot = pq.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.sum("qty").alias("total_qty")
-    )
     small_parts = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_name").like("small%"))
         .select("p_partkey")
     )
+    wp = Window.partitionBy("l_partkey")
     dominant = (
-        pq.join(tot, pq.l_partkey == tot._pk)
+        pq.withColumn("total_qty", F.sum("qty").over(wp))
         .join(F.broadcast(small_parts), pq.l_partkey == small_parts.p_partkey)
         .filter(F.col("qty") > 0.5 * F.col("total_qty"))
         .select("l_suppkey")
     )
-    nat = (
-        load(spark, sf_dir, "nation")
-        .filter(F.col("n_name") == "NATION_3")
-        .select("n_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
     )
-    sup = load(spark, sf_dir, "supplier").join(
-        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return sup.join(
         dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi"

@@ -206,8 +206,9 @@ def streaming_ann_topk(
     argpartition). Narrow, append-mode, no watermark, constant state.
     At corpus scale the index shards by cell range across a
     stream-static join instead; this operator is the
-    replicated-index tier (fits-in-executor indexes, the common case
-    for quantized corpora up to ~10⁸ vectors).
+    replicated-index tier — the index must fit in driver and executor
+    memory (~10⁷ float32 vectors at dim 256; further with int8
+    quantization via ``quantize_embeddings``).
 
     Output matches ``ivf_search``: (query_id, neighbor_id, cosine
     rounded to 4, rank) — test-verified identical at nprobe=nlist.
@@ -216,18 +217,20 @@ def streaming_ann_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = index.assigned.select("neighbor_id", "__vc", "__cell").collect()
-    groups: dict[int, list] = {}
-    for r in rows:  # single pass — a per-cell rescan is O(cells × rows)
-        groups.setdefault(int(r["__cell"]), []).append(r)
+    # Arrow-path collection straight into numpy (Row objects would cost
+    # ~10-20x the final float footprint in Python-object overhead), one
+    # O(n log n) sort groups cells without a per-cell rescan
+    pdf = index.assigned.select("neighbor_id", "__vc", "__cell").toPandas()
+    pdf = pdf.sort_values("__cell", kind="mergesort")
+    all_ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+    all_mat = np.stack(pdf["__vc"].to_numpy()).astype(np.float64)
+    all_mat /= np.linalg.norm(all_mat, axis=1, keepdims=True)
+    cell_arr = pdf["__cell"].to_numpy()
+    del pdf
     by_cell: dict[int, tuple] = {}
-    for c, mem in groups.items():
-        ids = np.array([r["neighbor_id"] for r in mem], dtype=np.int64)
-        mat = np.stack(
-            [np.asarray(r["__vc"], dtype=np.float64) for r in mem]
-        )
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        by_cell[c] = (ids, mat)
+    starts = np.flatnonzero(np.r_[True, cell_arr[1:] != cell_arr[:-1]])
+    for s, e in zip(starts, np.r_[starts[1:], len(cell_arr)]):
+        by_cell[int(cell_arr[s])] = (all_ids[s:e], all_mat[s:e])
     spark = queries.sparkSession
     bc_index = spark.sparkContext.broadcast((index.centroids, by_cell))
 

@@ -1241,3 +1241,31 @@ def test_bpe_train_randomized(spark):
     freqs = Counter(w for t in texts for w in t.split())
     assert train_bpe(docs, num_merges=10, checkpoint_every=3) == \
         _ref_bpe_train(freqs, 10)
+
+
+def test_dedup_quality_disjoint_reads_zero(spark):
+    """Total recall collapse must read 0, not NULL: corpora where LSH
+    candidates and exact pairs are both non-empty but disjoint."""
+    from pipit_spark.llm.dedup import dedup_quality_report
+
+    # docs 0/1 identical (true+pred hit), nothing else pairs
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words in every position here now"),
+        ],
+        "doc_id long, text string",
+    )
+    row = dedup_quality_report(docs, portable=True).collect()[0]
+    assert row["n_hit"] == row["n_true"] == row["n_pred"] == 1
+    assert row["recall"] == 1.0 and row["precision"] == 1.0
+
+    # total collapse: pred bar above any reachable estimate -> pred
+    # empty, true non-empty; n_hit and recall must read 0, not NULL
+    row2 = dedup_quality_report(
+        docs, portable=True, pred_threshold=1.01
+    ).collect()[0]
+    assert row2["n_true"] == 1 and row2["n_pred"] is None
+    assert row2["n_hit"] == 0 and row2["recall"] == 0.0
+    assert row2["precision"] is None  # empty denominator stays NULL
