@@ -62,6 +62,15 @@ def main() -> None:
         V.quantize_embeddings(Q.load(spark, sf, "embeddings")),
         "quantize_embeddings (no shuffle)",
     )
+    cap(
+        D.remove_repeated_spans(docs),
+        "remove_repeated_spans (3 shuffles, conditional-agg reassembly)",
+    )
+    cap(
+        V.semantic_dedup(Q.load(spark, sf, "embeddings"), nlist=4),
+        "semantic_dedup (one cell shuffle + per-cell kernel)",
+    )
+    cap(Q.q21_waiting_orders(spark, sf), "q21 (window decorrelation)")
 
 
 if __name__ == "__main__":
