@@ -1641,7 +1641,7 @@ WITH val AS (
 )
 SELECT l_partkey AS p_partkey, ROUND(part_value, 2) AS part_value
 FROM val
-WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+WHERE part_value > (SELECT AVG(part_value) * 1.5 FROM val)
 """
 
 
@@ -1679,7 +1679,11 @@ def q11_important_stock(spark, sf_dir):
             .alias("part_value")
         )
     ).persist()  # cleared by clear_state/clearCache, minhash-sigs precedent
-    thr = val.agg((F.sum("part_value") * 0.001).alias("_thr"))
+    # scale-free threshold (1.5x the average part value): a fixed
+    # fraction-of-total goes vacuous as part cardinality grows with the
+    # fixture scale (classic Q11 divides its fraction by SF for the
+    # same reason)
+    thr = val.agg((F.avg("part_value") * 1.5).alias("_thr"))
     return (
         val.crossJoin(F.broadcast(thr))
         .filter(F.col("part_value") > F.col("_thr"))
