@@ -431,3 +431,99 @@ SELECT * EXCLUDE (__rn) FROM (
     FROM {table}
 ) WHERE __rn <= {k}
 """
+
+
+def split_corpus(
+    docs: DataFrame,
+    val_pct: float = 5.0,
+    test_pct: float = 5.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment: the first 4 hex
+    digits of md5(seed:doc_id) partition [0, 0xFFFF] into three ranges.
+    Row-local (no shuffle, no sampling state), reproducible across
+    engines/runs/partitionings, and stable under corpus growth — a
+    document's split never changes when other documents are added,
+    which is what keeps eval sets honest across dataset versions."""
+    # lexicographic compare on the fixed-width lowercase-hex prefix is
+    # monotone — the module-wide idiom (sample_corpus); no hex->int
+    # conversion to keep engine-portable
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id"))), 1, 4
+    )
+    val_hi = format(int(0x10000 * val_pct / 100.0), "04x")
+    test_hi = format(
+        int(0x10000 * val_pct / 100.0)
+        + int(0x10000 * test_pct / 100.0), "04x"
+    )
+    return docs.withColumn(
+        "split",
+        F.when(bucket < val_hi, "val")
+        .when(bucket < test_hi, "test")
+        .otherwise("train"),
+    )
+
+
+def oracle_split_corpus(
+    val_pct: float = 5.0, test_pct: float = 5.0, seed: int = 0,
+    table: str = "documents",
+) -> str:
+    val_hi = format(int(0x10000 * val_pct / 100.0), "04x")
+    test_hi = format(
+        int(0x10000 * val_pct / 100.0)
+        + int(0x10000 * test_pct / 100.0), "04x"
+    )
+    return f"""
+SELECT *,
+       CASE
+         WHEN substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < '{val_hi}' THEN 'val'
+         WHEN substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < '{test_hi}' THEN 'test'
+         ELSE 'train'
+       END AS split
+FROM {table}
+"""
+
+
+def length_buckets(
+    docs: DataFrame,
+    boundaries: tuple[int, ...] = (64, 256, 1024, 4096),
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Length-bucketed batching manifest: assign each document the
+    smallest bucket whose boundary holds its token count (the padding
+    -efficiency trick — batching same-bucket sequences wastes at most
+    boundary/next-boundary of compute instead of max-doc-length). Pure
+    row-local expression + one small per-bucket summary aggregate is
+    left to the caller; output is (doc_id, n_tokens, bucket) with
+    bucket = the boundary value, or 0 for docs beyond the largest
+    (caller policy: truncate or drop)."""
+    from .text import _tokens
+
+    n = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+    ).cast("long")
+    expr = F.lit(0).cast("long")
+    for b in sorted(boundaries, reverse=True):
+        expr = F.when(n <= b, F.lit(b).cast("long")).otherwise(expr)
+    return docs.select(
+        "doc_id", n.alias("n_tokens"), expr.alias("bucket")
+    )
+
+
+def oracle_length_buckets(
+    boundaries: tuple[int, ...] = (64, 256, 1024, 4096),
+    table: str = "documents",
+) -> str:
+    norm = "regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g')"
+    n = f"CAST(len(string_split({norm}, ' ')) AS BIGINT)"
+    case = "CAST(0 AS BIGINT)"
+    for b in sorted(boundaries, reverse=True):
+        case = f"CASE WHEN {n} <= {b} THEN CAST({b} AS BIGINT) ELSE {case} END"
+    return f"""
+SELECT doc_id, {n} AS n_tokens, {case} AS bucket
+FROM {table}
+"""

@@ -2354,6 +2354,17 @@ def q_doc_dedup_quality(spark, sf_dir):
     )
 
 
+def q_doc_split(spark, sf_dir):
+    """Deterministic md5 train/val/test split - row-local, no shuffle."""
+    out = _SP.split_corpus(load(spark, sf_dir, "documents"))
+    return out.select("doc_id", "split")
+
+
+def q_doc_length_buckets(spark, sf_dir):
+    """Length-bucketed batching manifest (padding-efficiency buckets)."""
+    return _SP.length_buckets(load(spark, sf_dir, "documents"))
+
+
 def q_doc_sample_exact_k(spark, sf_dir):
     """Exactly-k-per-source deterministic sample (md5 rank)."""
     out = _SP.sample_exact_k(
@@ -2597,6 +2608,8 @@ def queries():
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_pretokenize": q_doc_pretokenize,
         "doc_dedup_quality": q_doc_dedup_quality,
+        "doc_split": q_doc_split,
+        "doc_length_buckets": q_doc_length_buckets,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2689,6 +2702,8 @@ def oracle_sql():
         "emb_semantic_dedup": V.oracle_semantic_dedup(threshold=0.95),
         "doc_pretokenize": X.oracle_pretokenize(),
         "doc_dedup_quality": D.oracle_dedup_quality_report(),
+        "doc_split": "SELECT doc_id, split FROM (" + _SP.oracle_split_corpus() + ") s",
+        "doc_length_buckets": _SP.oracle_length_buckets(),
         "doc_sample_exact_k": (
             "SELECT doc_id, source FROM ("
             + _SP.oracle_sample_exact_k(k=5, strata="source").strip()
