@@ -27,6 +27,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import schema as S
 from .operators.matching import match_events
 
+# columns the fused matching pass ADDS — used to split a derived-
+# checkpoint parquet back into events vs matched (a denylist, so
+# reader-specific metric columns like PAPI counters survive the split)
+_DERIVED_COLS = {
+    S.MATCHING_EVENT, S.MATCHING_TS, S.DEPTH, S.PARENT,
+    S.PARENT_NAME, S.PARENT_NODE, S.NODE_ID,
+}
+
+
+def _is_derived(name: str) -> bool:
+    return name in _DERIVED_COLS or name.endswith("_inc")
+
 
 _NON_METRIC = {
     S.EVENT_ID, S.TIMESTAMP, S.SEQ, S.PROCESS, S.THREAD,
@@ -109,14 +121,52 @@ class Trace:
 
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str) -> "Trace":
-        """Native canonical storage: Parquet partitioned by process."""
-        return cls(spark.read.parquet(path))
+        """Native canonical storage: Parquet partitioned by process.
 
-    def to_parquet(self, path: str, partition_by_process: bool = True) -> None:
-        w = self.events.write.mode("overwrite")
+        If the file carries the fused matching pass's derived columns
+        (written by ``to_parquet(include_derived=True)``), the matched
+        frame is seeded directly — re-opening an analyzed trace skips
+        the match shuffle + Arrow pass entirely."""
+        df = spark.read.parquet(path)
+        if S.MATCHING_EVENT in df.columns:
+            t = cls(df.select(*[c for c in df.columns if not _is_derived(c)]))
+            t._matched = df
+            return t
+        return cls(df)
+
+    def to_parquet(
+        self,
+        path: str,
+        partition_by_process: bool = True,
+        include_derived: bool = False,
+    ) -> None:
+        """``include_derived=True`` checkpoints the MATCHED frame
+        (events + matching/depth/parent/node/inclusive metrics): pay the
+        matching pass once, reload analysis-ready — the distributed
+        counterpart of the reference memoizing derived columns in its
+        in-memory DataFrame (pipit/trace.py:111,202)."""
+        src = self.matched if include_derived else self.events
+        w = src.write.mode("overwrite")
         if partition_by_process:
             w = w.partitionBy(S.PROCESS)
         w.parquet(path)
+
+    def create_views(self, prefix: str = "trace") -> list[str]:
+        """Register the engine's tables as SQL temp views —
+        ``{prefix}_events``, ``{prefix}_matched``, ``{prefix}_cct`` — so
+        the whole analysis surface is queryable with ``spark.sql`` (the
+        reference exposes no SQL at all; Spark gives it for free, CCT
+        joins included)."""
+        names = []
+        for name, df in (
+            ("events", self.events),
+            ("matched", self.matched),
+            ("cct", self.cct),
+        ):
+            view = f"{prefix}_{name}"
+            df.createOrReplaceTempView(view)
+            names.append(view)
+        return names
 
     def to_chrome(self, path: str, single_file: bool = True):
         """Reference: pipit/writers/chrome_writer.py:18-50."""

@@ -1269,3 +1269,34 @@ def test_dedup_quality_disjoint_reads_zero(spark):
     assert row2["n_true"] == 1 and row2["n_pred"] is None
     assert row2["n_hit"] == 0 and row2["recall"] == 0.0
     assert row2["precision"] is None  # empty denominator stays NULL
+
+
+def test_derived_checkpoint_roundtrip(foo_bar_trace, spark, tmp_path):
+    """to_parquet(include_derived=True) -> from_parquet skips the
+    matching pass (matched seeded from disk) and reproduces profiles."""
+    from pipit_spark import Trace
+    from pipit_spark import schema as S
+
+    path = str(tmp_path / "derived_pq")
+    foo_bar_trace.to_parquet(path, include_derived=True)
+    back = Trace.from_parquet(spark, path)
+    assert back._matched is not None  # seeded, no re-match needed
+    assert S.MATCHING_EVENT not in back.events.columns
+    a = foo_bar_trace.flat_profile(metrics=[S.TIME_INC]).toPandas()
+    b = back.flat_profile(metrics=[S.TIME_INC]).toPandas()
+    m = a.merge(b, on="name", suffixes=("_a", "_b"))
+    assert len(m) == len(a) and (m.time_inc_a == m.time_inc_b).all()
+
+
+def test_trace_sql_views(foo_bar_trace, spark):
+    """create_views exposes events/matched/cct to spark.sql — including
+    a CCT join the reference's API cannot express."""
+    views = foo_bar_trace.create_views(prefix="t0")
+    assert views == ["t0_events", "t0_matched", "t0_cct"]
+    top = spark.sql("""
+        SELECT c.name, SUM(m.time_inc) AS total_inc
+        FROM t0_matched m JOIN t0_cct c ON m.node_id = c.node_id
+        WHERE m.event_type = 'Enter'
+        GROUP BY c.name ORDER BY total_inc DESC LIMIT 1
+    """).collect()
+    assert top[0]["name"] == "main()"
