@@ -415,3 +415,87 @@ def test_streaming_bpe_encode(spark, tmp_path):
         map(str, spark.sql("SELECT * FROM bpe_stream_out").collect())
     )
     assert got == expected
+
+
+def test_streaming_matching_randomized(spark, tmp_path):
+    """Randomized differential: streaming_match over arbitrary
+    micro-batch splits of random well-nested multi-process traces agrees
+    pair-for-pair with the batch matching kernel."""
+    import random
+
+    import pandas as pd
+
+    from pipit_spark.operators.matching import match_events
+    from pipit_spark.schema import EVENT_SCHEMA
+    from pipit_spark.streaming.matching import streaming_match
+
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    for proc in range(3):
+        ts = 0
+        stack = []
+        seq = 0
+        # random well-nested walk: push Enter / pop Leave
+        for _ in range(40):
+            ts += rng.randrange(1, 50)
+            if stack and (len(stack) >= 4 or rng.random() < 0.45):
+                name = stack.pop()
+                rows.append((eid, ts, seq, "Leave", name, proc, 0, None))
+            else:
+                name = f"f{rng.randrange(5)}"
+                stack.append(name)
+                rows.append((eid, ts, seq, "Enter", name, proc, 0, None))
+            eid += 1
+            seq += 1
+        while stack:  # close remaining frames
+            ts += rng.randrange(1, 50)
+            rows.append((eid, ts, seq, "Leave", stack.pop(), proc, 0, None))
+            eid += 1
+            seq += 1
+
+    cols = [
+        "event_id", "timestamp_ns", "seq", "event_type",
+        "name", "process", "thread", "attributes",
+    ]
+    pdf = pd.DataFrame(rows, columns=cols)
+    ev = spark.createDataFrame(pdf, schema=EVENT_SCHEMA)
+    batch = (
+        match_events(ev)
+        .filter("event_type = 'Enter'")
+        .select("event_id", "matching_event_id")
+        .toPandas()
+    )
+    want = sorted(map(tuple, batch.dropna().astype(int).values.tolist()))
+
+    # split into 3 arbitrary time-ordered micro-batches per process
+    d = tmp_path / "rand_stream"
+    d.mkdir()
+    ckpt = tmp_path / "rand_ckpt"
+    srt = pdf.sort_values(["timestamp_ns", "seq"]).reset_index(drop=True)
+    cuts = [0, len(srt) // 3, 2 * len(srt) // 3, len(srt)]
+    for i in range(3):
+        spark.createDataFrame(
+            srt.iloc[cuts[i]:cuts[i + 1]], schema=EVENT_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"b{i}"))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    q = (
+        streaming_match(stream)
+        .writeStream.format("memory")
+        .queryName("rand_matched")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (int(r["enter_event_id"]), int(r["leave_event_id"]))
+        for r in spark.sql("select * from rand_matched").collect()
+    )
+    assert got == want
