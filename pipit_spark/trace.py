@@ -388,6 +388,40 @@ class Trace:
             traces, metric=metric, groupby_column=groupby_column, pivot=pivot
         )
 
+    def diff(
+        self,
+        other: "Trace",
+        metric: str = S.TIME_EXC,
+        groupby_column: str = S.NAME,
+    ) -> DataFrame:
+        """Pairwise run comparison: per function, this trace's metric
+        total vs ``other``'s, with absolute and relative deltas — the
+        two-run special case every regression hunt starts with
+        (``multirun_analysis`` generalizes to N runs but pivots away
+        the deltas). Full-outer on the group key so functions appearing
+        in only one run surface instead of vanishing; two small
+        aggregates + one join on the (bounded) function domain."""
+        a = (
+            self.flat_profile(metrics=[metric], groupby_column=groupby_column)
+            .select(groupby_column, F.col(metric).alias("_a"))
+        )
+        b = (
+            other.flat_profile(metrics=[metric], groupby_column=groupby_column)
+            .select(groupby_column, F.col(metric).alias("_b"))
+        )
+        return a.join(b, groupby_column, "full_outer").select(
+            groupby_column,
+            F.coalesce("_a", F.lit(0.0)).alias(f"{metric}_self"),
+            F.coalesce("_b", F.lit(0.0)).alias(f"{metric}_other"),
+            (F.coalesce("_b", F.lit(0.0)) - F.coalesce("_a", F.lit(0.0))).alias(
+                "delta"
+            ),
+            F.when(
+                F.coalesce("_a", F.lit(0.0)) != 0.0,
+                F.round(F.coalesce("_b", F.lit(0.0)) / F.col("_a"), 6),
+            ).alias("ratio"),
+        )
+
     def detect_pattern(
         self,
         start_event: str,

@@ -1300,3 +1300,20 @@ def test_trace_sql_views(foo_bar_trace, spark):
         GROUP BY c.name ORDER BY total_inc DESC LIMIT 1
     """).collect()
     assert top[0]["name"] == "main()"
+
+
+def test_trace_diff(foo_bar_trace, spark):
+    """Pairwise run comparison: a trace diffed against its 2x-slowed
+    self reports ratio 2.0 per function; one-sided functions surface."""
+    from pipit_spark import Trace
+    from pipit_spark import schema as S
+
+    doubled = Trace(
+        foo_bar_trace.events.withColumn(
+            S.TIMESTAMP, (F.col(S.TIMESTAMP) * 2).cast("long")
+        )
+    )
+    d = {r["name"]: r for r in foo_bar_trace.diff(doubled).collect()}
+    for name, row in d.items():
+        assert row["ratio"] == 2.0, name
+        assert row["delta"] == row["time_exc_self"]
