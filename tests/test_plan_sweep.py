@@ -1,0 +1,49 @@
+"""Registry-wide physical-plan contract sweep.
+
+Every gate's executed plan is checked for the two anti-patterns that
+sink 100 TB jobs silently: an unconstrained CartesianProduct (all-pairs
+materialization) and Python row-processing stages sneaking into
+operators that are supposed to be JVM-only. Known Arrow-kernel gates
+are allow-listed explicitly — a new gate that introduces a Python stage
+must declare it here, which is the point.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipit_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+# gates whose DESIGN includes an Arrow/pandas stage (the fused matching
+# kernel, BLAS similarity kernels, stub codecs, matrix-profile motifs)
+PYTHON_STAGE_OK = {
+    # trace gates run through the fused mapInPandas matching pass
+    "trace_match_inc", "trace_flat_profile", "trace_load_imbalance",
+    "trace_session_stats", "trace_cct", "trace_idle_time",
+    "trace_comm_matrix", "trace_comm_count", "trace_comm_by_process",
+    "trace_message_histogram", "trace_comm_over_time",
+    "trace_time_profile", "trace_multirun", "trace_detect_pattern",
+    # similarity / media kernels
+    "emb_topk_pandas", "emb_ivf_topk", "emb_ivf_topk_exact",
+    "emb_lsh_ann", "emb_semantic_dedup", "media_decode",
+    # model-scoring hook (mapInPandas by contract)
+    "doc_model_score",
+}
+
+_PY_MARKERS = (
+    "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+    "BatchEvalPython", "AggregateInPandas", "FlatMapGroupsInPandasWithState",
+)
+
+
+@pytest.mark.parametrize("name", list(Q.queries()))
+def test_no_cartesian_and_declared_python_only(spark, name):
+    df = Q.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    has_py = any(m in plan for m in _PY_MARKERS)
+    if name not in PYTHON_STAGE_OK:
+        assert not has_py, f"{name}: undeclared Python stage in plan"
+    Q.clear_state(spark)
