@@ -1317,3 +1317,32 @@ def test_trace_diff(foo_bar_trace, spark):
     for name, row in d.items():
         assert row["ratio"] == 2.0, name
         assert row["delta"] == row["time_exc_self"]
+
+
+def test_partitioned_corpus_file_fanout(spark, tmp_path):
+    """files_per_partition actually fans each leaf directory across
+    multiple files (write parallelism is not collapsed to the distinct
+    partition-combo count)."""
+    import glob
+
+    from pipit_spark.llm import io as IO
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "lake_fan")
+    # AQE partition coalescing folds this tiny shuffle into one task
+    # (at real scale that IS the desired bounded-file-size behavior);
+    # disable it here to observe the bucket fan-out mechanism itself
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        IO.write_partitioned_corpus(docs, path, files_per_partition=4)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    leaf_counts = []
+    for leaf in glob.glob(f"{path}/source=*/lang=*"):
+        n = len(glob.glob(f"{leaf}/*.parquet"))
+        leaf_counts.append(n)
+    assert leaf_counts and max(leaf_counts) > 1
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
