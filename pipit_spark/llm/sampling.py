@@ -433,6 +433,15 @@ SELECT * EXCLUDE (__rn) FROM (
 """
 
 
+def _hex_threshold(hi: int) -> str:
+    """4-hex-digit upper bound for the lexicographic bucket compare.
+    A bound of 0x10000 would format to the 5-char '10000', which sorts
+    BELOW most 4-char buckets and inverts the comparison — 'g' sorts
+    above every hex digit, so it is the exact 'matches everything'
+    sentinel."""
+    return "g" if hi >= 0x10000 else format(hi, "04x")
+
+
 def split_corpus(
     docs: DataFrame,
     val_pct: float = 5.0,
@@ -445,16 +454,24 @@ def split_corpus(
     engines/runs/partitionings, and stable under corpus growth — a
     document's split never changes when other documents are added,
     which is what keeps eval sets honest across dataset versions."""
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct > 100:
+        raise ValueError(
+            f"val_pct={val_pct} / test_pct={test_pct} must be >= 0 and "
+            "sum to <= 100"
+        )
     # lexicographic compare on the fixed-width lowercase-hex prefix is
     # monotone — the module-wide idiom (sample_corpus); no hex->int
-    # conversion to keep engine-portable
+    # conversion to keep engine-portable. concat (not concat_ws): NULL
+    # doc_id must propagate to a NULL bucket -> 'train' on BOTH engines
+    # (concat_ws would silently hash the bare seed on the Spark side).
     bucket = F.substring(
-        F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id"))), 1, 4
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))),
+        1, 4,
     )
-    val_hi = format(int(0x10000 * val_pct / 100.0), "04x")
-    test_hi = format(
+    val_hi = _hex_threshold(int(0x10000 * val_pct / 100.0))
+    test_hi = _hex_threshold(
         int(0x10000 * val_pct / 100.0)
-        + int(0x10000 * test_pct / 100.0), "04x"
+        + int(0x10000 * test_pct / 100.0)
     )
     return docs.withColumn(
         "split",
@@ -468,10 +485,10 @@ def oracle_split_corpus(
     val_pct: float = 5.0, test_pct: float = 5.0, seed: int = 0,
     table: str = "documents",
 ) -> str:
-    val_hi = format(int(0x10000 * val_pct / 100.0), "04x")
-    test_hi = format(
+    val_hi = _hex_threshold(int(0x10000 * val_pct / 100.0))
+    test_hi = _hex_threshold(
         int(0x10000 * val_pct / 100.0)
-        + int(0x10000 * test_pct / 100.0), "04x"
+        + int(0x10000 * test_pct / 100.0)
     )
     return f"""
 SELECT *,

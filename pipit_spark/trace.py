@@ -120,15 +120,29 @@ class Trace:
         return cls(read_hpctoolkit(spark, dirname))
 
     @classmethod
-    def from_parquet(cls, spark: SparkSession, path: str) -> "Trace":
+    def from_parquet(
+        cls, spark: SparkSession, path: str, derived: bool | None = None
+    ) -> "Trace":
         """Native canonical storage: Parquet partitioned by process.
 
         If the file carries the fused matching pass's derived columns
         (written by ``to_parquet(include_derived=True)``), the matched
         frame is seeded directly — re-opening an analyzed trace skips
-        the match shuffle + Arrow pass entirely."""
+        the match shuffle + Arrow pass entirely.
+
+        ``derived=None`` (default) auto-detects a checkpoint by the
+        FULL derived column set, so an events file that merely has a
+        coincidental ``*_inc`` column never gets columns stripped;
+        ``derived=False`` forces a verbatim read, ``derived=True``
+        raises if the checkpoint columns are absent."""
         df = spark.read.parquet(path)
-        if S.MATCHING_EVENT in df.columns:
+        has_all = _DERIVED_COLS <= set(df.columns)
+        if derived is True and not has_all:
+            missing = sorted(_DERIVED_COLS - set(df.columns))
+            raise ValueError(
+                f"not a derived checkpoint: missing columns {missing}"
+            )
+        if derived is not False and has_all:
             t = cls(df.select(*[c for c in df.columns if not _is_derived(c)]))
             t._matched = df
             return t

@@ -1346,3 +1346,51 @@ def test_partitioned_corpus_file_fanout(spark, tmp_path):
     assert leaf_counts and max(leaf_counts) > 1
     back = spark.read.parquet(path)
     assert back.count() == docs.count()
+
+
+def test_split_corpus_edges(spark):
+    """100%-eval splits don't invert the hex compare; NULL doc_id lands
+    in 'train' (matching the oracle's NULL propagation); bad pcts
+    raise."""
+    import pytest
+
+    from pipit_spark.llm.sampling import split_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)] + [(None, "null-id")],
+        "doc_id long, text string",
+    )
+    all_eval = split_corpus(docs, val_pct=50.0, test_pct=50.0)
+    counts = {
+        r["split"]: r["count"]
+        for r in all_eval.groupBy("split").count().collect()
+    }
+    # nothing but the NULL-id doc may be 'train' when val+test=100
+    assert counts.get("train", 0) == 1
+    assert counts["val"] + counts["test"] == 200
+    null_row = [r for r in all_eval.collect() if r["doc_id"] is None][0]
+    assert null_row["split"] == "train"
+    with pytest.raises(ValueError):
+        split_corpus(docs, val_pct=60.0, test_pct=50.0)
+
+
+def test_from_parquet_derived_modes(foo_bar_trace, spark, tmp_path):
+    """derived=False reads a checkpoint verbatim; derived=True raises
+    on a plain events file; a coincidental *_inc column alone never
+    triggers the checkpoint split."""
+    import pytest
+
+    from pipit_spark import Trace
+    from pipit_spark import schema as S
+
+    ck = str(tmp_path / "ck")
+    foo_bar_trace.to_parquet(ck, include_derived=True)
+    verbatim = Trace.from_parquet(spark, ck, derived=False)
+    assert S.MATCHING_EVENT in verbatim.events.columns
+
+    ev = str(tmp_path / "ev")
+    foo_bar_trace.events.withColumn("custom_inc", F.lit(1.0)).write.parquet(ev)
+    t = Trace.from_parquet(spark, ev)  # auto: NOT a checkpoint
+    assert "custom_inc" in t.events.columns and t._matched is None
+    with pytest.raises(ValueError):
+        Trace.from_parquet(spark, ev, derived=True)

@@ -40,10 +40,14 @@ _PY_MARKERS = (
 
 @pytest.mark.parametrize("name", list(Q.queries()))
 def test_no_cartesian_and_declared_python_only(spark, name):
-    df = Q.queries()[name](spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
-    has_py = any(m in plan for m in _PY_MARKERS)
-    if name not in PYTHON_STAGE_OK:
-        assert not has_py, f"{name}: undeclared Python stage in plan"
-    Q.clear_state(spark)
+    try:
+        df = Q.queries()[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        has_py = any(m in plan for m in _PY_MARKERS)
+        if name not in PYTHON_STAGE_OK:
+            assert not has_py, f"{name}: undeclared Python stage in plan"
+    finally:
+        # in finally: a failing gate must not leak its persisted frames
+        # / the trace memo into the other ~99 parametrized tests
+        Q.clear_state(spark)
