@@ -162,6 +162,13 @@ def _canonicalize(df: DataFrame, table: str) -> DataFrame:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The canonical tables carry UTC instants and the DuckDB oracles
+    # evaluate timestamps TZ-less (epoch_us == as-if-UTC), so every
+    # NTZ cast / date literal / epoch extraction in the gates assumes a
+    # UTC session. Our get_spark() sets this, but the driver may hand
+    # us its own session on a machine with any default TZ — pin it here
+    # (runtime conf, same pattern as the nanosAsLong toggle).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, _t(sf_dir, name))
     return _canonicalize(spark.read.parquet(_t(sf_dir, name)), name)

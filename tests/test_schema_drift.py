@@ -137,3 +137,32 @@ def test_canonicalize_noop_on_canonical_schema(spark):
     df = Q.load(spark, SF, "lineitem")
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "cast(" not in plan.lower()
+
+
+def test_gates_survive_non_utc_session(spark):
+    """The driver may hand the engine a session whose default TZ is not
+    UTC; load() pins UTC so timestamp gates still match the TZ-less
+    DuckDB oracles."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        Q.clear_state(spark)
+        got = sorted(
+            map(str, Q.queries()["trace_match_inc"](spark, SF).collect())
+        )
+        q3 = sorted(
+            map(str, Q.queries()["q3_shipping_priority"](spark, SF).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        Q.clear_state(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    Q.clear_state(spark)
+    want = sorted(
+        map(str, Q.queries()["trace_match_inc"](spark, SF).collect())
+    )
+    q3_want = sorted(
+        map(str, Q.queries()["q3_shipping_priority"](spark, SF).collect())
+    )
+    Q.clear_state(spark)
+    assert got == want and q3 == q3_want
