@@ -471,3 +471,98 @@ SELECT doc_id,
                        '{_PRETOKEN_RE}'), chr(31)) AS pretokens
 FROM {table}
 """
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """MOSS-style clone detection: document pairs sharing ≥
+    ``min_shared`` winnowing fingerprints, scored by the overlap
+    coefficient shared/min(|A|, |B|) — robust to one document embedding
+    a fragment of another, where Jaccard dilutes.
+
+    Plan: the fingerprint table groups into per-fingerprint posting
+    lists (ONE shuffle; the document-frequency cap is a ``size()``
+    filter on the list, killing boilerplate-fingerprint skew before any
+    pair explodes — the lesson-14 shape), pairs explode intra-list,
+    and the per-doc fingerprint counts join back (doc-level cardinality
+    — AQE broadcasts)."""
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    posting = (
+        fps.groupBy("fingerprint")
+        .agg(F.collect_list("doc_id").alias("__docs"))
+        .filter(F.size("__docs") <= max_df)
+        .select(F.array_sort("__docs").alias("__docs"))
+    )
+    pairs = (
+        posting.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("__docs"),
+                            lambda x: F.transform(
+                                F.col("__docs"),
+                                lambda y: F.struct(
+                                    x.alias("a"), y.alias("b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda s: s["a"] < s["b"],
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a", "b", "shared",
+            F.round(
+                F.col("shared") / F.least("__na", "__nb"), 6
+            ).alias("overlap"),
+        )
+    )
+
+
+def oracle_winnow_pairs(
+    table: str = "documents",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 1000,
+) -> str:
+    fp = oracle_winnow_fingerprints(table=table, k=k, w=w)
+    return f"""
+WITH fp AS (SELECT * FROM ({fp})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+keep AS (
+    SELECT fingerprint FROM fp GROUP BY fingerprint
+    HAVING COUNT(*) <= {max_df}
+),
+pairs AS (
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+    FROM fp x
+    JOIN fp y ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+    WHERE x.fingerprint IN (SELECT fingerprint FROM keep)
+    GROUP BY x.doc_id, y.doc_id
+    HAVING COUNT(*) >= {min_shared}
+)
+SELECT a, b, shared,
+       ROUND(CAST(shared AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS overlap
+FROM pairs
+JOIN sizes sa ON pairs.a = sa.doc_id
+JOIN sizes sb ON pairs.b = sb.doc_id
+"""

@@ -2372,6 +2372,14 @@ def q_doc_length_buckets(spark, sf_dir):
     return _SP.length_buckets(load(spark, sf_dir, "documents"))
 
 
+def q_doc_winnow_pairs(spark, sf_dir):
+    """MOSS clone-detection pairs over winnowing fingerprints (gate
+    pins a clone-like bar -- >= 20 shared fingerprints -- so the pair
+    set stays a report, not a near-cartesian of the templated
+    fixture)."""
+    return X.winnow_pairs(load(spark, sf_dir, "documents"), min_shared=20)
+
+
 def q_doc_sample_exact_k(spark, sf_dir):
     """Exactly-k-per-source deterministic sample (md5 rank)."""
     out = _SP.sample_exact_k(
@@ -2617,6 +2625,7 @@ def queries():
         "doc_dedup_quality": q_doc_dedup_quality,
         "doc_split": q_doc_split,
         "doc_length_buckets": q_doc_length_buckets,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2711,6 +2720,7 @@ def oracle_sql():
         "doc_dedup_quality": D.oracle_dedup_quality_report(),
         "doc_split": "SELECT doc_id, split FROM (" + _SP.oracle_split_corpus() + ") s",
         "doc_length_buckets": _SP.oracle_length_buckets(),
+        "doc_winnow_pairs": X.oracle_winnow_pairs(min_shared=20),
         "doc_sample_exact_k": (
             "SELECT doc_id, source FROM ("
             + _SP.oracle_sample_exact_k(k=5, strata="source").strip()
