@@ -506,3 +506,139 @@ SELECT doc_id,
            AS n_lines_dropped
 FROM firsts GROUP BY doc_id
 """
+
+
+def filter_lines_by_fluency(
+    docs: DataFrame,
+    min_fluency: float = -9.0,
+    top_k: int = 50_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """CCNet-style per-segment LM filtering (Wenzek et al. 2020,
+    re-expressed relationally): score every LINE of every document
+    under the corpus's own top-``top_k`` unigram distribution and drop
+    lines whose mean log-probability falls below ``min_fluency`` —
+    the segment-granular fluency filter that removes embedded gibberish
+    / navigation junk a document-level score averages away. Lines with
+    no tokens score as dropped (CCNet's rule).
+
+    Plan: one line explode; the vocabulary table is bounded (top-K) and
+    broadcasts exactly as in :func:`~pipit_spark.llm.text.fluency_score`;
+    per-line means come from one aggregation keyed (doc, line idx), and
+    document reassembly is the dedup_lines shape — one more aggregation
+    with an array_sort, no window, no global sort.
+    """
+    from pyspark import StorageLevel
+    from .text import _tokens
+
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"),
+    )
+    toks = lines.select(
+        "doc_id", "idx",
+        F.explode(_tokens(F.col("line"))).alias("token"),
+    ).filter(F.length("token") > 0)
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    top = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(top_k)
+    totals = freq.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    )
+    line_scores = (
+        toks.join(F.broadcast(top.select("token", "cnt")), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(smoothing))
+                / (F.col("__total") + F.lit(smoothing) * F.col("__vocab"))
+            ),
+        )
+        .groupBy("doc_id", "idx")
+        # rounded BEFORE the threshold compare: both engines then test
+        # identical 6-decimal values, so double summation-order noise
+        # cannot flip a line straddling the threshold
+        .agg(F.round(F.avg("__logp"), 6).alias("__fl"))
+    )
+    flagged = lines.join(line_scores, ["doc_id", "idx"], "left").withColumn(
+        "__keep", F.col("__fl") >= min_fluency  # NULL (no tokens) drops
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("__keep"), F.struct("idx", "line"))
+            )
+        ).alias("__kept"),
+        F.count(F.lit(1)).alias("__n_total"),
+    )
+    return agg.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("__kept"), lambda s: s["line"]), "\n"
+        ).alias("text"),
+        F.size("__kept").cast("long").alias("n_lines_kept"),
+        (F.col("__n_total") - F.size("__kept"))
+        .cast("long")
+        .alias("n_lines_dropped"),
+    )
+
+
+def oracle_filter_lines_by_fluency(
+    table: str = "documents",
+    min_fluency: float = -9.0,
+    top_k: int = 50_000,
+    smoothing: float = 1.0,
+) -> str:
+    from .text import _sql_norm
+
+    norm_line = _sql_norm("l.line")
+    return f"""
+WITH lines AS (
+    SELECT doc_id, generate_subscripts(ls, 1) - 1 AS idx,
+           unnest(ls) AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {table})
+),
+toks AS (
+    SELECT doc_id, idx, unnest(string_split({norm_line}, ' ')) AS token
+    FROM lines l
+),
+tf AS (SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> ''
+       GROUP BY token),
+top AS (
+    SELECT token, cnt FROM (
+        SELECT token, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS r
+        FROM tf
+    ) WHERE r <= {top_k}
+),
+tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM tf),
+line_scores AS (
+    SELECT t.doc_id, t.idx,
+           ROUND(AVG(LN((COALESCE(p.cnt, 0) + {smoothing})
+                  / (tot.total + {smoothing} * tot.vocab))), 6) AS fl
+    FROM toks t
+    LEFT JOIN top p USING (token)
+    CROSS JOIN tot
+    WHERE t.token <> ''
+    GROUP BY t.doc_id, t.idx
+),
+flagged AS (
+    SELECT l.doc_id, l.idx, l.line,
+           COALESCE(s.fl >= {min_fluency}, FALSE) AS keep
+    FROM lines l
+    LEFT JOIN line_scores s ON l.doc_id = s.doc_id AND l.idx = s.idx
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                ORDER BY idx), '') AS text,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lines_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_lines_dropped
+FROM flagged
+GROUP BY doc_id
+"""

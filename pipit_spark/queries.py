@@ -2380,6 +2380,15 @@ def q_doc_winnow_pairs(spark, sf_dir):
     return X.winnow_pairs(load(spark, sf_dir, "documents"), min_shared=20)
 
 
+def q_doc_line_fluency(spark, sf_dir):
+    """CCNet-style per-line LM filtering; threshold sits inside the
+    fixture's fluency distribution so both keep and drop paths are
+    exercised."""
+    return QL.filter_lines_by_fluency(
+        load(spark, sf_dir, "documents"), min_fluency=-3.4016
+    )
+
+
 def q_doc_sample_exact_k(spark, sf_dir):
     """Exactly-k-per-source deterministic sample (md5 rank)."""
     out = _SP.sample_exact_k(
@@ -2626,6 +2635,7 @@ def queries():
         "doc_split": q_doc_split,
         "doc_length_buckets": q_doc_length_buckets,
         "doc_winnow_pairs": q_doc_winnow_pairs,
+        "doc_line_fluency": q_doc_line_fluency,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2721,6 +2731,9 @@ def oracle_sql():
         "doc_split": "SELECT doc_id, split FROM (" + _SP.oracle_split_corpus() + ") s",
         "doc_length_buckets": _SP.oracle_length_buckets(),
         "doc_winnow_pairs": X.oracle_winnow_pairs(min_shared=20),
+        "doc_line_fluency": QL.oracle_filter_lines_by_fluency(
+            min_fluency=-3.4016
+        ),
         "doc_sample_exact_k": (
             "SELECT doc_id, source FROM ("
             + _SP.oracle_sample_exact_k(k=5, strata="source").strip()

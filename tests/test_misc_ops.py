@@ -1394,3 +1394,28 @@ def test_from_parquet_derived_modes(foo_bar_trace, spark, tmp_path):
     assert "custom_inc" in t.events.columns and t._matched is None
     with pytest.raises(ValueError):
         Trace.from_parquet(spark, ev, derived=True)
+
+
+def test_filter_lines_by_fluency_segments(spark):
+    """Per-line filtering: a gibberish line inside an otherwise fluent
+    document is removed while the fluent lines survive in order."""
+    from pipit_spark.llm.quality import filter_lines_by_fluency
+
+    fluent = "the cat sat on the mat and the dog ran to the house"
+    docs = spark.createDataFrame(
+        [
+            (0, fluent + "\nzxqv jkwp qqzz xvbn mmlk\n" + fluent),
+            (1, fluent),
+            (2, "zxqv jkwp qqzz xvbn mmlk"),
+        ]
+        + [(i, fluent) for i in range(3, 10)],  # corpus mass for the LM
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in filter_lines_by_fluency(docs, min_fluency=-3.5).collect()
+    }
+    assert out[0]["text"] == fluent + "\n" + fluent
+    assert out[0]["n_lines_dropped"] == 1
+    assert out[1]["n_lines_dropped"] == 0
+    assert out[2]["text"] == "" and out[2]["n_lines_kept"] == 0
