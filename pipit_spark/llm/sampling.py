@@ -544,3 +544,152 @@ def oracle_length_buckets(
 SELECT doc_id, {n} AS n_tokens, {case} AS bucket
 FROM {table}
 """
+
+
+def _hashed_ngram_bucket(gram_col, buckets: int):
+    """Engine-portable feature hash: first 6 md5 hex chars → int →
+    mod buckets (DuckDB mirrors with CAST('0x'||substr(md5(g),1,6) AS
+    BIGINT) — verified bit-identical)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram_col), 1, 6), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n: int = 2,
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169,
+    re-expressed relationally): featurize text as hashed word
+    ``n``-grams into ``buckets`` buckets, estimate smoothed bucket
+    distributions over the raw corpus and the (small) target corpus,
+    and score every raw document by its mean log importance ratio
+    log(p_target/p_raw) — documents that look like the target domain
+    score high and get up-weighted in selection.
+
+    Scale shape: both distributions are aggregates BOUNDED by
+    ``buckets`` (map-side combined, then broadcast as one joined
+    ratio table), so the corpus is scanned once for its distribution
+    and once for scoring, never shuffled; the target corpus is small
+    by definition. Output: (doc_id, dsir_logweight, n_features) with
+    NULL weight for featureless (empty) documents.
+    """
+    from .text import _tokens
+
+    def grams(frame):
+        toked = frame.select(
+            "doc_id",
+            _tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__t"),
+        )
+        pos = toked.select(
+            "doc_id",
+            "__t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("__t") - n + 1, F.lit(1))
+                )
+            ).alias("p"),
+        )
+        return pos.select(
+            "doc_id",
+            _hashed_ngram_bucket(
+                F.concat_ws(" ", F.slice("__t", F.col("p"), F.lit(n))),
+                buckets,
+            ).alias("bucket"),
+        )
+
+    raw = grams(docs)
+    tgt = grams(target_docs)
+    raw_dist = raw.groupBy("bucket").agg(F.count("*").alias("__rc"))
+    tgt_dist = tgt.groupBy("bucket").agg(F.count("*").alias("__tc"))
+    raw_tot = raw_dist.agg(F.sum("__rc").alias("__rt"))
+    tgt_tot = tgt_dist.agg(F.sum("__tc").alias("__tt"))
+    ratio = (
+        raw_dist.join(tgt_dist, "bucket", "full_outer")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(smoothing))
+                    / (F.col("__tt") + F.lit(smoothing) * F.lit(buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("__rc"), F.lit(0)) + F.lit(smoothing))
+                    / (F.col("__rt") + F.lit(smoothing) * F.lit(buckets))
+                )
+            ).alias("__lr"),
+        )
+    )
+    scored = (
+        raw.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("__lr"), 6).alias("dsir_logweight"),
+            F.count("*").cast("bigint").alias("n_features"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left")
+
+
+def oracle_dsir_weights(
+    table: str = "documents",
+    target_pred: str = "doc_id < 50",
+    n: int = 2,
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> str:
+    """DuckDB mirror: identical tokenization, n-gram slicing, md5
+    bucket hash, smoothing, and rounding; the target corpus is the
+    ``target_pred`` slice of the same table (as the gate pins it)."""
+    from .text import _sql_norm
+
+    norm = _sql_norm("text")
+
+    def grams(pred):
+        return f"""
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(array_to_string(
+                list_slice(t, p, p + {n} - 1), ' ')), 1, 6)) AS BIGINT)
+               % {buckets} AS bucket
+    FROM (
+        SELECT doc_id, t,
+               unnest(range(1, GREATEST(len(t) - {n} + 1, 1) + 1)) AS p
+        FROM (SELECT doc_id, string_split(COALESCE({norm}, ''), ' ') AS t
+              FROM {table} WHERE {pred})
+    )"""
+
+    return f"""
+WITH raw AS ({grams('TRUE')}),
+tgt AS ({grams(target_pred)}),
+raw_dist AS (SELECT bucket, COUNT(*) AS rc FROM raw GROUP BY bucket),
+tgt_dist AS (SELECT bucket, COUNT(*) AS tc FROM tgt GROUP BY bucket),
+raw_tot AS (SELECT SUM(rc) AS rt FROM raw_dist),
+tgt_tot AS (SELECT SUM(tc) AS tt FROM tgt_dist),
+ratio AS (
+    SELECT COALESCE(r.bucket, g.bucket) AS bucket,
+           LN((COALESCE(g.tc, 0) + {smoothing})
+              / (tgt_tot.tt + {smoothing} * {buckets}))
+           - LN((COALESCE(r.rc, 0) + {smoothing})
+                / (raw_tot.rt + {smoothing} * {buckets})) AS lr
+    FROM raw_dist r
+    FULL OUTER JOIN tgt_dist g ON r.bucket = g.bucket
+    CROSS JOIN raw_tot CROSS JOIN tgt_tot
+),
+scored AS (
+    SELECT raw.doc_id, ROUND(AVG(ratio.lr), 6) AS dsir_logweight,
+           CAST(COUNT(*) AS BIGINT) AS n_features
+    FROM raw JOIN ratio ON raw.bucket = ratio.bucket
+    GROUP BY raw.doc_id
+)
+SELECT d.doc_id, s.dsir_logweight, s.n_features
+FROM {table} d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+

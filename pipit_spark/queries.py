@@ -2389,6 +2389,15 @@ def q_doc_line_fluency(spark, sf_dir):
     )
 
 
+def q_doc_dsir(spark, sf_dir):
+    """DSIR importance weights vs a doc_id<50 target slice (hashed
+    bigram distributions, portable md5 bucket hash)."""
+    docs = load(spark, sf_dir, "documents")
+    return _SP.dsir_weights(
+        docs, docs.filter(F.col("doc_id") < 50), buckets=4096
+    )
+
+
 def q_doc_sample_exact_k(spark, sf_dir):
     """Exactly-k-per-source deterministic sample (md5 rank)."""
     out = _SP.sample_exact_k(
@@ -2636,6 +2645,7 @@ def queries():
         "doc_length_buckets": q_doc_length_buckets,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_line_fluency": q_doc_line_fluency,
+        "doc_dsir": q_doc_dsir,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2734,6 +2744,7 @@ def oracle_sql():
         "doc_line_fluency": QL.oracle_filter_lines_by_fluency(
             min_fluency=-3.4016
         ),
+        "doc_dsir": _SP.oracle_dsir_weights(buckets=4096),
         "doc_sample_exact_k": (
             "SELECT doc_id, source FROM ("
             + _SP.oracle_sample_exact_k(k=5, strata="source").strip()

@@ -1419,3 +1419,25 @@ def test_filter_lines_by_fluency_segments(spark):
     assert out[0]["n_lines_dropped"] == 1
     assert out[1]["n_lines_dropped"] == 0
     assert out[2]["text"] == "" and out[2]["n_lines_kept"] == 0
+
+
+def test_dsir_weights_directional(spark):
+    """Documents resembling the target domain score above documents
+    that don't; empty docs get NULL weight."""
+    from pipit_spark.llm.sampling import dsir_weights
+
+    target_like = "the model trains on clean web text with good grammar"
+    off_domain = "zzz 123 qqq 456 www 789 eee 000 rrr 111"
+    docs = spark.createDataFrame(
+        [(i, target_like) for i in range(5)]
+        + [(i, off_domain) for i in range(5, 10)]
+        + [(10, "")],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id < 3")  # target = in-domain slice
+    w = {r["doc_id"]: r for r in dsir_weights(docs, target, buckets=512).collect()}
+    in_dom = [w[i]["dsir_logweight"] for i in range(5)]
+    out_dom = [w[i]["dsir_logweight"] for i in range(5, 10)]
+    assert min(in_dom) > max(out_dom)
+    # '' still has one token ('') -> one bigram feature; weight defined
+    assert w[10]["n_features"] == 1
