@@ -123,9 +123,13 @@ def _fixed_width_histogram(
         (F.lit(lo) + F.col("id") * F.lit(width)).alias("bin_start"),
         (F.lit(lo) + (F.col("id") + 1) * F.lit(width)).alias("bin_end"),
     )
+    # broadcast the AGGREGATED side: a left-outer BHJ can only build its
+    # right input, and `counts` is ≤ `bins` rows post-aggregation —
+    # broadcasting `bins_df` (the preserved side) is rejected by the
+    # planner and silently degrades to a shuffle join
     return (
-        F.broadcast(bins_df)
-        .join(counts, "bin_idx", "left")
+        bins_df
+        .join(F.broadcast(counts), "bin_idx", "left")
         .select(
             "bin_idx", "bin_start", "bin_end",
             F.coalesce("count", F.lit(0.0)).alias("count"),

@@ -321,25 +321,37 @@ class Trace:
     # ------------------------------------------------------------------ #
     # communication analysis (pipit/trace.py:367-512)
     # ------------------------------------------------------------------ #
+    def _comm_source(self) -> DataFrame:
+        """Events frame the comm operators should scan.
+
+        Comm analysis never needs the derived matching columns, so it
+        must NOT force the matching pass — but once ``matched`` has been
+        materialized (persisted, row-identical superset of ``events``)
+        scanning it is strictly cheaper than re-running the upstream
+        events plan, which for a derived/filtered trace can itself carry
+        windows and exchanges. Memo-aware pick, never a new computation.
+        """
+        return self._matched if self._matched is not None else self.events
+
     def comm_matrix(self, output: str = "size") -> DataFrame:
         from .operators.comm import comm_matrix
 
-        return comm_matrix(self.events, output=output)
+        return comm_matrix(self._comm_source(), output=output)
 
     def comm_matrix_numpy(self, output: str = "size"):
         from .operators.comm import comm_matrix_numpy
 
-        return comm_matrix_numpy(self.events, output=output)
+        return comm_matrix_numpy(self._comm_source(), output=output)
 
     def comm_by_process(self, output: str = "size") -> DataFrame:
         from .operators.comm import comm_by_process
 
-        return comm_by_process(self.events, output=output)
+        return comm_by_process(self._comm_source(), output=output)
 
     def message_histogram(self, bins: int = 20) -> DataFrame:
         from .operators.comm import message_histogram
 
-        return message_histogram(self.events, bins=bins)
+        return message_histogram(self._comm_source(), bins=bins)
 
     def comm_over_time(
         self, output: str = "size", message_type: str = "send", bins: int = 50
@@ -347,7 +359,10 @@ class Trace:
         from .operators.comm import comm_over_time
 
         return comm_over_time(
-            self.events, output=output, message_type=message_type, bins=bins
+            self._comm_source(),
+            output=output,
+            message_type=message_type,
+            bins=bins,
         )
 
     # ------------------------------------------------------------------ #

@@ -124,6 +124,21 @@ def test_comm_by_process(ping_pong_trace):
         assert rows[p]["sent"] == rows[p]["received"] == 4_177_920
 
 
+def test_comm_matrix_memo_aware_source(ping_pong_trace):
+    """comm ops scan the persisted matched frame IFF it already exists
+    (a row-identical superset of events) — same results either way, and
+    materializing `matched` must not change them."""
+    before = sorted(
+        map(tuple, ping_pong_trace.comm_matrix(output="size").collect())
+    )
+    ping_pong_trace.matched.count()  # materialize the memo
+    assert ping_pong_trace._matched is not None
+    after = sorted(
+        map(tuple, ping_pong_trace.comm_matrix(output="size").collect())
+    )
+    assert before == after
+
+
 def test_message_histogram(ping_pong_trace):
     h = ping_pong_trace.message_histogram(bins=5).collect()
     assert len(h) == 5
