@@ -183,7 +183,11 @@ FROM packed GROUP BY shard, pack_in_shard
 
 
 def incremental_new_docs(
-    docs: DataFrame, seen_fingerprints: DataFrame
+    docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    method: str = "exact",
+    bloom_bits: int = 1 << 20,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Incremental ingestion: of an incoming batch, keep only documents
     whose content fingerprint is NEW — not in the already-processed set
@@ -197,6 +201,17 @@ def incremental_new_docs(
     shuffle or — for daily increments against a bounded seen-set — a
     broadcast; document bodies never join anything.
 
+    ``method="bloom"`` adds an exactness-preserving pre-filter: the
+    seen-set folds into a Bloom bitmap (``operators.bloom``, one compact
+    bit_or aggregation) that the batch probes map-side. Rows the filter
+    rejects are DEFINITELY new (Bloom has no false negatives) and skip
+    the join entirely; only the might-contain sliver — true dups plus
+    the ≈``(1-e^(-kn/m))^k`` false-positive tail — reaches the exact
+    anti-join. Same result set as ``method="exact"`` by construction
+    (gate ``doc_incremental_bloom`` value-checks this against the
+    ``method="exact"`` oracle); at 100 TB the anti-join's shuffle input
+    drops from the whole batch to roughly its duplicate fraction.
+
     Returns the surviving documents with their fingerprints, which is
     exactly the delta to append to the seen-set for the next run.
     """
@@ -207,9 +222,26 @@ def incremental_new_docs(
         .filter(F.col("doc_id") == F.col("__rep"))
         .select("doc_id", "fingerprint")
     )
-    return batch_first.join(
-        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
-    ).select("doc_id", "fingerprint")
+    seen = seen_fingerprints.select("fingerprint")
+    if method == "exact":
+        return batch_first.join(seen, "fingerprint", "left_anti").select(
+            "doc_id", "fingerprint"
+        )
+    if method != "bloom":
+        raise ValueError(f"unknown method: {method!r} (use 'exact' or 'bloom')")
+
+    from ..operators.bloom import build_bloom, might_contain
+
+    spark = docs.sparkSession
+    bloom = build_bloom(seen, "fingerprint", bloom_bits, bloom_hashes)
+    flagged = batch_first.withColumn(
+        "__maybe", might_contain(bloom, F.col("fingerprint"), spark)
+    )
+    definite_new = flagged.filter(~F.col("__maybe"))
+    verified_new = flagged.filter(F.col("__maybe")).join(
+        seen, "fingerprint", "left_anti"
+    )
+    return definite_new.unionByName(verified_new).select("doc_id", "fingerprint")
 
 
 def oracle_incremental_new_docs(

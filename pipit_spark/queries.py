@@ -1970,6 +1970,26 @@ def q_doc_incremental(spark, sf_dir):
     return incremental_new_docs(docs, seen)
 
 
+def q_doc_incremental_bloom(spark, sf_dir):
+    """Same ingestion as ``doc_incremental`` but through the Bloom
+    pre-filter path — value-hashed against the SAME oracle, proving the
+    probabilistic pre-filter never changes the result set (no false
+    negatives; false positives fall through to the exact anti-join).
+    Small bitmap on purpose: at m=2^16/k=5 over ~250 fingerprints the
+    filter actually exercises collisions rather than degenerating to
+    all-definite-new."""
+    from .llm.pipeline import incremental_new_docs
+    from .llm.text import fingerprint_expr
+
+    docs = load(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") < 250).select(
+        fingerprint_expr().alias("fingerprint")
+    )
+    return incremental_new_docs(
+        docs, seen, method="bloom", bloom_bits=1 << 16, bloom_hashes=5
+    )
+
+
 def q_doc_dedup_clusters(spark, sf_dir):
     """Connected components over the Jaccard near-dup pair graph —
     cluster-based dedup labels (min-id representative per cluster)."""
@@ -2646,6 +2666,7 @@ def queries():
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_line_fluency": q_doc_line_fluency,
         "doc_dsir": q_doc_dsir,
+        "doc_incremental_bloom": q_doc_incremental_bloom,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2751,6 +2772,11 @@ def oracle_sql():
             + ") s"
         ),
         "doc_incremental": _PL.oracle_incremental_new_docs(
+            seen_doc_id_below=250
+        ),
+        # same oracle on purpose: the Bloom pre-filter must be invisible
+        # in the result (no-false-negative guarantee + exact verify join)
+        "doc_incremental_bloom": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
         ),
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),

@@ -1441,3 +1441,63 @@ def test_dsir_weights_directional(spark):
     assert min(in_dom) > max(out_dom)
     # '' still has one token ('') -> one bigram feature; weight defined
     assert w[10]["n_features"] == 1
+
+
+# ------------------------------------------------------------------ #
+# Bloom filter + bloom-prefiltered incremental ingestion
+# ------------------------------------------------------------------ #
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every inserted value probes True (the exactness-preserving
+    property); non-members flag at roughly the theoretical rate."""
+    from pipit_spark.operators.bloom import build_bloom, might_contain
+
+    members = spark.range(0, 500).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    bloom = build_bloom(members, "k", num_bits=1 << 13, num_hashes=5)
+    hits = members.filter(
+        might_contain(bloom, F.col("k"), spark)
+    ).count()
+    assert hits == 500  # no false negatives, ever
+
+    others = spark.range(10_000, 14_000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("k")
+    )
+    fp = others.filter(might_contain(bloom, F.col("k"), spark)).count()
+    # density (1 - e^(-kn/m))^k ≈ 0.022 at n=500, m=8192, k=5;
+    # generous 3x slack keeps the test deterministic-hash stable
+    assert fp / 4_000 < 0.07
+    assert bloom.fp_rate() < 0.07
+
+
+def test_incremental_bloom_matches_exact(spark):
+    """The bloom pre-filter path returns byte-identical survivors to the
+    exact anti-join, including under heavy collision pressure (tiny
+    bitmap forces a real false-positive tail through the verify join)."""
+    from pipit_spark.llm.pipeline import incremental_new_docs
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        # 200 distinct texts → every text appears twice (batch dups)
+        F.concat(F.lit("text body "), (F.col("id") % 200)).alias("text"),
+    )
+    from pipit_spark.llm.text import fingerprint_expr
+
+    seen = (
+        docs.filter(F.col("doc_id") < 120)
+        .select(fingerprint_expr().alias("fingerprint"))
+    )
+    exact = sorted(
+        map(tuple, incremental_new_docs(docs, seen, method="exact").collect())
+    )
+    bloom = sorted(
+        map(
+            tuple,
+            incremental_new_docs(
+                docs, seen, method="bloom", bloom_bits=1 << 10, bloom_hashes=3
+            ).collect(),
+        )
+    )
+    assert exact == bloom
+    # sanity: the scenario is non-trivial (some survivors, some dropped)
+    assert 0 < len(exact) < 400
