@@ -691,3 +691,207 @@ SELECT vec_id,
        CAST(list_sum(q_codes) AS BIGINT) AS codes_sum
 FROM coded
 """.replace("{table}", table)
+
+
+# --------------------------------------------------------------------- #
+# Product quantization (PQ) — the memory tier below int8
+# --------------------------------------------------------------------- #
+class PQCodebooks:
+    """Trained PQ codebooks: ``m`` subspaces × ``ksub`` centroids of
+    ``dsub = dim/m`` floats each (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011). Vectors are L2-normalized
+    before subspace split, so asymmetric-distance dot products
+    approximate cosine directly.
+
+    At 100 TB this is the index-fits-in-RAM lever: a 64-dim float32
+    vector (256 B) compresses to ``m`` uint8 codes (8 B at m=8, 32×);
+    the codebooks themselves are a few KiB and broadcast everywhere.
+    """
+
+    def __init__(self, codebooks: np.ndarray):
+        self.codebooks = codebooks  # (m, ksub, dsub) float64
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.codebooks.shape[1]
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int | None = 16,
+    train_max_id: int | None = 256,
+    kmeans_iters: int = 10,
+    vec_col: str = "embedding",
+) -> PQCodebooks:
+    """Train per-subspace codebooks on a bounded driver-side sample
+    (seeded strided init → deterministic, like :func:`ivf_build`).
+
+    ``ksub=None`` is the LOSSLESS configuration: every training
+    subvector becomes its own codeword (no Lloyd iterations), so if the
+    training set is the whole corpus the encoding is exact and PQ
+    search degrades to brute force — the oracle-gate configuration.
+    """
+    src = emb if train_max_id is None else emb.filter(
+        F.col("vec_id") < train_max_id
+    )
+    train = np.stack(
+        [
+            np.asarray(r[vec_col], dtype=np.float64)
+            for r in src.select(vec_col).collect()
+        ]
+    )
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    dim = train.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    subs = train.reshape(len(train), m, dsub)
+    if ksub is None:
+        return PQCodebooks(np.ascontiguousarray(subs.transpose(1, 0, 2)))
+    books = []
+    for j in range(m):
+        x = subs[:, j, :]
+        step = max(1, len(x) // ksub)
+        cent = x[::step][:ksub].copy()
+        for _ in range(kmeans_iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent)
+    return PQCodebooks(np.stack(books))
+
+
+def pq_encode(
+    emb: DataFrame,
+    cb: PQCodebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every corpus vector to its ``m`` nearest-codeword ids —
+    one Arrow-batched narrow pass, no shuffle. This coded frame is what
+    you'd persist as the index table at scale."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cb.codebooks)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        books = bc.value
+        mm, _, dsub = books.shape
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        subs = mat.reshape(len(mat), mm, dsub)
+        codes = np.empty((len(mat), mm), dtype=np.int32)
+        for j in range(mm):
+            d = ((subs[:, j, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return emb.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_search(
+    queries: DataFrame,
+    codes_df: DataFrame,
+    cb: PQCodebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries stay exact, the corpus is its
+    codes. Per query a (m × ksub) lookup table of sub-dot-products is
+    precomputed once; scoring a coded vector is then ``m`` table
+    gathers — no float math per candidate. Same partial-top-k shape as
+    :func:`topk_pandas`: each partition emits its local top-k and one
+    tiny window keeps the global winners."""
+    from pyspark.sql import Window
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[vec_col], np.float64) for r in qrows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    mm, ksub, dsub = cb.codebooks.shape
+    qsubs = qm.reshape(len(qm), mm, dsub)
+    # LUT[q, j, c] = query-j-subvector · codeword-c  → approx cosine is
+    # a sum of m gathers per candidate
+    lut = np.einsum("qjd,jcd->qjc", qsubs, cb.codebooks)
+    spark = queries.sparkSession
+    bq = spark.sparkContext.broadcast((qids, lut))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, table = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            # gather: scores (nq, n) = sum_j table[:, j, codes[:, j]]
+            scores = np.zeros((len(ids_q), len(cids)))
+            for j in range(codes.shape[1]):
+                scores += table[:, j, codes[:, j]]
+            nk = min(k + 1, scores.shape[1])
+            part = np.argpartition(-scores, nk - 1, axis=1)[:, :nk]
+            rows = []
+            for qi in range(len(ids_q)):
+                for cj in part[qi]:
+                    if cids[cj] != ids_q[qi]:
+                        rows.append(
+                            (ids_q[qi], cids[cj], float(scores[qi, cj]))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "cosine"]
+            )
+
+    partial = codes_df.mapInPandas(gen, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("__rk").alias("rank"),
+        )
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_max_id: int = 10,
+    m: int = 8,
+    ksub: int | None = 16,
+    train_max_id: int | None = 256,
+    kmeans_iters: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-call PQ approximate top-k: train → encode → ADC search with
+    the query set drawn from the corpus (``vec_id < query_max_id``)."""
+    cb = pq_train(
+        emb, m=m, ksub=ksub, train_max_id=train_max_id,
+        kmeans_iters=kmeans_iters, vec_col=vec_col,
+    )
+    codes = pq_encode(emb, cb, vec_col=vec_col)
+    return pq_search(
+        emb.filter(F.col("vec_id") < query_max_id), codes, cb, k=k,
+        vec_col=vec_col,
+    )

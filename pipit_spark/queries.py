@@ -2271,6 +2271,27 @@ def q_emb_ivf_topk(spark, sf_dir):
     )
 
 
+def q_emb_pq_topk_exact(spark, sf_dir):
+    """PQ in its lossless configuration (ksub=None, whole-corpus
+    training: every subvector its own codeword) — ADC scoring IS the
+    exact cosine, so the whole train/encode/LUT-search machinery
+    value-checks against the brute-force cosine oracle."""
+    return V.pq_topk(
+        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
+        m=8, ksub=None, train_max_id=None,
+    )
+
+
+def q_emb_pq_topk(spark, sf_dir):
+    """The compressed path (m=16 uint8 codes per 64-dim vector — 16×
+    smaller than float32): rows-only check; recall vs exact is pinned
+    by pytest."""
+    return V.pq_topk(
+        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
+        m=16, ksub=64, train_max_id=None,
+    )
+
+
 def q_emb_lsh_ann(spark, sf_dir):
     # 8 planes / 0.2 threshold: enough bucket collisions + passing pairs
     # on random embeddings that the LSH path demonstrably returns work
@@ -2667,6 +2688,8 @@ def queries():
         "doc_line_fluency": q_doc_line_fluency,
         "doc_dsir": q_doc_dsir,
         "doc_incremental_bloom": q_doc_incremental_bloom,
+        "emb_pq_topk_exact": q_emb_pq_topk_exact,
+        "emb_pq_topk": q_emb_pq_topk,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2784,6 +2807,7 @@ def oracle_sql():
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),
         "emb_norm_stats": ORACLE_EMB_NORM_STATS,
         "emb_ivf_topk_exact": V.oracle_cosine_topk(k=5, query_max_id=10),
+        "emb_pq_topk_exact": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_quantize": V.oracle_quantize_embeddings(),
         "doc_simhash": D.oracle_simhash(),
         "doc_embedding_dedup": D.oracle_embedding_dedup(threshold=0.35),

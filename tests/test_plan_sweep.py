@@ -27,7 +27,10 @@ PYTHON_STAGE_OK = {
     "trace_time_profile", "trace_multirun", "trace_detect_pattern",
     # similarity / media kernels
     "emb_topk_pandas", "emb_ivf_topk", "emb_ivf_topk_exact",
+    "emb_pq_topk", "emb_pq_topk_exact",
     "emb_lsh_ann", "emb_semantic_dedup", "media_decode",
+    # bloom probe is a vectorized Arrow bit-test by design
+    "doc_incremental_bloom",
     # model-scoring hook (mapInPandas by contract)
     "doc_model_score",
 }
