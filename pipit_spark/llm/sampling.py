@@ -693,3 +693,75 @@ FROM {table} d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Sliding token-window chunking — the step between cleaning and
+    packing when documents exceed the context window: each doc becomes
+    ``ceil((n - overlap) / stride)`` chunks of ``chunk_tokens``
+    whitespace tokens, consecutive chunks sharing ``overlap`` tokens
+    (stride = chunk_tokens - overlap); the final chunk is short rather
+    than padded.
+
+    Pure built-in expressions (split → sequence → explode → slice →
+    array_join): narrow, no shuffle, no UDF — per-row work at 100 TB.
+    Tokenization is the engine-wide whitespace normalizer
+    (:func:`..text._tokens`) so chunk boundaries agree with every other
+    token count in the library and with the DuckDB twin.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    from .text import _tokens
+
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col("text"))
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("__t")
+    )
+    n = F.size(F.col("__t"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int")
+    )
+    exploded = base.select(
+        "doc_id",
+        "__t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("__t"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def oracle_chunk_documents(
+    table: str = "documents", chunk_tokens: int = 64, overlap: int = 16
+) -> str:
+    from .text import _sql_norm
+
+    norm = _sql_norm("text")
+    stride = chunk_tokens - overlap
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split({norm}, ' ') AS t
+    FROM {table} WHERE text IS NOT NULL
+),
+meta AS (
+    SELECT doc_id, t,
+           GREATEST(1, CAST(CEIL((len(t) - {overlap}) / {stride}.0) AS INT))
+               AS n_chunks
+    FROM toks
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(t[i*{stride}+1 : i*{stride}+{chunk_tokens}], ' ')
+           AS chunk_text,
+       CAST(len(t[i*{stride}+1 : i*{stride}+{chunk_tokens}]) AS BIGINT)
+           AS n_tokens
+FROM meta, UNNEST(range(0, n_chunks)) AS u(i)
+"""

@@ -2271,6 +2271,15 @@ def q_emb_ivf_topk(spark, sf_dir):
     )
 
 
+def q_doc_chunk(spark, sf_dir):
+    """Sliding token-window chunking (48-token chunks, 16 overlap) —
+    exact twin in DuckDB list slicing, value-hashed including the chunk
+    text itself."""
+    return _SP.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=48, overlap=16
+    )
+
+
 def q_emb_pq_topk_exact(spark, sf_dir):
     """PQ in its lossless configuration (ksub=None, whole-corpus
     training: every subvector its own codeword) — ADC scoring IS the
@@ -2688,6 +2697,7 @@ def queries():
         "doc_line_fluency": q_doc_line_fluency,
         "doc_dsir": q_doc_dsir,
         "doc_incremental_bloom": q_doc_incremental_bloom,
+        "doc_chunk": q_doc_chunk,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -2801,6 +2811,9 @@ def oracle_sql():
         # in the result (no-false-negative guarantee + exact verify join)
         "doc_incremental_bloom": _PL.oracle_incremental_new_docs(
             seen_doc_id_below=250
+        ),
+        "doc_chunk": _SP.oracle_chunk_documents(
+            chunk_tokens=48, overlap=16
         ),
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),

@@ -1554,3 +1554,40 @@ def test_pq_topk_lossy_recall(spark):
     codes = pq_encode(emb, cb).collect()
     assert all(len(r["codes"]) == 16 for r in codes)
     assert all(0 <= c < 64 for r in codes for c in r["codes"])
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Structural invariants: chunks tile the token stream with exactly
+    `overlap` shared tokens between neighbors, reconstruct the document
+    when overlaps are dropped, and the final chunk is short, not
+    padded. Short docs yield exactly one chunk."""
+    from pipit_spark.llm.sampling import chunk_documents
+
+    texts = [
+        (0, " ".join(f"w{i}" for i in range(100))),   # 100 tokens
+        (1, " ".join(f"w{i}" for i in range(32))),    # exactly one window
+        (2, "solo"),                                   # tiny
+        (3, None),                                     # dropped
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+         for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, t, n in rows:
+        by_doc.setdefault(d, []).append((i, t.split(" "), n))
+    assert set(by_doc) == {0, 1, 2}
+    assert len(by_doc[1]) == 1 and by_doc[1][0][2] == 32
+    assert len(by_doc[2]) == 1 and by_doc[2][0][1] == ["solo"]
+    chunks0 = by_doc[0]
+    # stride 24 over 100 tokens → ceil(92/24) = 4 chunks
+    assert [i for i, _, _ in chunks0] == [0, 1, 2, 3]
+    for (_, a, _), (_, b, _) in zip(chunks0, chunks0[1:]):
+        assert a[-8:] == b[:8]  # exact overlap
+    rebuilt = chunks0[0][1] + [
+        tok for _, t, _ in chunks0[1:] for tok in t[8:]
+    ]
+    assert rebuilt == [f"w{i}" for i in range(100)]
+    assert chunks0[-1][2] < 32  # final chunk short, not padded
