@@ -566,3 +566,77 @@ FROM pairs
 JOIN sizes sa ON pairs.a = sa.doc_id
 JOIN sizes sb ON pairs.b = sb.doc_id
 """
+
+
+def vocab_coverage(docs: DataFrame, top_k: int = 500) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus-wide top-K
+    token vocabulary — the tokenizer-health monitor a pipeline runs
+    before committing to a vocab: a source whose OOV rate spikes is
+    about to shred into <unk>/byte-fallback pieces.
+
+    Two aggregations over one exploded token stream: (1) corpus-wide
+    frequencies ranked (count DESC, token ASC — deterministic tie
+    break) keep the top-K as the vocab, a bounded set that broadcasts;
+    (2) per-source token occurrences left-anti-matched against it via a
+    broadcast join. The corpus-side stream is never shuffled on the
+    token key for step 2 — only the map-side aggregated (source) rows
+    move.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("token")
+    ).filter(F.length("token") > 0)
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        freq.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_k)
+        .select("token")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "oov_tokens",
+            F.round(
+                F.col("oov_tokens") / F.col("total_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def oracle_vocab_coverage(table: str = "documents", top_k: int = 500) -> str:
+    norm = _sql_norm("text")
+    return f"""
+WITH toks AS (
+    SELECT source, t.token
+    FROM {table}, UNNEST(string_split({norm}, ' ')) AS t(token)
+    WHERE length(t.token) > 0
+),
+vocab AS (
+    SELECT token FROM (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
+        FROM toks GROUP BY token
+    ) WHERE rk <= {top_k}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS oov_tokens,
+       ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks LEFT JOIN vocab v USING (token)
+GROUP BY source
+"""

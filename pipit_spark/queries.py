@@ -2271,6 +2271,15 @@ def q_emb_ivf_topk(spark, sf_dir):
     )
 
 
+def q_doc_vocab_coverage(spark, sf_dir):
+    """Per-source OOV rate vs the corpus top-20 token vocabulary —
+    deterministic tie-break (count DESC, token ASC) mirrored in the
+    oracle's ROW_NUMBER. top_k=20 < the fixture's 31 distinct tokens,
+    so every source has a real OOV tail (top_k above the vocab size
+    would gate a column of zeros)."""
+    return X.vocab_coverage(load(spark, sf_dir, "documents"), top_k=20)
+
+
 def q_doc_chunk(spark, sf_dir):
     """Sliding token-window chunking (48-token chunks, 16 overlap) —
     exact twin in DuckDB list slicing, value-hashed including the chunk
@@ -2698,6 +2707,7 @@ def queries():
         "doc_dsir": q_doc_dsir,
         "doc_incremental_bloom": q_doc_incremental_bloom,
         "doc_chunk": q_doc_chunk,
+        "doc_vocab_coverage": q_doc_vocab_coverage,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -2815,6 +2825,7 @@ def oracle_sql():
         "doc_chunk": _SP.oracle_chunk_documents(
             chunk_tokens=48, overlap=16
         ),
+        "doc_vocab_coverage": X.oracle_vocab_coverage(top_k=20),
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),

@@ -223,3 +223,16 @@ def test_cluster_dedup_no_forced_broadcast(spark):
     assert "UnresolvedHint" not in out._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
     assert sorted(r.doc_id for r in out.collect()) == [0] + [3, 4, 5] + list(range(7, 20))
+
+
+def test_vocab_coverage_broadcast_probe(spark):
+    """The OOV probe joins the token stream against the bounded top-K
+    vocab via broadcast — the corpus-side stream must never shuffle on
+    the token key for the coverage pass (only the vocab-ranking agg and
+    the tiny per-source agg exchange)."""
+    from pipit_spark.llm.text import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tree = tree_of(vocab_coverage(docs, top_k=100))
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
