@@ -499,3 +499,41 @@ def test_streaming_matching_randomized(spark, tmp_path):
         for r in spark.sql("select * from rand_matched").collect()
     )
     assert got == want
+
+
+def test_streaming_chunk_documents(spark, tmp_path):
+    """chunk_documents is stateless (explode + slice), so the SAME
+    operator runs unchanged on a file stream and matches the batch
+    result — the live-chunking twin needs no separate code path."""
+    import pandas as pd
+
+    from pipit_spark.llm.sampling import chunk_documents
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [" ".join(f"t{i}_{j}" for j in range(37)) for i in range(6)],
+        }
+    )
+    pdf.iloc[:3].to_parquet(src / "b1.parquet")
+    pdf.iloc[3:].to_parquet(src / "b2.parquet")
+
+    expected = sorted(
+        map(
+            tuple,
+            chunk_documents(
+                spark.createDataFrame(pdf), chunk_tokens=16, overlap=4
+            ).collect(),
+        )
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    out = chunk_documents(stream, chunk_tokens=16, overlap=4)
+    _run_to_memory(out, "chunk_stream", mode="append")
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM chunk_stream").collect())
+    )
+    assert got == expected
