@@ -1235,3 +1235,80 @@ reach AS (
 SELECT doc_id, CAST(MIN(r) AS BIGINT) AS component
 FROM reach GROUP BY doc_id
 """
+
+
+# ------------------------------------------- edit-distance verification
+def edit_verified_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    cand_threshold: float = 0.2,
+    edit_threshold: float = 0.6,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs verified by EXACT normalized edit similarity
+    ``1 − levenshtein(a, b) / max(len)`` — the highest-precision dedup
+    tier, feasible at scale only because it never runs on the corpus:
+    candidates come from the bounded n-gram Jaccard pair generator
+    (shared index plan with :func:`ngram_jaccard_pairs`), and the
+    O(len²) distance evaluates on that pair set alone.
+
+    Both the distance (Spark's JVM ``levenshtein`` builtin — no UDF)
+    and its DuckDB twin are classic unit-cost Levenshtein, verified
+    identical; texts are whitespace-normalized with the engine-wide
+    normalizer so candidate and verify stages see the same strings.
+    The corpus joins the candidate set twice on doc_id — AQE broadcasts
+    the candidate side; document text never shuffles on a pair key.
+    """
+    cands = ngram_jaccard_pairs(
+        docs, n=n, threshold=cand_threshold, max_df=max_df
+    ).select("a", "b")
+    texts = docs.select("doc_id", _norm(F.col("text")).alias("__txt"))
+    joined = (
+        cands.join(
+            texts.select(
+                F.col("doc_id").alias("a"), F.col("__txt").alias("__ta")
+            ),
+            "a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("b"), F.col("__txt").alias("__tb")
+            ),
+            "b",
+        )
+    )
+    sim = F.lit(1.0) - F.levenshtein("__ta", "__tb") / F.greatest(
+        F.length("__ta"), F.length("__tb"), F.lit(1)
+    )
+    return (
+        joined.withColumn("__sim", sim)
+        .filter(F.col("__sim") >= edit_threshold)
+        .select("a", "b", F.round("__sim", 6).alias("edit_sim"))
+    )
+
+
+def oracle_edit_verified_pairs(
+    table: str = "documents",
+    n: int = 3,
+    cand_threshold: float = 0.2,
+    edit_threshold: float = 0.6,
+    max_df: int = 1000,
+) -> str:
+    from .text import _sql_norm
+
+    cand = oracle_ngram_jaccard_pairs(
+        table, n=n, threshold=cand_threshold, max_df=max_df
+    )
+    norm = _sql_norm("text")
+    return f"""
+WITH cand AS ({cand}),
+txt AS (SELECT doc_id, {norm} AS t FROM {table})
+SELECT c.a, c.b,
+       ROUND(1.0 - levenshtein(ta.t, tb.t)
+             / GREATEST(length(ta.t), length(tb.t), 1), 6) AS edit_sim
+FROM cand c
+JOIN txt ta ON ta.doc_id = c.a
+JOIN txt tb ON tb.doc_id = c.b
+WHERE 1.0 - levenshtein(ta.t, tb.t)
+      / GREATEST(length(ta.t), length(tb.t), 1) >= {edit_threshold}
+"""

@@ -2271,6 +2271,17 @@ def q_emb_ivf_topk(spark, sf_dir):
     )
 
 
+def q_doc_edit_pairs(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs: candidates from the
+    shared n-gram Jaccard index (low threshold), verified with exact
+    normalized Levenshtein similarity — both engines run the identical
+    unit-cost distance."""
+    return D.edit_verified_pairs(
+        load(spark, sf_dir, "documents"),
+        n=3, cand_threshold=0.15, edit_threshold=0.3, max_df=1000,
+    )
+
+
 def q_doc_vocab_coverage(spark, sf_dir):
     """Per-source OOV rate vs the corpus top-20 token vocabulary —
     deterministic tie-break (count DESC, token ASC) mirrored in the
@@ -2708,6 +2719,7 @@ def queries():
         "doc_incremental_bloom": q_doc_incremental_bloom,
         "doc_chunk": q_doc_chunk,
         "doc_vocab_coverage": q_doc_vocab_coverage,
+        "doc_edit_pairs": q_doc_edit_pairs,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -2826,6 +2838,9 @@ def oracle_sql():
             chunk_tokens=48, overlap=16
         ),
         "doc_vocab_coverage": X.oracle_vocab_coverage(top_k=20),
+        "doc_edit_pairs": D.oracle_edit_verified_pairs(
+            n=3, cand_threshold=0.15, edit_threshold=0.3, max_df=1000
+        ),
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),

@@ -1591,3 +1591,28 @@ def test_chunk_documents_coverage_and_overlap(spark):
     ]
     assert rebuilt == [f"w{i}" for i in range(100)]
     assert chunks0[-1][2] < 32  # final chunk short, not padded
+
+
+def test_edit_verified_pairs_precision(spark):
+    """The verify tier accepts near-identical texts and rejects pairs
+    that share shingles but differ substantially — the precision the
+    candidate stage alone cannot give."""
+    from pipit_spark.llm.dedup import edit_verified_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("dog", "cat")),            # 1 edit cluster
+            (2, base + " " + " ".join(["totally different tail words"] * 6)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["a"], r["b"]): r["edit_sim"]
+        for r in edit_verified_pairs(
+            docs, n=3, cand_threshold=0.05, edit_threshold=0.9
+        ).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] >= 0.9
+    assert (0, 2) not in out and (1, 2) not in out
