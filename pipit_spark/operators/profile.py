@@ -335,3 +335,32 @@ def multirun_analysis(
         allp.groupBy("num_processes").pivot(groupby_column).sum(metric)
         .orderBy("num_processes")
     )
+
+
+def slow_calls(trace, p: float = 0.95, metric: str = S.TIME_INC) -> DataFrame:
+    """Per-function slow-call detection: every call whose inclusive time
+    exceeds its function's exact p-quantile — the per-invocation
+    regression drill-down `flat_profile` averages away (a mean hides
+    one 100× call among thousands of fast ones).
+
+    Same shape as ``percentile_outliers``: per-name quantile thresholds
+    are a tiny aggregate, broadcast back onto the call stream — the big
+    side stays scan-shaped, no window over calls. Exact ``percentile``
+    matches the DuckDB oracle; swap ``approx_percentile`` at 100 TB
+    (same plan)."""
+    calls = trace.matched.filter(
+        (F.col(S.EVENT_TYPE) == "Enter") & (F.col(S.NAME) != "session")
+    ).select(S.NAME, S.EVENT_ID, F.col(metric).cast("double").alias("val"))
+    th = calls.groupBy(S.NAME).agg(
+        F.round(F.percentile(F.col("val"), F.lit(p)), 6).alias("threshold")
+    )
+    return (
+        calls.join(F.broadcast(th), S.NAME)
+        .filter(F.col("val") > F.col("threshold"))
+        .select(
+            S.NAME,
+            S.EVENT_ID,
+            F.col("val").alias(metric),
+            "threshold",
+        )
+    )

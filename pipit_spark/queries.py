@@ -2271,6 +2271,33 @@ def q_emb_ivf_topk(spark, sf_dir):
     )
 
 
+def q_trace_slow_calls(spark, sf_dir):
+    """Per-function slow-call drill-down: leaves above their function's
+    exact p95 inclusive time, via the REAL matched frame + broadcast
+    threshold join."""
+    t = derived_trace(spark, sf_dir)
+    out = t.slow_calls(p=0.95)
+    return out.select(
+        F.col(S.NAME).alias("name"),
+        (F.col(S.EVENT_ID) / 4).cast("long").alias("event_id"),
+        F.col(S.TIME_INC).alias("time_inc"),
+        "threshold",
+    )
+
+
+ORACLE_TRACE_SLOW_CALLS = ORACLE_TRACE_CTE + """
+, th AS (
+    SELECT etype AS name,
+           ROUND(quantile_cont(CAST(dur AS DOUBLE), 0.95), 6) AS threshold
+    FROM leaf GROUP BY 1
+)
+SELECT l.etype AS name, l.event_id,
+       CAST(l.dur AS DOUBLE) AS time_inc, th.threshold
+FROM leaf l JOIN th ON th.name = l.etype
+WHERE CAST(l.dur AS DOUBLE) > th.threshold
+"""
+
+
 def q_doc_edit_pairs(spark, sf_dir):
     """Edit-distance-verified near-dup pairs: candidates from the
     shared n-gram Jaccard index (low threshold), verified with exact
@@ -2720,6 +2747,7 @@ def queries():
         "doc_chunk": q_doc_chunk,
         "doc_vocab_coverage": q_doc_vocab_coverage,
         "doc_edit_pairs": q_doc_edit_pairs,
+        "trace_slow_calls": q_trace_slow_calls,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -2841,6 +2869,7 @@ def oracle_sql():
         "doc_edit_pairs": D.oracle_edit_verified_pairs(
             n=3, cand_threshold=0.15, edit_threshold=0.3, max_df=1000
         ),
+        "trace_slow_calls": ORACLE_TRACE_SLOW_CALLS,
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),

@@ -395,6 +395,13 @@ class Trace:
 
         return idle_time(self, idle_functions=idle_functions, mpi_events=mpi_events)
 
+    def slow_calls(
+        self, p: float = 0.95, metric: str = S.TIME_INC
+    ) -> DataFrame:
+        from .operators.profile import slow_calls
+
+        return slow_calls(self, p=p, metric=metric)
+
     def time_profile(
         self, num_bins: int = 50, normalized: bool = False, pivot: bool = False
     ) -> DataFrame:

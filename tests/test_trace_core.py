@@ -340,3 +340,26 @@ def test_trace_slice(ping_pong_trace):
         F.col(S.EVENT_TYPE) == "Enter"
     ).count()
     assert n_enter == 3
+
+
+def test_slow_calls_threshold_semantics(foo_bar_trace):
+    """Every flagged call exceeds its function's exact p-quantile, and
+    the flag set matches a hand-computed check over the same frame."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    out = foo_bar_trace.slow_calls(p=0.5).collect()
+    calls = foo_bar_trace.matched.filter(
+        (F.col(S.EVENT_TYPE) == "Enter") & (F.col(S.NAME) != "session")
+    ).select(S.NAME, S.EVENT_ID, S.TIME_INC).collect()
+    by_name = {}
+    for r in calls:
+        by_name.setdefault(r[S.NAME], []).append(r)
+    expected = set()
+    for name, rs in by_name.items():
+        thr = round(float(np.percentile([r[S.TIME_INC] for r in rs], 50)), 6)
+        expected |= {
+            r[S.EVENT_ID] for r in rs if r[S.TIME_INC] > thr
+        }
+    assert {r[S.EVENT_ID] for r in out} == expected
+    assert all(r[S.TIME_INC] > r["threshold"] for r in out)
