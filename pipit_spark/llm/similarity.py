@@ -292,20 +292,23 @@ class IVFIndex:
 def ivf_build(
     emb: DataFrame,
     nlist: int = 16,
-    train_max_id: int = 256,
+    train_max_id: int | None = 256,
     kmeans_iters: int = 5,
     vec_col: str = "embedding",
 ) -> IVFIndex:
     """Train the coarse quantizer and assign every corpus vector to its
     cell. Centroids train on a bounded driver-side sample (seeded,
-    deterministic) and broadcast; cell assignment is one Arrow-batched
-    narrow pass over the corpus."""
+    deterministic; ``train_max_id=None`` = whole corpus, for exactness
+    gates on bounded fixtures) and broadcast; cell assignment is one
+    Arrow-batched narrow pass over the corpus."""
+    src = (
+        emb if train_max_id is None
+        else emb.filter(F.col("vec_id") < train_max_id)
+    )
     train = np.stack(
         [
             np.asarray(r[vec_col], dtype=np.float64)
-            for r in emb.filter(F.col("vec_id") < train_max_id)
-            .select(vec_col)
-            .collect()
+            for r in src.select(vec_col).collect()
         ]
     )
     train /= np.linalg.norm(train, axis=1, keepdims=True)
@@ -894,4 +897,125 @@ def pq_topk(
     return pq_search(
         emb.filter(F.col("vec_id") < query_max_id), codes, cb, k=k,
         vec_col=vec_col,
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_max_id: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int | None = 16,
+    train_max_id: int | None = 256,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition — the coarse quantizer
+    prunes candidates to ``nprobe/nlist`` of the corpus, and PQ codes
+    score what remains via per-query lookup tables. The index the
+    corpus side carries is (cell, m codes): both levers at once —
+    candidate pruning AND 16-32× memory compression; raw vectors never
+    join anything.
+
+    ``nprobe == nlist`` + ``ksub=None`` (lossless codes, whole-corpus
+    training) degrades to exact brute force — the oracle-gate
+    configuration; recall tunes with nprobe and ksub independently.
+    """
+    from pyspark.sql import Window
+
+    index = ivf_build(
+        emb, nlist=nlist, train_max_id=train_max_id,
+        kmeans_iters=kmeans_iters, vec_col=vec_col,
+    )
+    cb = pq_train(
+        emb, m=m, ksub=ksub, train_max_id=train_max_id,
+        kmeans_iters=kmeans_iters, vec_col=vec_col,
+    )
+    spark = emb.sparkSession
+    bcb = spark.sparkContext.broadcast(cb.codebooks)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        books = bcb.value
+        mm, _, dsub = books.shape
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        subs = mat.reshape(len(mat), mm, dsub)
+        out = np.empty((len(mat), mm), dtype=np.int32)
+        for j in range(mm):
+            d = ((subs[:, j, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    coded = index.assigned.select(
+        "neighbor_id", "__cell", encode(F.col("__vc")).alias("codes")
+    )
+
+    queries = emb.filter(F.col("vec_id") < query_max_id)
+    qrows = queries.select("vec_id", vec_col).collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[vec_col], np.float64) for r in qrows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    mm, _, dsub = cb.codebooks.shape
+    lut = np.einsum(
+        "qjd,jcd->qjc", qm.reshape(len(qm), mm, dsub), cb.codebooks
+    )
+    order = np.argsort(-(qm @ index.centroids.T), axis=1)[:, :nprobe]
+    bq = spark.sparkContext.broadcast(
+        ({int(q): i for i, q in enumerate(qids)}, lut)
+    )
+    probes = spark.createDataFrame(
+        [
+            (int(q), int(c))
+            for qi, q in enumerate(qids)
+            for c in order[qi]
+        ],
+        "query_id long, __cell int",
+    )
+    cands = F.broadcast(probes).join(coded, "__cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qpos, table = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qs = pdf["query_id"].map(qpos).to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            s = np.zeros(len(pdf))
+            for j in range(codes.shape[1]):
+                s += table[qs, j, codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": s,
+                }
+            )
+
+    scored = cands.select("query_id", "neighbor_id", "codes").mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("__rk").alias("rank"),
+        )
     )

@@ -2348,6 +2348,26 @@ def q_emb_pq_topk(spark, sf_dir):
     )
 
 
+def q_emb_ivfpq_topk_exact(spark, sf_dir):
+    """IVF-PQ at nprobe == nlist with lossless codes — the full
+    composed pipeline (coarse probe + coded corpus + LUT scoring)
+    degrades to exact brute force and value-checks against the cosine
+    oracle."""
+    return V.ivf_pq_topk(
+        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
+        nlist=8, nprobe=8, m=8, ksub=None, train_max_id=None,
+    )
+
+
+def q_emb_ivfpq_topk(spark, sf_dir):
+    """The production configuration: probe 4 of 8 cells over 16×-
+    compressed codes (rows-only; recall floor pinned by pytest)."""
+    return V.ivf_pq_topk(
+        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
+        nlist=8, nprobe=4, m=16, ksub=64, train_max_id=None,
+    )
+
+
 def q_emb_lsh_ann(spark, sf_dir):
     # 8 planes / 0.2 threshold: enough bucket collisions + passing pairs
     # on random embeddings that the LSH path demonstrably returns work
@@ -2750,6 +2770,8 @@ def queries():
         "trace_slow_calls": q_trace_slow_calls,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
         "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk_exact": q_emb_ivfpq_topk_exact,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,
@@ -2876,6 +2898,7 @@ def oracle_sql():
         "emb_norm_stats": ORACLE_EMB_NORM_STATS,
         "emb_ivf_topk_exact": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_pq_topk_exact": V.oracle_cosine_topk(k=5, query_max_id=10),
+        "emb_ivfpq_topk_exact": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_quantize": V.oracle_quantize_embeddings(),
         "doc_simhash": D.oracle_simhash(),
         "doc_embedding_dedup": D.oracle_embedding_dedup(threshold=0.35),

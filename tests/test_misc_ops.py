@@ -1616,3 +1616,46 @@ def test_edit_verified_pairs_precision(spark):
     }
     assert (0, 1) in out and out[(0, 1)] >= 0.9
     assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_ivf_pq_lossless_fullprobe_equals_exact(spark):
+    """nprobe == nlist + lossless codes: the full IVF-PQ composition
+    (coarse probe, coded corpus, LUT scoring, partial top-k) must equal
+    brute force row-for-row."""
+    from pipit_spark.llm.similarity import cosine_topk, ivf_pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = sorted(
+        map(tuple, cosine_topk(emb, k=5, query_max_id=10).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, k=5, query_max_id=10, nlist=8, nprobe=8,
+                m=8, ksub=None, train_max_id=None,
+            ).collect(),
+        )
+    )
+    assert got == exact
+
+
+def test_ivf_pq_lossy_recall(spark):
+    """Probe-limited + compressed: recall floor on the fixture (whose
+    near-random vectors are the adversarial case for both levers)."""
+    from pipit_spark.llm.similarity import cosine_topk, ivf_pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {}
+    for r in cosine_topk(emb, k=5, query_max_id=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_pq_topk(
+        emb, k=5, query_max_id=10, nlist=8, nprobe=4,
+        m=16, ksub=64, train_max_id=None,
+    ).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
