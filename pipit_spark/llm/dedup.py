@@ -305,30 +305,21 @@ def minhash_sig_array(
     return sigs
 
 
-def minhash_lsh_pairs(
+def build_lsh_index(
     docs: DataFrame,
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
     portable: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding: docs agreeing on ALL
-    rows of ≥1 band collide in a bucket; bucket join emits pairs.
-    Estimated similarity = fraction of agreeing minhashes.
-
-    ``portable=False`` (default): linear-permutation minhash over ONE
-    xxhash64 per shingle — the fast path. ``portable=True``: md5-string
-    minhash (:func:`minhash_signatures`'s scheme), byte-identical in
-    any engine with md5 — slower (``num_hashes`` md5s per shingle) but
-    exactly replayable by the DuckDB oracle, which value-checks the
-    whole banding pipeline, not just the signatures.
-
-    The signature table is persisted before the fan-out: the bucket
-    self-join plus the signature lookups reference it four times, and
-    without the cache barrier Catalyst inlines (and re-executes) the
-    hash-over-shingles subtree into every branch. At scale the sig
-    table is ~`num_hashes`·33 bytes/doc — orders smaller than the text.
-    """
+    """The corpus-side LSH band table ``(doc_id, sig, bucket)`` — build
+    ONCE, persist (or write out bucketed by ``bucket``), and every
+    consumer joins it: the pairwise self-join
+    (:func:`minhash_lsh_pairs`) and incremental batch lookups
+    (:func:`incremental_near_dups`) share this exact frame, so the
+    signature scan cost is paid per corpus revision, not per query.
+    ~``num_hashes``·33 bytes/doc in portable mode, 8 bytes/hash in fast
+    mode — orders smaller than the text it indexes."""
     rows_per_band = num_hashes // bands
     if portable:
         # MIN is duplicate-invariant -> skip the shingle dedup shuffle
@@ -363,8 +354,8 @@ def minhash_lsh_pairs(
         )
     else:
         # minhash_sig_array persists + eagerly materializes the
-        # signature table, so both sides of the bucket self-join read
-        # the cache
+        # signature table, so both sides of any bucket join read the
+        # cache
         sigs = minhash_sig_array(docs, num_hashes, shingle_n)
         band_key = lambda b: F.concat(  # noqa: E731
             F.lit(f"{b}:"),
@@ -376,12 +367,42 @@ def minhash_lsh_pairs(
             ).cast("string"),
         )
 
-    buckets = sigs.select(
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(F.array(*[band_key(b) for b in range(bands)])).alias(
             "bucket"
         ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs agreeing on ALL
+    rows of ≥1 band collide in a bucket; bucket join emits pairs.
+    Estimated similarity = fraction of agreeing minhashes.
+
+    ``portable=False`` (default): linear-permutation minhash over ONE
+    xxhash64 per shingle — the fast path. ``portable=True``: md5-string
+    minhash (:func:`minhash_signatures`'s scheme), byte-identical in
+    any engine with md5 — slower (``num_hashes`` md5s per shingle) but
+    exactly replayable by the DuckDB oracle, which value-checks the
+    whole banding pipeline, not just the signatures.
+
+    The signature table is persisted before the fan-out: the bucket
+    self-join plus the signature lookups reference it four times, and
+    without the cache barrier Catalyst inlines (and re-executes) the
+    hash-over-shingles subtree into every branch. At scale the sig
+    table is ~`num_hashes`·33 bytes/doc — orders smaller than the text.
+    """
+    buckets = build_lsh_index(
+        docs, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        portable=portable,
     )
     x = buckets.select("bucket", F.col("doc_id").alias("a"),
                        F.col("sig").alias("sig_a"))
@@ -1311,4 +1332,117 @@ JOIN txt ta ON ta.doc_id = c.a
 JOIN txt tb ON tb.doc_id = c.b
 WHERE 1.0 - levenshtein(ta.t, tb.t)
       / GREATEST(length(ta.t), length(tb.t), 1) >= {edit_threshold}
+"""
+
+
+def incremental_near_dups(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup screening for incremental ingestion: which documents of
+    an incoming batch are approximate duplicates of the ALREADY-INDEXED
+    corpus (the fuzzy complement of the Bloom/fingerprint exact path).
+
+    ``corpus_index`` is a :func:`build_lsh_index` frame — built once per
+    corpus revision and persisted, so each batch pays only its own
+    signature scan plus a band join whose corpus side is the compact
+    index, never the corpus text. Returns one row per matched batch doc:
+    its best corpus match (highest estimated Jaccard, ties to the lowest
+    corpus doc_id). Batch docs absent from the result are new.
+    """
+    bidx = build_lsh_index(
+        batch, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        portable=portable,
+    )
+    hits = (
+        bidx.select(
+            "bucket", F.col("doc_id").alias("doc_id"),
+            F.col("sig").alias("__sb"),
+        )
+        .join(
+            corpus_index.select(
+                "bucket", F.col("doc_id").alias("match_id"),
+                F.col("sig").alias("__sc"),
+            ),
+            "bucket",
+        )
+        .groupBy("doc_id", "match_id")
+        .agg(F.first("__sb").alias("__sb"), F.first("__sc").alias("__sc"))
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("__sb", "__sc", lambda p, q: p == q), lambda m: m
+            )
+        ).cast("double")
+        / F.lit(num_hashes),
+        6,
+    )
+    scored = hits.withColumn("est_jaccard", est).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("est_jaccard"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "match_id", "est_jaccard")
+    )
+
+
+def oracle_incremental_near_dups(
+    table: str = "documents",
+    corpus_below: int = 250,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB replay of the portable-mode incremental screen: corpus =
+    doc_id < corpus_below (the indexed side), batch = the rest."""
+    rpb = num_hashes // bands
+    sig_items = ",\n        ".join(
+        f"list_min(list_transform({_sql_shingles(shingle_n)}, "
+        f"s -> md5('{i}:' || s)))"
+        for i in range(num_hashes)
+    )
+    band_list = ", ".join(str(b) for b in range(bands))
+    idx_list = ", ".join(str(i + 1) for i in range(num_hashes))
+    return f"""
+WITH sigs AS (
+    SELECT doc_id, [{sig_items}] AS sig FROM {table}
+),
+bnd AS (
+    SELECT doc_id, sig,
+           CAST(t.b AS VARCHAR) || '|' ||
+           array_to_string(sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], '|') AS bucket
+    FROM sigs CROSS JOIN (SELECT UNNEST([{band_list}]) AS b) t
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS match_id,
+           x.sig AS sb, y.sig AS sc
+    FROM bnd x JOIN bnd y USING (bucket)
+    WHERE x.doc_id >= {corpus_below} AND y.doc_id < {corpus_below}
+),
+scored AS (
+    SELECT doc_id, match_id,
+           ROUND(list_sum(list_transform([{idx_list}],
+                 i -> CASE WHEN sb[i] = sc[i] THEN 1.0 ELSE 0.0 END))
+                 / {num_hashes}, 6) AS est_jaccard
+    FROM cand
+)
+SELECT doc_id, match_id, est_jaccard FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY est_jaccard DESC, match_id ASC
+    ) AS rk
+    FROM scored WHERE est_jaccard >= {threshold}
+) WHERE rk = 1
 """

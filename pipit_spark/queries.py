@@ -2271,6 +2271,22 @@ def q_emb_ivf_topk(spark, sf_dir):
     )
 
 
+def q_doc_incremental_neardup(spark, sf_dir):
+    """Near-dup screening of an incoming batch (doc_id >= 250) against
+    the indexed corpus (doc_id < 250): build_lsh_index on the corpus
+    once, band-join the batch's signatures against it — the fuzzy
+    complement of doc_incremental_bloom's exact path. Portable md5 mode
+    so DuckDB replays the full banding + best-match selection."""
+    docs = load(spark, sf_dir, "documents")
+    corpus_index = D.build_lsh_index(
+        docs.filter(F.col("doc_id") < 250), portable=True
+    )
+    return D.incremental_near_dups(
+        docs.filter(F.col("doc_id") >= 250), corpus_index,
+        threshold=0.5, portable=True,
+    )
+
+
 def q_trace_slow_calls(spark, sf_dir):
     """Per-function slow-call drill-down: leaves above their function's
     exact p95 inclusive time, via the REAL matched frame + broadcast
@@ -2767,6 +2783,7 @@ def queries():
         "doc_chunk": q_doc_chunk,
         "doc_vocab_coverage": q_doc_vocab_coverage,
         "doc_edit_pairs": q_doc_edit_pairs,
+        "doc_incremental_neardup": q_doc_incremental_neardup,
         "trace_slow_calls": q_trace_slow_calls,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
         "emb_pq_topk": q_emb_pq_topk,
@@ -2892,6 +2909,9 @@ def oracle_sql():
             n=3, cand_threshold=0.15, edit_threshold=0.3, max_df=1000
         ),
         "trace_slow_calls": ORACLE_TRACE_SLOW_CALLS,
+        "doc_incremental_neardup": D.oracle_incremental_near_dups(
+            corpus_below=250, threshold=0.5
+        ),
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),

@@ -1659,3 +1659,40 @@ def test_ivf_pq_lossy_recall(spark):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_incremental_near_dups_finds_known_dups(spark):
+    """Batch docs copied (or lightly edited) from the indexed corpus are
+    matched back to their source with high estimated Jaccard; unrelated
+    batch docs produce no row. Fast (xxhash64) and portable (md5) modes
+    agree on the match set."""
+    from pipit_spark.llm.dedup import build_lsh_index, incremental_near_dups
+
+    corpus_rows = [
+        (i, f"corpus document number {i} " + " ".join(
+            f"w{i}_{j}" for j in range(30)))
+        for i in range(10)
+    ]
+    batch_rows = [
+        (100, corpus_rows[3][1]),                      # exact copy of 3
+        (101, corpus_rows[7][1] + " tiny tail edit"),  # near-copy of 7
+        (102, "completely unrelated fresh content " + " ".join(
+            f"z{j}" for j in range(30))),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    results = {}
+    for portable in (False, True):
+        idx = build_lsh_index(corpus, portable=portable)
+        out = incremental_near_dups(
+            batch, idx, threshold=0.5, portable=portable
+        ).collect()
+        results[portable] = {r["doc_id"]: r for r in out}
+
+    for mode, got in results.items():
+        assert got[100]["match_id"] == 3 and got[100]["est_jaccard"] == 1.0, mode
+        assert got[101]["match_id"] == 7 and got[101]["est_jaccard"] >= 0.5, mode
+        assert 102 not in got, mode
+    assert {k: v["match_id"] for k, v in results[True].items()} == \
+        {k: v["match_id"] for k, v in results[False].items()}
