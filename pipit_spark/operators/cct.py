@@ -38,3 +38,48 @@ def create_cct(matched: DataFrame) -> DataFrame:
         )
         .dropDuplicates([S.NODE_ID])
     )
+
+
+def folded_stacks(trace, metric: str = S.TIME_EXC, sep: str = ";") -> DataFrame:
+    """Flamegraph folded-stack export: one row per calling context —
+    ``root;child;…;leaf`` path string plus the total of ``metric``
+    across every invocation of that context (the exact input
+    `flamegraph.pl` / speedscope consume).
+
+    The path strings build on the NODE table, not the event stream: the
+    CCT is bounded by distinct call paths (≪ events, thousands even for
+    huge traces), so it collects to the driver for a memoized
+    parent-walk and broadcasts back as a (node_id, stack) map; the event
+    side then pays one broadcast join + one hash aggregation. The
+    reference keeps an equivalent object graph driver-side already
+    (pipit/graph.py:7-98) — here it is the ONLY driver-side structure,
+    and events never leave the cluster.
+    """
+    nodes = {
+        r[S.NODE_ID]: (r["parent_node_id"], r[S.NAME])
+        for r in trace.cct.collect()
+    }
+    paths: dict[int, str] = {}
+
+    def path_of(nid) -> str:
+        got = paths.get(nid)
+        if got is None:
+            parent, name = nodes[nid]
+            got = name if parent is None else f"{path_of(parent)}{sep}{name}"
+            paths[nid] = got
+        return got
+
+    spark = trace.events.sparkSession
+    pmap = spark.createDataFrame(
+        [(nid, path_of(nid)) for nid in nodes],
+        f"{S.NODE_ID} long, stack string",
+    )
+    exc = trace.calc_exc_metrics().filter(
+        F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES)
+        & F.col(S.NODE_ID).isNotNull()
+    )
+    return (
+        exc.join(F.broadcast(pmap), S.NODE_ID)
+        .groupBy("stack")
+        .agg(F.round(F.sum(metric), 6).alias("value"))
+    )

@@ -2271,6 +2271,29 @@ def q_emb_ivf_topk(spark, sf_dir):
     )
 
 
+def q_trace_folded_stacks(spark, sf_dir):
+    """Flamegraph folded-stack export through the REAL CCT + exc-metric
+    plan: path strings from the node table, per-context exclusive-time
+    totals."""
+    t = derived_trace(spark, sf_dir)
+    return t.folded_stacks(metric=S.TIME_EXC).select(
+        "stack", F.col("value").alias("value")
+    )
+
+
+ORACLE_TRACE_FOLDED_STACKS = ORACLE_TRACE_CTE + """
+SELECT 'session;' || etype AS stack, ROUND(CAST(SUM(dur) AS DOUBLE), 6) AS value
+FROM leaf GROUP BY etype
+UNION ALL
+SELECT 'session' AS stack,
+       ROUND(CAST(SUM(r.leave_ts - r.enter_ts - ls.total) AS DOUBLE), 6)
+           AS value
+FROM roots r
+JOIN (SELECT process, SUM(dur) AS total FROM leaf GROUP BY 1) ls
+  ON ls.process = r.process
+"""
+
+
 def q_doc_incremental_neardup(spark, sf_dir):
     """Near-dup screening of an incoming batch (doc_id >= 250) against
     the indexed corpus (doc_id < 250): build_lsh_index on the corpus
@@ -2785,6 +2808,7 @@ def queries():
         "doc_edit_pairs": q_doc_edit_pairs,
         "doc_incremental_neardup": q_doc_incremental_neardup,
         "trace_slow_calls": q_trace_slow_calls,
+        "trace_folded_stacks": q_trace_folded_stacks,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivfpq_topk_exact": q_emb_ivfpq_topk_exact,
@@ -2912,6 +2936,7 @@ def oracle_sql():
         "doc_incremental_neardup": D.oracle_incremental_near_dups(
             corpus_below=250, threshold=0.5
         ),
+        "trace_folded_stacks": ORACLE_TRACE_FOLDED_STACKS,
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),

@@ -294,6 +294,13 @@ class Trace:
 
         return cct_graph(self.cct)
 
+    def folded_stacks(
+        self, metric: str = S.TIME_EXC, sep: str = ";"
+    ) -> DataFrame:
+        from .operators.cct import folded_stacks
+
+        return folded_stacks(self, metric=metric, sep=sep)
+
     def slice(
         self,
         processes: list[int] | None = None,

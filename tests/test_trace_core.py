@@ -363,3 +363,17 @@ def test_slow_calls_threshold_semantics(foo_bar_trace):
         }
     assert {r[S.EVENT_ID] for r in out} == expected
     assert all(r[S.TIME_INC] > r["threshold"] for r in out)
+
+
+def test_folded_stacks_golden(foo_bar_trace):
+    """Flamegraph folded stacks on the foo-bar fixture: full callpath
+    strings with per-context exclusive-time totals summed across both
+    processes (FIXTURES.md §2 hand values)."""
+    out = {r["stack"]: r["value"] for r in foo_bar_trace.folded_stacks().collect()}
+    assert out["main()"] == (76 + 24) * NS
+    assert out["main();foo()"] == 12 * NS
+    assert out["main();foo();MPI_Send"] == 2 * NS
+    assert out["main();bar()"] == 26 * NS
+    assert out["main();grault()"] == 20 * NS
+    # every stack is rooted at main() — paths, not bare frames
+    assert all(s == "main()" or s.startswith("main();") for s in out)
