@@ -575,23 +575,24 @@ def vocab_coverage(docs: DataFrame, top_k: int = 500) -> DataFrame:
     about to shred into <unk>/byte-fallback pieces.
 
     Two aggregations over one exploded token stream: (1) corpus-wide
-    frequencies ranked (count DESC, token ASC — deterministic tie
-    break) keep the top-K as the vocab, a bounded set that broadcasts;
-    (2) per-source token occurrences left-anti-matched against it via a
-    broadcast join. The corpus-side stream is never shuffled on the
+    frequencies cut to the top-K via ``orderBy().limit()`` — Catalyst
+    compiles that to TakeOrderedAndProject, a distributed per-partition
+    partial top-k + tiny driver merge, NOT the single-partition global
+    sort a ranking window would force over what can be billions of
+    distinct tokens at 100 TB (the deterministic (count DESC, token
+    ASC) total order makes the two formulations equivalent); (2)
+    per-source token occurrences matched against the bounded vocab via
+    a broadcast join. The corpus-side stream is never shuffled on the
     token key for step 2 — only the map-side aggregated (source) rows
     move.
     """
-    from pyspark.sql import Window
-
     toks = docs.select(
         "source", F.explode(_tokens(F.col("text"))).alias("token")
     ).filter(F.length("token") > 0)
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     vocab = (
-        freq.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= top_k)
+        freq.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_k)
         .select("token")
     )
     flagged = toks.join(

@@ -236,3 +236,15 @@ def test_vocab_coverage_broadcast_probe(spark):
     tree = tree_of(vocab_coverage(docs, top_k=100))
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_vocab_coverage_distributed_topk(spark):
+    """The vocab cut compiles to TakeOrderedAndProject (distributed
+    partial top-k), never a single-partition ranking-window sort over
+    the distinct-token table."""
+    from pipit_spark.llm.text import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tree = tree_of(vocab_coverage(docs, top_k=100))
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Window" not in tree, tree
