@@ -78,8 +78,16 @@ def folded_stacks(trace, metric: str = S.TIME_EXC, sep: str = ";") -> DataFrame:
         F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES)
         & F.col(S.NODE_ID).isNotNull()
     )
+    # decimal accumulator: context totals can exceed 2^53 ns, where
+    # float summation becomes order-dependent (ulp ≠ hash-stable across
+    # engines); the exact decimal sum rounds to double ONCE, same as
+    # the oracle's integer sum
     return (
         exc.join(F.broadcast(pmap), S.NODE_ID)
         .groupBy("stack")
-        .agg(F.round(F.sum(metric), 6).alias("value"))
+        .agg(
+            F.round(
+                F.sum(F.col(metric).cast("decimal(38,6)")).cast("double"), 6
+            ).alias("value")
+        )
     )
