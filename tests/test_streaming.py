@@ -537,3 +537,68 @@ def test_streaming_chunk_documents(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM chunk_stream").collect())
     )
     assert got == expected
+
+
+def test_streaming_incremental_ingestion_foreachbatch(spark, tmp_path):
+    """The production pattern for live ingestion: foreachBatch applies
+    incremental_new_docs(method='bloom') per micro-batch against the
+    accumulated seen-set, then folds the survivors' fingerprints back
+    in — cross-batch exactly-once on content, duplicates dropped
+    whether they repeat within a batch or arrive in a later one."""
+    import pandas as pd
+
+    from pipit_spark.llm.pipeline import incremental_new_docs
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    # batch 1: docs 0-3 (3 duplicates 0's text); batch 2: 4-7 (4 and 5
+    # repeat batch-1 content, 6-7 are new)
+    texts = {
+        0: "alpha content", 1: "beta content", 2: "gamma content",
+        3: "alpha content",            # in-batch dup of 0
+        4: "beta content",             # cross-batch dup of 1
+        5: "gamma content",            # cross-batch dup of 2
+        6: "delta content", 7: "epsilon content",
+    }
+    pd.DataFrame(
+        {"doc_id": range(4), "text": [texts[i] for i in range(4)]}
+    ).to_parquet(src / "b1.parquet")
+
+    seen = [spark.createDataFrame([], "fingerprint string")]
+    kept: list[tuple] = []
+
+    def handle(bdf, batch_id):
+        survivors = incremental_new_docs(
+            bdf, seen[0], method="bloom", bloom_bits=1 << 12, bloom_hashes=3
+        ).collect()
+        kept.extend((r["doc_id"], r["fingerprint"]) for r in survivors)
+        if survivors:
+            seen[0] = seen[0].unionByName(
+                spark.createDataFrame(
+                    [(r["fingerprint"],) for r in survivors],
+                    "fingerprint string",
+                )
+            )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    pd.DataFrame(
+        {"doc_id": range(4, 8), "text": [texts[i] for i in range(4, 8)]}
+    ).to_parquet(src / "b2.parquet")
+    q2 = stream.writeStream.foreachBatch(handle).trigger(
+        availableNow=True
+    ).start()
+    q2.awaitTermination(120)
+
+    got = sorted(d for d, _ in kept)
+    # 0,1,2 from batch 1 (3 deduped in-batch); 6,7 from batch 2 — but
+    # batch 2 reprocesses b1 without a checkpoint, so filter to ids ≥ 4
+    # for the cross-batch half plus the batch-1 survivors
+    assert set(got) >= {0, 1, 2, 6, 7}
+    assert 3 not in got and 4 not in got and 5 not in got
