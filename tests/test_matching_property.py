@@ -131,3 +131,42 @@ def test_pack_assignments_invariants(spark):
         for r in pack_sequences(docs, context_len=64, n_shards=8).collect()
     }
     assert agg == stats
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=200),
+    chunk=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_chunk_documents_tiling_property(spark, n_tokens, chunk, data):
+    """For ANY (doc length, window, overlap): chunks tile the token
+    stream losslessly (drop-overlap reconstruction), neighbors share
+    exactly `overlap` tokens, no chunk exceeds the window, and the
+    chunk count matches the ceil formula."""
+    import math
+
+    from pipit_spark.llm.sampling import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    toks = [f"w{i}" for i in range(n_tokens)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"].split(" "), r["n_tokens"])
+        for r in chunk_documents(
+            docs, chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    )
+    stride = chunk - overlap
+    expect_n = max(1, math.ceil((n_tokens - overlap) / stride))
+    assert [i for i, _, _ in rows] == list(range(expect_n))
+    assert all(n <= chunk and n == len(t) for _, t, n in rows)
+    for (_, a, _), (_, b, _) in zip(rows, rows[1:]):
+        if overlap:
+            assert a[-overlap:] == b[:overlap]
+    rebuilt = rows[0][1] + [
+        tok for _, t, _ in rows[1:] for tok in t[overlap:]
+    ]
+    assert rebuilt == toks

@@ -73,5 +73,29 @@ def main() -> None:
     cap(Q.q21_waiting_orders(spark, sf), "q21 (window decorrelation)")
 
 
+
+
+def audit_round3(sf: str = "/root/testdata/sf0.01") -> None:
+    """Round-3 additions (run after main(), same session)."""
+    from pipit_spark.session import get_spark
+    from pipit_spark import queries as Q
+    from pipit_spark.llm import sampling as SP
+    from pipit_spark.llm import text as X
+    from pipit_spark.llm import dedup as D
+
+    spark = get_spark(app_name="explain-audit")
+    docs = Q.load(spark, sf, "documents")
+    cap(SP.chunk_documents(docs), "chunk_documents (narrow, no shuffle)")
+    cap(X.vocab_coverage(docs), "vocab_coverage (TakeOrdered + BHJ probe)")
+    cap(
+        D.edit_verified_pairs(docs, cand_threshold=0.15, edit_threshold=0.3),
+        "edit_verified_pairs (candidates only)",
+    )
+    t = Q.derived_trace(spark, sf)
+    cap(t.slow_calls(), "slow_calls (broadcast threshold)")
+    cap(t.folded_stacks(), "folded_stacks (node-table broadcast)")
+
+
 if __name__ == "__main__":
     main()
+    audit_round3(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
