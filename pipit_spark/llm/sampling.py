@@ -765,3 +765,80 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
            AS n_tokens
 FROM meta, UNNEST(range(0, n_chunks)) AS u(i)
 """
+
+
+def select_by_dsir(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    budget_per_source: int = 5000,
+    n: int = 2,
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Domain-targeted curriculum selection — the DSIR paper's actual
+    end use: rank the raw corpus by importance weight toward a target
+    domain and keep, per source, the highest-weight documents within a
+    token budget (greedy rule of :func:`select_by_token_budget`, keyed
+    on the DSIR score instead of the heuristic quality score).
+
+    Plan: the bounded bucket-ratio table scores the corpus in one scan
+    (:func:`dsir_weights`), the per-doc token count rides the same
+    projection, and the budget window is one shuffle by source — the
+    corpus text itself is never shuffled.
+    """
+    w = dsir_weights(
+        docs, target_docs, n=n, buckets=buckets, smoothing=smoothing
+    )
+    se = stats_exprs()
+    feats = docs.select(
+        "doc_id", "source", se["n_tokens"].alias("n_tokens")
+    ).join(w.select("doc_id", "dsir_logweight"), "doc_id")
+    win = Window.partitionBy("source").orderBy(
+        F.col("dsir_logweight").desc(), F.col("doc_id").asc()
+    )
+    return (
+        feats.withColumn(
+            "__before", F.sum("n_tokens").over(win) - F.col("n_tokens")
+        )
+        .filter(F.col("__before") < budget_per_source)
+        .select("doc_id", "source", "n_tokens", "dsir_logweight")
+    )
+
+
+def oracle_select_by_dsir(
+    table: str = "documents",
+    target_pred: str = "doc_id < 50",
+    budget_per_source: int = 5000,
+    n: int = 2,
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> str:
+    from .text import _sql_norm
+
+    w = oracle_dsir_weights(
+        table, target_pred=target_pred, n=n, buckets=buckets,
+        smoothing=smoothing,
+    )
+    norm = _sql_norm("text")
+    return f"""
+WITH w AS ({w}),
+feats AS (
+    SELECT doc_id, source,
+           CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_tokens
+    FROM {table}
+),
+j AS (
+    SELECT f.doc_id, f.source, f.n_tokens, w.dsir_logweight
+    FROM feats f JOIN w USING (doc_id)
+),
+cum AS (
+    SELECT *,
+           SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY dsir_logweight DESC, doc_id ASC
+           ) - n_tokens AS before
+    FROM j
+)
+SELECT doc_id, source, n_tokens, dsir_logweight
+FROM cum WHERE before < {budget_per_source}
+"""

@@ -2554,6 +2554,19 @@ def q_doc_dsir(spark, sf_dir):
     )
 
 
+def q_doc_select_dsir(spark, sf_dir):
+    """DSIR end-use: per-source token-budget selection ranked by
+    importance weight toward the doc_id<50 target slice."""
+    docs = load(spark, sf_dir, "documents")
+    # budget 500 < the ~1.5k tokens per fixture source, so the greedy
+    # cut is exercised (a budget above the source size selects everything
+    # and gates nothing)
+    return _SP.select_by_dsir(
+        docs, docs.filter(F.col("doc_id") < 50),
+        budget_per_source=500, buckets=4096,
+    )
+
+
 def q_doc_sample_exact_k(spark, sf_dir):
     """Exactly-k-per-source deterministic sample (md5 rank)."""
     out = _SP.sample_exact_k(
@@ -2809,6 +2822,7 @@ def queries():
         "doc_incremental_neardup": q_doc_incremental_neardup,
         "trace_slow_calls": q_trace_slow_calls,
         "trace_folded_stacks": q_trace_folded_stacks,
+        "doc_select_dsir": q_doc_select_dsir,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivfpq_topk_exact": q_emb_ivfpq_topk_exact,
@@ -2937,6 +2951,9 @@ def oracle_sql():
             corpus_below=250, threshold=0.5
         ),
         "trace_folded_stacks": ORACLE_TRACE_FOLDED_STACKS,
+        "doc_select_dsir": _SP.oracle_select_by_dsir(
+            budget_per_source=500, buckets=4096
+        ),
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_cosine_pairs": V.oracle_cosine_pairs(threshold=0.3, query_max_id=50),

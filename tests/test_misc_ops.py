@@ -1696,3 +1696,28 @@ def test_incremental_near_dups_finds_known_dups(spark):
         assert 102 not in got, mode
     assert {k: v["match_id"] for k, v in results[True].items()} == \
         {k: v["match_id"] for k, v in results[False].items()}
+
+
+def test_select_by_dsir_prefers_target_like_docs(spark):
+    """Docs resembling the target domain outrank off-domain docs of the
+    same source under the same token budget."""
+    from pipit_spark.llm.sampling import select_by_dsir
+
+    target = spark.createDataFrame(
+        [(900 + i, "medical clinical trial patient dosage outcome", "t")
+         for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    rows = []
+    for i in range(10):
+        rows.append((i, "medical clinical trial patient dosage outcome "
+                        * 3, "web"))
+    for i in range(10, 20):
+        rows.append((i, "sports football score championship league game "
+                        * 3, "web"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # budget fits ~half the docs; the medical half must win
+    kept = {r["doc_id"] for r in select_by_dsir(
+        docs, target, budget_per_source=180, buckets=1024
+    ).collect()}
+    assert kept and kept <= set(range(10)), kept
