@@ -301,6 +301,42 @@ class Trace:
 
         return folded_stacks(self, metric=metric, sep=sep)
 
+    def to_folded(
+        self, path: str, metric: str = S.TIME_EXC, sep: str = ";"
+    ) -> str:
+        """Write the folded stacks as a flamegraph.pl-format text file."""
+        from .sinks.folded import write_folded
+
+        return write_folded(self.folded_stacks(metric=metric, sep=sep), path)
+
+    def summary(self) -> dict:
+        """One-call trace overview: the numbers an analyst asks for
+        first (and the reference answers via several manual pandas
+        expressions) — event/process/function counts, time span, and
+        the top function by total exclusive time. ONE aggregation job
+        over the events frame plus one over the flat profile; returns a
+        plain dict (driver-sized by construction)."""
+        row = self.events.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(S.PROCESS).alias("n_processes"),
+            F.countDistinct(S.NAME).alias("n_functions"),
+            F.min(S.TIMESTAMP).alias("t_min"),
+            F.max(S.TIMESTAMP).alias("t_max"),
+        ).collect()[0]
+        top = (
+            self.flat_profile(metrics=S.TIME_EXC)
+            .orderBy(F.desc(S.TIME_EXC), F.asc(S.NAME))
+            .first()
+        )
+        return {
+            "n_events": row["n_events"],
+            "n_processes": row["n_processes"],
+            "n_functions": row["n_functions"],
+            "span_ns": int(row["t_max"]) - int(row["t_min"]),
+            "top_function": top[S.NAME],
+            "top_function_exc": top[S.TIME_EXC],
+        }
+
     def slice(
         self,
         processes: list[int] | None = None,

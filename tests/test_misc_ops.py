@@ -1721,3 +1721,21 @@ def test_select_by_dsir_prefers_target_like_docs(spark):
         docs, target, budget_per_source=180, buckets=1024
     ).collect()}
     assert kept and kept <= set(range(10)), kept
+
+
+def test_to_folded_and_summary(foo_bar_trace, tmp_path):
+    """Folded-stack file round-trips the frame (flamegraph.pl format)
+    and Trace.summary reports the fixture's hand-checkable overview."""
+    path = foo_bar_trace.to_folded(str(tmp_path / "profile.folded"))
+    lines = dict(
+        line.rsplit(" ", 1) for line in open(path).read().splitlines()
+    )
+    assert lines["main();foo()"] == str(12 * 10**9)
+    assert lines["main()"] == str(100 * 10**9)
+
+    s = foo_bar_trace.summary()
+    assert s["n_events"] == 20
+    assert s["n_processes"] == 2
+    assert s["span_ns"] == 100 * 10**9
+    assert s["top_function"] == "main()"
+    assert s["top_function_exc"] == 50 * 10**9  # mean over 2 processes
