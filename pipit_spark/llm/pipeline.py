@@ -445,3 +445,129 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
             ELSE 'unchanged' END AS status
 FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
 """
+
+
+def prepare_chunked_training_set(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    ngram: int = 5,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    context_len: int = 512,
+    n_shards: int = 16,
+) -> DataFrame:
+    """:func:`prepare_training_set` with the chunking stage a real
+    context-window pipeline needs between cleaning and packing: clean →
+    decontaminate → slide ``chunk_tokens``-token windows over each
+    survivor (:func:`~pipit_spark.llm.sampling.chunk_documents`) → pack
+    the CHUNKS into ``context_len`` windows.
+
+    Chunks shard by their parent ``doc_id`` (a document's chunks stay
+    together — pack locality and deterministic order by
+    ``(doc_id, chunk_idx)``), and the pack window is the same
+    shard-local cumsum as :func:`~pipit_spark.llm.sampling
+    .pack_sequences` — one shuffle, no global sort, document text
+    scanned once for the chunk explode. Returns per-pack stats
+    ``(shard, pack_in_shard, n_chunks, total_tokens)``.
+    """
+    from .dedup import decontaminate
+    from .sampling import chunk_documents
+
+    clean = clean_corpus(
+        docs, lang=lang, min_tokens=min_tokens, max_tokens=max_tokens,
+        min_quality=min_quality,
+    )
+    survivors_text = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
+    contaminated = decontaminate(survivors_text, eval_docs, n=ngram).select(
+        "doc_id"
+    )
+    final_text = survivors_text.join(contaminated, "doc_id", "left_anti")
+    chunks = chunk_documents(
+        final_text, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    base = chunks.select(
+        "doc_id", "chunk_idx",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.col("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+    packed = base.withColumn(
+        "pack_in_shard",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(context_len)
+        ),
+    )
+    return packed.groupBy("shard", "pack_in_shard").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def oracle_prepare_chunked_training_set(
+    table: str = "documents",
+    eval_pred: str = "doc_id < 25",
+    corpus_pred: str = "doc_id >= 25",
+    lang: str = "en",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    ngram: int = 5,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    context_len: int = 512,
+    n_shards: int = 16,
+) -> str:
+    from .dedup import _sql_shingles
+    from .text import _sql_norm
+
+    norm = _sql_norm("text")
+    stride = chunk_tokens - overlap
+    return f"""
+WITH corpus AS (SELECT * FROM {table} WHERE {corpus_pred}),
+clean AS ({oracle_clean_corpus("corpus", lang, min_tokens, max_tokens, min_quality)}),
+ev AS (
+    SELECT DISTINCT unnest({_sql_shingles(ngram)}) AS shingle
+    FROM {table} WHERE {eval_pred}
+),
+corp_sh AS (
+    SELECT d.doc_id, unnest({_sql_shingles(ngram)}) AS shingle
+    FROM corpus d JOIN clean c USING (doc_id)
+),
+cont AS (SELECT DISTINCT doc_id FROM corp_sh
+         WHERE shingle IN (SELECT shingle FROM ev)),
+surv AS (
+    SELECT d.doc_id, d.text FROM corpus d
+    JOIN clean c USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM cont) AND d.text IS NOT NULL
+),
+toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM surv),
+meta AS (
+    SELECT doc_id, t,
+           GREATEST(1, CAST(CEIL((len(t) - {overlap}) / {stride}.0) AS INT))
+               AS n_chunks
+    FROM toks
+),
+chunks AS (
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           len(t[i*{stride}+1 : i*{stride}+{chunk_tokens}]) AS n_tokens
+    FROM meta, UNNEST(range(0, n_chunks)) AS u(i)
+),
+cum AS (
+    SELECT doc_id % {n_shards} AS shard, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+                    PARTITION BY doc_id % {n_shards}
+                    ORDER BY doc_id, chunk_idx
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / {context_len}) AS BIGINT) AS pack_in_shard
+    FROM chunks
+)
+SELECT shard, pack_in_shard,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM cum GROUP BY shard, pack_in_shard
+"""

@@ -2554,6 +2554,20 @@ def q_doc_dsir(spark, sf_dir):
     )
 
 
+def q_doc_chunked_training_set(spark, sf_dir):
+    """Capstone v2: clean → decontaminate (vs the doc_id<25 eval slice)
+    → 48-token chunk windows → pack chunks into 256-token contexts, all
+    one lazy plan; the oracle composes every stage's SQL twin."""
+    from .llm.pipeline import prepare_chunked_training_set
+
+    docs = load(spark, sf_dir, "documents")
+    return prepare_chunked_training_set(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        chunk_tokens=48, overlap=16, context_len=256, n_shards=16,
+    )
+
+
 def q_doc_select_dsir(spark, sf_dir):
     """DSIR end-use: per-source token-budget selection ranked by
     importance weight toward the doc_id<50 target slice."""
@@ -2823,6 +2837,7 @@ def queries():
         "trace_slow_calls": q_trace_slow_calls,
         "trace_folded_stacks": q_trace_folded_stacks,
         "doc_select_dsir": q_doc_select_dsir,
+        "doc_chunked_training_set": q_doc_chunked_training_set,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivfpq_topk_exact": q_emb_ivfpq_topk_exact,
@@ -2953,6 +2968,9 @@ def oracle_sql():
         "trace_folded_stacks": ORACLE_TRACE_FOLDED_STACKS,
         "doc_select_dsir": _SP.oracle_select_by_dsir(
             budget_per_source=500, buckets=4096
+        ),
+        "doc_chunked_training_set": _PL.oracle_prepare_chunked_training_set(
+            chunk_tokens=48, overlap=16, context_len=256, n_shards=16
         ),
         "emb_cosine_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_topk_pandas": V.oracle_cosine_topk(k=5, query_max_id=10),

@@ -1739,3 +1739,32 @@ def test_to_folded_and_summary(foo_bar_trace, tmp_path):
     assert s["span_ns"] == 100 * 10**9
     assert s["top_function"] == "main()"
     assert s["top_function_exc"] == 50 * 10**9  # mean over 2 processes
+
+
+def test_chunked_training_set_token_conservation(spark):
+    """Every chunk token of every surviving document lands in exactly
+    one pack: pack totals sum to the survivors' chunked token mass."""
+    from pipit_spark.llm.dedup import decontaminate
+    from pipit_spark.llm.pipeline import (
+        clean_corpus, prepare_chunked_training_set,
+    )
+    from pipit_spark.llm.sampling import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    ev = docs.filter(F.col("doc_id") < 25)
+
+    packs = prepare_chunked_training_set(
+        corpus, ev, chunk_tokens=48, overlap=16, context_len=256
+    ).collect()
+    clean = clean_corpus(corpus)
+    surv = corpus.join(clean.select("doc_id"), "doc_id", "left_semi")
+    surv = surv.join(
+        decontaminate(surv, ev, n=5).select("doc_id"), "doc_id", "left_anti"
+    )
+    chunk_total = (
+        chunk_documents(surv, chunk_tokens=48, overlap=16)
+        .agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert sum(r["total_tokens"] for r in packs) == chunk_total
+    assert len(packs) > 1  # the packing actually splits
