@@ -265,7 +265,8 @@ def minhash_signatures(
 
 
 def minhash_sig_array(
-    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3
+    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """(doc_id, sig: array<string>) — same minhashes as
     :func:`minhash_signatures` packed into ONE array expression, so the
@@ -297,7 +298,14 @@ def minhash_sig_array(
     sigs = agg.select(
         "doc_id",
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
-    ).persist()
+    )
+    if not persist:
+        # single-consumer callers (an incremental batch joining the
+        # corpus index once) skip the cache barrier — no re-reads to
+        # protect, and a per-batch persist would leak storage memory
+        # across a long-running ingestion loop
+        return sigs
+    sigs = sigs.persist()
     # eager: both sides of the LSH bucket self-join read the cache
     # instead of racing to populate it (plan is flat codegen, so the
     # cache writer evaluates it at full speed)
@@ -311,6 +319,7 @@ def build_lsh_index(
     bands: int = 8,
     shingle_n: int = 3,
     portable: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """The corpus-side LSH band table ``(doc_id, sig, bucket)`` — build
     ONCE, persist (or write out bucketed by ``bucket``), and every
@@ -340,9 +349,10 @@ def build_lsh_index(
                     *[F.col(f"__mh_{i}") for i in range(num_hashes)]
                 ).alias("sig"),
             )
-            .persist()
         )
-        sigs.count()
+        if persist:
+            sigs = sigs.persist()
+            sigs.count()
         # band key = the raw band values — exact in every engine
         band_key = lambda b: F.concat_ws(  # noqa: E731
             "|",
@@ -354,9 +364,9 @@ def build_lsh_index(
         )
     else:
         # minhash_sig_array persists + eagerly materializes the
-        # signature table, so both sides of any bucket join read the
-        # cache
-        sigs = minhash_sig_array(docs, num_hashes, shingle_n)
+        # signature table (persist=True), so both sides of any bucket
+        # join read the cache; single-consumer callers opt out
+        sigs = minhash_sig_array(docs, num_hashes, shingle_n, persist=persist)
         band_key = lambda b: F.concat(  # noqa: E731
             F.lit(f"{b}:"),
             F.xxhash64(
@@ -1355,9 +1365,12 @@ def incremental_near_dups(
     its best corpus match (highest estimated Jaccard, ties to the lowest
     corpus doc_id). Batch docs absent from the result are new.
     """
+    # persist=False: the batch's signatures are consumed exactly once
+    # (one band join) — a per-batch cache would leak storage memory
+    # across a long-running ingestion loop
     bidx = build_lsh_index(
         batch, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        portable=portable,
+        portable=portable, persist=False,
     )
     hits = (
         bidx.select(

@@ -66,6 +66,32 @@ def clean_corpus(
     )
 
 
+def _cleaned_survivors(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    lang: str,
+    min_tokens: int,
+    max_tokens: int,
+    min_quality: float,
+    ngram: int,
+):
+    """Shared clean → decontaminate prologue of the training-set
+    pipelines: returns ``(clean, survivors_text, contaminated)`` so the
+    v1 (pack docs) and v2 (chunk-then-pack) tails cannot drift in their
+    filtering semantics."""
+    from .dedup import decontaminate
+
+    clean = clean_corpus(
+        docs, lang=lang, min_tokens=min_tokens, max_tokens=max_tokens,
+        min_quality=min_quality,
+    )
+    survivors_text = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
+    contaminated = decontaminate(survivors_text, eval_docs, n=ngram).select(
+        "doc_id"
+    )
+    return clean, survivors_text, contaminated
+
+
 def prepare_training_set(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -87,19 +113,10 @@ def prepare_training_set(
 
     Returns per-pack stats ``(shard, pack_in_shard, n_docs,
     total_tokens)``."""
-    from .dedup import decontaminate
     from .sampling import pack_sequences
 
-    clean = clean_corpus(
-        docs,
-        lang=lang,
-        min_tokens=min_tokens,
-        max_tokens=max_tokens,
-        min_quality=min_quality,
-    )
-    survivors_text = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
-    contaminated = decontaminate(survivors_text, eval_docs, n=ngram).select(
-        "doc_id"
+    clean, _, contaminated = _cleaned_survivors(
+        docs, eval_docs, lang, min_tokens, max_tokens, min_quality, ngram
     )
     final = clean.join(contaminated, "doc_id", "left_anti")
     return pack_sequences(
@@ -234,9 +251,15 @@ def incremental_new_docs(
 
     spark = docs.sparkSession
     bloom = build_bloom(seen, "fingerprint", bloom_bits, bloom_hashes)
+    # persist before branching: definite-new and might-contain are two
+    # branches of one unioned plan, and Catalyst re-executes the shared
+    # subtree (batch scan + fingerprint window + the Arrow probe) per
+    # branch otherwise — doubling exactly the work the pre-filter
+    # saves. The persisted frame is the deduped batch's (doc_id,
+    # fingerprint, bool) — narrow, batch-sized.
     flagged = batch_first.withColumn(
         "__maybe", might_contain(bloom, F.col("fingerprint"), spark)
-    )
+    ).persist()
     definite_new = flagged.filter(~F.col("__maybe"))
     verified_new = flagged.filter(F.col("__maybe")).join(
         seen, "fingerprint", "left_anti"
@@ -474,16 +497,10 @@ def prepare_chunked_training_set(
     scanned once for the chunk explode. Returns per-pack stats
     ``(shard, pack_in_shard, n_chunks, total_tokens)``.
     """
-    from .dedup import decontaminate
     from .sampling import chunk_documents
 
-    clean = clean_corpus(
-        docs, lang=lang, min_tokens=min_tokens, max_tokens=max_tokens,
-        min_quality=min_quality,
-    )
-    survivors_text = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
-    contaminated = decontaminate(survivors_text, eval_docs, n=ngram).select(
-        "doc_id"
+    _, survivors_text, contaminated = _cleaned_survivors(
+        docs, eval_docs, lang, min_tokens, max_tokens, min_quality, ngram
     )
     final_text = survivors_text.join(contaminated, "doc_id", "left_anti")
     chunks = chunk_documents(

@@ -777,10 +777,13 @@ def pq_encode(
     cb: PQCodebooks,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Encode every corpus vector to its ``m`` nearest-codeword ids —
     one Arrow-batched narrow pass, no shuffle. This coded frame is what
-    you'd persist as the index table at scale."""
+    you'd persist as the index table at scale. ``extra_cols`` ride
+    through unchanged (e.g. the IVF cell id, so IVF-PQ shares this one
+    encoder)."""
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(cb.codebooks)
 
@@ -798,7 +801,35 @@ def pq_encode(
         return pd.Series([row.tolist() for row in codes])
 
     return emb.select(
-        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(c) for c in extra_cols],
+        encode(F.col(vec_col)).alias("codes"),
+    )
+
+
+def _pq_lut(qm: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """LUT[q, j, c] = query-j-subvector · codeword-c: approx cosine of
+    a coded vector is then a sum of m gathers."""
+    mm, _, dsub = codebooks.shape
+    return np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), mm, dsub), codebooks)
+
+
+def _topk_tail(partial: DataFrame, k: int) -> DataFrame:
+    """Global top-k over per-partition partials: one window on the tiny
+    candidate set, deterministic (cosine DESC, neighbor ASC) order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("__rk").alias("rank"),
+        )
     )
 
 
@@ -816,17 +847,11 @@ def pq_search(
     gathers — no float math per candidate. Same partial-top-k shape as
     :func:`topk_pandas`: each partition emits its local top-k and one
     tiny window keeps the global winners."""
-    from pyspark.sql import Window
-
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r[vec_col], np.float64) for r in qrows])
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-    mm, ksub, dsub = cb.codebooks.shape
-    qsubs = qm.reshape(len(qm), mm, dsub)
-    # LUT[q, j, c] = query-j-subvector · codeword-c  → approx cosine is
-    # a sum of m gathers per candidate
-    lut = np.einsum("qjd,jcd->qjc", qsubs, cb.codebooks)
+    lut = _pq_lut(qm, cb.codebooks)
     spark = queries.sparkSession
     bq = spark.sparkContext.broadcast((qids, lut))
 
@@ -862,19 +887,7 @@ def pq_search(
                 rows, columns=["query_id", "neighbor_id", "cosine"]
             )
 
-    partial = codes_df.mapInPandas(gen, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        partial.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.round("cosine", 4).alias("cosine"),
-            F.col("__rk").alias("rank"),
-        )
-    )
+    return _topk_tail(codes_df.mapInPandas(gen, out_schema), k)
 
 
 def pq_topk(
@@ -923,8 +936,6 @@ def ivf_pq_topk(
     training) degrades to exact brute force — the oracle-gate
     configuration; recall tunes with nprobe and ksub independently.
     """
-    from pyspark.sql import Window
-
     index = ivf_build(
         emb, nlist=nlist, train_max_id=train_max_id,
         kmeans_iters=kmeans_iters, vec_col=vec_col,
@@ -934,23 +945,11 @@ def ivf_pq_topk(
         kmeans_iters=kmeans_iters, vec_col=vec_col,
     )
     spark = emb.sparkSession
-    bcb = spark.sparkContext.broadcast(cb.codebooks)
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def encode(vs: pd.Series) -> pd.Series:
-        books = bcb.value
-        mm, _, dsub = books.shape
-        mat = np.stack(vs.to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        subs = mat.reshape(len(mat), mm, dsub)
-        out = np.empty((len(mat), mm), dtype=np.int32)
-        for j in range(mm):
-            d = ((subs[:, j, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            out[:, j] = d.argmin(axis=1)
-        return pd.Series([row.tolist() for row in out])
-
-    coded = index.assigned.select(
-        "neighbor_id", "__cell", encode(F.col("__vc")).alias("codes")
+    # the ONE PQ encoder (pq_encode), the cell id riding through — the
+    # IVF-PQ index row is exactly (neighbor_id, __cell, codes)
+    coded = pq_encode(
+        index.assigned, cb, vec_col="__vc", id_col="neighbor_id",
+        extra_cols=("__cell",),
     )
 
     queries = emb.filter(F.col("vec_id") < query_max_id)
@@ -958,10 +957,7 @@ def ivf_pq_topk(
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r[vec_col], np.float64) for r in qrows])
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-    mm, _, dsub = cb.codebooks.shape
-    lut = np.einsum(
-        "qjd,jcd->qjc", qm.reshape(len(qm), mm, dsub), cb.codebooks
-    )
+    lut = _pq_lut(qm, cb.codebooks)
     order = np.argsort(-(qm @ index.centroids.T), axis=1)[:, :nprobe]
     bq = spark.sparkContext.broadcast(
         ({int(q): i for i, q in enumerate(qids)}, lut)
@@ -1004,18 +1000,9 @@ def ivf_pq_topk(
                 }
             )
 
-    scored = cands.select("query_id", "neighbor_id", "codes").mapInPandas(
-        score, out_schema
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.round("cosine", 4).alias("cosine"),
-            F.col("__rk").alias("rank"),
-        )
+    return _topk_tail(
+        cands.select("query_id", "neighbor_id", "codes").mapInPandas(
+            score, out_schema
+        ),
+        k,
     )

@@ -574,37 +574,44 @@ def vocab_coverage(docs: DataFrame, top_k: int = 500) -> DataFrame:
     before committing to a vocab: a source whose OOV rate spikes is
     about to shred into <unk>/byte-fallback pieces.
 
-    Two aggregations over one exploded token stream: (1) corpus-wide
-    frequencies cut to the top-K via ``orderBy().limit()`` — Catalyst
-    compiles that to TakeOrderedAndProject, a distributed per-partition
-    partial top-k + tiny driver merge, NOT the single-partition global
-    sort a ranking window would force over what can be billions of
-    distinct tokens at 100 TB (the deterministic (count DESC, token
-    ASC) total order makes the two formulations equivalent); (2)
-    per-source token occurrences matched against the bounded vocab via
-    a broadcast join. The corpus-side stream is never shuffled on the
-    token key for step 2 — only the map-side aggregated (source) rows
-    move.
+    ONE corpus text scan: the exploded stream collapses immediately
+    into (source, token) counts — everything downstream (vocab ranking,
+    OOV probe, per-source totals) works on that aggregate, which is
+    bounded by |sources|×|vocab|, not by corpus tokens. The vocab cut
+    is ``orderBy().limit()`` — Catalyst compiles it to
+    TakeOrderedAndProject, a distributed per-partition partial top-k +
+    tiny driver merge, NOT the single-partition global sort a ranking
+    window would force over what can be billions of distinct tokens at
+    100 TB (the deterministic (count DESC, token ASC) total order makes
+    the two formulations equivalent). The probe is a broadcast join of
+    aggregated rows against the bounded vocab; the persisted (source,
+    token) counts are re-read, never re-scanned from text.
     """
-    toks = docs.select(
-        "source", F.explode(_tokens(F.col("text"))).alias("token")
-    ).filter(F.length("token") > 0)
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    st = (
+        docs.select(
+            "source", F.explode(_tokens(F.col("text"))).alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
     vocab = (
-        freq.orderBy(F.desc("cnt"), F.asc("token"))
+        st.groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(top_k)
         .select("token")
     )
-    flagged = toks.join(
+    flagged = st.join(
         F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left"
     )
     return (
         flagged.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("total_tokens"),
-            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias(
-                "oov_tokens"
-            ),
+            F.sum("cnt").alias("total_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), F.col("cnt")).otherwise(0))
+            .alias("oov_tokens"),
         )
         .select(
             "source",

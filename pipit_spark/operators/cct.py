@@ -62,12 +62,22 @@ def folded_stacks(trace, metric: str = S.TIME_EXC, sep: str = ";") -> DataFrame:
     paths: dict[int, str] = {}
 
     def path_of(nid) -> str:
-        got = paths.get(nid)
-        if got is None:
-            parent, name = nodes[nid]
-            got = name if parent is None else f"{path_of(parent)}{sep}{name}"
-            paths[nid] = got
-        return got
+        # iterative ancestor walk: recursion would blow the interpreter
+        # stack on deep/recursive call chains (>~1000 frames is routine
+        # in HPC codes); a parent missing from the node table (e.g. a
+        # time-sliced trace whose enclosing Enter fell outside the
+        # window) roots the path at the first known frame
+        chain = []
+        cur = nid
+        while cur is not None and cur not in paths and cur in nodes:
+            chain.append(cur)
+            cur = nodes[cur][0]
+        prefix = paths.get(cur, "") if cur is not None else ""
+        for node in reversed(chain):
+            name = nodes[node][1]
+            prefix = f"{prefix}{sep}{name}" if prefix else name
+            paths[node] = prefix
+        return paths[nid]
 
     spark = trace.events.sparkSession
     pmap = spark.createDataFrame(

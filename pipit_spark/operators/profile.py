@@ -347,9 +347,12 @@ def slow_calls(trace, p: float = 0.95, metric: str = S.TIME_INC) -> DataFrame:
     are a tiny aggregate, broadcast back onto the call stream — the big
     side stays scan-shaped, no window over calls. Exact ``percentile``
     matches the DuckDB oracle; swap ``approx_percentile`` at 100 TB
-    (same plan)."""
+    (same plan). All Enter-family calls participate (Loop Enter
+    included, as in flat_profile); per-name quantiles mean any
+    name-level exclusion a caller applies afterwards cannot disturb the
+    other functions' thresholds."""
     calls = trace.matched.filter(
-        (F.col(S.EVENT_TYPE) == "Enter") & (F.col(S.NAME) != "session")
+        F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES)
     ).select(S.NAME, S.EVENT_ID, F.col(metric).cast("double").alias("val"))
     th = calls.groupBy(S.NAME).agg(
         F.round(F.percentile(F.col("val"), F.lit(p)), 6).alias("threshold")

@@ -2313,9 +2313,11 @@ def q_doc_incremental_neardup(spark, sf_dir):
 def q_trace_slow_calls(spark, sf_dir):
     """Per-function slow-call drill-down: leaves above their function's
     exact p95 inclusive time, via the REAL matched frame + broadcast
-    threshold join."""
+    threshold join. The synthetic 'session' root is a gate-fixture
+    artifact, excluded HERE (per-name quantiles make the exclusion
+    order-independent) — the operator itself has no magic names."""
     t = derived_trace(spark, sf_dir)
-    out = t.slow_calls(p=0.95)
+    out = t.slow_calls(p=0.95).filter(F.col(S.NAME) != "session")
     return out.select(
         F.col(S.NAME).alias("name"),
         (F.col(S.EVENT_ID) / 4).cast("long").alias("event_id"),

@@ -313,9 +313,11 @@ class Trace:
         """One-call trace overview: the numbers an analyst asks for
         first (and the reference answers via several manual pandas
         expressions) — event/process/function counts, time span, and
-        the top function by total exclusive time. ONE aggregation job
-        over the events frame plus one over the flat profile; returns a
-        plain dict (driver-sized by construction)."""
+        the hottest function by mean-per-process exclusive time (the
+        `flat_profile` metric). ONE aggregation job over the events
+        frame plus one over the flat profile; returns a plain dict
+        (driver-sized by construction). An empty trace (e.g. a slice
+        that matched nothing) yields a zeroed overview, not a crash."""
         row = self.events.agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct(S.PROCESS).alias("n_processes"),
@@ -323,6 +325,11 @@ class Trace:
             F.min(S.TIMESTAMP).alias("t_min"),
             F.max(S.TIMESTAMP).alias("t_max"),
         ).collect()[0]
+        if row["n_events"] == 0:
+            return {
+                "n_events": 0, "n_processes": 0, "n_functions": 0,
+                "span_ns": 0, "top_function": None, "top_function_exc": None,
+            }
         top = (
             self.flat_profile(metrics=S.TIME_EXC)
             .orderBy(F.desc(S.TIME_EXC), F.asc(S.NAME))
@@ -373,8 +380,13 @@ class Trace:
         scanning it is strictly cheaper than re-running the upstream
         events plan, which for a derived/filtered trace can itself carry
         windows and exchanges. Memo-aware pick, never a new computation.
+        With ``cache=False`` the matched frame is never persisted, so
+        scanning it would RE-RUN the matching kernel per comm call —
+        stick to the events plan there.
         """
-        return self._matched if self._matched is not None else self.events
+        if self._matched is not None and self._cache:
+            return self._matched
+        return self.events
 
     def comm_matrix(self, output: str = "size") -> DataFrame:
         from .operators.comm import comm_matrix
