@@ -1459,3 +1459,26 @@ SELECT doc_id, match_id, est_jaccard FROM (
     FROM scored WHERE est_jaccard >= {threshold}
 ) WHERE rk = 1
 """
+
+
+def save_lsh_index(
+    index: DataFrame, table: str, num_buckets: int = 64
+) -> None:
+    """Persist a :func:`build_lsh_index` frame as a catalog table
+    BUCKETED by ``bucket`` — the cross-job form of the incremental
+    near-dup story: tonight's ingestion job loads yesterday's index
+    instead of re-signing the corpus, and because the table is
+    hash-bucketed on the join key, the batch-vs-index band join reads
+    co-located buckets with no Exchange on the corpus side
+    (:mod:`pipit_spark.sinks.bucketed`)."""
+    from ..sinks.bucketed import write_bucketed
+
+    write_bucketed(index, table, bucket_keys="bucket", num_buckets=num_buckets)
+
+
+def load_lsh_index(spark, table: str) -> DataFrame:
+    """Catalog read of a saved index; bucketing metadata rides along so
+    the band join skips its corpus-side shuffle."""
+    from ..sinks.bucketed import read_table
+
+    return read_table(spark, table)

@@ -1768,3 +1768,39 @@ def test_chunked_training_set_token_conservation(spark):
     )
     assert sum(r["total_tokens"] for r in packs) == chunk_total
     assert len(packs) > 1  # the packing actually splits
+
+
+def test_lsh_index_save_load_roundtrip(spark, tmp_path):
+    """A saved+reloaded band index screens a batch identically to the
+    freshly built one — the cross-job incremental form."""
+    from pipit_spark.llm.dedup import (
+        build_lsh_index, incremental_near_dups, load_lsh_index,
+        save_lsh_index,
+    )
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS lshdb LOCATION '{tmp_path}/lshdb.db'"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} " + " ".join(f"w{i}_{j}" for j in range(25)))
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, corpus.collect()[2]["text"]), (101, "fresh unrelated words")],
+        "doc_id long, text string",
+    )
+    try:
+        idx = build_lsh_index(corpus)
+        fresh = sorted(
+            map(tuple, incremental_near_dups(batch, idx).collect())
+        )
+        save_lsh_index(idx, "lshdb.index_rt", num_buckets=4)
+        loaded = load_lsh_index(spark, "lshdb.index_rt")
+        replay = sorted(
+            map(tuple, incremental_near_dups(batch, loaded).collect())
+        )
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS lshdb CASCADE")
+    assert fresh == replay
+    assert fresh and fresh[0][0] == 100  # the copy matched, 101 absent
