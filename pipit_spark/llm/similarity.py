@@ -1006,3 +1006,59 @@ def ivf_pq_topk(
         ),
         k,
     )
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    k: int = 5,
+    query_max_id: int = 10,
+    method: str = "ivf",
+    vec_col: str = "embedding",
+    **params,
+) -> DataFrame:
+    """Per-query recall@k of an approximate index against brute force —
+    the monitor an ANN deployment runs on a sampled query set before
+    (and periodically after) trusting the index. ``method`` picks the
+    approximate path (``"ivf"``, ``"pq"``, ``"ivf_pq"``, ``"lsh"``
+    via :func:`lsh_topk` params routed through ``**params``); the exact
+    side is :func:`cosine_topk` on the same queries.
+
+    Both top-k frames are |queries|×k rows, so the compare is a tiny
+    aggregation — run it on a bounded query sample, the corpus-side
+    cost is the two searches themselves. Returns
+    ``(query_id, n_exact, n_hit, recall)``.
+    """
+    searchers = {
+        "ivf": ivf_topk,
+        "pq": pq_topk,
+        "ivf_pq": ivf_pq_topk,
+    }
+    if method not in searchers:
+        raise ValueError(
+            f"unknown method: {method!r} (use {sorted(searchers)})"
+        )
+    exact = cosine_topk(
+        emb, k=k, query_max_id=query_max_id, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    approx = searchers[method](
+        emb, k=k, query_max_id=query_max_id, vec_col=vec_col, **params
+    ).select("query_id", F.col("neighbor_id").alias("__approx_n"))
+    hits = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["__approx_n"]),
+        "left",
+    ).select(exact["query_id"], exact["neighbor_id"], "__approx_n")
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__approx_n").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )

@@ -2409,6 +2409,17 @@ def q_emb_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_emb_ann_recall(spark, sf_dir):
+    """Probe-limited IVF recall monitor (rows-only: the approximate
+    side has no SQL twin; pytest value-checks the recall arithmetic
+    against a set-based recomputation and pins the exact-config paths
+    at 1.0)."""
+    return V.ann_recall_report(
+        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
+        method="ivf", nlist=8, nprobe=2,
+    )
+
+
 def q_emb_lsh_ann(spark, sf_dir):
     # 8 planes / 0.2 threshold: enough bucket collisions + passing pairs
     # on random embeddings that the LSH path demonstrably returns work
@@ -2844,6 +2855,7 @@ def queries():
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivfpq_topk_exact": q_emb_ivfpq_topk_exact,
         "emb_ivfpq_topk": q_emb_ivfpq_topk,
+        "emb_ann_recall": q_emb_ann_recall,
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
         "trace_detect_pattern": q_trace_detect_pattern,

@@ -1804,3 +1804,31 @@ def test_lsh_index_save_load_roundtrip(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS lshdb CASCADE")
     assert fresh == replay
     assert fresh and fresh[0][0] == 100  # the copy matched, 101 absent
+
+
+def test_ann_recall_report(spark):
+    """Recall@k of the exact-configuration paths is exactly 1.0 per
+    query; the probe-limited IVF path reports the same mean recall the
+    set-based computation gives."""
+    from pipit_spark.llm.similarity import ann_recall_report, cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    perfect = ann_recall_report(
+        emb, k=5, query_max_id=10, method="ivf", nlist=8, nprobe=8
+    ).collect()
+    assert len(perfect) == 10
+    assert all(r["recall"] == 1.0 and r["n_exact"] == 5 for r in perfect)
+
+    limited = {
+        r["query_id"]: r["recall"]
+        for r in ann_recall_report(
+            emb, k=5, query_max_id=10, method="ivf", nlist=8, nprobe=2
+        ).collect()
+    }
+    exact, approx = {}, {}
+    for r in cosine_topk(emb, k=5, query_max_id=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ivf_topk(emb, k=5, query_max_id=10, nlist=8, nprobe=2).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q in exact:
+        assert limited[q] == round(len(exact[q] & approx.get(q, set())) / 5, 4)

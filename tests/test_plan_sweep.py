@@ -29,7 +29,7 @@ PYTHON_STAGE_OK = {
     # similarity / media kernels
     "emb_topk_pandas", "emb_ivf_topk", "emb_ivf_topk_exact",
     "emb_pq_topk", "emb_pq_topk_exact",
-    "emb_ivfpq_topk", "emb_ivfpq_topk_exact",
+    "emb_ivfpq_topk", "emb_ivfpq_topk_exact", "emb_ann_recall",
     "emb_lsh_ann", "emb_semantic_dedup", "media_decode",
     # bloom probe is a vectorized Arrow bit-test by design
     "doc_incremental_bloom",
