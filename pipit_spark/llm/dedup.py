@@ -1331,17 +1331,22 @@ def oracle_edit_verified_pairs(
         table, n=n, threshold=cand_threshold, max_df=max_df
     )
     norm = _sql_norm("text")
+    # the O(len^2) distance is computed ONCE per pair in the inner
+    # select — repeating it in WHERE would double the oracle's cost on
+    # the most expensive operator of the family
     return f"""
 WITH cand AS ({cand}),
-txt AS (SELECT doc_id, {norm} AS t FROM {table})
-SELECT c.a, c.b,
-       ROUND(1.0 - levenshtein(ta.t, tb.t)
-             / GREATEST(length(ta.t), length(tb.t), 1), 6) AS edit_sim
-FROM cand c
-JOIN txt ta ON ta.doc_id = c.a
-JOIN txt tb ON tb.doc_id = c.b
-WHERE 1.0 - levenshtein(ta.t, tb.t)
-      / GREATEST(length(ta.t), length(tb.t), 1) >= {edit_threshold}
+txt AS (SELECT doc_id, {norm} AS t FROM {table}),
+scored AS (
+    SELECT c.a, c.b,
+           1.0 - levenshtein(ta.t, tb.t)
+                 / GREATEST(length(ta.t), length(tb.t), 1) AS sim_raw
+    FROM cand c
+    JOIN txt ta ON ta.doc_id = c.a
+    JOIN txt tb ON tb.doc_id = c.b
+)
+SELECT a, b, ROUND(sim_raw, 6) AS edit_sim
+FROM scored WHERE sim_raw >= {edit_threshold}
 """
 
 
@@ -1365,6 +1370,27 @@ def incremental_near_dups(
     its best corpus match (highest estimated Jaccard, ties to the lowest
     corpus doc_id). Batch docs absent from the result are new.
     """
+    # Guard the cross-job failure mode: a persisted index built with
+    # different (num_hashes, bands) would band-join to NOTHING and
+    # silently admit every near-duplicate as "new". The signature
+    # length and the per-doc band count are both recoverable from one
+    # sample doc of the index — a LIMITed two-row aggregation.
+    probe = (
+        corpus_index.groupBy("doc_id")
+        .agg(
+            F.first(F.size("sig")).alias("nh"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .limit(1)
+        .collect()
+    )
+    if probe and (probe[0]["nh"] != num_hashes or probe[0]["nb"] != bands):
+        raise ValueError(
+            f"corpus_index was built with num_hashes={probe[0]['nh']}, "
+            f"bands={probe[0]['nb']} — got num_hashes={num_hashes}, "
+            f"bands={bands}; matching parameters are required or the "
+            "band join silently matches nothing"
+        )
     # persist=False: the batch's signatures are consumed exactly once
     # (one band join) — a per-batch cache would leak storage memory
     # across a long-running ingestion loop

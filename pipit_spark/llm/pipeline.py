@@ -251,20 +251,23 @@ def incremental_new_docs(
 
     spark = docs.sparkSession
     bloom = build_bloom(seen, "fingerprint", bloom_bits, bloom_hashes)
-    # persist before branching: definite-new and might-contain are two
-    # branches of one unioned plan, and Catalyst re-executes the shared
-    # subtree (batch scan + fingerprint window + the Arrow probe) per
-    # branch otherwise — doubling exactly the work the pre-filter
-    # saves. The persisted frame is the deduped batch's (doc_id,
-    # fingerprint, bool) — narrow, batch-sized.
+    # ONE pass, no union, no persist: rows the filter rejects get a
+    # NULL join key, and a null key never equi-matches — so the
+    # left-anti join keeps every definite-new row without ever probing
+    # the seen-set, while might-contain rows verify exactly. (The
+    # earlier two-branch union re-executed the batch scan + window +
+    # Arrow probe per branch, and a per-batch persist would leak
+    # storage memory across a long-running ingestion loop.)
     flagged = batch_first.withColumn(
-        "__maybe", might_contain(bloom, F.col("fingerprint"), spark)
-    ).persist()
-    definite_new = flagged.filter(~F.col("__maybe"))
-    verified_new = flagged.filter(F.col("__maybe")).join(
-        seen, "fingerprint", "left_anti"
+        "__jk",
+        F.when(
+            might_contain(bloom, F.col("fingerprint"), spark),
+            F.col("fingerprint"),
+        ),
     )
-    return definite_new.unionByName(verified_new).select("doc_id", "fingerprint")
+    return flagged.join(
+        seen.select(F.col("fingerprint").alias("__jk")), "__jk", "left_anti"
+    ).select("doc_id", "fingerprint")
 
 
 def oracle_incremental_new_docs(
@@ -506,19 +509,14 @@ def prepare_chunked_training_set(
     chunks = chunk_documents(
         final_text, chunk_tokens=chunk_tokens, overlap=overlap
     )
+    from .sampling import _pack_window
+
     base = chunks.select(
         "doc_id", "chunk_idx",
         (F.col("doc_id") % n_shards).alias("shard"),
         F.col("n_tokens"),
     )
-    w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
-    packed = base.withColumn(
-        "pack_in_shard",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
-            / F.lit(context_len)
-        ),
-    )
+    packed = _pack_window(base, ["doc_id", "chunk_idx"], context_len)
     return packed.groupBy("shard", "pack_in_shard").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -66,6 +66,20 @@ GROUP BY {strata}
 """
 
 
+def _pack_window(
+    base: DataFrame, order_cols: list[str], context_len: int
+) -> DataFrame:
+    """The first-token packing rule, shared by every packer: within a
+    shard, rows in ``order_cols`` order are laid end-to-end and a row
+    belongs to the pack its FIRST token lands in. One place owns the
+    rule so doc-level and chunk-level packing cannot drift."""
+    w = Window.partitionBy("shard").orderBy(*order_cols)
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.withColumn(
+        "pack_in_shard", F.floor(before / F.lit(context_len))
+    ).withColumn("__before", before)
+
+
 def pack_sequences(
     docs: DataFrame,
     context_len: int = 512,
@@ -92,14 +106,7 @@ def pack_sequences(
         (F.col("doc_id") % n_shards).alias("shard"),
         n_tokens.alias("n_tokens"),
     )
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    packed = base.withColumn(
-        "pack_in_shard",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
-            / F.lit(context_len)
-        ),
-    )
+    packed = _pack_window(base, ["doc_id"], context_len)
     return packed.groupBy("shard", "pack_in_shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -126,13 +133,14 @@ def pack_assignments(
         (F.col("doc_id") % n_shards).alias("shard"),
         n_tokens.alias("n_tokens"),
     )
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return base.select(
+    packed = _pack_window(base, ["doc_id"], context_len)
+    return packed.select(
         "doc_id",
         "shard",
-        F.floor(before / F.lit(context_len)).alias("pack_in_shard"),
-        (before % F.lit(context_len)).cast("long").alias("offset_in_pack"),
+        "pack_in_shard",
+        (F.col("__before") % F.lit(context_len)).cast("long").alias(
+            "offset_in_pack"
+        ),
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
 
@@ -285,6 +293,21 @@ GROUP BY d.source
 """
 
 
+def _budget_select(
+    feats: DataFrame, order_col: str, budget_per_source: int
+) -> DataFrame:
+    """The greedy per-source budget rule, shared by every selector: in
+    descending ``order_col`` order (doc_id tie-break), a document is
+    kept iff the tokens BEFORE it fit the budget — so the budget may be
+    exceeded by at most one document. One place owns the rule."""
+    w = Window.partitionBy("source").orderBy(
+        F.col(order_col).desc(), F.col("doc_id").asc()
+    )
+    return feats.withColumn(
+        "__before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).filter(F.col("__before") < budget_per_source)
+
+
 def select_by_token_budget(
     docs: DataFrame, budget_per_source: int = 5000
 ) -> DataFrame:
@@ -305,15 +328,8 @@ def select_by_token_budget(
         se["n_tokens"].alias("n_tokens"),
         se["quality_score"].alias("quality_score"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.col("quality_score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        feats.withColumn(
-            "__before", F.sum("n_tokens").over(w) - F.col("n_tokens")
-        )
-        .filter(F.col("__before") < budget_per_source)
-        .select("doc_id", "source", "n_tokens", "quality_score")
+    return _budget_select(feats, "quality_score", budget_per_source).select(
+        "doc_id", "source", "n_tokens", "quality_score"
     )
 
 
@@ -793,15 +809,8 @@ def select_by_dsir(
     feats = docs.select(
         "doc_id", "source", se["n_tokens"].alias("n_tokens")
     ).join(w.select("doc_id", "dsir_logweight"), "doc_id")
-    win = Window.partitionBy("source").orderBy(
-        F.col("dsir_logweight").desc(), F.col("doc_id").asc()
-    )
-    return (
-        feats.withColumn(
-            "__before", F.sum("n_tokens").over(win) - F.col("n_tokens")
-        )
-        .filter(F.col("__before") < budget_per_source)
-        .select("doc_id", "source", "n_tokens", "dsir_logweight")
+    return _budget_select(feats, "dsir_logweight", budget_per_source).select(
+        "doc_id", "source", "n_tokens", "dsir_logweight"
     )
 
 

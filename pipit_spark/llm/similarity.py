@@ -807,6 +807,18 @@ def pq_encode(
     )
 
 
+def _collect_normalized_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Bounded query set → (ids, L2-normalized matrix). The ONE place
+    the query-side normalization convention lives — every searcher that
+    collects queries (PQ, IVF-PQ) goes through here so a normalization
+    change (e.g. a zero-norm guard) cannot diverge between paths."""
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[vec_col], np.float64) for r in qrows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    return qids, qm
+
+
 def _pq_lut(qm: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """LUT[q, j, c] = query-j-subvector · codeword-c: approx cosine of
     a coded vector is then a sum of m gathers."""
@@ -847,10 +859,7 @@ def pq_search(
     gathers — no float math per candidate. Same partial-top-k shape as
     :func:`topk_pandas`: each partition emits its local top-k and one
     tiny window keeps the global winners."""
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    qm = np.stack([np.asarray(r[vec_col], np.float64) for r in qrows])
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qids, qm = _collect_normalized_queries(queries, id_col, vec_col)
     lut = _pq_lut(qm, cb.codebooks)
     spark = queries.sparkSession
     bq = spark.sparkContext.broadcast((qids, lut))
@@ -953,10 +962,7 @@ def ivf_pq_topk(
     )
 
     queries = emb.filter(F.col("vec_id") < query_max_id)
-    qrows = queries.select("vec_id", vec_col).collect()
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qm = np.stack([np.asarray(r[vec_col], np.float64) for r in qrows])
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qids, qm = _collect_normalized_queries(queries, "vec_id", vec_col)
     lut = _pq_lut(qm, cb.codebooks)
     order = np.argsort(-(qm @ index.centroids.T), axis=1)[:, :nprobe]
     bq = spark.sparkContext.broadcast(
@@ -1019,9 +1025,9 @@ def ann_recall_report(
     """Per-query recall@k of an approximate index against brute force —
     the monitor an ANN deployment runs on a sampled query set before
     (and periodically after) trusting the index. ``method`` picks the
-    approximate path (``"ivf"``, ``"pq"``, ``"ivf_pq"``, ``"lsh"``
-    via :func:`lsh_topk` params routed through ``**params``); the exact
-    side is :func:`cosine_topk` on the same queries.
+    approximate path (``"ivf"``, ``"pq"``, or ``"ivf_pq"``, with that
+    searcher's knobs routed through ``**params``); the exact side is
+    :func:`cosine_topk` on the same queries.
 
     Both top-k frames are |queries|×k rows, so the compare is a tiny
     aggregation — run it on a bounded query sample, the corpus-side

@@ -568,7 +568,9 @@ JOIN sizes sb ON pairs.b = sb.doc_id
 """
 
 
-def vocab_coverage(docs: DataFrame, top_k: int = 500) -> DataFrame:
+def vocab_coverage(
+    docs: DataFrame, top_k: int = 500, persist: bool = True
+) -> DataFrame:
     """Per-source out-of-vocabulary rate against the corpus-wide top-K
     token vocabulary — the tokenizer-health monitor a pipeline runs
     before committing to a vocab: a source whose OOV rate spikes is
@@ -594,8 +596,9 @@ def vocab_coverage(docs: DataFrame, top_k: int = 500) -> DataFrame:
         .filter(F.length("token") > 0)
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
     )
+    if persist:
+        st = st.persist()
     vocab = (
         st.groupBy("token")
         .agg(F.sum("cnt").alias("cnt"))

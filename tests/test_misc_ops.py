@@ -1832,3 +1832,20 @@ def test_ann_recall_report(spark):
         approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     for q in exact:
         assert limited[q] == round(len(exact[q] & approx.get(q, set())) / 5, 4)
+
+
+def test_incremental_near_dups_rejects_mismatched_index(spark):
+    """Screening with parameters that differ from the persisted index's
+    build parameters is a hard error, not a silent empty result."""
+    import pytest
+
+    from pipit_spark.llm.dedup import build_lsh_index, incremental_near_dups
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    idx = build_lsh_index(corpus, num_hashes=32, bands=16)
+    batch = corpus.limit(1)
+    with pytest.raises(ValueError, match="num_hashes=32"):
+        incremental_near_dups(batch, idx, num_hashes=16, bands=8)
