@@ -248,3 +248,19 @@ def test_vocab_coverage_distributed_topk(spark):
     tree = tree_of(vocab_coverage(docs, top_k=100))
     assert "TakeOrderedAndProject" in tree, tree
     assert "Window" not in tree, tree
+
+
+def test_bloom_incremental_single_pass(spark):
+    """The bloom path is ONE anti-join with no Union: definite-new rows
+    carry a NULL join key (never equi-matches), so no second branch —
+    and therefore no double evaluation of the batch scan + probe."""
+    from pipit_spark.llm.pipeline import incremental_new_docs
+    from pipit_spark.llm.text import fingerprint_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seen = docs.filter("doc_id < 100").select(
+        fingerprint_expr().alias("fingerprint")
+    )
+    tree = tree_of(incremental_new_docs(docs, seen, method="bloom"))
+    assert "Union" not in tree, tree
+    assert tree.count("Join") == 1 or "BroadcastHashJoin" in tree, tree
