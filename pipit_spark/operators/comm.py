@@ -158,3 +158,21 @@ def comm_over_time(
     return _fixed_width_histogram(
         msgs, F.col(S.TIMESTAMP), bins, weight_col=weight, range_df=events
     )
+
+
+def comm_by_function(matched: DataFrame, output: str = "size") -> DataFrame:
+    """Communication volume attributed to the CALLING function: which
+    functions send the bytes (beyond the reference's process-level
+    views). Requires the matched frame — the matching kernel stamps
+    every Instant with its enclosing call's name (``parent_name``), so
+    the attribution is a plain filter + hash aggregation, no join back
+    to the call rows. Instants outside any call group under NULL."""
+    sends = matched.filter(F.col(S.NAME).isin(*S.SEND_NAMES))
+    vol = (
+        F.sum(_msg_length_col(sends)) if output == "size"
+        else F.count(F.lit(1)).cast("double")
+    )
+    return (
+        sends.groupBy(F.col(S.PARENT_NAME).alias("function"))
+        .agg(vol.cast("double").alias("volume"))
+    )

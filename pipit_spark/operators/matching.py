@@ -136,6 +136,17 @@ def _stack_match_multi(
         if new_group[i]:
             call_stack.clear()
         if match_pos[i] < 0:
+            # true Instants (sends/recvs/markers) inherit their ENCLOSING
+            # call: depth/parent of the innermost open Enter. The
+            # reference leaves these NaN (pipit/trace.py:240-292 walks
+            # Enter/Leave only) — carrying them here is free in the same
+            # pass and enables per-function attribution of communication
+            # (comm_by_function) without any join back to the call rows.
+            # Unmatched Enter/Leave (malformed traces) stay NaN.
+            if not is_enter[i] and not is_leave[i] and call_stack:
+                top = call_stack[-1]
+                depth[i] = depth[top] + 1
+                parent_pos[i] = top
             continue
         if is_enter[i]:
             depth[i] = len(call_stack)

@@ -2294,6 +2294,26 @@ JOIN (SELECT process, SUM(dur) AS total FROM leaf GROUP BY 1) ls
 """
 
 
+def q_trace_comm_by_function(spark, sf_dir):
+    """Send volume attributed to the enclosing call via the matched
+    frame's Instant parent stamps. Derivation edge mirrored exactly:
+    a zero-duration leaf's Instant sorts AFTER the leaf's Leave
+    (sq 4n+2 > 4n+1 at equal ts), so the open call at that point is the
+    session root."""
+    t = derived_trace(spark, sf_dir)
+    return t.comm_by_function(output="size").select(
+        "function", F.round("volume", 6).alias("volume")
+    )
+
+
+ORACLE_TRACE_COMM_BY_FUNCTION = ORACLE_TRACE_CTE + """
+SELECT CASE WHEN dur > 0 THEN etype ELSE 'session' END AS function,
+       ROUND(CAST(SUM(msg_len) AS DOUBLE), 6) AS volume
+FROM leaf WHERE etype IN ('click', 'purchase')
+GROUP BY 1
+"""
+
+
 def q_doc_incremental_neardup(spark, sf_dir):
     """Near-dup screening of an incoming batch (doc_id >= 250) against
     the indexed corpus (doc_id < 250): build_lsh_index on the corpus
@@ -2849,6 +2869,7 @@ def queries():
         "doc_incremental_neardup": q_doc_incremental_neardup,
         "trace_slow_calls": q_trace_slow_calls,
         "trace_folded_stacks": q_trace_folded_stacks,
+        "trace_comm_by_function": q_trace_comm_by_function,
         "doc_select_dsir": q_doc_select_dsir,
         "doc_chunked_training_set": q_doc_chunked_training_set,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
@@ -2980,6 +3001,7 @@ def oracle_sql():
             corpus_below=250, threshold=0.5
         ),
         "trace_folded_stacks": ORACLE_TRACE_FOLDED_STACKS,
+        "trace_comm_by_function": ORACLE_TRACE_COMM_BY_FUNCTION,
         "doc_select_dsir": _SP.oracle_select_by_dsir(
             budget_per_source=500, buckets=4096
         ),

@@ -377,3 +377,15 @@ def test_folded_stacks_golden(foo_bar_trace):
     assert out["main();grault()"] == 20 * NS
     # every stack is rooted at main() — paths, not bare frames
     assert all(s == "main()" or s.startswith("main();") for s in out)
+
+
+def test_comm_by_function(ping_pong_trace):
+    """Send volume attributed to the enclosing call: every MpiSend in
+    the ping-pong trace fires inside an MPI_Send call — both ranks' 8
+    messages land under that one function."""
+    rows = {r["function"]: r["volume"]
+            for r in ping_pong_trace.comm_by_function(output="size").collect()}
+    assert rows == {"MPI_Send": 2 * 4_177_920.0}
+    counts = {r["function"]: r["volume"]
+              for r in ping_pong_trace.comm_by_function(output="count").collect()}
+    assert counts == {"MPI_Send": 16.0}
