@@ -651,3 +651,45 @@ SELECT source,
 FROM toks LEFT JOIN vocab v USING (token)
 GROUP BY source
 """
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, n: int = 3, top_k: int = 20, min_df: int = 2
+) -> DataFrame:
+    """The corpus's most widespread word n-grams by DOCUMENT frequency —
+    the boilerplate detector (headers, footers, license blurbs, nav
+    text) run before writing removal rules: an n-gram appearing in many
+    documents is template, not content.
+
+    One shingle pass (distinct per doc, so df counts documents not
+    occurrences) → hash aggregation → distributed
+    ``orderBy().limit()`` top-k (TakeOrderedAndProject, same shape as
+    :func:`vocab_coverage`'s vocab cut). Deterministic (df DESC,
+    ngram ASC) order.
+    """
+    from .dedup import shingle_table
+
+    sh = shingle_table(docs, n=n, distinct=True)
+    return (
+        sh.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("ngram"))
+        .limit(top_k)
+    )
+
+
+def oracle_boilerplate_ngrams(
+    table: str = "documents", n: int = 3, top_k: int = 20, min_df: int = 2
+) -> str:
+    from .dedup import _sql_shingles
+
+    return f"""
+SELECT ngram, CAST(df AS BIGINT) AS df FROM (
+    SELECT ngram, COUNT(*) AS df FROM (
+        SELECT DISTINCT doc_id, unnest({_sql_shingles(n)}) AS ngram
+        FROM {table}
+    ) GROUP BY ngram HAVING COUNT(*) >= {min_df}
+    ORDER BY df DESC, ngram ASC LIMIT {top_k}
+)
+"""

@@ -160,19 +160,23 @@ def comm_over_time(
     )
 
 
-def comm_by_function(matched: DataFrame, output: str = "size") -> DataFrame:
+def comm_by_function(
+    matched: DataFrame, output: str = "size", message_type: str = "send"
+) -> DataFrame:
     """Communication volume attributed to the CALLING function: which
-    functions send the bytes (beyond the reference's process-level
-    views). Requires the matched frame — the matching kernel stamps
-    every Instant with its enclosing call's name (``parent_name``), so
-    the attribution is a plain filter + hash aggregation, no join back
-    to the call rows. Instants outside any call group under NULL."""
-    sends = matched.filter(F.col(S.NAME).isin(*S.SEND_NAMES))
+    functions send (or receive, ``message_type="recv"``) the bytes —
+    beyond the reference's process-level views. Requires the matched
+    frame — the matching kernel stamps every Instant with its enclosing
+    call's name (``parent_name``), so the attribution is a plain filter
+    + hash aggregation, no join back to the call rows. Instants outside
+    any call group under NULL."""
+    names = S.SEND_NAMES if message_type == "send" else S.RECV_NAMES
+    msgs = matched.filter(F.col(S.NAME).isin(*names))
     vol = (
-        F.sum(_msg_length_col(sends)) if output == "size"
+        F.sum(_msg_length_col(msgs)) if output == "size"
         else F.count(F.lit(1)).cast("double")
     )
     return (
-        sends.groupBy(F.col(S.PARENT_NAME).alias("function"))
+        msgs.groupBy(F.col(S.PARENT_NAME).alias("function"))
         .agg(vol.cast("double").alias("volume"))
     )

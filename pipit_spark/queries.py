@@ -2370,6 +2370,14 @@ def q_doc_edit_pairs(spark, sf_dir):
     )
 
 
+def q_doc_boilerplate(spark, sf_dir):
+    """Top document-frequency trigrams — the boilerplate detector,
+    value-hashed including the n-gram text."""
+    return X.boilerplate_ngrams(
+        load(spark, sf_dir, "documents"), n=3, top_k=20, min_df=2
+    )
+
+
 def q_doc_vocab_coverage(spark, sf_dir):
     """Per-source OOV rate vs the corpus top-20 token vocabulary —
     deterministic tie-break (count DESC, token ASC) mirrored in the
@@ -2865,6 +2873,7 @@ def queries():
         "doc_incremental_bloom": q_doc_incremental_bloom,
         "doc_chunk": q_doc_chunk,
         "doc_vocab_coverage": q_doc_vocab_coverage,
+        "doc_boilerplate": q_doc_boilerplate,
         "doc_edit_pairs": q_doc_edit_pairs,
         "doc_incremental_neardup": q_doc_incremental_neardup,
         "trace_slow_calls": q_trace_slow_calls,
@@ -2993,6 +3002,9 @@ def oracle_sql():
             chunk_tokens=48, overlap=16
         ),
         "doc_vocab_coverage": X.oracle_vocab_coverage(top_k=20),
+        "doc_boilerplate": X.oracle_boilerplate_ngrams(
+            n=3, top_k=20, min_df=2
+        ),
         "doc_edit_pairs": D.oracle_edit_verified_pairs(
             n=3, cand_threshold=0.15, edit_threshold=0.3, max_df=1000
         ),

@@ -403,13 +403,17 @@ class Trace:
 
         return comm_by_process(self._comm_source(), output=output)
 
-    def comm_by_function(self, output: str = "size") -> DataFrame:
-        """Per-calling-function send volume — needs the matched frame
-        (Instants carry their enclosing call), so this one comm view
-        DOES run the matching pass."""
+    def comm_by_function(
+        self, output: str = "size", message_type: str = "send"
+    ) -> DataFrame:
+        """Per-calling-function send/recv volume — needs the matched
+        frame (Instants carry their enclosing call), so this one comm
+        view DOES run the matching pass."""
         from .operators.comm import comm_by_function
 
-        return comm_by_function(self.matched, output=output)
+        return comm_by_function(
+            self.matched, output=output, message_type=message_type
+        )
 
     def message_histogram(self, bins: int = 20) -> DataFrame:
         from .operators.comm import message_histogram

@@ -389,3 +389,12 @@ def test_comm_by_function(ping_pong_trace):
     counts = {r["function"]: r["volume"]
               for r in ping_pong_trace.comm_by_function(output="count").collect()}
     assert counts == {"MPI_Send": 16.0}
+
+
+def test_comm_by_function_recv(ping_pong_trace):
+    """Receive-side attribution: every MpiRecv fires inside MPI_Recv."""
+    rows = {r["function"]: r["volume"]
+            for r in ping_pong_trace.comm_by_function(
+                output="count", message_type="recv"
+            ).collect()}
+    assert rows == {"MPI_Recv": 16.0}
