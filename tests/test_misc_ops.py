@@ -1849,3 +1849,37 @@ def test_incremental_near_dups_rejects_mismatched_index(spark):
     batch = corpus.limit(1)
     with pytest.raises(ValueError, match="num_hashes=32"):
         incremental_near_dups(batch, idx, num_hashes=16, bands=8)
+
+
+def test_llm_ops_on_empty_corpus(spark):
+    """A fully-filtered (empty) corpus flows through the pipeline ops
+    as empty output, never a crash — the mid-pipeline reality when an
+    upstream filter matches nothing."""
+    from pipit_spark.llm.dedup import (
+        build_lsh_index, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
+    )
+    from pipit_spark.llm.pipeline import clean_corpus, incremental_new_docs
+    from pipit_spark.llm.sampling import chunk_documents, pack_sequences
+    from pipit_spark.llm.text import text_stats, vocab_coverage
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert text_stats(empty).count() == 0
+    assert clean_corpus(empty).count() == 0
+    assert chunk_documents(empty).count() == 0
+    assert vocab_coverage(empty, persist=False).count() == 0
+    assert exact_dedup(empty).count() == 0
+    assert minhash_lsh_pairs(empty).count() == 0
+    assert ngram_jaccard_pairs(empty).count() == 0
+    assert pack_sequences(empty).count() == 0
+    assert build_lsh_index(empty, persist=False).count() == 0
+    # empty batch vs non-empty seen, and non-empty batch vs EMPTY seen
+    seen = spark.createDataFrame([("ab",)], "fingerprint string")
+    assert incremental_new_docs(empty, seen, method="bloom").count() == 0
+    docs = spark.createDataFrame(
+        [(1, "some real text")], "doc_id long, text string"
+    )
+    no_seen = spark.createDataFrame([], "fingerprint string")
+    out = incremental_new_docs(docs, no_seen, method="bloom").collect()
+    assert [r["doc_id"] for r in out] == [1]
