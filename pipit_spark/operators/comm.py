@@ -180,3 +180,29 @@ def comm_by_function(
         msgs.groupBy(F.col(S.PARENT_NAME).alias("function"))
         .agg(vol.cast("double").alias("volume"))
     )
+
+
+def comm_locality(
+    events: DataFrame, block_size: int = 4, output: str = "size"
+) -> DataFrame:
+    """Topology-mapping health number: what fraction of communication
+    volume stays within a ``block_size``-rank block (nodes, NUMA
+    domains, racks — whatever the block models). One conditional
+    aggregation over the long-form comm matrix; the standard metric a
+    rank-reordering exercise optimizes."""
+    cm = comm_matrix(events, output=output)
+    local = F.floor(F.col("sender") / block_size) == F.floor(
+        F.col("receiver") / block_size
+    )
+    return cm.agg(
+        F.sum("volume").cast("double").alias("total_volume"),
+        F.sum(F.when(local, F.col("volume")).otherwise(0.0))
+        .cast("double")
+        .alias("local_volume"),
+    ).select(
+        "total_volume",
+        "local_volume",
+        F.round(
+            F.try_divide(F.col("local_volume"), F.col("total_volume")), 6
+        ).alias("locality"),
+    )

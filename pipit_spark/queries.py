@@ -2314,6 +2314,28 @@ GROUP BY 1
 """
 
 
+def q_trace_comm_locality(spark, sf_dir):
+    """Fraction of send volume staying within 4-rank blocks."""
+    t = derived_trace(spark, sf_dir)
+    return t.comm_locality(block_size=4, output="size")
+
+
+ORACLE_TRACE_COMM_LOCALITY = ORACLE_TRACE_CTE + """
+, cm AS (
+    SELECT process AS sender, k % 16 AS receiver,
+           CAST(SUM(msg_len) AS DOUBLE) AS volume
+    FROM leaf WHERE etype IN ('click', 'purchase')
+    GROUP BY 1, 2
+)
+SELECT CAST(SUM(volume) AS DOUBLE) AS total_volume,
+       CAST(SUM(CASE WHEN FLOOR(sender / 4) = FLOOR(receiver / 4)
+                     THEN volume ELSE 0.0 END) AS DOUBLE) AS local_volume,
+       ROUND(SUM(CASE WHEN FLOOR(sender / 4) = FLOOR(receiver / 4)
+                      THEN volume ELSE 0.0 END) / SUM(volume), 6) AS locality
+FROM cm
+"""
+
+
 def q_doc_incremental_neardup(spark, sf_dir):
     """Near-dup screening of an incoming batch (doc_id >= 250) against
     the indexed corpus (doc_id < 250): build_lsh_index on the corpus
@@ -2879,6 +2901,7 @@ def queries():
         "trace_slow_calls": q_trace_slow_calls,
         "trace_folded_stacks": q_trace_folded_stacks,
         "trace_comm_by_function": q_trace_comm_by_function,
+        "trace_comm_locality": q_trace_comm_locality,
         "doc_select_dsir": q_doc_select_dsir,
         "doc_chunked_training_set": q_doc_chunked_training_set,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
@@ -3014,6 +3037,7 @@ def oracle_sql():
         ),
         "trace_folded_stacks": ORACLE_TRACE_FOLDED_STACKS,
         "trace_comm_by_function": ORACLE_TRACE_COMM_BY_FUNCTION,
+        "trace_comm_locality": ORACLE_TRACE_COMM_LOCALITY,
         "doc_select_dsir": _SP.oracle_select_by_dsir(
             budget_per_source=500, buckets=4096
         ),

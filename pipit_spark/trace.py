@@ -415,6 +415,15 @@ class Trace:
             self.matched, output=output, message_type=message_type
         )
 
+    def comm_locality(
+        self, block_size: int = 4, output: str = "size"
+    ) -> DataFrame:
+        from .operators.comm import comm_locality
+
+        return comm_locality(
+            self._comm_source(), block_size=block_size, output=output
+        )
+
     def message_histogram(self, bins: int = 20) -> DataFrame:
         from .operators.comm import message_histogram
 

@@ -398,3 +398,13 @@ def test_comm_by_function_recv(ping_pong_trace):
                 output="count", message_type="recv"
             ).collect()}
     assert rows == {"MPI_Recv": 16.0}
+
+
+def test_comm_locality(ping_pong_trace):
+    """Ping-pong is rank 0 <-> 1 only: block_size=2 puts all volume in
+    one block (locality 1.0), block_size=1 makes it all remote (0.0)."""
+    one_block = ping_pong_trace.comm_locality(block_size=2).collect()[0]
+    assert one_block["locality"] == 1.0
+    assert one_block["total_volume"] == 2 * 4_177_920.0
+    remote = ping_pong_trace.comm_locality(block_size=1).collect()[0]
+    assert remote["locality"] == 0.0
