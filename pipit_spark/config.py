@@ -34,6 +34,14 @@ def _pos_int(key: str, value: Any) -> None:
         )
 
 
+def _word_aligned_int(key: str, value: Any) -> None:
+    _pos_int(key, value)
+    if value % 64:
+        raise ValueError(
+            f"invalid value {value!r} for {key!r}: must be a multiple of 64"
+        )
+
+
 def _bool(key: str, value: Any) -> None:
     if not isinstance(value, bool):
         raise ValueError(f"invalid value {value!r} for {key!r}: expected bool")
@@ -48,6 +56,10 @@ _REGISTRY: dict[str, tuple[Any, Callable[[str, Any], None]]] = {
     "matching.max_records_per_batch": (65536, _pos_int),
     "shuffle.partitions_hint": (32, _pos_int),
     "cache.matched_frame": (True, _bool),
+    # incremental-ingestion bloom pre-filter sizing (fp ≈ (1-e^-kn/m)^k);
+    # bits must be word-aligned for the bitmap's bit_or aggregation
+    "dedup.bloom_bits": (1 << 20, _word_aligned_int),
+    "dedup.bloom_hashes": (5, _pos_int),
 }
 
 _options: dict[str, Any] = {k: v[0] for k, v in _REGISTRY.items()}

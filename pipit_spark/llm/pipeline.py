@@ -203,8 +203,8 @@ def incremental_new_docs(
     docs: DataFrame,
     seen_fingerprints: DataFrame,
     method: str = "exact",
-    bloom_bits: int = 1 << 20,
-    bloom_hashes: int = 5,
+    bloom_bits: int | None = None,
+    bloom_hashes: int | None = None,
 ) -> DataFrame:
     """Incremental ingestion: of an incoming batch, keep only documents
     whose content fingerprint is NEW — not in the already-processed set
@@ -249,6 +249,12 @@ def incremental_new_docs(
 
     from ..operators.bloom import build_bloom, might_contain
 
+    from ..config import get_option
+
+    if bloom_bits is None:
+        bloom_bits = get_option("dedup.bloom_bits")
+    if bloom_hashes is None:
+        bloom_hashes = get_option("dedup.bloom_hashes")
     spark = docs.sparkSession
     bloom = build_bloom(seen, "fingerprint", bloom_bits, bloom_hashes)
     # ONE pass, no union, no persist: rows the filter rejects get a

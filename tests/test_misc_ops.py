@@ -1883,3 +1883,38 @@ def test_llm_ops_on_empty_corpus(spark):
     no_seen = spark.createDataFrame([], "fingerprint string")
     out = incremental_new_docs(docs, no_seen, method="bloom").collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_bloom_options_config_wired(spark):
+    """The bloom defaults come from the engine option registry
+    (reference config.py get/set/reset semantics) and the word-aligned
+    validator rejects unusable bit counts."""
+    import pytest
+
+    from pipit_spark.config import get_option, reset_option, set_option
+    from pipit_spark.llm.pipeline import incremental_new_docs
+
+    assert get_option("dedup.bloom_bits") == 1 << 20
+    assert get_option("dedup.bloom_hashes") == 5
+    with pytest.raises(ValueError, match="multiple of 64"):
+        set_option("dedup.bloom_bits", 1000)
+    try:
+        set_option("dedup.bloom_bits", 1 << 10)
+        set_option("dedup.bloom_hashes", 3)
+        docs = spark.createDataFrame(
+            [(1, "a doc"), (2, "a doc"), (3, "another")],
+            "doc_id long, text string",
+        )
+        from pipit_spark.llm.text import fingerprint_expr
+
+        seen = docs.filter("doc_id = 1").select(
+            fingerprint_expr().alias("fingerprint")
+        )
+        out = sorted(
+            r["doc_id"]
+            for r in incremental_new_docs(docs, seen, method="bloom").collect()
+        )
+        assert out == [3]  # 1,2 share content already seen
+    finally:
+        reset_option("dedup.bloom_bits")
+        reset_option("dedup.bloom_hashes")
