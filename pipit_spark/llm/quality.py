@@ -642,3 +642,75 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+
+def corpus_card(docs: DataFrame) -> DataFrame:
+    """One-row dataset datasheet — the numbers a data card leads with:
+    document/token totals, source diversity, language share, duplicate
+    rate, and mean quality. ONE text scan: every input is a narrow
+    expression from the shared factories (:func:`..text.stats_exprs`,
+    :func:`..text.pred_lang_expr`, :func:`..text.fingerprint_expr`)
+    evaluated in a single projection feeding a single aggregation —
+    at 100 TB this costs exactly one pass over the corpus.
+
+    ``approx_count_distinct`` would be the drop-in for the two distinct
+    counts at scale; exact here for the value-hash gate.
+    """
+    from .text import fingerprint_expr, pred_lang_expr, stats_exprs
+
+    se = stats_exprs()
+    feats = docs.select(
+        F.col("source"),
+        se["n_tokens"].alias("__nt"),
+        se["quality_score"].alias("__q"),
+        pred_lang_expr().alias("__lang"),
+        fingerprint_expr().alias("__fp"),
+    )
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(
+            F.sum(F.when(F.col("__lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("en_share"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("__fp") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("__q"), 6).alias("mean_quality"),
+    )
+
+
+def oracle_corpus_card(table: str = "documents") -> str:
+    from .text import _sql_norm
+    from .text import LANG_MARKERS, _sql_list
+
+    norm = _sql_norm("text")
+    # mirror pred_lang_expr: per-language marker hits, argmax with the
+    # fixed language order, 'und' when nothing hits — reuse the exact
+    # oracle the lang-ID gate uses
+    from .text import oracle_lang_id
+
+    return f"""
+WITH langs AS ({oracle_lang_id(table)}),
+feats AS (
+    SELECT d.source,
+           len(string_split({norm}, ' ')) AS nt,
+           LEAST(CAST(len(string_split({norm}, ' ')) AS DOUBLE) / 50.0, 1.0)
+             * (1.0 - CAST(length(regexp_replace(d.text, '[^.,;:!?]', '', 'g'))
+                           AS DOUBLE) / length(d.text)) AS q,
+           l.pred_lang AS lang,
+           md5(lower({norm})) AS fp
+    FROM {table} d JOIN langs l USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS en_share,
+       ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS dup_rate,
+       ROUND(AVG(ROUND(q, 6)), 6) AS mean_quality
+FROM feats
+"""

@@ -2392,6 +2392,12 @@ def q_doc_edit_pairs(spark, sf_dir):
     )
 
 
+def q_doc_corpus_card(spark, sf_dir):
+    """One-row dataset datasheet: totals, source diversity, language
+    share, dup rate, mean quality — single scan."""
+    return QL.corpus_card(load(spark, sf_dir, "documents"))
+
+
 def q_doc_boilerplate(spark, sf_dir):
     """Top document-frequency trigrams — the boilerplate detector,
     value-hashed including the n-gram text."""
@@ -2896,6 +2902,7 @@ def queries():
         "doc_chunk": q_doc_chunk,
         "doc_vocab_coverage": q_doc_vocab_coverage,
         "doc_boilerplate": q_doc_boilerplate,
+        "doc_corpus_card": q_doc_corpus_card,
         "doc_edit_pairs": q_doc_edit_pairs,
         "doc_incremental_neardup": q_doc_incremental_neardup,
         "trace_slow_calls": q_trace_slow_calls,
@@ -3028,6 +3035,7 @@ def oracle_sql():
         "doc_boilerplate": X.oracle_boilerplate_ngrams(
             n=3, top_k=20, min_df=2
         ),
+        "doc_corpus_card": QL.oracle_corpus_card(),
         "doc_edit_pairs": D.oracle_edit_verified_pairs(
             n=3, cand_threshold=0.15, edit_threshold=0.3, max_df=1000
         ),

@@ -264,3 +264,14 @@ def test_bloom_incremental_single_pass(spark):
     tree = tree_of(incremental_new_docs(docs, seen, method="bloom"))
     assert "Union" not in tree, tree
     assert tree.count("Join") == 1 or "BroadcastHashJoin" in tree, tree
+
+
+def test_corpus_card_single_scan(spark):
+    """The datasheet is ONE pass: a single parquet scan feeding a
+    single aggregation (distinct counts via expand, not extra scans)."""
+    from pipit_spark.llm.quality import corpus_card
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tree = tree_of(corpus_card(docs))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
