@@ -693,3 +693,61 @@ SELECT ngram, CAST(df AS BIGINT) AS df FROM (
     ORDER BY df DESC, ngram ASC LIMIT {top_k}
 )
 """
+
+
+def novelty_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document novelty: the fraction of the document's distinct
+    word ``n``-grams that appear in NO other document — the signal
+    memorization/duplication studies rank corpora by (a doc of mostly
+    corpus-unique n-grams is fresh content; near-zero novelty is
+    boilerplate or a near-duplicate).
+
+    One shingle pass, a document-frequency count via a window over the
+    shingle key (same single shuffle the inverted index pays — no
+    df-table join back), then a per-doc aggregation. Document frequency
+    counts DOCUMENTS (distinct shingles per doc), not occurrences.
+    """
+    from .dedup import shingle_table
+
+    sh = shingle_table(docs, n=n, distinct=True)
+    from pyspark.sql import Window
+
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    flagged = sh.withColumn("__unique", (df_w == 1).cast("int"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("__unique").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_ngrams"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def oracle_novelty_scores(table: str = "documents", n: int = 3) -> str:
+    from .dedup import _sql_shingles
+
+    return f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, unnest({_sql_shingles(n)}) AS shingle
+    FROM {table}
+),
+flagged AS (
+    SELECT doc_id,
+           CASE WHEN COUNT(*) OVER (PARTITION BY shingle) = 1
+                THEN 1 ELSE 0 END AS uniq
+    FROM sh
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(uniq) AS BIGINT) AS n_unique,
+       ROUND(SUM(uniq) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM flagged GROUP BY doc_id
+"""

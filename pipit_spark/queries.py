@@ -2392,6 +2392,12 @@ def q_doc_edit_pairs(spark, sf_dir):
     )
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Per-doc fraction of corpus-unique trigrams (memorization /
+    duplication signal)."""
+    return X.novelty_scores(load(spark, sf_dir, "documents"), n=3)
+
+
 def q_doc_corpus_card(spark, sf_dir):
     """One-row dataset datasheet: totals, source diversity, language
     share, dup rate, mean quality — single scan."""
@@ -2903,6 +2909,7 @@ def queries():
         "doc_vocab_coverage": q_doc_vocab_coverage,
         "doc_boilerplate": q_doc_boilerplate,
         "doc_corpus_card": q_doc_corpus_card,
+        "doc_novelty": q_doc_novelty,
         "doc_edit_pairs": q_doc_edit_pairs,
         "doc_incremental_neardup": q_doc_incremental_neardup,
         "trace_slow_calls": q_trace_slow_calls,
@@ -3036,6 +3043,7 @@ def oracle_sql():
             n=3, top_k=20, min_df=2
         ),
         "doc_corpus_card": QL.oracle_corpus_card(),
+        "doc_novelty": X.oracle_novelty_scores(n=3),
         "doc_edit_pairs": D.oracle_edit_verified_pairs(
             n=3, cand_threshold=0.15, edit_threshold=0.3, max_df=1000
         ),

@@ -1918,3 +1918,24 @@ def test_bloom_options_config_wired(spark):
     finally:
         reset_option("dedup.bloom_bits")
         reset_option("dedup.bloom_hashes")
+
+
+def test_novelty_scores_semantics(spark):
+    """An exact duplicate pair has zero novelty (every shingle shared);
+    a fully unique doc scores 1.0; a half-copied doc sits between."""
+    from pipit_spark.llm.text import novelty_scores
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (0, shared),
+            (1, shared),                                     # dup of 0
+            (2, " ".join(f"u{i}" for i in range(20))),       # unique
+            (3, shared + " " + " ".join(f"v{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in novelty_scores(docs, n=3).collect()}
+    assert out[0]["novelty"] == 0.0 and out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+    assert 0.0 < out[3]["novelty"] < 1.0
