@@ -2352,6 +2352,49 @@ def q_doc_incremental_neardup(spark, sf_dir):
     )
 
 
+def q_trace_diff(spark, sf_dir):
+    """Trace.diff end-to-end: the derived trace vs a twin whose
+    timestamps are doubled — every duration doubles EXACTLY in int64,
+    so the second trace's whole pipeline (fresh matching pass over the
+    scaled events, exc metrics, flat profile, full-outer diff join)
+    must land on other = 2×self, delta = self, ratio = 2.0 to the
+    rounding digit. Any divergence anywhere in the twin's pipeline
+    breaks the closed form."""
+    t = derived_trace(spark, sf_dir)
+    t2 = Trace(
+        t.events.withColumn(S.TIMESTAMP, F.col(S.TIMESTAMP) * 2)
+    )
+    d = t.diff(t2, metric=S.TIME_EXC)
+    return d.select(
+        F.col(S.NAME).alias("name"),
+        F.round(f"{S.TIME_EXC}_self", 6).alias("exc_self"),
+        F.round(f"{S.TIME_EXC}_other", 6).alias("exc_other"),
+        F.round("delta", 6).alias("delta"),
+        "ratio",
+    )
+
+
+ORACLE_TRACE_DIFF = ORACLE_TRACE_CTE + """
+, leaf_pp AS (
+    SELECT etype AS name, process, CAST(SUM(dur) AS DOUBLE) AS exc
+    FROM leaf GROUP BY 1, 2
+),
+root_pp AS (
+    SELECT 'session' AS name, r.process,
+           CAST(r.leave_ts - r.enter_ts - ls.total AS DOUBLE) AS exc
+    FROM roots r
+    JOIN (SELECT process, SUM(dur) AS total FROM leaf GROUP BY 1) ls
+      ON ls.process = r.process
+),
+pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp),
+m AS (SELECT name, AVG(exc) AS mexc FROM pp GROUP BY name)
+SELECT name, ROUND(mexc, 6) AS exc_self, ROUND(2 * mexc, 6) AS exc_other,
+       ROUND(mexc, 6) AS delta,
+       CASE WHEN mexc <> 0 THEN 2.0 END AS ratio
+FROM m
+"""
+
+
 def q_trace_slow_calls(spark, sf_dir):
     """Per-function slow-call drill-down: leaves above their function's
     exact p95 inclusive time, via the REAL matched frame + broadcast
@@ -2916,6 +2959,7 @@ def queries():
         "trace_folded_stacks": q_trace_folded_stacks,
         "trace_comm_by_function": q_trace_comm_by_function,
         "trace_comm_locality": q_trace_comm_locality,
+        "trace_diff": q_trace_diff,
         "doc_select_dsir": q_doc_select_dsir,
         "doc_chunked_training_set": q_doc_chunked_training_set,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
@@ -3054,6 +3098,7 @@ def oracle_sql():
         "trace_folded_stacks": ORACLE_TRACE_FOLDED_STACKS,
         "trace_comm_by_function": ORACLE_TRACE_COMM_BY_FUNCTION,
         "trace_comm_locality": ORACLE_TRACE_COMM_LOCALITY,
+        "trace_diff": ORACLE_TRACE_DIFF,
         "doc_select_dsir": _SP.oracle_select_by_dsir(
             budget_per_source=500, buckets=4096
         ),
