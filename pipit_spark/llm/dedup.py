@@ -1508,3 +1508,116 @@ def load_lsh_index(spark, table: str) -> DataFrame:
     from ..sinks.bucketed import read_table
 
     return read_table(spark, table)
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, max_df: int = 1000
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT
+    ``|A∩B| / |A|`` — the subsumption detector Jaccard misses: a short
+    document quoted wholesale inside a long one scores near 1.0 here
+    but low on Jaccard (the union is dominated by the long side).
+    Output ``(contained, container, containment)`` with ``contained``
+    the smaller-set side of each qualifying ordered pair.
+
+    Same bucketed inverted-index plan as :func:`ngram_jaccard_pairs`
+    (shared df-cap, single shingle-key shuffle); only the final formula
+    differs — both directions of a pair are evaluated and the
+    qualifying direction(s) emitted.
+    """
+    sh = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("toks") - n + 1, F.lit(1))
+                )
+            ).alias("p"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(n))).alias(
+                "shingle"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("__set"))
+        .select(
+            "doc_id",
+            F.size("__set").alias("sz"),
+            F.explode("__set").alias("shingle"),
+        )
+    )
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("__ds"))
+        .filter(F.size("__ds").between(2, max_df))
+    )
+    pairs = (
+        buckets.select(F.explode("__ds").alias("__x"), "__ds")
+        .select("__x", F.explode("__ds").alias("__y"))
+        .filter(F.col("__x.doc_id") < F.col("__y.doc_id"))
+        .select(
+            F.col("__x.doc_id").alias("a"),
+            F.col("__y.doc_id").alias("b"),
+            F.col("__x.sz").alias("sz_a"),
+            F.col("__y.sz").alias("sz_b"),
+        )
+        .groupBy("a", "b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    # both directions from one pair row: containment of a in b uses
+    # sz_a, of b in a uses sz_b — emit whichever direction(s) qualify
+    directions = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("contained"),
+                    F.col("b").alias("container"),
+                    (F.col("common") / F.col("sz_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("b").alias("contained"),
+                    F.col("a").alias("container"),
+                    (F.col("common") / F.col("sz_b")).alias("containment"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.contained", "d.container", "d.containment")
+    return directions.filter(F.col("containment") >= threshold).select(
+        "contained", "container", F.round("containment", 6).alias("containment")
+    )
+
+
+def oracle_containment_pairs(
+    table: str = "documents", n: int = 3, threshold: float = 0.8,
+    max_df: int = 1000,
+) -> str:
+    return f"""
+WITH sh AS (
+    SELECT doc_id, unnest({_sql_shingles(n)}) AS shingle FROM {table}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING COUNT(*) BETWEEN 2 AND {max_df}),
+shf AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+    FROM shf x JOIN shf y USING (shingle)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+directions AS (
+    SELECT i.a AS contained, i.b AS container,
+           CAST(i.common AS DOUBLE) / sa.sz AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+    UNION ALL
+    SELECT i.b AS contained, i.a AS container,
+           CAST(i.common AS DOUBLE) / sb.sz AS containment
+    FROM inter i JOIN sizes sb ON sb.doc_id = i.b
+)
+SELECT contained, container, ROUND(containment, 6) AS containment
+FROM directions WHERE containment >= {threshold}
+"""

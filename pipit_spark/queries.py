@@ -2435,6 +2435,14 @@ def q_doc_edit_pairs(spark, sf_dir):
     )
 
 
+def q_doc_containment(spark, sf_dir):
+    """Asymmetric containment pairs |A∩B|/|A| ≥ 0.4 — the subsumption
+    detector, sharing the Jaccard inverted-index plan."""
+    return D.containment_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.4, max_df=1000
+    )
+
+
 def q_doc_novelty(spark, sf_dir):
     """Per-doc fraction of corpus-unique trigrams (memorization /
     duplication signal)."""
@@ -2953,6 +2961,7 @@ def queries():
         "doc_boilerplate": q_doc_boilerplate,
         "doc_corpus_card": q_doc_corpus_card,
         "doc_novelty": q_doc_novelty,
+        "doc_containment": q_doc_containment,
         "doc_edit_pairs": q_doc_edit_pairs,
         "doc_incremental_neardup": q_doc_incremental_neardup,
         "trace_slow_calls": q_trace_slow_calls,
@@ -3088,6 +3097,9 @@ def oracle_sql():
         ),
         "doc_corpus_card": QL.oracle_corpus_card(),
         "doc_novelty": X.oracle_novelty_scores(n=3),
+        "doc_containment": D.oracle_containment_pairs(
+            n=3, threshold=0.4, max_df=1000
+        ),
         "doc_edit_pairs": D.oracle_edit_verified_pairs(
             n=3, cand_threshold=0.15, edit_threshold=0.3, max_df=1000
         ),

@@ -1939,3 +1939,24 @@ def test_novelty_scores_semantics(spark):
     assert out[0]["novelty"] == 0.0 and out[1]["novelty"] == 0.0
     assert out[2]["novelty"] == 1.0
     assert 0.0 < out[3]["novelty"] < 1.0
+
+
+def test_containment_asymmetric(spark):
+    """A short doc quoted wholesale inside a long one: containment of
+    the short side is 1.0 while the reverse direction is well below —
+    exactly the asymmetry Jaccard flattens."""
+    from pipit_spark.llm.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = " ".join(f"q{i}" for i in range(10))
+    long = short + " " + " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, short), (1, long)], "doc_id long, text string"
+    )
+    out = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in containment_pairs(docs, n=3, threshold=0.1).collect()
+    }
+    assert out[(0, 1)] == 1.0          # short fully inside long
+    assert out[(1, 0)] < 0.25          # long barely contained in short
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    assert jac and jac[0]["jaccard"] < 0.25  # Jaccard misses the quote
