@@ -1960,3 +1960,25 @@ def test_containment_asymmetric(spark):
     assert out[(1, 0)] < 0.25          # long barely contained in short
     jac = ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
     assert jac and jac[0]["jaccard"] < 0.25  # Jaccard misses the quote
+
+
+def test_containment_dominates_jaccard(spark):
+    """For every pair, max-direction containment >= Jaccard (the union
+    is at least as large as either set) — cross-checks the two
+    operators built on the shared inverted-index plan."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    from pipit_spark.llm.dedup import containment_pairs, ngram_jaccard_pairs
+
+    jac = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.05).collect()
+    }
+    cont = {}
+    for r in containment_pairs(docs, n=3, threshold=0.0).collect():
+        key = tuple(sorted((r["contained"], r["container"])))
+        cont[key] = max(cont.get(key, 0.0), r["containment"])
+    assert jac, "fixture produced no qualifying pairs"
+    for pair, j in jac.items():
+        assert cont.get(pair, 0.0) >= j - 1e-6, (pair, j, cont.get(pair))
