@@ -160,23 +160,15 @@ def shingle_table(
     return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
 
 
-# ------------------------------------------------------- n-gram Jaccard
-def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.8, max_df: int = 1000
+def _pair_common_counts(
+    docs: DataFrame, n: int, max_df: int
 ) -> DataFrame:
-    """Near-duplicate pairs by word-n-gram Jaccard similarity.
-
-    Plan: inverted index (shingle → docs, capped at document frequency
-    ``max_df`` to kill stop-shingle skew) → self-join per shingle for
-    intersection counts → join per-doc shingle counts → Jaccard =
-    |∩| / (|A| + |B| − |∩|). Only docs sharing ≥1 shingle ever pair up.
-    """
-    # distinct-per-doc via collect_set keyed by doc_id (instead of a
-    # (doc_id, shingle)-keyed distinct): the re-explode carries each
-    # doc's set SIZE on every row for free, so no separate sizes
-    # aggregation and no size joins after the intersection count — the
-    # sizes ride the group keys. Single consumer downstream → fully
-    # lazy, no persist barrier.
+    """The shared bucketed inverted-index plan behind every set-overlap
+    pair operator: distinct shingles per doc with set sizes riding the
+    group keys, df-capped posting lists, intra-bucket pair explosion,
+    and the per-pair intersection count. Returns
+    ``(a, b, sz_a, sz_b, common)`` with a < b. ONE place owns this plan
+    so Jaccard and containment cannot drift."""
     sh = (
         docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
         .select(
@@ -202,20 +194,12 @@ def ngram_jaccard_pairs(
             F.explode("__set").alias("shingle"),
         )
     )
-
-    # ONE shuffle on the shingle key builds the posting list per
-    # shingle; the df cap is just a size() filter on it (no separate
-    # df aggregation + join back), and intra-bucket pair explosion
-    # replaces the index self-join — the string-keyed shingle shuffle
-    # happens once instead of three times (df_cap + both join sides)
     buckets = (
         sh.groupBy("shingle")
-        .agg(
-            F.collect_list(F.struct("doc_id", "sz")).alias("__ds")
-        )
+        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("__ds"))
         .filter(F.size("__ds").between(2, max_df))
     )
-    pairs = (
+    return (
         buckets.select(F.explode("__ds").alias("__x"), "__ds")
         .select("__x", F.explode("__ds").alias("__y"))
         .filter(F.col("__x.doc_id") < F.col("__y.doc_id"))
@@ -225,11 +209,24 @@ def ngram_jaccard_pairs(
             F.col("__x.sz").alias("sz_a"),
             F.col("__y.sz").alias("sz_b"),
         )
-    )
-    return (
-        pairs.groupBy("a", "b", "sz_a", "sz_b")
+        .groupBy("a", "b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("common"))
-        .withColumn(
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, max_df: int = 1000
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Plan: the shared :func:`_pair_common_counts` inverted index (df cap
+    kills stop-shingle skew; only docs sharing >=1 shingle ever pair
+    up), then Jaccard = |∩| / (|A| + |B| − |∩|).
+    """
+    pairs = _pair_common_counts(docs, n, max_df)
+    return (
+        pairs.withColumn(
             "jaccard",
             F.col("common")
             / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
@@ -1371,26 +1368,26 @@ def incremental_near_dups(
     corpus doc_id). Batch docs absent from the result are new.
     """
     # Guard the cross-job failure mode: a persisted index built with
-    # different (num_hashes, bands) would band-join to NOTHING and
-    # silently admit every near-duplicate as "new". The signature
-    # length and the per-doc band count are both recoverable from one
-    # sample doc of the index — a LIMITed two-row aggregation.
-    probe = (
-        corpus_index.groupBy("doc_id")
-        .agg(
-            F.first(F.size("sig")).alias("nh"),
-            F.count(F.lit(1)).alias("nb"),
-        )
-        .limit(1)
-        .collect()
-    )
-    if probe and (probe[0]["nh"] != num_hashes or probe[0]["nb"] != bands):
-        raise ValueError(
-            f"corpus_index was built with num_hashes={probe[0]['nh']}, "
-            f"bands={probe[0]['nb']} — got num_hashes={num_hashes}, "
-            f"bands={bands}; matching parameters are required or the "
-            "band join silently matches nothing"
-        )
+    # different (num_hashes, bands, portable) would band-join to
+    # NOTHING and silently admit every near-duplicate as "new". One
+    # sampled row gives the signature length AND the bucket format
+    # (portable buckets are 'b|<md5>|…', fast are 'b:<long>'); the
+    # sampled doc's band count is one filtered count — no index-wide
+    # aggregation shuffle per batch. shingle_n is NOT recoverable from
+    # signatures and must match by contract (documented above).
+    probe = corpus_index.select("doc_id", F.size("sig").alias("nh"), "bucket").limit(1).collect()
+    if probe:
+        row = probe[0]
+        idx_portable = "|" in row["bucket"]
+        nb = corpus_index.filter(F.col("doc_id") == row["doc_id"]).count()
+        if row["nh"] != num_hashes or nb != bands or idx_portable != portable:
+            raise ValueError(
+                f"corpus_index was built with num_hashes={row['nh']}, "
+                f"bands={nb}, portable={idx_portable} — got "
+                f"num_hashes={num_hashes}, bands={bands}, "
+                f"portable={portable}; matching parameters are required "
+                "or the band join silently matches nothing"
+            )
     # persist=False: the batch's signatures are consumed exactly once
     # (one band join) — a per-batch cache would leak storage memory
     # across a long-running ingestion loop
@@ -1517,59 +1514,14 @@ def containment_pairs(
     ``|A∩B| / |A|`` — the subsumption detector Jaccard misses: a short
     document quoted wholesale inside a long one scores near 1.0 here
     but low on Jaccard (the union is dominated by the long side).
-    Output ``(contained, container, containment)`` with ``contained``
-    the smaller-set side of each qualifying ordered pair.
+    Output ``(contained, container, containment)``.
 
-    Same bucketed inverted-index plan as :func:`ngram_jaccard_pairs`
-    (shared df-cap, single shingle-key shuffle); only the final formula
-    differs — both directions of a pair are evaluated and the
-    qualifying direction(s) emitted.
+    Same shared inverted-index plan as :func:`ngram_jaccard_pairs`
+    (:func:`_pair_common_counts`); only the final formula differs —
+    both directions of a pair come from one pair row via an explode,
+    and the qualifying direction(s) are emitted.
     """
-    sh = (
-        docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("toks") - n + 1, F.lit(1))
-                )
-            ).alias("p"),
-            "toks",
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(n))).alias(
-                "shingle"
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("__set"))
-        .select(
-            "doc_id",
-            F.size("__set").alias("sz"),
-            F.explode("__set").alias("shingle"),
-        )
-    )
-    buckets = (
-        sh.groupBy("shingle")
-        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("__ds"))
-        .filter(F.size("__ds").between(2, max_df))
-    )
-    pairs = (
-        buckets.select(F.explode("__ds").alias("__x"), "__ds")
-        .select("__x", F.explode("__ds").alias("__y"))
-        .filter(F.col("__x.doc_id") < F.col("__y.doc_id"))
-        .select(
-            F.col("__x.doc_id").alias("a"),
-            F.col("__y.doc_id").alias("b"),
-            F.col("__x.sz").alias("sz_a"),
-            F.col("__y.sz").alias("sz_b"),
-        )
-        .groupBy("a", "b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    # both directions from one pair row: containment of a in b uses
-    # sz_a, of b in a uses sz_b — emit whichever direction(s) qualify
+    pairs = _pair_common_counts(docs, n, max_df)
     directions = pairs.select(
         F.explode(
             F.array(

@@ -683,14 +683,9 @@ def corpus_card(docs: DataFrame) -> DataFrame:
 
 
 def oracle_corpus_card(table: str = "documents") -> str:
-    from .text import _sql_norm
-    from .text import LANG_MARKERS, _sql_list
+    from .text import _PUNCT_RE, _sql_norm, oracle_lang_id
 
     norm = _sql_norm("text")
-    # mirror pred_lang_expr: per-language marker hits, argmax with the
-    # fixed language order, 'und' when nothing hits — reuse the exact
-    # oracle the lang-ID gate uses
-    from .text import oracle_lang_id
 
     return f"""
 WITH langs AS ({oracle_lang_id(table)}),
@@ -698,7 +693,7 @@ feats AS (
     SELECT d.source,
            len(string_split({norm}, ' ')) AS nt,
            LEAST(CAST(len(string_split({norm}, ' ')) AS DOUBLE) / 50.0, 1.0)
-             * (1.0 - CAST(length(regexp_replace(d.text, '[^.,;:!?]', '', 'g'))
+             * (1.0 - CAST(length(regexp_replace(d.text, '{_PUNCT_RE}', '', 'g'))
                            AS DOUBLE) / length(d.text)) AS q,
            l.pred_lang AS lang,
            md5(lower({norm})) AS fp

@@ -1982,3 +1982,20 @@ def test_containment_dominates_jaccard(spark):
     assert jac, "fixture produced no qualifying pairs"
     for pair, j in jac.items():
         assert cont.get(pair, 0.0) >= j - 1e-6, (pair, j, cont.get(pair))
+
+
+def test_incremental_near_dups_rejects_mode_mismatch(spark):
+    """A portable-built index screened in fast mode is a hard error
+    (the bucket formats cannot collide, so the join would silently
+    match nothing)."""
+    import pytest
+
+    from pipit_spark.llm.dedup import build_lsh_index, incremental_near_dups
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    idx = build_lsh_index(corpus, portable=True)
+    with pytest.raises(ValueError, match="portable=True"):
+        incremental_near_dups(corpus.limit(1), idx, portable=False)

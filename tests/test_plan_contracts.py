@@ -261,9 +261,14 @@ def test_bloom_incremental_single_pass(spark):
     seen = docs.filter("doc_id < 100").select(
         fingerprint_expr().alias("fingerprint")
     )
+    import re
+
     tree = tree_of(incremental_new_docs(docs, seen, method="bloom"))
     assert "Union" not in tree, tree
-    assert tree.count("Join") == 1 or "BroadcastHashJoin" in tree, tree
+    # exactly ONE join node of any kind ("Join" substring-counting would
+    # double-count BroadcastHashJoin; match whole operator tokens)
+    joins = re.findall(r"\b\w*Join\w*\b", tree)
+    assert len(joins) == 1, (joins, tree)
 
 
 def test_corpus_card_single_scan(spark):
