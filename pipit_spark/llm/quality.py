@@ -709,3 +709,52 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(AVG(ROUND(q, 6)), 6) AS mean_quality
 FROM feats
 """
+
+
+def pattern_stats(
+    docs: DataFrame, pattern: str, per: str = "source"
+) -> DataFrame:
+    """Corpus forensics for an arbitrary regex — how much of each
+    ``per``-group matches a pattern (URLs, emails, code fences,
+    boilerplate markers): documents matching, total match occurrences,
+    and the per-document match rate. One scan, one aggregation; the
+    count runs in JVM codegen (``regexp_count``), verified
+    count-identical to DuckDB's ``regexp_extract_all`` length."""
+    cnt = F.regexp_count(F.coalesce(F.col("text"), F.lit("")), F.lit(pattern))
+    return (
+        docs.select(F.col(per), cnt.alias("__m"))
+        .groupBy(per)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__m") > 0, 1).otherwise(0)).alias(
+                "n_docs_matching"
+            ),
+            F.sum("__m").alias("total_matches"),
+        )
+        .select(
+            per,
+            "n_docs",
+            "n_docs_matching",
+            "total_matches",
+            F.round(F.col("total_matches") / F.col("n_docs"), 6).alias(
+                "matches_per_doc"
+            ),
+        )
+    )
+
+
+def oracle_pattern_stats(
+    table: str = "documents", pattern: str = "", per: str = "source"
+) -> str:
+    return f"""
+SELECT {per},
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(COALESCE(text, ''),
+                '{pattern}')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_matching,
+       CAST(SUM(len(regexp_extract_all(COALESCE(text, ''), '{pattern}')))
+           AS BIGINT) AS total_matches,
+       ROUND(SUM(len(regexp_extract_all(COALESCE(text, ''), '{pattern}')))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS matches_per_doc
+FROM {table} GROUP BY {per}
+"""

@@ -2435,6 +2435,14 @@ def q_doc_edit_pairs(spark, sf_dir):
     )
 
 
+def q_doc_pattern_stats(spark, sf_dir):
+    """Per-source regex forensics: occurrences of vowel-initial words
+    (a pattern guaranteed to hit the synthetic corpus non-trivially)."""
+    return QL.pattern_stats(
+        load(spark, sf_dir, "documents"), pattern=r"\b[aeiou]\w+", per="source"
+    )
+
+
 def q_doc_containment(spark, sf_dir):
     """Asymmetric containment pairs |A∩B|/|A| ≥ 0.4 — the subsumption
     detector, sharing the Jaccard inverted-index plan."""
@@ -2962,6 +2970,7 @@ def queries():
         "doc_corpus_card": q_doc_corpus_card,
         "doc_novelty": q_doc_novelty,
         "doc_containment": q_doc_containment,
+        "doc_pattern_stats": q_doc_pattern_stats,
         "doc_edit_pairs": q_doc_edit_pairs,
         "doc_incremental_neardup": q_doc_incremental_neardup,
         "trace_slow_calls": q_trace_slow_calls,
@@ -3099,6 +3108,9 @@ def oracle_sql():
         "doc_novelty": X.oracle_novelty_scores(n=3),
         "doc_containment": D.oracle_containment_pairs(
             n=3, threshold=0.4, max_df=1000
+        ),
+        "doc_pattern_stats": QL.oracle_pattern_stats(
+            pattern=r"\b[aeiou]\w+", per="source"
         ),
         "doc_edit_pairs": D.oracle_edit_verified_pairs(
             n=3, cand_threshold=0.15, edit_threshold=0.3, max_df=1000

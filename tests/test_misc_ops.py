@@ -1999,3 +1999,26 @@ def test_incremental_near_dups_rejects_mode_mismatch(spark):
     idx = build_lsh_index(corpus, portable=True)
     with pytest.raises(ValueError, match="portable=True"):
         incremental_near_dups(corpus.limit(1), idx, portable=False)
+
+
+def test_pattern_stats_counts(spark):
+    """Hand-checkable counts: occurrences vs matching-doc distinction,
+    null text counted as zero matches."""
+    from pipit_spark.llm.quality import pattern_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "an apple and an orange", "a"),
+            (1, "no vowel-starts here... well, one: ok", "a"),
+            (2, None, "a"),
+            (3, "plain xyz", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in pattern_stats(
+        docs, pattern=r"\bapple|\borange", per="source"
+    ).collect()}
+    assert out["a"]["n_docs"] == 3
+    assert out["a"]["n_docs_matching"] == 1
+    assert out["a"]["total_matches"] == 2
+    assert out["b"]["total_matches"] == 0
