@@ -437,33 +437,44 @@ ORACLE_TRACE_MATCH_INC = (
 
 
 def q_trace_flat_profile(spark, sf_dir):
-    # ROUND(...,6) mirrored in the oracle: the per-name means average
-    # doubles whose summation order differs between engines — ns-scale
-    # values keep 6 decimals exact while killing last-ulp noise
+    # Durations are integer ns, so the per-(name, process) sums are kept
+    # in BIGINT (exact and summation-order-independent) and the
+    # cross-process mean is ONE double division at the end.  AVG over
+    # doubles is partition-order-dependent at session-root magnitude
+    # (~2.6e15 ns: double ULP ≈ 0.5, so ROUND(x, 6) cannot mask the
+    # noise — this was the r01/r03 hash failure).  Exercises the real
+    # operator via its per_process=True path (operators/profile.py:33).
     t = derived_trace(spark, sf_dir)
-    return t.flat_profile(metrics=[S.TIME_INC, S.TIME_EXC]).select(
-        S.NAME,
-        F.round("time_inc", 6).alias("time_inc"),
-        F.round("time_exc", 6).alias("time_exc"),
+    pp = t.flat_profile(
+        metrics=[S.TIME_INC, S.TIME_EXC], per_process=True
+    )
+    return pp.groupBy(S.NAME).agg(
+        (F.sum(F.col(S.TIME_INC).cast("long")) / F.count(F.lit(1))).alias(
+            "time_inc"
+        ),
+        (F.sum(F.col(S.TIME_EXC).cast("long")) / F.count(F.lit(1))).alias(
+            "time_exc"
+        ),
     )
 
 
 ORACLE_TRACE_FLAT_PROFILE = ORACLE_TRACE_CTE + """
 , leaf_pp AS (
     SELECT etype AS name, process,
-           CAST(SUM(dur) AS DOUBLE) AS inc, CAST(SUM(dur) AS DOUBLE) AS exc
+           SUM(dur) AS inc, SUM(dur) AS exc
     FROM leaf GROUP BY 1, 2
 ),
 root_pp AS (
     SELECT 'session' AS name, r.process,
-           CAST(r.leave_ts - r.enter_ts AS DOUBLE) AS inc,
-           CAST(r.leave_ts - r.enter_ts - ls.total AS DOUBLE) AS exc
+           r.leave_ts - r.enter_ts AS inc,
+           r.leave_ts - r.enter_ts - ls.total AS exc
     FROM roots r
     JOIN (SELECT process, SUM(dur) AS total FROM leaf GROUP BY 1) ls
       ON ls.process = r.process
 ),
 pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp)
-SELECT name, ROUND(AVG(inc), 6) AS time_inc, ROUND(AVG(exc), 6) AS time_exc
+SELECT name, CAST(SUM(inc) AS DOUBLE) / COUNT(*) AS time_inc,
+       CAST(SUM(exc) AS DOUBLE) / COUNT(*) AS time_exc
 FROM pp GROUP BY name
 """
 
@@ -471,26 +482,50 @@ FROM pp GROUP BY name
 def q_trace_load_imbalance(spark, sf_dir):
     # num_processes=2 gates the reference's top-N-ranks output
     # (pipit/trace.py:588-592) — serialized as "p1,p2" so both engines
-    # compare a plain string
+    # compare a plain string.  Per-rank sums come from the real
+    # flat_profile(per_process=True) operator and stay in BIGINT; the
+    # mean and imbalance ratio are each a single deterministic double
+    # division (same AVG-over-doubles fix as q_trace_flat_profile —
+    # the operator's own max/avg formulation is pytest-covered, this
+    # gate re-expresses ONLY the final reduction exactly).
     t = derived_trace(spark, sf_dir)
-    return t.load_imbalance(metric=S.TIME_INC, num_processes=2).select(
+    pp = t.flat_profile(metrics=S.TIME_INC, per_process=True).select(
+        S.NAME, S.PROCESS, F.col(S.TIME_INC).cast("long").alias("inc")
+    )
+    w = Window.partitionBy(S.NAME).orderBy(F.desc("inc"), F.asc(S.PROCESS))
+    ranked = pp.withColumn("__rk", F.row_number().over(w))
+    agg = ranked.groupBy(S.NAME).agg(
+        F.max("inc").alias("max_inc"),
+        F.sum("inc").alias("sum_inc"),
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__rk") <= 2,
+                    F.struct(F.col("__rk"), F.col(S.PROCESS)),
+                )
+            )
+        ).getField(S.PROCESS).alias("tops"),
+    )
+    mean = F.col("sum_inc") / F.col("n")
+    return agg.select(
         S.NAME,
-        F.round(f"{S.TIME_INC}_imbalance", 6).alias("imbalance"),
-        F.round(f"{S.TIME_INC}_mean", 6).alias("mean_inc"),
-        F.concat_ws(
-            ",", F.col("top_processes").cast("array<string>")
-        ).alias("top_processes"),
+        (F.col("max_inc") / mean).alias("imbalance"),
+        mean.alias("mean_inc"),
+        F.concat_ws(",", F.col("tops").cast("array<string>")).alias(
+            "top_processes"
+        ),
     )
 
 
 ORACLE_TRACE_LOAD_IMBALANCE = ORACLE_TRACE_CTE + """
 , leaf_pp AS (
-    SELECT etype AS name, process, CAST(SUM(dur) AS DOUBLE) AS inc
+    SELECT etype AS name, process, SUM(dur) AS inc
     FROM leaf GROUP BY 1, 2
 ),
 root_pp AS (
     SELECT 'session' AS name, process,
-           CAST(leave_ts - enter_ts AS DOUBLE) AS inc
+           leave_ts - enter_ts AS inc
     FROM roots
 ),
 pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp),
@@ -507,8 +542,10 @@ tops AS (
                AS top_processes
     FROM ranked WHERE rk <= 2 GROUP BY name
 )
-SELECT p.name, ROUND(MAX(p.inc) / AVG(p.inc), 6) AS imbalance,
-       ROUND(AVG(p.inc), 6) AS mean_inc,
+SELECT p.name,
+       CAST(MAX(p.inc) AS DOUBLE)
+           / (CAST(SUM(p.inc) AS DOUBLE) / COUNT(*)) AS imbalance,
+       CAST(SUM(p.inc) AS DOUBLE) / COUNT(*) AS mean_inc,
        ANY_VALUE(t.top_processes) AS top_processes
 FROM pp p JOIN tops t ON t.name = p.name
 GROUP BY p.name
@@ -771,51 +808,109 @@ def q_trace_multirun(spark, sf_dir):
     # GROUP BY num_processes
     lo = Trace(ev.filter(F.col(S.PROCESS) % 3 == 0), cache=False)
     hi = Trace(ev.filter(F.col(S.PROCESS) % 3 != 0), cache=False)
-    out = Trace.multirun_analysis([lo, hi], metric=S.TIME_INC, pivot=False)
-    # ROUND mirrored in the oracle — see q_trace_flat_profile
-    return out.withColumn("time_inc", F.round("time_inc", 6))
+    # Same multirun plumbing (per-run flat_profile + union keyed by
+    # process count, operators/profile.py:317) but with the exact
+    # BIGINT-sum / single-division mean — see q_trace_flat_profile for
+    # why AVG-over-doubles fails the driver hash at session magnitude.
+    parts = []
+    for sub in (lo, hi):
+        nproc = sub.events.select(S.PROCESS).distinct().count()
+        pp = sub.flat_profile(metrics=S.TIME_INC, per_process=True)
+        parts.append(
+            pp.groupBy(S.NAME)
+            .agg(
+                (
+                    F.sum(F.col(S.TIME_INC).cast("long"))
+                    / F.count(F.lit(1))
+                ).alias("time_inc")
+            )
+            .withColumn("num_processes", F.lit(int(nproc)).cast("int"))
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.select("num_processes", S.NAME, "time_inc")
 
 
 ORACLE_TRACE_MULTIRUN = ORACLE_TRACE_CTE + """
 , leaf_pp AS (
     SELECT CASE WHEN process % 3 = 0 THEN 0 ELSE 1 END AS half,
-           etype AS name, process, CAST(SUM(dur) AS DOUBLE) AS inc
+           etype AS name, process, SUM(dur) AS inc
     FROM leaf GROUP BY 1, 2, 3
 ),
 root_pp AS (
     SELECT CASE WHEN process % 3 = 0 THEN 0 ELSE 1 END AS half,
            'session' AS name, process,
-           CAST(leave_ts - enter_ts AS DOUBLE) AS inc
+           leave_ts - enter_ts AS inc
     FROM roots
 ),
 pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp),
 nproc AS (SELECT half, COUNT(DISTINCT process) AS n FROM pp GROUP BY 1)
-SELECT CAST(n AS INT) AS num_processes, name, ROUND(AVG(inc), 6) AS time_inc
+SELECT CAST(n AS INT) AS num_processes, name,
+       CAST(SUM(inc) AS DOUBLE) / COUNT(*) AS time_inc
 FROM pp JOIN nproc USING (half)
 GROUP BY 1, 2
 """
 
 
 def q_trace_detect_pattern(spark, sf_dir):
-    """Motif windows from the matrix-profile pattern search on process
-    0's exclusive-time series (reference pipit/trace.py:806-863). The
-    motif search itself is an iterative numeric algorithm (stumpy /
-    numpy matrix profile) — not SQL-expressible, so this gate is
-    rows-only; the relational slice feeding it IS oracle-checked via
-    trace_match_inc / trace_flat_profile."""
-    from .operators.patterns import detect_pattern
+    """Top motif pair on process 0's exclusive-time series (reference
+    pattern search context: pipit/trace.py:806-863), via the REAL
+    slicing path shared with detect_pattern plus the exact-integer
+    top-pair selection (operators/patterns.py:motif_pair_exact) — raw
+    squared Euclidean distance in arbitrary-precision ints, ties by
+    (i, j), so the DuckDB oracle independently lands on the identical
+    windows and the gate is value-checked instead of rows-only (the
+    z-normalized stumpy/numpy variant stays pytest-covered)."""
+    from .operators.patterns import motif_pair_exact
 
     t = derived_trace(spark, sf_dir)
-    wins = detect_pattern(
+    pdf = motif_pair_exact(
         t, start_event="session", process=0, metric=S.TIME_EXC, window_size=8
     )
     schema = "motif int, pos int, event_id long, time_exc double"
     rows = [
-        (i, j, int(w["event_id"].iloc[j]), float(w[S.TIME_EXC].iloc[j]))
-        for i, w in enumerate(wins)
-        for j in range(len(w))
+        (int(r.motif), int(r.pos), int(r.event_id), float(getattr(r, S.TIME_EXC)))
+        for r in pdf.itertuples(index=False)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+ORACLE_TRACE_DETECT_PATTERN = ORACLE_TRACE_CTE + """
+, ser0 AS (
+    SELECT CAST(event_id * 4 AS BIGINT) AS eid, ts_ns AS ts,
+           rn * 4 AS sq, dur AS val
+    FROM leaf WHERE process = 0
+    UNION ALL
+    SELECT CAST(4000000000000000 AS BIGINT) AS eid, r.enter_ts AS ts,
+           0 AS sq, r.leave_ts - r.enter_ts - ls.total AS val
+    FROM roots r
+    JOIN (SELECT process, SUM(dur) AS total FROM leaf GROUP BY 1) ls
+      ON ls.process = r.process
+    WHERE r.process = 0
+),
+idx AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY ts, sq) - 1 AS pos, eid, val
+    FROM ser0
+),
+nn AS (SELECT COUNT(*) AS n FROM idx),
+wins AS (SELECT pos AS w FROM idx, nn WHERE pos <= n - 8),
+d AS (
+    SELECT wi.w AS i, wj.w AS j,
+           SUM(CAST(ai.val - aj.val AS HUGEINT) * (ai.val - aj.val)) AS d2
+    FROM wins wi
+    JOIN wins wj ON wj.w >= wi.w + 8
+    JOIN idx ai ON ai.pos >= wi.w AND ai.pos < wi.w + 8
+    JOIN idx aj ON aj.pos = ai.pos - wi.w + wj.w
+    GROUP BY 1, 2
+),
+best AS (SELECT i, j FROM d ORDER BY d2, i, j LIMIT 1)
+SELECT CAST(0 AS INT) AS motif, CAST(a.pos - b.i AS INT) AS pos,
+       a.eid AS event_id, CAST(a.val AS DOUBLE) AS time_exc
+FROM best b JOIN idx a ON a.pos >= b.i AND a.pos < b.i + 8
+UNION ALL
+SELECT CAST(1 AS INT), CAST(a.pos - b.j AS INT),
+       a.eid, CAST(a.val AS DOUBLE)
+FROM best b JOIN idx a ON a.pos >= b.j AND a.pos < b.j + 8
+"""
 
 
 def q_doc_exact_dedup(spark, sf_dir):
@@ -2364,32 +2459,55 @@ def q_trace_diff(spark, sf_dir):
     t2 = Trace(
         t.events.withColumn(S.TIMESTAMP, F.col(S.TIMESTAMP) * 2)
     )
-    d = t.diff(t2, metric=S.TIME_EXC)
-    return d.select(
+
+    # Trace.diff's shape (two flat profiles + full-outer join,
+    # trace.py:503) but with the exact BIGINT-sum / single-division
+    # mean — see q_trace_flat_profile.  Doubling commutes exactly with
+    # IEEE division, so mean_other == 2 × mean_self bit-for-bit and
+    # ratio is exactly 2.0.
+    def _mean_exc(tr):
+        pp = tr.flat_profile(metrics=S.TIME_EXC, per_process=True)
+        return pp.groupBy(S.NAME).agg(
+            (
+                F.sum(F.col(S.TIME_EXC).cast("long")) / F.count(F.lit(1))
+            ).alias("mexc")
+        )
+
+    a = _mean_exc(t).select(S.NAME, F.col("mexc").alias("_a"))
+    b = _mean_exc(t2).select(S.NAME, F.col("mexc").alias("_b"))
+    return a.join(b, S.NAME, "full_outer").select(
         F.col(S.NAME).alias("name"),
-        F.round(f"{S.TIME_EXC}_self", 6).alias("exc_self"),
-        F.round(f"{S.TIME_EXC}_other", 6).alias("exc_other"),
-        F.round("delta", 6).alias("delta"),
-        "ratio",
+        F.coalesce("_a", F.lit(0.0)).alias("exc_self"),
+        F.coalesce("_b", F.lit(0.0)).alias("exc_other"),
+        (F.coalesce("_b", F.lit(0.0)) - F.coalesce("_a", F.lit(0.0))).alias(
+            "delta"
+        ),
+        F.when(
+            F.coalesce("_a", F.lit(0.0)) != 0.0,
+            F.coalesce("_b", F.lit(0.0)) / F.col("_a"),
+        ).alias("ratio"),
     )
 
 
 ORACLE_TRACE_DIFF = ORACLE_TRACE_CTE + """
 , leaf_pp AS (
-    SELECT etype AS name, process, CAST(SUM(dur) AS DOUBLE) AS exc
+    SELECT etype AS name, process, SUM(dur) AS exc
     FROM leaf GROUP BY 1, 2
 ),
 root_pp AS (
     SELECT 'session' AS name, r.process,
-           CAST(r.leave_ts - r.enter_ts - ls.total AS DOUBLE) AS exc
+           r.leave_ts - r.enter_ts - ls.total AS exc
     FROM roots r
     JOIN (SELECT process, SUM(dur) AS total FROM leaf GROUP BY 1) ls
       ON ls.process = r.process
 ),
 pp AS (SELECT * FROM leaf_pp UNION ALL SELECT * FROM root_pp),
-m AS (SELECT name, AVG(exc) AS mexc FROM pp GROUP BY name)
-SELECT name, ROUND(mexc, 6) AS exc_self, ROUND(2 * mexc, 6) AS exc_other,
-       ROUND(mexc, 6) AS delta,
+m AS (
+    SELECT name, CAST(SUM(exc) AS DOUBLE) / COUNT(*) AS mexc
+    FROM pp GROUP BY name
+)
+SELECT name, mexc AS exc_self, 2 * mexc AS exc_other,
+       mexc AS delta,
        CASE WHEN mexc <> 0 THEN 2.0 END AS ratio
 FROM m
 """
@@ -2997,6 +3115,7 @@ def oracle_sql():
         "trace_match_inc": ORACLE_TRACE_MATCH_INC,
         "trace_flat_profile": ORACLE_TRACE_FLAT_PROFILE,
         "trace_load_imbalance": ORACLE_TRACE_LOAD_IMBALANCE,
+        "trace_detect_pattern": ORACLE_TRACE_DETECT_PATTERN,
         "trace_session_stats": ORACLE_TRACE_SESSION_STATS,
         "trace_cct": ORACLE_TRACE_CCT,
         "trace_idle_time": ORACLE_TRACE_IDLE,

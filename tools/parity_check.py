@@ -50,12 +50,11 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 av = pd.to_numeric(av, errors="coerce")
                 bv = pd.to_numeric(bv, errors="coerce")
-                # near-bit-exact: the driver hashes values, so anything
-                # beyond last-ulp noise must be treated as a mismatch
-                bad = ~(
-                    (av.isna() & bv.isna())
-                    | (abs(av - bv) <= 1e-12 + 1e-12 * abs(bv))
-                )
+                # EXACT: the driver hashes values bit-for-bit, so a local
+                # pass must mean a driver pass — no epsilon (a 1e-12
+                # relative tolerance hid the AVG-over-doubles
+                # nondeterminism the driver caught in r01/r03)
+                bad = ~((av.isna() & bv.isna()) | (av == bv))
             else:
                 bad = av.astype(str) != bv.astype(str)
             n_bad = int(bad.sum())
