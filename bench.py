@@ -54,6 +54,7 @@ HEADLINE = [
     "doc_minhash_lsh",
     "doc_ngram_jaccard",
     "doc_despan",
+    "doc_bpe",
     "emb_cosine_topk",
     "emb_ivf_topk",
     "emb_semantic_dedup",

@@ -56,16 +56,102 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 _EOW = "</w>"
 
 
+def _train_bpe_local(
+    word_cnt: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Sennrich merge loop over a collected word table, with
+    incremental pair statistics (pair → containing-word index, lazy
+    max-heap for the argmax) — O(affected words) per merge instead of
+    O(vocabulary), so a real 32k-merge vocabulary trains in seconds
+    driver-side.  Semantics are merge-for-merge identical to the
+    published Algorithm 1: overlapping occurrences each count, ties
+    break (count desc, pair asc), merges apply leftmost-first
+    non-overlapping."""
+    import heapq
+
+    vocab: list[list] = [[list(w) + [_EOW], c] for w, c in word_cnt]
+    stats: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wid, (syms, c) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            stats[p] = stats.get(p, 0) + c
+            index.setdefault(p, set()).add(wid)
+
+    heap = [(-c, p) for p, c in stats.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        negc, best = heap[0]
+        cur = stats.get(best, 0)
+        if cur != -negc:  # stale heap entry (lazy deletion)
+            heapq.heappop(heap)
+            continue
+        if cur < 2:
+            break
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        # stale word ids (word no longer contains the pair) are harmless:
+        # their retract-and-readd below cancels exactly
+        for wid in index.pop(best, set()):
+            syms, c = vocab[wid]
+            for p in zip(syms, syms[1:]):
+                left = stats.get(p, 0) - c
+                if left > 0:
+                    stats[p] = left
+                    # re-push at the new count: every live count must
+                    # have a heap entry or the pair becomes unselectable
+                    heapq.heappush(heap, (-left, p))
+                else:
+                    stats.pop(p, None)
+            new: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[wid][0] = new
+            for p in zip(new, new[1:]):
+                stats[p] = stats.get(p, 0) + c
+                index.setdefault(p, set()).add(wid)
+                heapq.heappush(heap, (-stats[p], p))
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     num_merges: int = 50,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    distributed: bool = False,
+    max_word_types: int = 5_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges; returns them in order. Ties on
     pair frequency break lexicographically (deterministic across
     engines and partitionings — a plain max would be
-    partition-order-dependent)."""
+    partition-order-dependent).
+
+    Default path: ONE distributed corpus scan builds the word-frequency
+    table (the only data-sized step), the top ``max_word_types`` types
+    (count desc, word asc — a top-k, not a full sort) collect to the
+    driver, and the merge loop runs locally at dict/heap speed.  The
+    distributed per-merge loop costs ~2 Spark jobs per merge — at a real
+    32k-merge vocabulary that is ~64k sequential driver round-trips of
+    pure scheduler overhead over a vocabulary-sized table; keep it
+    (``distributed=True``) only for word tables that genuinely cannot
+    fit the driver."""
+    if not distributed:
+        wc = word_counts(docs, text_col)
+        rows = (
+            wc.orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(max_word_types)
+            .collect()
+        )
+        return _train_bpe_local([(r["word"], r["cnt"]) for r in rows], num_merges)
+
     words = word_counts(docs, text_col).select(
         F.concat(
             F.split(F.col("word"), ""), F.array(F.lit(_EOW))
@@ -194,3 +280,57 @@ def apply_bpe(
             )
 
     return docs.select("doc_id", text_col).mapInPandas(gen, schema)
+
+
+def oracle_bpe(num_merges: int = 12, table: str = "documents") -> str:
+    """DuckDB replay of the merge loop, unrolled to ``num_merges``
+    chained CTE steps over the word table (lowercased alphanumeric
+    words only — see q_doc_bpe).  Each step: pair counts from the
+    symbol lists, deterministic argmax (count desc, pair asc), then the
+    merge applied through a sentinel-string ``replace`` — every symbol
+    is wrapped ``|sym|`` so ``replace(r, '|a||b|', '|ab|')`` is exactly
+    the leftmost-first non-overlapping merge rule (the wrapper makes
+    boundary false-matches impossible for pipe-free symbols, and
+    consecutive overlapping occurrences resolve left-to-right just like
+    the trainer's fold).  Every step CTE is MATERIALIZED: w{{k}} is
+    referenced twice (pair counts + the next step), so inlining would
+    re-evaluate the whole chain per reference — a 2^num_merges blowup."""
+    sql = f"""WITH words AS MATERIALIZED (
+    SELECT t.w AS word, COUNT(*) AS cnt
+    FROM {table},
+         UNNEST(string_split(regexp_replace(trim(lower(text)),
+                                            '\\s+', ' ', 'g'), ' ')) AS t(w)
+    WHERE regexp_matches(t.w, '^[a-z0-9]+$')
+    GROUP BY 1
+),
+w0 AS MATERIALIZED (
+    SELECT list_append(string_split(word, ''), '</w>') AS syms,
+           regexp_replace(word, '(.)', '|\\1|', 'g') || '|</w>|' AS r,
+           cnt
+    FROM words
+)"""
+    for k in range(num_merges):
+        rep = (
+            f"replace(w.r, '|' || b.a || '||' || b.b || '|', "
+            f"'|' || b.a || b.b || '|')"
+        )
+        sql += f""",
+p{k} AS (
+    SELECT syms[i] AS a, syms[i + 1] AS b, SUM(cnt) AS total
+    FROM w{k}, UNNEST(range(1, length(syms))) AS t(i)
+    GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+    SELECT {k} AS merge_idx, a, b FROM p{k}
+    WHERE total >= 2 ORDER BY total DESC, a, b LIMIT 1
+),
+w{k + 1} AS MATERIALIZED (
+    SELECT string_split(trim({rep}, '|'), '||') AS syms,
+           {rep} AS r, w.cnt
+    FROM w{k} w, b{k} b
+)"""
+    union = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(num_merges))
+    sql += (
+        f"\nSELECT CAST(merge_idx AS INT) AS merge_idx, a, b FROM ({union})"
+    )
+    return sql

@@ -374,13 +374,23 @@ def build_lsh_index(
             ).cast("string"),
         )
 
-    return sigs.select(
+    out = sigs.select(
         "doc_id",
         "sig",
         F.explode(F.array(*[band_key(b) for b in range(bands)])).alias(
             "bucket"
         ),
     )
+    # driver-side index metadata: consumers (incremental_near_dups)
+    # validate parameter compatibility from this — zero Spark jobs, and
+    # it carries shingle_n, which is NOT recoverable from the signatures
+    out.lsh_params = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "portable": portable,
+    }
+    return out
 
 
 def minhash_lsh_pairs(
@@ -1368,26 +1378,52 @@ def incremental_near_dups(
     corpus doc_id). Batch docs absent from the result are new.
     """
     # Guard the cross-job failure mode: a persisted index built with
-    # different (num_hashes, bands, portable) would band-join to
-    # NOTHING and silently admit every near-duplicate as "new". One
-    # sampled row gives the signature length AND the bucket format
-    # (portable buckets are 'b|<md5>|…', fast are 'b:<long>'); the
-    # sampled doc's band count is one filtered count — no index-wide
-    # aggregation shuffle per batch. shingle_n is NOT recoverable from
-    # signatures and must match by contract (documented above).
-    probe = corpus_index.select("doc_id", F.size("sig").alias("nh"), "bucket").limit(1).collect()
-    if probe:
-        row = probe[0]
-        idx_portable = "|" in row["bucket"]
-        nb = corpus_index.filter(F.col("doc_id") == row["doc_id"]).count()
-        if row["nh"] != num_hashes or nb != bands or idx_portable != portable:
+    # different parameters would band-join to NOTHING and silently admit
+    # every near-duplicate as "new". Preferred path: the ``lsh_params``
+    # metadata attached by build_lsh_index / load_lsh_index — a pure
+    # driver-side check covering ALL four parameters including
+    # shingle_n (not recoverable from the signatures). Fallback for
+    # metadata-less frames: one sampled-row probe (signature length,
+    # bucket format, band count) run ONCE per index — the result is
+    # cached on the frame so a long-running ingestion loop pays no
+    # per-batch Spark jobs for the guard.
+    want = {
+        "num_hashes": num_hashes, "bands": bands,
+        "shingle_n": shingle_n, "portable": portable,
+    }
+    params = getattr(corpus_index, "lsh_params", None)
+    if params is not None:
+        bad = {k: (params.get(k), v) for k, v in want.items()
+               if params.get(k) != v}
+        if bad:
             raise ValueError(
-                f"corpus_index was built with num_hashes={row['nh']}, "
-                f"bands={nb}, portable={idx_portable} — got "
-                f"num_hashes={num_hashes}, bands={bands}, "
-                f"portable={portable}; matching parameters are required "
-                "or the band join silently matches nothing"
+                "corpus_index parameters do not match this call: "
+                + ", ".join(
+                    f"{k}: index={iv} call={cv}"
+                    for k, (iv, cv) in sorted(bad.items())
+                )
+                + " — matching parameters are required or the band join "
+                "silently matches nothing"
             )
+    else:
+        probe = corpus_index.select(
+            "doc_id", F.size("sig").alias("nh"), "bucket"
+        ).limit(1).collect()
+        if probe:
+            row = probe[0]
+            idx_portable = "|" in row["bucket"]
+            nb = corpus_index.filter(F.col("doc_id") == row["doc_id"]).count()
+            if row["nh"] != num_hashes or nb != bands or idx_portable != portable:
+                raise ValueError(
+                    f"corpus_index was built with num_hashes={row['nh']}, "
+                    f"bands={nb}, portable={idx_portable} — got "
+                    f"num_hashes={num_hashes}, bands={bands}, "
+                    f"portable={portable}; matching parameters are required "
+                    "or the band join silently matches nothing"
+                )
+            # probe verified (shingle_n by contract): memoize so later
+            # batches against this frame skip the probe jobs entirely
+            corpus_index.lsh_params = dict(want)
     # persist=False: the batch's signatures are consumed exactly once
     # (one band join) — a per-batch cache would leak storage memory
     # across a long-running ingestion loop
@@ -1497,14 +1533,44 @@ def save_lsh_index(
     from ..sinks.bucketed import write_bucketed
 
     write_bucketed(index, table, bucket_keys="bucket", num_buckets=num_buckets)
+    # companion 1-row metadata table: the build parameters travel with
+    # the index across jobs, so tomorrow's ingestion validates its
+    # parameters (including shingle_n) without probing the data
+    params = getattr(index, "lsh_params", None)
+    if params is not None:
+        spark = index.sparkSession
+        spark.createDataFrame(
+            [
+                (
+                    int(params["num_hashes"]),
+                    int(params["bands"]),
+                    int(params["shingle_n"]),
+                    bool(params["portable"]),
+                )
+            ],
+            "num_hashes int, bands int, shingle_n int, portable boolean",
+        ).write.mode("overwrite").saveAsTable(f"{table}__lshmeta")
 
 
 def load_lsh_index(spark, table: str) -> DataFrame:
     """Catalog read of a saved index; bucketing metadata rides along so
-    the band join skips its corpus-side shuffle."""
+    the band join skips its corpus-side shuffle, and the companion
+    parameter table (written by :func:`save_lsh_index`) re-attaches
+    ``lsh_params`` so consumers validate compatibility driver-side."""
     from ..sinks.bucketed import read_table
 
-    return read_table(spark, table)
+    out = read_table(spark, table)
+    try:
+        row = spark.table(f"{table}__lshmeta").collect()[0]
+        out.lsh_params = {
+            "num_hashes": row["num_hashes"],
+            "bands": row["bands"],
+            "shingle_n": row["shingle_n"],
+            "portable": row["portable"],
+        }
+    except Exception:
+        pass  # pre-metadata index: consumers fall back to the data probe
+    return out
 
 
 def containment_pairs(

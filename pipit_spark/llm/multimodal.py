@@ -59,12 +59,14 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 def _STUB_decode_bytes(data: bytes, kind: str, feat_dim: int) -> tuple:
-    """STUB CODEC — deterministic fake standing in for PIL/librosa/ffmpeg
-    (not available in this container). Produces stable pseudo-dimensions
-    and a stable pseudo-feature vector from the content hash so tests
-    are reproducible. Replace with a real decoder in production; the
-    Spark-side contract (inputs: bytes+kind, outputs: dims+features)
-    is unchanged."""
+    """STUB CODEC — deterministic fake for payloads that are not real
+    media (tests, the driver gate's synthesized corpus) or when the real
+    libraries are absent. Produces stable pseudo-dimensions and a stable
+    pseudo-feature vector from the content hash so results are
+    reproducible AND independently recomputable by the DuckDB oracle
+    (see queries.py ORACLE_MEDIA_DECODE). The Spark-side contract
+    (inputs: bytes+kind, outputs: dims+features) matches the real
+    decoders below."""
     if data is None:
         raise NotImplementedError("real codec required for null-safe decode")
     h = hashlib.md5(data).digest()
@@ -78,11 +80,92 @@ def _STUB_decode_bytes(data: bytes, kind: str, feat_dim: int) -> tuple:
     return height, width, len(data), feats
 
 
-def decode_media(media: DataFrame, feat_dim: int = 16) -> DataFrame:
+class CodecUnavailable(RuntimeError):
+    """The real decoder for this payload/kind is not importable (or the
+    payload is not a parseable media file)."""
+
+
+def _decode_image_real(data: bytes, feat_dim: int) -> tuple:
+    """Real image decode via PIL: true dimensions plus a feature vector
+    of grayscale cell means from a feat_dim-cell thumbnail strip.
+    Raises CodecUnavailable when PIL is absent or the bytes are not an
+    image it can parse."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise CodecUnavailable("PIL not installed") from e
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(data))
+        w, h = img.size
+        g = img.convert("L").resize((feat_dim, 1))
+        feats = [float(v) / 255.0 for v in g.getdata()]
+    except Exception as e:  # not an image / truncated
+        raise CodecUnavailable(str(e)) from e
+    return h, w, len(data), feats
+
+
+def _decode_audio_real(data: bytes, feat_dim: int) -> tuple:
+    """Real audio decode for WAV payloads via the stdlib ``wave``
+    module: (n_channels, n_frames) as the dims slot plus per-chunk RMS
+    features over the raw PCM. Raises CodecUnavailable for non-WAV
+    payloads (mp3/ogg need ffmpeg-class codecs)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data)) as wf:
+            nch, sw, _, nframes = wf.getparams()[:4]
+            raw = wf.readframes(nframes)
+    except Exception as e:
+        raise CodecUnavailable(str(e)) from e
+    dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(sw)
+    if dt is None:
+        raise CodecUnavailable(f"unsupported sample width {sw}")
+    samples = np.frombuffer(raw, dtype=dt).astype(np.float64)
+    feats = []
+    if len(samples):
+        scale = float(2 ** (8 * sw - 1))
+        for chunk in np.array_split(samples, feat_dim):
+            feats.append(
+                float(np.sqrt(np.mean(chunk**2)) / scale) if len(chunk) else 0.0
+            )
+    else:
+        feats = [0.0] * feat_dim
+    return nch, nframes, len(data), feats
+
+
+def _decode_bytes(data: bytes, kind: str, feat_dim: int, codec: str) -> tuple:
+    """Dispatch: codec='stub' forces the deterministic fake (the oracle
+    configuration), 'real' hard-requires a real decoder, 'auto' tries
+    the real decoder and falls back to the stub per payload (so a mixed
+    corpus of real images and opaque blobs still decodes end-to-end)."""
+    if codec == "stub":
+        return _STUB_decode_bytes(data, kind, feat_dim)
+    try:
+        if kind == "image":
+            return _decode_image_real(data, feat_dim)
+        if kind == "audio":
+            return _decode_audio_real(data, feat_dim)
+        raise CodecUnavailable(f"no real codec for kind={kind!r}")
+    except CodecUnavailable:
+        if codec == "real":
+            raise
+        return _STUB_decode_bytes(data, kind, feat_dim)
+
+
+def decode_media(
+    media: DataFrame, feat_dim: int = 16, codec: str = "auto"
+) -> DataFrame:
     """Arrow-batched decode / feature-extract pass. Real plumbing:
     mapInPandas streams batches (bounded memory per task regardless of
     blob sizes), output schema is fixed/typed, partitioning untouched
-    (narrow op — no shuffle)."""
+    (narrow op — no shuffle). ``codec``: 'auto' (real decoder when the
+    library is present and the payload parses, stub otherwise), 'real'
+    (fail loudly), or 'stub' (deterministic, oracle-checkable)."""
+    if codec not in ("auto", "real", "stub"):
+        raise ValueError(f"codec must be auto|real|stub, got {codec!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -95,7 +178,9 @@ def decode_media(media: DataFrame, feat_dim: int = 16) -> DataFrame:
             for mid, kind, data in zip(
                 pdf["media_id"], pdf["kind"], pdf["data"]
             ):
-                h, w, nb, feats = _STUB_decode_bytes(bytes(data), kind, feat_dim)
+                h, w, nb, feats = _decode_bytes(
+                    bytes(data), kind, feat_dim, codec
+                )
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["height"].append(h)

@@ -588,6 +588,14 @@ def vocab_coverage(
     the two formulations equivalent). The probe is a broadcast join of
     aggregated rows against the bounded vocab; the persisted (source,
     token) counts are re-read, never re-scanned from text.
+
+    Cache lifetime: with ``persist=True`` the (source, token) counts
+    stay in storage memory until released — Spark's CacheManager does
+    not GC them. The cached frame is exposed as
+    ``result.cached_token_counts``; long-lived sessions calling this
+    repeatedly should ``result.cached_token_counts.unpersist()`` after
+    consuming the result (or pass ``persist=False`` to trade the second
+    scan for zero cache footprint).
     """
     st = (
         docs.select(
@@ -609,7 +617,7 @@ def vocab_coverage(
     flagged = st.join(
         F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left"
     )
-    return (
+    out = (
         flagged.groupBy("source")
         .agg(
             F.sum("cnt").alias("total_tokens"),
@@ -625,6 +633,9 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+    # release handle for the persisted counts (see docstring)
+    out.cached_token_counts = st if persist else None
+    return out
 
 
 def oracle_vocab_coverage(table: str = "documents", top_k: int = 500) -> str:

@@ -936,6 +936,42 @@ GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
 """
 
 
+def q_doc_bpe(spark, sf_dir):
+    """BPE training end-to-end: one distributed word-count scan, then
+    the driver-side Sennrich merge loop (llm/bpe.py:train_bpe default
+    path).  The corpus is restricted to lowercased purely-alphanumeric
+    words so the DuckDB oracle's sentinel-string merge replay
+    (llm/bpe.py:oracle_bpe) is exact — '|' can never appear inside a
+    symbol.  Output: the ordered merge table."""
+    from .llm import bpe as B
+
+    docs = load(spark, sf_dir, "documents")
+    safe = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                    " ",
+                ),
+                lambda w: w.rlike("^[a-z0-9]+$"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    merges = B.train_bpe(safe, num_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_idx int, a string, b string",
+    )
+
+
+def _oracle_bpe() -> str:
+    from .llm.bpe import oracle_bpe
+
+    return oracle_bpe(num_merges=12)
+
+
 # ===================================================================== #
 # relational (TPC-H-ish) gate queries — Spark side is spark.sql over the
 # same declarative text (Catalyst optimizes), oracle is the DuckDB twin.
@@ -2929,12 +2965,48 @@ def q_doc_training_set(spark, sf_dir):
 
 
 def q_media_decode(spark, sf_dir):
+    """Multimodal decode pass, pinned to the deterministic stub codec
+    (the synthesized corpus is utf-8 bytes, not parseable media; with
+    codec='auto' the same plumbing runs PIL / stdlib-wave when the
+    payload is real — llm/multimodal.py:_decode_bytes).  The stub's
+    dims and feature bytes are pure md5 functions of the payload, so
+    the DuckDB oracle recomputes them exactly; features are emitted as
+    their source bytes (ints) to keep the hash float-free."""
     from .llm import multimodal as M
 
     media = M.synthesize_media(load(spark, sf_dir, "documents"))
-    return M.decode_media(media).select(
-        "media_id", "kind", "height", "width", "n_bytes"
+    return M.decode_media(media, feat_dim=16, codec="stub").select(
+        "media_id", "kind", "height", "width", "n_bytes",
+        F.transform(
+            "features", lambda x: F.round(x * 255).cast("int")
+        ).alias("feat_bytes"),
     )
+
+
+ORACLE_MEDIA_DECODE = r"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           md5(text) AS hx, md5(text || 'feat') AS fx,
+           octet_length(encode(text)) AS nb
+    FROM documents
+)
+SELECT media_id, kind,
+       CAST(1 + ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 64
+           AS INT) AS height,
+       CAST(1 + ((strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 64
+           AS INT) AS width,
+       CAST(nb AS BIGINT) AS n_bytes,
+       list_transform(range(0, 16), i ->
+           CAST((strpos('0123456789abcdef', substr(fx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(fx, 2 * i + 2, 1)) - 1)
+           AS INT)) AS feat_bytes
+FROM m
+"""
 
 
 def _oracle_clean_corpus() -> str:
@@ -2962,22 +3034,98 @@ def _oracle_sampling(which: str) -> str:
 # ===================================================================== #
 def queries():
     """Registry order is load-bearing: the driver's correctness gate
-    checks the FIRST 50 entries per round.  The window therefore holds
-    every gate that either (a) has never had a driver-green row (all
-    dedup/pipeline/sampling/embedding gates) or (b) regressed to ERR in
-    r02 and must re-prove after the ts fix (the 13 trace gates + the 4
-    event-time relational gates).  The tail holds gates with existing
-    r01/r02 driver-green rows (TPC-H SQL variants), redundant oracle
-    twins (emb_topk_pandas / emb_ivf_topk_exact share emb_cosine_topk's
-    oracle), and rows-only gates.  Every oracle-bearing gate — window or
-    tail — is additionally value-checked locally by
-    tools/parity_check.py and column-checked by tests/test_oracle_parity.
+    checks the FIRST 50 entries per round.
+
+    Driver-coverage history (from CORRECTNESS_r0*.json): r01+r02 checked
+    the first-50 of the old order (TPC-H + trace + events gates); r03
+    checked a rotated window (trace + core LLM gates).  65 gates have at
+    least one driver-hash-green row across r01-r03; 56 had NEVER been
+    driver-checked before r04.  This round's window therefore holds:
+    the 3 repaired mean gates (flat_profile / load_imbalance / multirun
+    — BIGINT-sum determinism fix), trace_detect_pattern + media_decode
+    + doc_bpe with their new value oracles, and 44 of the never-checked
+    gates (advanced dedup / sampling / ANN / trace analyses).  The tail
+    leads with the ~11 never-checked gates that did not fit (r05
+    window), followed by every gate already driver-hash-green in
+    r01-r03.  Every oracle-bearing gate — window or tail — is
+    additionally value-checked locally by tools/parity_check.py (EXACT
+    float compare, predicting the driver's hash) and column-checked by
+    tests/test_oracle_parity.
     """
     return {
-        # trace engine (SURVEY §2.3-2.5) — ERR(ts) in r02, re-prove
-        "trace_match_inc": q_trace_match_inc,
+        # ---- r04 window (slots 1-50) -------------------------------
+        # repaired AVG-determinism gates (driver-red in r01+r03)
         "trace_flat_profile": q_trace_flat_profile,
         "trace_load_imbalance": q_trace_load_imbalance,
+        "trace_multirun": q_trace_multirun,
+        # newly value-oracled gates
+        "trace_detect_pattern": q_trace_detect_pattern,
+        "doc_bpe": q_doc_bpe,
+        "media_decode": q_media_decode,
+        # never-driver-checked: trace analyses
+        "trace_diff": q_trace_diff,
+        "trace_slow_calls": q_trace_slow_calls,
+        "trace_folded_stacks": q_trace_folded_stacks,
+        "trace_comm_by_function": q_trace_comm_by_function,
+        "trace_comm_locality": q_trace_comm_locality,
+        # never-driver-checked: TPC-H variants
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_count": q16_parts_supplier_count,
+        "q20_excess_stock": q20_excess_stock,
+        "q21_waiting_orders": q21_waiting_orders,
+        # never-driver-checked: dedup / text / quality
+        "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
+        "doc_containment": q_doc_containment,
+        "doc_edit_pairs": q_doc_edit_pairs,
+        "doc_winnow": q_doc_winnow,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
+        "doc_despan": q_doc_despan,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_dedup_lines": q_doc_dedup_lines,
+        "doc_dedup_lines_within": q_doc_dedup_lines_within,
+        "doc_line_fluency": q_doc_line_fluency,
+        "doc_fluency": q_doc_fluency,
+        "doc_boilerplate": q_doc_boilerplate,
+        "doc_pretokenize": q_doc_pretokenize,
+        "doc_novelty": q_doc_novelty,
+        "doc_pattern_stats": q_doc_pattern_stats,
+        "doc_vocab_coverage": q_doc_vocab_coverage,
+        "doc_corpus_card": q_doc_corpus_card,
+        "doc_corpus_diff": q_doc_corpus_diff,
+        "doc_contamination_report": q_doc_contamination_report,
+        "emb_lsh_ann": q_emb_lsh_ann,
+        "doc_dedup_quality": q_doc_dedup_quality,
+        "doc_model_score": q_doc_model_score,
+        # never-driver-checked: sampling / packing / pipelines
+        "doc_dsir": q_doc_dsir,
+        "doc_select_dsir": q_doc_select_dsir,
+        "doc_chunk": q_doc_chunk,
+        "doc_chunked_training_set": q_doc_chunked_training_set,
+        "doc_sample_exact_k": q_doc_sample_exact_k,
+        "doc_incremental_bloom": q_doc_incremental_bloom,
+        "doc_incremental_neardup": q_doc_incremental_neardup,
+        # never-driver-checked: ANN exact-configuration gates
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "emb_ivf_topk_exact": q_emb_ivf_topk_exact,
+        "emb_pq_topk_exact": q_emb_pq_topk_exact,
+        "emb_ivfpq_topk_exact": q_emb_ivfpq_topk_exact,
+        # ---- window boundary (entry 50) ----------------------------
+        # tail head: never-checked gates that did not fit -> r05 window
+        "doc_clean_report": q_doc_clean_report,
+        "emb_ann_recall": q_emb_ann_recall,
+        "emb_topk_pandas": q_emb_topk_pandas,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
+        "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
+        "doc_shuffle": q_doc_shuffle,
+        "doc_split": q_doc_split,
+        "doc_length_buckets": q_doc_length_buckets,
+        "doc_pack_manifest": q_doc_pack_manifest,
+        # tail: driver-hash-green in r01-r03
+        "trace_match_inc": q_trace_match_inc,
         "trace_session_stats": q_trace_session_stats,
         "trace_cct": q_trace_cct,
         "trace_idle_time": q_trace_idle_time,
@@ -2987,19 +3135,31 @@ def queries():
         "trace_message_histogram": q_trace_message_histogram,
         "trace_comm_over_time": q_trace_comm_over_time,
         "trace_time_profile": q_trace_time_profile,
-        "trace_multirun": q_trace_multirun,
-        # engine relational operators (SURVEY §2.6); the 4 event-time
-        # ones ERR'd in r02
         "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q12_priority_lines": q12_priority_lines,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_idle_customers": q22_idle_customers,
         "window_topk_orders": q_window_topk,
         "sessionize_events": q_sessionize,
         "asof_attribution": q_asof_attribution,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_outliers": q_events_outliers,
+        "events_props_stats": q_events_props_stats,
         "profile_lineitem": q_profile_lineitem,
-        # LLM-data operators (SURVEY §7 step 9) — never driver-checked
-        # before r03
+        "rollup_orders": q_rollup_orders,
         "doc_text_stats": q_doc_text_stats,
         "doc_token_frequencies": q_doc_token_frequencies,
         "doc_token_counts": q_doc_token_counts,
@@ -3010,6 +3170,7 @@ def queries():
         "doc_heuristic_filter": q_doc_heuristic_filter,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_corpus_summary": q_doc_corpus_summary,
+        "doc_exact_dups": q_doc_exact_dups,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash": q_doc_minhash,
         "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -3029,84 +3190,6 @@ def queries():
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_quantize": q_emb_quantize,
-        # ---- window boundary (entry 50) ----------------------------
-        # tail: r01/r02 driver-green TPC-H SQL gates, redundant oracle
-        # twins, rows-only gates
-        "doc_exact_dups": q_doc_exact_dups,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q4_order_priority": q4_order_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q10_returned_items": q10_returned_items,
-        "q12_priority_lines": q12_priority_lines,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q22_idle_customers": q22_idle_customers,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q16_parts_supplier_count": q16_parts_supplier_count,
-        "q20_excess_stock": q20_excess_stock,
-        "q21_waiting_orders": q21_waiting_orders,
-        "events_outliers": q_events_outliers,
-        "events_props_stats": q_events_props_stats,
-        "rollup_orders": q_rollup_orders,
-        "emb_topk_pandas": q_emb_topk_pandas,
-        "emb_ivf_topk_exact": q_emb_ivf_topk_exact,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
-        "doc_shuffle": q_doc_shuffle,
-        "doc_contamination_report": q_doc_contamination_report,
-        "doc_model_score": q_doc_model_score,
-        "doc_fluency": q_doc_fluency,
-        "doc_pack_manifest": q_doc_pack_manifest,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
-        "doc_dedup_lines": q_doc_dedup_lines,
-        "doc_clean_report": q_doc_clean_report,
-        "doc_dedup_lines_within": q_doc_dedup_lines_within,
-        "doc_corpus_diff": q_doc_corpus_diff,
-        "doc_sample_exact_k": q_doc_sample_exact_k,
-        "doc_winnow": q_doc_winnow,
-        "doc_despan": q_doc_despan,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
-        "doc_pretokenize": q_doc_pretokenize,
-        "doc_dedup_quality": q_doc_dedup_quality,
-        "doc_split": q_doc_split,
-        "doc_length_buckets": q_doc_length_buckets,
-        "doc_winnow_pairs": q_doc_winnow_pairs,
-        "doc_line_fluency": q_doc_line_fluency,
-        "doc_dsir": q_doc_dsir,
-        "doc_incremental_bloom": q_doc_incremental_bloom,
-        "doc_chunk": q_doc_chunk,
-        "doc_vocab_coverage": q_doc_vocab_coverage,
-        "doc_boilerplate": q_doc_boilerplate,
-        "doc_corpus_card": q_doc_corpus_card,
-        "doc_novelty": q_doc_novelty,
-        "doc_containment": q_doc_containment,
-        "doc_pattern_stats": q_doc_pattern_stats,
-        "doc_edit_pairs": q_doc_edit_pairs,
-        "doc_incremental_neardup": q_doc_incremental_neardup,
-        "trace_slow_calls": q_trace_slow_calls,
-        "trace_folded_stacks": q_trace_folded_stacks,
-        "trace_comm_by_function": q_trace_comm_by_function,
-        "trace_comm_locality": q_trace_comm_locality,
-        "trace_diff": q_trace_diff,
-        "doc_select_dsir": q_doc_select_dsir,
-        "doc_chunked_training_set": q_doc_chunked_training_set,
-        "emb_pq_topk_exact": q_emb_pq_topk_exact,
-        "emb_pq_topk": q_emb_pq_topk,
-        "emb_ivfpq_topk_exact": q_emb_ivfpq_topk_exact,
-        "emb_ivfpq_topk": q_emb_ivfpq_topk,
-        "emb_ann_recall": q_emb_ann_recall,
-        "emb_lsh_ann": q_emb_lsh_ann,
-        "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
-        "trace_detect_pattern": q_trace_detect_pattern,
-        "media_decode": q_media_decode,
     }
 
 
@@ -3258,6 +3341,8 @@ def oracle_sql():
         "emb_quantize": V.oracle_quantize_embeddings(),
         "doc_simhash": D.oracle_simhash(),
         "doc_embedding_dedup": D.oracle_embedding_dedup(threshold=0.35),
+        "doc_bpe": _oracle_bpe(),
+        "media_decode": ORACLE_MEDIA_DECODE,
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),
         "doc_pack_sequences": _oracle_sampling("pack"),

@@ -340,8 +340,11 @@ class Trace:
             "n_processes": row["n_processes"],
             "n_functions": row["n_functions"],
             "span_ns": int(row["t_max"]) - int(row["t_min"]),
-            "top_function": top[S.NAME],
-            "top_function_exc": top[S.TIME_EXC],
+            # a non-empty trace can still have zero matched Enter rows
+            # (instants-only, or a slice cutting every Enter/Leave pair)
+            # — zeroed fields, not a TypeError on top=None
+            "top_function": top[S.NAME] if top is not None else None,
+            "top_function_exc": top[S.TIME_EXC] if top is not None else None,
         }
 
     def slice(

@@ -1138,6 +1138,11 @@ def test_bpe_train_matches_reference(spark):
     got = train_bpe(docs, num_merges=12, checkpoint_every=4)
     assert got == want
 
+    # the opt-in distributed merge loop lands on the same sequence
+    assert train_bpe(
+        docs, num_merges=6, checkpoint_every=4, distributed=True
+    ) == want[:6]
+
     # encoding round-trips: concatenated tokens rebuild each word
     ranks = {p: i for i, p in enumerate(got)}
     for w in freqs:
@@ -1847,6 +1852,11 @@ def test_incremental_near_dups_rejects_mismatched_index(spark):
     )
     idx = build_lsh_index(corpus, num_hashes=32, bands=16)
     batch = corpus.limit(1)
+    with pytest.raises(ValueError, match="num_hashes: index=32"):
+        incremental_near_dups(batch, idx, num_hashes=16, bands=8)
+
+    # the metadata-less fallback probe still catches the mismatch
+    del idx.lsh_params
     with pytest.raises(ValueError, match="num_hashes=32"):
         incremental_near_dups(batch, idx, num_hashes=16, bands=8)
 
@@ -1997,6 +2007,11 @@ def test_incremental_near_dups_rejects_mode_mismatch(spark):
         "doc_id long, text string",
     )
     idx = build_lsh_index(corpus, portable=True)
+    with pytest.raises(ValueError, match="portable: index=True"):
+        incremental_near_dups(corpus.limit(1), idx, portable=False)
+
+    # same rejection through the metadata-less data probe
+    del idx.lsh_params
     with pytest.raises(ValueError, match="portable=True"):
         incremental_near_dups(corpus.limit(1), idx, portable=False)
 

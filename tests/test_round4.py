@@ -1,0 +1,195 @@
+"""Round-4 additions: exact motif-pair selection, driver-side BPE
+trainer, multimodal codec dispatch, LSH index metadata."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipit_spark import schema as S
+
+
+# --------------------------------------------------------------------- #
+# motif_pair_exact
+# --------------------------------------------------------------------- #
+def _brute_best_pair(vals, m):
+    best = None
+    n = len(vals)
+    for i in range(n - m + 1):
+        for j in range(i + m, n - m + 1):
+            d2 = sum((vals[i + k] - vals[j + k]) ** 2 for k in range(m))
+            if best is None or (d2, i, j) < best:
+                best = (d2, i, j)
+    return best
+
+
+def test_motif_pair_exact_matches_bruteforce(spark, foo_bar_trace):
+    """The selected pair equals an independent brute-force search over
+    the same slice, and the output windows carry the slice's own
+    (event_id, metric) rows."""
+    from pipit_spark.operators.patterns import _slice_series, motif_pair_exact
+
+    t = foo_bar_trace
+    m = 2
+    out = motif_pair_exact(
+        t, start_event="main()", process=0, metric=S.TIME_EXC, window_size=m
+    )
+    sliced = _slice_series(t, "main()", 0, S.TIME_EXC)
+    vals = [int(v) for v in sliced[S.TIME_EXC]]
+    if len(vals) < 2 * m:
+        assert out.empty
+        return
+    d2, bi, bj = _brute_best_pair(vals, m)
+    assert list(out["motif"]) == [0] * m + [1] * m
+    assert list(out["pos"]) == list(range(m)) * 2
+    got_vals = [int(v) for v in out[S.TIME_EXC]]
+    assert got_vals == vals[bi:bi + m] + vals[bj:bj + m]
+    # windows are non-overlapping by construction
+    assert bj >= bi + m
+
+
+def test_motif_pair_exact_short_series_empty(spark, foo_bar_trace):
+    from pipit_spark.operators.patterns import motif_pair_exact
+
+    out = motif_pair_exact(
+        foo_bar_trace, start_event="main()", process=0,
+        metric=S.TIME_EXC, window_size=1000,
+    )
+    assert out.empty
+    assert list(out.columns) == ["motif", "pos", "event_id", S.TIME_EXC]
+
+
+# --------------------------------------------------------------------- #
+# driver-side BPE
+# --------------------------------------------------------------------- #
+def test_bpe_local_equals_distributed_and_scales(spark):
+    """The incremental-stats driver loop lands on the identical merge
+    sequence as the distributed fold, and a large merge budget
+    terminates fast (the r03 perf-weak item)."""
+    import time
+
+    from pipit_spark.llm.bpe import train_bpe
+
+    texts = ["ab ab abc abcd " * 5, "xyz xy x yz zzz " * 3, "ab xyz abcd"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    local = train_bpe(docs, num_merges=10)
+    dist = train_bpe(docs, num_merges=10, distributed=True)
+    assert local == dist
+
+    t0 = time.time()
+    big = train_bpe(docs, num_merges=1000)
+    elapsed = time.time() - t0
+    # merge supply exhausts long before 1000; the loop must stop, and
+    # the whole call (1 Spark job + driver loop) stays interactive
+    assert len(big) < 1000 and big[:10] == local
+    assert elapsed < 30
+
+
+def test_bpe_word_type_cap_deterministic(spark):
+    """max_word_types keeps only the top-(count desc, word asc) types —
+    rare words fall off the table, frequent merges are unchanged."""
+    from pipit_spark.llm.bpe import _train_bpe_local, train_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa aa bb bb cc")], "doc_id long, text string"
+    )
+    capped = train_bpe(docs, num_merges=5, max_word_types=2)
+    # only 'aa' (4) and 'bb' (2) survive the cap
+    assert capped == _train_bpe_local([("aa", 4), ("bb", 2)], 5)
+
+
+# --------------------------------------------------------------------- #
+# multimodal codec dispatch
+# --------------------------------------------------------------------- #
+def test_decode_media_codec_modes(spark):
+    """'stub' is deterministic md5 plumbing; 'auto' on non-media bytes
+    falls back to the stub result (PIL absent or payload unparseable);
+    'real' fails loudly; bad mode rejected."""
+    from pipit_spark.llm.multimodal import (
+        CodecUnavailable, _decode_bytes, decode_media, synthesize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello", "en", "web", 5), (1, "world!", "en", "web", 6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = synthesize_media(docs)
+    stub = {r["media_id"]: r for r in decode_media(media, codec="stub").collect()}
+    auto = {r["media_id"]: r for r in decode_media(media, codec="auto").collect()}
+    assert stub.keys() == auto.keys()
+    for k in stub:
+        assert stub[k] == auto[k]  # opaque payloads: auto == stub
+
+    with pytest.raises(CodecUnavailable):
+        _decode_bytes(b"not-an-image", "image", 4, "real")
+    with pytest.raises(CodecUnavailable):
+        _decode_bytes(b"not-a-wav", "audio", 4, "real")
+    with pytest.raises(ValueError):
+        decode_media(media, codec="nope")
+
+
+def test_decode_audio_real_wav_roundtrip(spark):
+    """A genuine WAV payload decodes through the REAL stdlib-wave path:
+    true channel/frame counts and RMS features, not the stub hash."""
+    import io
+    import struct
+    import wave
+
+    from pipit_spark.llm.multimodal import _decode_audio_real
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack("<4h", 0, 16384, 0, -16384))
+    nch, nframes, nb, feats = _decode_audio_real(buf.getvalue(), 2)
+    assert (nch, nframes) == (1, 4)
+    assert nb == len(buf.getvalue())
+    assert len(feats) == 2 and all(0.0 <= f <= 1.0 for f in feats)
+    assert feats[0] > 0  # real RMS, not silence
+
+
+# --------------------------------------------------------------------- #
+# LSH index metadata
+# --------------------------------------------------------------------- #
+def test_lsh_index_metadata_roundtrip(spark, tmp_path):
+    """build_lsh_index attaches its parameters; save/load carries them
+    through the catalog so cross-job validation needs no data probe."""
+    from pipit_spark.llm.dedup import (
+        build_lsh_index, incremental_near_dups, load_lsh_index,
+        save_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    idx = build_lsh_index(corpus, num_hashes=16, bands=4, shingle_n=2)
+    assert idx.lsh_params == {
+        "num_hashes": 16, "bands": 4, "shingle_n": 2, "portable": False,
+    }
+
+    save_lsh_index(idx, "t_r4_lshmeta", num_buckets=4)
+    try:
+        loaded = load_lsh_index(spark, "t_r4_lshmeta")
+        assert loaded.lsh_params == idx.lsh_params
+        # driver-side rejection: shingle_n mismatch is now caught (the
+        # data probe could not see it at all)
+        with pytest.raises(ValueError, match="shingle_n: index=2"):
+            incremental_near_dups(
+                corpus.limit(1), loaded,
+                num_hashes=16, bands=4, shingle_n=3,
+            )
+        # matching parameters pass with zero guard jobs
+        out = incremental_near_dups(
+            corpus.limit(1), loaded, num_hashes=16, bands=4, shingle_n=2
+        )
+        assert out.count() >= 1  # the doc matches itself in the index
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_r4_lshmeta")
+        spark.sql("DROP TABLE IF EXISTS t_r4_lshmeta__lshmeta")
