@@ -22,6 +22,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import schema as S
@@ -64,6 +66,7 @@ class Trace:
         events: DataFrame,
         definitions: DataFrame | None = None,
         cache: bool = True,
+        match_partitions: int | None = None,
     ) -> None:
         missing = [c for c in self.REQUIRED_COLUMNS if c not in events.columns]
         if missing:
@@ -76,6 +79,16 @@ class Trace:
         self.events = events
         self.definitions = definitions
         self._cache = cache
+        # partition count for the fused matching pass (the scale
+        # envelope: one partition — several complete ranks — must fit a
+        # task's memory, Arrow buffers included; raise this to shrink
+        # partitions toward one rank each on very large traces).
+        # Default: cluster parallelism; env SPARK_GRAFT_MATCH_PARTITIONS
+        # overrides for tooling that cannot pass the parameter.
+        if match_partitions is None:
+            env = os.environ.get("SPARK_GRAFT_MATCH_PARTITIONS")
+            match_partitions = int(env) if env else None
+        self._match_partitions = match_partitions
         self._matched: DataFrame | None = None
         self._cct: DataFrame | None = None
 
@@ -215,7 +228,11 @@ class Trace:
         column-existence checks (pipit/trace.py:111,202).
         """
         if self._matched is None:
-            m = match_events(self.events, metric_cols=self.numeric_cols)
+            m = match_events(
+                self.events,
+                metric_cols=self.numeric_cols,
+                num_partitions=self._match_partitions,
+            )
             if self._cache:
                 m = m.persist()
             self._matched = m

@@ -41,6 +41,14 @@ def export_csv(path: str, replicate: int = 1) -> int:
         F.col("name").alias("Name"),
         (F.col("process") + F.col("__r") * nproc).alias("Process"),
     )
+    if os.environ.get("SPARK_GRAFT_OURS_ONLY"):
+        # reference (pandas) skipped -> no single-file requirement:
+        # write sharded CSV with Spark (spark.read.csv reads the dir),
+        # avoiding a driver-side toPandas of the whole replicate
+        n = rep.count()
+        rep.write.mode("overwrite").option("header", True).csv(path)
+        spark.stop()
+        return n
     pdf = rep.orderBy("Timestamp (ns)").toPandas()
     pdf.to_csv(path, index=False)
     spark.stop()
@@ -116,20 +124,17 @@ def time_ours(csv_path: str) -> dict:
 def main() -> None:
     scales = [int(s) for s in (sys.argv[1:] or ["1", "4", "16"])]
     results = []
+    ours_only = bool(os.environ.get("SPARK_GRAFT_OURS_ONLY"))
     for k in scales:
         csv_path = f"/tmp/compare_trace_x{k}.csv"
         n = export_csv(csv_path, replicate=k)
         ours = time_ours(csv_path)
-        ref = time_reference(csv_path)
-        results.append(
-            {
-                "replicate": k,
-                "n_events": n,
-                "pipit_spark_sec": ours,
-                "reference_pandas_sec": ref,
-                "speedup_total": round(ref["total"] / ours["total"], 2),
-            }
-        )
+        row = {"replicate": k, "n_events": n, "pipit_spark_sec": ours}
+        if not ours_only:
+            ref = time_reference(csv_path)
+            row["reference_pandas_sec"] = ref
+            row["speedup_total"] = round(ref["total"] / ours["total"], 2)
+        results.append(row)
         print(json.dumps(results[-1]), flush=True)
 
 
