@@ -91,13 +91,16 @@ def folded_stacks(trace, metric: str = S.TIME_EXC, sep: str = ";") -> DataFrame:
     # decimal accumulator: context totals can exceed 2^53 ns, where
     # float summation becomes order-dependent (ulp ≠ hash-stable across
     # engines); the exact decimal sum rounds to double ONCE, same as
-    # the oracle's integer sum
+    # the oracle's integer sum.  No ROUND(…, 6) on top: it is a no-op at
+    # these magnitudes in Spark but DuckDB's double round injects ~1e-4
+    # noise above ~1e11 (multiply-by-1e6 leaves the exact-integer range)
+    # — caught by the sf0.1 exact-parity sweep.
     return (
         exc.join(F.broadcast(pmap), S.NODE_ID)
         .groupBy("stack")
         .agg(
-            F.round(
-                F.sum(F.col(metric).cast("decimal(38,6)")).cast("double"), 6
-            ).alias("value")
+            F.sum(F.col(metric).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("value")
         )
     )

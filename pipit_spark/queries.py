@@ -2413,12 +2413,11 @@ def q_trace_folded_stacks(spark, sf_dir):
 
 
 ORACLE_TRACE_FOLDED_STACKS = ORACLE_TRACE_CTE + """
-SELECT 'session;' || etype AS stack, ROUND(CAST(SUM(dur) AS DOUBLE), 6) AS value
+SELECT 'session;' || etype AS stack, CAST(SUM(dur) AS DOUBLE) AS value
 FROM leaf GROUP BY etype
 UNION ALL
 SELECT 'session' AS stack,
-       ROUND(CAST(SUM(r.leave_ts - r.enter_ts - ls.total) AS DOUBLE), 6)
-           AS value
+       CAST(SUM(r.leave_ts - r.enter_ts - ls.total) AS DOUBLE) AS value
 FROM roots r
 JOIN (SELECT process, SUM(dur) AS total FROM leaf GROUP BY 1) ls
   ON ls.process = r.process
@@ -2432,14 +2431,16 @@ def q_trace_comm_by_function(spark, sf_dir):
     (sq 4n+2 > 4n+1 at equal ts), so the open call at that point is the
     session root."""
     t = derived_trace(spark, sf_dir)
+    # integer-byte sums: cast to double once, no ROUND (DuckDB's double
+    # round injects noise above ~1e11 — see trace_folded_stacks)
     return t.comm_by_function(output="size").select(
-        "function", F.round("volume", 6).alias("volume")
+        "function", F.col("volume").cast("double").alias("volume")
     )
 
 
 ORACLE_TRACE_COMM_BY_FUNCTION = ORACLE_TRACE_CTE + """
 SELECT CASE WHEN dur > 0 THEN etype ELSE 'session' END AS function,
-       ROUND(CAST(SUM(msg_len) AS DOUBLE), 6) AS volume
+       CAST(SUM(msg_len) AS DOUBLE) AS volume
 FROM leaf WHERE etype IN ('click', 'purchase')
 GROUP BY 1
 """
