@@ -85,25 +85,65 @@ class CodecUnavailable(RuntimeError):
     payload is not a parseable media file)."""
 
 
+def _parse_image_header(data: bytes) -> tuple[int, int] | None:
+    """Pure-stdlib (height, width) from PNG/GIF/BMP/JPEG headers — the
+    container-format fields are published specs, no codec needed.
+    Returns None when the payload is not a recognized image."""
+    import struct
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        w, h = struct.unpack(">II", data[16:24])  # IHDR width, height
+        return h, w
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return h, w
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])  # h<0 = top-down DIB
+        return abs(h), w
+    if data[:2] == b"\xff\xd8":  # JPEG: walk segments to the SOFn frame
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        i = 2
+        while i + 9 <= len(data) and data[i] == 0xFF:
+            marker = data[i + 1]
+            if marker in sof:
+                h, w = struct.unpack(">HH", data[i + 5:i + 9])
+                return h, w
+            seglen = struct.unpack(">H", data[i + 2:i + 4])[0]
+            i += 2 + seglen
+    return None
+
+
 def _decode_image_real(data: bytes, feat_dim: int) -> tuple:
-    """Real image decode via PIL: true dimensions plus a feature vector
-    of grayscale cell means from a feat_dim-cell thumbnail strip.
-    Raises CodecUnavailable when PIL is absent or the bytes are not an
-    image it can parse."""
-    try:
-        from PIL import Image
-    except ImportError as e:
-        raise CodecUnavailable("PIL not installed") from e
+    """Real image decode: PIL when importable (true dimensions + a
+    feature vector of grayscale cell means from a feat_dim-cell
+    thumbnail strip); otherwise a pure-stdlib header parse for
+    PNG/GIF/BMP/JPEG (TRUE dimensions from the container header,
+    content-hash pseudo-features — pixel access needs a codec).
+    Raises CodecUnavailable when the bytes are not an image either path
+    can read."""
     import io
 
     try:
-        img = Image.open(io.BytesIO(data))
-        w, h = img.size
-        g = img.convert("L").resize((feat_dim, 1))
-        feats = [float(v) / 255.0 for v in g.getdata()]
-    except Exception as e:  # not an image / truncated
-        raise CodecUnavailable(str(e)) from e
-    return h, w, len(data), feats
+        from PIL import Image
+    except ImportError:
+        Image = None
+
+    if Image is not None:
+        try:
+            img = Image.open(io.BytesIO(data))
+            w, h = img.size
+            g = img.convert("L").resize((feat_dim, 1))
+            feats = [float(v) / 255.0 for v in g.getdata()]
+        except Exception as e:  # not an image / truncated
+            raise CodecUnavailable(str(e)) from e
+        return h, w, len(data), feats
+
+    dims = _parse_image_header(data)
+    if dims is None:
+        raise CodecUnavailable("not a PNG/GIF/BMP/JPEG header (PIL absent)")
+    _, _, _, feats = _STUB_decode_bytes(data, "image", feat_dim)
+    return dims[0], dims[1], len(data), feats
 
 
 def _decode_audio_real(data: bytes, feat_dim: int) -> tuple:
