@@ -851,3 +851,97 @@ cum AS (
 SELECT doc_id, source, n_tokens, dsir_logweight
 FROM cum WHERE before < {budget_per_source}
 """
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    top_k: int = 50_000,
+    head: tuple[int, int] = (1, 3),
+    middle: tuple[int, int] = (2, 3),
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality buckets (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per language, rank documents by LM fluency (their
+    perplexity, sign-flipped — the engine's unigram
+    :func:`~pipit_spark.llm.text.fluency_score`) and cut the ranking at
+    fractions of the CUMULATIVE TOKEN MASS, not document count — the
+    head bucket is "the most fluent third of the tokens", which is what
+    a training-data budget actually buys.
+
+    Determinism: boundaries compare exact integers —
+    ``cum_tokens · q ≤ p · total_tokens`` for fraction p/q — never a
+    float share, so the bucket labels are engine- and
+    partitioning-independent (ranking ties break by doc_id).
+
+    Scale shape: fluency's frequency table is top-K-capped and
+    broadcasts; the ranking is ONE window per language over
+    (doc_id, fluency, n_tokens)-width rows — the same per-language sort
+    CCNet itself performs, with single-language skew bounded by that
+    narrow payload. Returns
+    ``(doc_id, lang, fluency, n_scored_tokens, bucket)``.
+    """
+    from .text import fluency_score
+
+    scored = fluency_score(docs, top_k=top_k)
+    j = docs.select("doc_id", F.col(lang_col).alias("lang")).join(
+        scored, "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("fluency"), F.asc("doc_id")
+    )
+    wt = Window.partitionBy("lang")
+    cum = j.withColumn(
+        "__cum", F.sum("n_scored_tokens").over(w)
+    ).withColumn("__total", F.sum("n_scored_tokens").over(wt))
+    hp, hq = head
+    mp, mq = middle
+    return cum.select(
+        "doc_id",
+        "lang",
+        "fluency",
+        "n_scored_tokens",
+        F.when(
+            F.col("__cum") * F.lit(hq) <= F.lit(hp) * F.col("__total"),
+            "head",
+        )
+        .when(
+            F.col("__cum") * F.lit(mq) <= F.lit(mp) * F.col("__total"),
+            "middle",
+        )
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def oracle_perplexity_buckets(
+    table: str = "documents",
+    top_k: int = 50_000,
+    head: tuple[int, int] = (1, 3),
+    middle: tuple[int, int] = (2, 3),
+) -> str:
+    from .text import oracle_fluency_score
+
+    hp, hq = head
+    mp, mq = middle
+    fl = oracle_fluency_score(table=table, top_k=top_k).strip()
+    return f"""
+WITH fl AS ({fl}),
+j AS (
+    SELECT d.doc_id, d.lang, fl.fluency, fl.n_scored_tokens
+    FROM {table} d JOIN fl USING (doc_id)
+),
+cum AS (
+    SELECT *,
+           SUM(n_scored_tokens) OVER (
+               PARTITION BY lang ORDER BY fluency DESC, doc_id ASC
+           ) AS cum_toks,
+           SUM(n_scored_tokens) OVER (PARTITION BY lang) AS total_toks
+    FROM j
+)
+SELECT doc_id, lang, fluency, n_scored_tokens,
+       CASE WHEN cum_toks * {hq} <= {hp} * total_toks THEN 'head'
+            WHEN cum_toks * {mq} <= {mp} * total_toks THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM cum
+"""

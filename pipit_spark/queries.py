@@ -972,6 +972,22 @@ def _oracle_bpe() -> str:
     return oracle_bpe(num_merges=12)
 
 
+def q_doc_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail selection: per-language ranking by
+    unigram LM fluency, cut at exact integer fractions of cumulative
+    token mass (llm/sampling.py:perplexity_buckets; Wenzek et al.
+    2020)."""
+    return _SP.perplexity_buckets(
+        load(spark, sf_dir, "documents"), top_k=1000
+    )
+
+
+def _oracle_perplexity_buckets() -> str:
+    from .llm.sampling import oracle_perplexity_buckets
+
+    return oracle_perplexity_buckets(top_k=1000)
+
+
 # ===================================================================== #
 # relational (TPC-H-ish) gate queries — Spark side is spark.sql over the
 # same declarative text (Catalyst optimizes), oracle is the DuckDB twin.
@@ -3191,6 +3207,9 @@ def queries():
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_quantize": q_emb_quantize,
+        # r04 additions (tail append — the first-50 window is fixed for
+        # the round; these join the never-checked pool for r05)
+        "doc_perplexity_buckets": q_doc_perplexity_buckets,
     }
 
 
@@ -3343,6 +3362,7 @@ def oracle_sql():
         "doc_simhash": D.oracle_simhash(),
         "doc_embedding_dedup": D.oracle_embedding_dedup(threshold=0.35),
         "doc_bpe": _oracle_bpe(),
+        "doc_perplexity_buckets": _oracle_perplexity_buckets(),
         "media_decode": ORACLE_MEDIA_DECODE,
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),

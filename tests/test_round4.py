@@ -103,6 +103,44 @@ def test_bpe_word_type_cap_deterministic(spark):
 
 
 # --------------------------------------------------------------------- #
+# CCNet-style perplexity buckets
+# --------------------------------------------------------------------- #
+def test_perplexity_buckets_token_mass_invariants(spark):
+    """Head holds the most-fluent prefix of each language's ranking,
+    buckets cut at exact thirds of TOKEN mass (not doc count), and the
+    head's token share never exceeds its fraction by more than one
+    document's tokens (the boundary doc tips into middle)."""
+    from pipit_spark.llm.sampling import perplexity_buckets
+
+    rows = []
+    # lang 'a': one hugely repetitive (fluent) doc + gibberish docs
+    rows.append((0, "common common common common common " * 20, "a", "s", 1))
+    for i in range(1, 10):
+        rows.append((i, f"zq{i}x wib{i} common blorp{i} " * 5, "a", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = perplexity_buckets(docs, top_k=100).toPandas()
+    assert set(out["bucket"]) <= {"head", "middle", "tail"}
+    a = out[out["lang"] == "a"].sort_values(
+        ["fluency", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    # bucket labels are monotone down the ranking: head ≥ middle ≥ tail
+    order = {"head": 0, "middle": 1, "tail": 2}
+    labels = [order[b] for b in a["bucket"]]
+    assert labels == sorted(labels)
+    # cumulative-token cut: every head-prefix satisfies cum*3 <= total
+    total = int(a["n_scored_tokens"].sum())
+    cum = 0
+    for _, r in a.iterrows():
+        cum += int(r["n_scored_tokens"])
+        if r["bucket"] == "head":
+            assert cum * 3 <= total
+        else:
+            break
+
+
+# --------------------------------------------------------------------- #
 # multimodal codec dispatch
 # --------------------------------------------------------------------- #
 def test_decode_media_codec_modes(spark):
