@@ -261,6 +261,83 @@ def minhash_signatures(
     )
 
 
+_MINHASH_P = (1 << 31) - 1
+
+
+def _perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """The (a_i, b_i) linear-permutation constants — ONE seeded source
+    shared by every signature producer (batch aggregate, row-local
+    expression), so signatures are index-compatible across all of
+    them."""
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, _MINHASH_P, size=num_hashes).tolist()
+    b = rng.integers(0, _MINHASH_P, size=num_hashes).tolist()
+    return a, b
+
+
+def minhash_sig_expr(
+    text_col, num_hashes: int = 16, shingle_n: int = 3,
+    portable: bool = False,
+):
+    """ROW-LOCAL minhash signature column: the same signatures as
+    :func:`minhash_sig_array` / :func:`build_lsh_index` (same permuted
+    xxhash64 / seeded md5, same shingling) computed with ``array_min``
+    over the per-row shingle array instead of explode + groupBy MIN —
+    zero shuffle, zero state, so a STREAM can sign each document as it
+    arrives and band-join a static corpus index
+    (:func:`pipit_spark.streaming.ops.streaming_near_dup_screen`).
+
+    Batch callers should keep using :func:`minhash_sig_array`: HOF
+    lambdas evaluate interpreted per element (PLANS.md lesson #1) — the
+    per-shingle cost here is the price of streaming's no-shuffle
+    constraint, not a free alternative."""
+    sh = _shingles(text_col, shingle_n)
+    # closure factories: a 2-arg lambda in F.transform would receive
+    # (element, index) — the seed must be CAPTURED, not a second param
+    if portable:
+        def _md5_min(i: int):
+            return F.array_min(
+                F.transform(
+                    sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
+
+        return F.array(*[_md5_min(i) for i in range(num_hashes)])
+    p = _MINHASH_P
+    a, bvec = _perm_constants(num_hashes)
+    hs = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
+
+    def _perm_min(ai: int, bi: int):
+        return F.array_min(
+            F.transform(
+                hs, lambda h: F.pmod(F.lit(ai) * h + F.lit(bi), F.lit(p))
+            )
+        )
+
+    return F.array(
+        *[
+            _perm_min(int(a[i]), int(bvec[i]))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_key_expr(sig_col, b: int, rows_per_band: int, portable: bool):
+    """Band-``b`` bucket key from a signature array column — the single
+    source of the bucket format (portable ``'b|v|v|…'``, fast
+    ``'b:<xxhash64>'``) shared by the index builder and the streaming
+    signer, so buckets can never drift between them."""
+    els = [
+        F.element_at(sig_col, b * rows_per_band + r + 1)
+        for r in range(rows_per_band)
+    ]
+    if portable:
+        return F.concat_ws("|", F.lit(str(b)), *els)
+    return F.concat(
+        F.lit(f"{b}:"), F.xxhash64(*els).cast("string")
+    )
+
+
 def minhash_sig_array(
     docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3,
     persist: bool = True,
@@ -278,10 +355,8 @@ def minhash_sig_array(
     # int64 under ANSI mode. Explode + map-side-combined groupBy mins:
     # tokenize once, everything whole-stage-codegen, one shuffle carrying
     # only partial minima.
-    p = (1 << 31) - 1
-    rng = np.random.default_rng(42)
-    a = rng.integers(1, p, size=num_hashes).tolist()
-    bvec = rng.integers(0, p, size=num_hashes).tolist()
+    p = _MINHASH_P
+    a, bvec = _perm_constants(num_hashes)
     # MIN is duplicate-invariant -> skip the shingle dedup shuffle
     sh = shingle_table(docs, shingle_n, distinct=False)
     h = F.pmod(F.xxhash64("shingle"), F.lit(p))
@@ -350,36 +425,26 @@ def build_lsh_index(
         if persist:
             sigs = sigs.persist()
             sigs.count()
-        # band key = the raw band values — exact in every engine
-        band_key = lambda b: F.concat_ws(  # noqa: E731
-            "|",
-            F.lit(str(b)),
-            *[
-                F.element_at("sig", b * rows_per_band + r + 1)
-                for r in range(rows_per_band)
-            ],
-        )
     else:
         # minhash_sig_array persists + eagerly materializes the
         # signature table (persist=True), so both sides of any bucket
         # join read the cache; single-consumer callers opt out
         sigs = minhash_sig_array(docs, num_hashes, shingle_n, persist=persist)
-        band_key = lambda b: F.concat(  # noqa: E731
-            F.lit(f"{b}:"),
-            F.xxhash64(
-                *[
-                    F.element_at("sig", b * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ]
-            ).cast("string"),
-        )
 
+    # bucket format lives in band_key_expr, shared with the streaming
+    # signer so index and stream can never drift (portable = the raw
+    # band values, exact in every engine; fast = xxhash64 of them)
     out = sigs.select(
         "doc_id",
         "sig",
-        F.explode(F.array(*[band_key(b) for b in range(bands)])).alias(
-            "bucket"
-        ),
+        F.explode(
+            F.array(
+                *[
+                    band_key_expr(F.col("sig"), b, rows_per_band, portable)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
     )
     # driver-side index metadata: consumers (incremental_near_dups)
     # validate parameter compatibility from this — zero Spark jobs, and

@@ -277,3 +277,107 @@ def streaming_ann_topk(
             yield pd.DataFrame(out)
 
     return queries.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def streaming_near_dup_screen(
+    docs: DataFrame,
+    corpus_index: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+    time_col: str = "ingest_time",
+    watermark: str = "30 seconds",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of
+    :func:`pipit_spark.llm.dedup.incremental_near_dups`: each arriving
+    document is screened for NEAR-duplicates against a pre-built static
+    LSH corpus index, live.
+
+    Streaming shape: signatures come from the row-local
+    :func:`~pipit_spark.llm.dedup.minhash_sig_expr` (array_min over the
+    per-row shingle array — the batch signer's explode + groupBy MIN is
+    a shuffle a stream cannot run), band keys from the SAME
+    ``band_key_expr`` the index builder uses, then a stream-static
+    equi-join on ``bucket`` — the corpus side is the compact index,
+    replicated/bucketed however it was persisted, never the corpus
+    text. Signature agreement (``zip_with``) estimates Jaccard; a pair
+    colliding in several bands is emitted once via
+    ``dropDuplicatesWithinWatermark`` (bounded state, evicted with the
+    watermark).
+
+    Semantics difference vs the batch screen, inherent to streaming:
+    the batch op returns each doc's single BEST match (a per-doc
+    window); the stream emits EVERY match ≥ threshold as it is found —
+    a per-doc argmax would need the doc's matches "complete", which an
+    unbounded stream never promises. Callers wanting drop-decisions
+    take any-match as the signal.
+
+    Parameter compatibility with the index is validated driver-side
+    from its ``lsh_params`` metadata (a stream cannot run the data
+    probe the batch guard falls back to).
+    """
+    from ..llm.dedup import band_key_expr, minhash_sig_expr
+
+    params = getattr(corpus_index, "lsh_params", None)
+    want = {
+        "num_hashes": num_hashes, "bands": bands,
+        "shingle_n": shingle_n, "portable": portable,
+    }
+    if params is not None:
+        bad = {k: (params.get(k), v) for k, v in want.items()
+               if params.get(k) != v}
+        if bad:
+            raise ValueError(
+                "corpus_index parameters do not match this stream: "
+                + ", ".join(
+                    f"{k}: index={iv} call={cv}"
+                    for k, (iv, cv) in sorted(bad.items())
+                )
+            )
+    rows_per_band = num_hashes // bands
+
+    sig = minhash_sig_expr(
+        F.col(text_col), num_hashes=num_hashes, shingle_n=shingle_n,
+        portable=portable,
+    )
+    signed = docs.select(
+        "doc_id", time_col, sig.alias("__sb")
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    band_key_expr(F.col("__sb"), b, rows_per_band, portable)
+                    for b in range(bands)
+                ]
+            )
+        ),
+    )
+    joined = signed.join(
+        corpus_index.select(
+            "bucket",
+            F.col("doc_id").alias("match_id"),
+            F.col("sig").alias("__sc"),
+        ),
+        "bucket",
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("__sb", "__sc", lambda p, q: p == q),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(num_hashes),
+        6,
+    )
+    return (
+        joined.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["doc_id", "match_id"])
+        .select("doc_id", "match_id", "est_jaccard", time_col)
+    )

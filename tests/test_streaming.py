@@ -602,3 +602,114 @@ def test_streaming_incremental_ingestion_foreachbatch(spark, tmp_path):
     # for the cross-batch half plus the batch-1 survivors
     assert set(got) >= {0, 1, 2, 6, 7}
     assert 3 not in got and 4 not in got and 5 not in got
+
+
+def test_row_local_signatures_match_batch_index(spark):
+    """minhash_sig_expr / band_key_expr produce bit-identical signatures
+    and buckets to build_lsh_index in BOTH hash modes — the invariant
+    that lets a stream join a batch-built index at all."""
+    from pyspark.sql import functions as F
+
+    from pipit_spark.llm.dedup import (
+        band_key_expr, build_lsh_index, minhash_sig_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i % 3}_{j}" for j in range(12))) for i in range(6)]
+        + [(99, "")],
+        "doc_id long, text string",
+    )
+    for portable in (False, True):
+        idx = build_lsh_index(
+            docs, num_hashes=8, bands=4, portable=portable, persist=False
+        )
+        batch = {
+            (r["doc_id"], r["bucket"]): tuple(r["sig"])
+            for r in idx.collect()
+        }
+        sig = minhash_sig_expr(F.col("text"), num_hashes=8, portable=portable)
+        row_local = docs.select("doc_id", sig.alias("sig")).withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    *[
+                        band_key_expr(F.col("sig"), b, 2, portable)
+                        for b in range(4)
+                    ]
+                )
+            ),
+        )
+        local = {
+            (r["doc_id"], r["bucket"]): tuple(r["sig"])
+            for r in row_local.collect()
+        }
+        assert batch == local, f"portable={portable}"
+
+
+def test_streaming_near_dup_screen(spark, tmp_path):
+    """A document stream screened live against a static LSH index:
+    near-duplicates of indexed docs are flagged with the same estimated
+    Jaccard the batch screen computes; novel docs pass silently."""
+    import pandas as pd
+
+    from pipit_spark.llm.dedup import build_lsh_index, incremental_near_dups
+    from pipit_spark.streaming.ops import streaming_near_dup_screen
+
+    base = " ".join(f"tok{j}" for j in range(30))
+    corpus = spark.createDataFrame(
+        [(0, base), (1, " ".join(f"other{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    idx = build_lsh_index(corpus, portable=True)
+
+    batch_rows = [
+        (100, base + " tok5 extra", "2026-01-01 00:00:01"),      # near-dup of 0
+        (101, " ".join(f"fresh{j}" for j in range(30)),
+         "2026-01-01 00:00:02"),                                  # novel
+        (102, base, "2026-01-01 00:00:03"),                       # exact dup of 0
+    ]
+    src = tmp_path / "nd_stream"
+    src.mkdir()
+    pd.DataFrame(
+        batch_rows, columns=["doc_id", "text", "ingest_time"]
+    ).to_parquet(src / "b0.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, ingest_time string"
+        )
+        .parquet(str(src))
+        .withColumn("ingest_time", F.col("ingest_time").cast("timestamp"))
+    )
+    out = streaming_near_dup_screen(
+        stream, idx, threshold=0.5, portable=True
+    )
+    _run_to_memory(out, "nd_screen", mode="append")
+    got = {
+        (r["doc_id"], r["match_id"]): r["est_jaccard"]
+        for r in spark.sql("SELECT * FROM nd_screen").collect()
+    }
+    assert (102, 0) in got and got[(102, 0)] == 1.0
+    assert (100, 0) in got and got[(100, 0)] >= 0.5
+    assert not any(d == 101 for d, _ in got)
+
+    # agreement with the batch screen on the same batch
+    batch_docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in batch_rows], "doc_id long, text string"
+    )
+    best = {
+        (r["doc_id"], r["match_id"]): r["est_jaccard"]
+        for r in incremental_near_dups(
+            batch_docs, idx, threshold=0.5, portable=True
+        ).collect()
+    }
+    # the stream emits every match; the batch keeps each doc's best —
+    # best pairs must appear in the stream with identical estimates
+    for pair, est in best.items():
+        assert got[pair] == est
+
+    # parameter mismatch is a driver-side hard error on the stream too
+    import pytest
+
+    with pytest.raises(ValueError, match="num_hashes: index=16"):
+        streaming_near_dup_screen(stream, idx, num_hashes=8, portable=True)
