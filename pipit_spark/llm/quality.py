@@ -758,3 +758,107 @@ SELECT {per},
              / CAST(COUNT(*) AS DOUBLE), 6) AS matches_per_doc
 FROM {table} GROUP BY {per}
 """
+
+
+# -------------------------------------------------- Luhn card scanning
+
+_CARD_CAND_RE = r"\d(?:[ -]?\d)+"
+
+
+def scan_credit_cards(docs: DataFrame, tag: str = "<CARD>") -> DataFrame:
+    """Payment-card detection with EXACT Luhn verification — the PII
+    tier regexes alone cannot give: a 16-digit order number is not a
+    card, and redacting it anyway destroys usable text. Candidates are
+    maximal digit runs (spaces/dashes allowed); a candidate counts as a
+    card iff it has 13-19 digits AND passes the Luhn mod-10 check.
+    Verified matches are replaced with ``tag`` in ``clean_text``.
+
+    Everything is row-local JVM expressions (regexp extraction + HOF
+    integer fold for the checksum — exact arithmetic, so the DuckDB
+    twin agrees bit-for-bit); no UDF, no shuffle — scan-bound at 100 TB
+    like the rest of the quality tier. Two adjacent cards separated
+    only by a space/dash form ONE run and are (deterministically, on
+    both engines) not counted — the candidate grammar's documented
+    limit.
+    """
+    cands = F.regexp_extract_all(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(_CARD_CAND_RE), F.lit(0)
+    )
+
+    def _luhn_ok(c):
+        rev = F.reverse(
+            F.filter(
+                F.split(F.regexp_replace(c, r"[ -]", ""), ""),
+                lambda ch: ch != "",
+            )
+        )
+        n = F.size(rev)
+        vals = F.transform(
+            rev,
+            lambda ch, i: F.when(
+                i % 2 == 0, ch.cast("int")
+            ).otherwise(
+                F.when(ch.cast("int") * 2 > 9, ch.cast("int") * 2 - 9)
+                .otherwise(ch.cast("int") * 2)
+            ),
+        )
+        s = F.aggregate(vals, F.lit(0), lambda acc, x: acc + x)
+        return (n >= 13) & (n <= 19) & (s % 10 == 0)
+
+    valid = F.filter(cands, _luhn_ok)
+    return docs.select(
+        "doc_id",
+        F.size(cands).cast("long").alias("n_card_candidates"),
+        F.size(valid).cast("long").alias("n_cards"),
+        F.aggregate(
+            valid,
+            F.coalesce(F.col("text"), F.lit("")),
+            lambda acc, c: F.replace(acc, c, F.lit(tag)),
+        ).alias("clean_text"),
+    )
+
+
+def oracle_scan_credit_cards(table: str = "documents") -> str:
+    """DuckDB twin of the counts (the fold-redaction column is checked
+    by pytest; the gate compares the counts)."""
+    return f"""
+WITH cand AS (
+    -- occurrence counts survive the per-(doc, candidate) grouping:
+    -- identical card strings repeated in one doc each count, and their
+    -- Luhn verdict is shared
+    SELECT doc_id, c, COUNT(*) AS occ FROM (
+        SELECT doc_id,
+               UNNEST(regexp_extract_all(COALESCE(text, ''),
+                                         '{_CARD_CAND_RE}')) AS c
+        FROM {table}
+    ) GROUP BY doc_id, c
+),
+norm AS (
+    SELECT doc_id, c, occ,
+           reverse(regexp_replace(c, '[ -]', '', 'g')) AS d
+    FROM cand
+),
+luhn AS (
+    SELECT doc_id, c, ANY_VALUE(occ) AS occ, length(d) AS nd,
+           SUM(CASE WHEN (i - 1) % 2 = 0
+                    THEN CAST(substr(d, CAST(i AS INT), 1) AS INT)
+                    WHEN CAST(substr(d, CAST(i AS INT), 1) AS INT) * 2 > 9
+                    THEN CAST(substr(d, CAST(i AS INT), 1) AS INT) * 2 - 9
+                    ELSE CAST(substr(d, CAST(i AS INT), 1) AS INT) * 2
+               END) AS s
+    FROM norm, UNNEST(range(1, length(d) + 1)) AS t(i)
+    GROUP BY doc_id, c, d
+),
+per_cand AS (
+    SELECT doc_id,
+           SUM(occ) AS n_card_candidates,
+           SUM(CASE WHEN nd BETWEEN 13 AND 19 AND s % 10 = 0
+                    THEN occ ELSE 0 END) AS n_cards
+    FROM luhn GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_card_candidates, 0) AS BIGINT)
+           AS n_card_candidates,
+       CAST(COALESCE(p.n_cards, 0) AS BIGINT) AS n_cards
+FROM {table} d LEFT JOIN per_cand p USING (doc_id)
+"""

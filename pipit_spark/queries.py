@@ -972,6 +972,40 @@ def _oracle_bpe() -> str:
     return oracle_bpe(num_merges=12)
 
 
+def q_doc_card_scan(spark, sf_dir):
+    """Luhn-verified payment-card detection
+    (llm/quality.py:scan_credit_cards): every 7th document gets one
+    Luhn-valid (4111…) and one Luhn-invalid 16-digit run appended, so
+    the gate checks BOTH the candidate grammar and the exact mod-10
+    arithmetic on each engine."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" pay 4111 1111 1111 1111 not 1234-5678-9012-3457"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return QL.scan_credit_cards(docs).select(
+        "doc_id", "n_card_candidates", "n_cards"
+    )
+
+
+def _oracle_card_scan() -> str:
+    from .llm.quality import oracle_scan_credit_cards
+
+    inject = """
+(SELECT * REPLACE (
+    CASE WHEN doc_id % 7 = 0
+         THEN text || ' pay 4111 1111 1111 1111 not 1234-5678-9012-3457'
+         ELSE text END AS text) FROM documents)
+"""
+    return oracle_scan_credit_cards(table=inject.strip())
+
+
 def q_doc_perplexity_buckets(spark, sf_dir):
     """CCNet-style head/middle/tail selection: per-language ranking by
     unigram LM fluency, cut at exact integer fractions of cumulative
@@ -3210,6 +3244,7 @@ def queries():
         # r04 additions (tail append — the first-50 window is fixed for
         # the round; these join the never-checked pool for r05)
         "doc_perplexity_buckets": q_doc_perplexity_buckets,
+        "doc_card_scan": q_doc_card_scan,
     }
 
 
@@ -3363,6 +3398,7 @@ def oracle_sql():
         "doc_embedding_dedup": D.oracle_embedding_dedup(threshold=0.35),
         "doc_bpe": _oracle_bpe(),
         "doc_perplexity_buckets": _oracle_perplexity_buckets(),
+        "doc_card_scan": _oracle_card_scan(),
         "media_decode": ORACLE_MEDIA_DECODE,
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),

@@ -258,6 +258,55 @@ def test_decode_audio_real_wav_roundtrip(spark):
 
 
 # --------------------------------------------------------------------- #
+# Luhn card scanning
+# --------------------------------------------------------------------- #
+def _luhn_ref(digits: str) -> bool:
+    s = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:
+            d = d * 2
+            if d > 9:
+                d -= 9
+        s += d
+    return 13 <= len(digits) <= 19 and s % 10 == 0
+
+
+def test_scan_credit_cards(spark):
+    """Counts and redaction agree with an independent Luhn
+    transcription; invalid checksums and wrong lengths never redact."""
+    from pipit_spark.llm.quality import scan_credit_cards
+
+    valid = "4111 1111 1111 1111"          # Luhn-valid 16-digit
+    invalid = "1234-5678-9012-3457"        # right length, bad checksum
+    short = "4111 1111"                    # valid-checksum length < 13?
+    assert _luhn_ref("4111111111111111")
+    assert not _luhn_ref("1234567890123457")
+
+    docs = spark.createDataFrame(
+        [
+            (0, f"pay {valid} today"),
+            (1, f"order {invalid} is not a card"),
+            (2, f"{valid} twice {valid}"),
+            (3, f"too short {short}"),
+            (4, None),
+            (5, "no digits at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scan_credit_cards(docs).collect()}
+    assert (out[0]["n_card_candidates"], out[0]["n_cards"]) == (1, 1)
+    assert out[0]["clean_text"] == "pay <CARD> today"
+    assert (out[1]["n_card_candidates"], out[1]["n_cards"]) == (1, 0)
+    assert invalid in out[1]["clean_text"]  # unverified -> untouched
+    assert (out[2]["n_card_candidates"], out[2]["n_cards"]) == (2, 2)
+    assert out[2]["clean_text"] == "<CARD> twice <CARD>"
+    assert out[3]["n_cards"] == 0
+    assert (out[4]["n_card_candidates"], out[4]["n_cards"]) == (0, 0)
+    assert out[5]["n_cards"] == 0
+
+
+# --------------------------------------------------------------------- #
 # LSH index metadata
 # --------------------------------------------------------------------- #
 def test_lsh_index_metadata_roundtrip(spark, tmp_path):
