@@ -697,6 +697,136 @@ FROM coded
 
 
 # --------------------------------------------------------------------- #
+# Binary (sign) quantization + Hamming search — the 1-bit memory tier
+# --------------------------------------------------------------------- #
+_BITS_PER_WORD = 32  # 32 bits per BIGINT word: bit 31 shifts overflow
+# DuckDB's checked BIGINT << (and bit 63 would flip the sign), so both
+# engines pack half-words — the semantics (1 bit/dim) are unchanged and
+# a production sink would store the same words as INT columns.
+
+
+def binary_quantize(
+    emb: DataFrame, vec_col: str = "embedding", out_col: str = "bits"
+) -> DataFrame:
+    """Sign-bit quantization: dimension i contributes bit (i mod 32) of
+    word (i div 32), set iff ``v[i] > 0`` — 1 bit per dimension, the
+    32× memory tier below int8 (`quantize_embeddings`) and PQ. For
+    L2-normalized embeddings, Hamming distance on sign patterns is a
+    monotone estimator of angular distance (the same SimHash/
+    hyperplane-LSH fact `lsh_ann_pairs` exploits — here with the 2^d
+    axis-aligned hyperplanes instead of random ones).
+
+    Entirely JVM higher-order functions over one projection — no UDF,
+    no shuffle, and the float vectors are DROPPED from the output, so
+    everything downstream (index build, search) moves 1/32nd the bytes.
+    """
+    # SQL expression (not the Python DSL): SQL `shiftleft` accepts a
+    # column shift amount, which the pyspark wrapper does not
+    wpack = f"""
+    transform(sequence(0, (size({vec_col}) - 1) div {_BITS_PER_WORD}), w ->
+        aggregate(sequence(0, {_BITS_PER_WORD - 1}), cast(0 as bigint),
+            (acc, b) -> CASE
+                WHEN w * {_BITS_PER_WORD} + b < size({vec_col})
+                     AND element_at({vec_col},
+                         cast(w * {_BITS_PER_WORD} + b + 1 as int)) > 0
+                THEN acc | shiftleft(cast(1 as bigint), b)
+                ELSE acc END))
+    """
+    return emb.select("vec_id", F.expr(wpack).alias(out_col))
+
+
+def hamming_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_max_id: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest corpus vectors per query under Hamming distance on
+    the sign-quantized codes — the fastest/smallest ANN tier: a corpus
+    scan moves packed words (1 bit/dim), distance is xor + popcount
+    (whole-stage-codegen integer ops, no floats anywhere), and the
+    result is EXACTLY reproducible across engines and partitionings —
+    unlike any float-scoring search, there is no summation-order term.
+
+    Same search shape as :func:`cosine_topk`: broadcast the query codes,
+    one corpus scan, per-partition partial top-k via the rank window.
+    Ties break to the lower neighbor_id (total order, engine-agnostic).
+    """
+    from pyspark.sql import Window
+
+    codes = binary_quantize(emb, vec_col)
+    q = F.broadcast(
+        codes.filter(F.col("vec_id") < query_max_id).select(
+            F.col("vec_id").alias("query_id"), F.col("bits").alias("__bq")
+        )
+    )
+    c = codes.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("bits").alias("__bc")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__bq"),
+            F.col("__bc"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "hamming", dist
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            F.col("__rk").cast("int").alias("rank"),
+        )
+    )
+
+
+def oracle_hamming_topk(
+    table: str = "embeddings", k: int = 5, query_max_id: int = 10
+) -> str:
+    """DuckDB twin of binary_quantize + hamming_topk (same 32-bit word
+    packing, same xor/bit_count integer path — hash-exact by
+    construction)."""
+    pack = """
+        list_transform(range(0, (len(embedding) + 31) // 32), w ->
+            list_sum(list_transform(range(0, 32), b ->
+                CASE WHEN w * 32 + b < len(embedding)
+                          AND embedding[w * 32 + b + 1] > 0
+                     THEN (1::BIGINT << b) ELSE 0::BIGINT END)))
+    """
+    return f"""
+WITH codes AS (
+    SELECT vec_id, {pack} AS bits FROM {table}
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, len(q.bits) + 1),
+                i -> bit_count(xor(q.bits[i], c.bits[i])))) AS INT)
+               AS hamming
+    FROM codes q JOIN codes c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {query_max_id}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, hamming,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id ASC)
+               AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------------------------------- #
 # Product quantization (PQ) — the memory tier below int8
 # --------------------------------------------------------------------- #
 class PQCodebooks:

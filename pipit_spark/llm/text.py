@@ -762,3 +762,89 @@ SELECT doc_id,
        ROUND(SUM(uniq) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
 FROM flagged GROUP BY doc_id
 """
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, mode: str = "log") -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF — the keyword
+    signal behind per-doc topic tags, near-query retrieval, and
+    "what is this cluster about" summaries of dedup groups.
+
+    ONE corpus text scan: exploded tokens collapse immediately into
+    (doc_id, token) term frequencies; document frequency is an
+    aggregation OVER that frame (the vocab-sized table, never the token
+    stream twice), and the corpus size joins in as a 1-row broadcast
+    scalar. The final per-doc top-k is a rank window partitioned by
+    doc_id — at 100 TB each document's terms hash to one partition, so
+    no global sort; the tf↔df join keys on token and is left to AQE
+    (the df side is vocab-sized: broadcastable for natural-language
+    vocabularies, shuffled only when genuinely huge).
+
+    ``mode="log"`` scores the classic ``tf·ln(N/df)`` (floats — for
+    users). ``mode="ppm"`` scores ``(tf·N·1e6) div df`` in exact BIGINT
+    arithmetic — a linear-IDF variant whose ordering and VALUES are
+    bit-reproducible across engines and partitionings (the gate path;
+    fits BIGINT up to N≈1e9 docs × tf≈1e3). Ties break (score DESC,
+    token ASC).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
+    if mode == "ppm":
+        score = F.expr("tf * __n * 1000000 div df").alias("score_ppm")
+        order_col = "score_ppm"
+    elif mode == "log":
+        score = (
+            F.col("tf") * F.log(F.col("__n") / F.col("df"))
+        ).alias("score")
+        order_col = "score"
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(order_col), F.asc("token")
+    )
+    return (
+        scored.select("doc_id", "token", "tf", "df", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def oracle_tfidf_topk(table: str = "documents", k: int = 3) -> str:
+    """DuckDB twin of tfidf_topk(mode="ppm") — all-integer scoring, so
+    the hash comparison is exact by construction."""
+    norm = _sql_norm("text")
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split({norm}, ' ')) AS token
+    FROM {table}
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok WHERE length(token) > 0 GROUP BY 1, 2
+),
+dfq AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS __n FROM {table}),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+           CAST((tf.tf * n.__n * 1000000) // dfq.df AS BIGINT)
+               AS score_ppm
+    FROM tf JOIN dfq USING (token) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score_ppm DESC, token ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, token, tf, df, score_ppm, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

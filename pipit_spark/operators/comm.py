@@ -32,6 +32,121 @@ def _msg_length_col(df: DataFrame):
     return F.element_at(F.col(S.ATTRIBUTES), S.ATTR_MSG_LENGTH).cast("double")
 
 
+def _sender_col(df: DataFrame):
+    if S.ATTR_SENDER in df.columns:
+        return F.col(S.ATTR_SENDER).cast("int")
+    return F.element_at(F.col(S.ATTRIBUTES), S.ATTR_SENDER).cast("int")
+
+
+def match_messages(events: DataFrame) -> DataFrame:
+    """FIFO per-channel send↔recv pairing: the nth send Instant on
+    process p addressed to q (``attributes['receiver']``) pairs with the
+    nth recv Instant on process q from p (``attributes['sender']``) —
+    MPI's non-overtaking guarantee for same-(source, dest, tag) traffic,
+    and how trace tools reconstruct message lines when the format
+    doesn't record explicit match ids. The reference consumes the same
+    send/recv attributes for its process-level views
+    (pipit/trace.py:412-428, 453, 485) but never pairs individual
+    messages; this is the message-line primitive those views can't give.
+
+    Plan shape: two filtered scans of the Instant rows (sends, recvs),
+    each ranked by a window partitioned on its (src, dst) CHANNEL — not
+    on process — so the shuffle key has |P|² spread and a hot rank
+    doesn't serialize its whole traffic through one task; then one
+    sort-merge equi-join on (src, dst, n). Event bodies never move: only
+    (channel, ts, event_id, msg_length) columns shuffle. Unmatched
+    sends/recvs (truncated traces) drop out of the inner join —
+    :func:`message_latency` surfaces the imbalance per channel.
+
+    Returns one row per matched message:
+    (src, dst, n, send_event_id, recv_event_id, send_ts, recv_ts,
+    latency_ns, msg_length).
+    """
+    from pyspark.sql import Window
+
+    inst = events.filter(F.col(S.EVENT_TYPE) == "Instant")
+    sends = inst.filter(F.col(S.NAME).isin(*S.SEND_NAMES)).select(
+        F.col(S.PROCESS).cast("int").alias("src"),
+        _receiver_col(inst).alias("dst"),
+        F.col(S.TIMESTAMP).alias("send_ts"),
+        F.col(S.EVENT_ID).alias("send_event_id"),
+        _msg_length_col(inst).cast("long").alias("msg_length"),
+        F.col(S.SEQ).alias("__sq"),
+    )
+    recvs = inst.filter(F.col(S.NAME).isin(*S.RECV_NAMES)).select(
+        _sender_col(inst).alias("src"),
+        F.col(S.PROCESS).cast("int").alias("dst"),
+        F.col(S.TIMESTAMP).alias("recv_ts"),
+        F.col(S.EVENT_ID).alias("recv_event_id"),
+        F.col(S.SEQ).alias("__sq"),
+    )
+    # program order per channel = (timestamp, per-location seq) — the
+    # same total order the matching kernel uses, so ties at equal ts
+    # are deterministic
+    ws = Window.partitionBy("src", "dst").orderBy("send_ts", "__sq")
+    wr = Window.partitionBy("src", "dst").orderBy("recv_ts", "__sq")
+    s = sends.withColumn("n", F.row_number().over(ws)).drop("__sq")
+    r = recvs.withColumn("n", F.row_number().over(wr)).drop("__sq")
+    return s.join(r, ["src", "dst", "n"]).select(
+        "src", "dst", "n", "send_event_id", "recv_event_id",
+        "send_ts", "recv_ts",
+        (F.col("recv_ts") - F.col("send_ts")).alias("latency_ns"),
+        "msg_length",
+    )
+
+
+def message_latency(events: DataFrame) -> DataFrame:
+    """Per-channel message-latency profile over the FIFO-matched pairs:
+    (src, dst, n_sends, n_recvs, n_matched, total/mean/max latency,
+    bytes). The mean is ONE double division over a BIGINT sum — the same
+    exact-integer discipline as the flat-profile gates, so the number is
+    partition-order-independent. Negative latencies are reported, not
+    clamped: a recv stamped before its send is a clock-skew signal the
+    analyst wants to SEE (the standard first check before trusting any
+    cross-process timing)."""
+    pairs = match_messages(events)
+    inst = events.filter(F.col(S.EVENT_TYPE) == "Instant")
+    sends = inst.filter(F.col(S.NAME).isin(*S.SEND_NAMES)).select(
+        F.col(S.PROCESS).cast("int").alias("src"),
+        _receiver_col(inst).alias("dst"),
+    )
+    recvs = inst.filter(F.col(S.NAME).isin(*S.RECV_NAMES)).select(
+        _sender_col(inst).alias("src"),
+        F.col(S.PROCESS).cast("int").alias("dst"),
+    )
+    side = (
+        sends.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_sends"))
+        .join(
+            recvs.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n_recvs")),
+            ["src", "dst"], "full_outer",
+        )
+    )
+    m = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("latency_ns").alias("total_latency_ns"),
+        F.max("latency_ns").alias("max_latency_ns"),
+        F.sum("msg_length").alias("total_bytes"),
+    )
+    return (
+        side.join(m, ["src", "dst"], "left")
+        .select(
+            "src", "dst",
+            F.coalesce("n_sends", F.lit(0)).alias("n_sends"),
+            F.coalesce("n_recvs", F.lit(0)).alias("n_recvs"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            "total_latency_ns",
+            (
+                F.col("total_latency_ns").cast("double")
+                / F.col("n_matched")
+            ).alias("mean_latency_ns"),
+            "max_latency_ns",
+            "total_bytes",
+        )
+    )
+
+
 def comm_matrix(events: DataFrame, output: str = "size") -> DataFrame:
     """Long-form P2P communication matrix: (sender, receiver, volume).
 

@@ -3080,6 +3080,74 @@ def _oracle_sampling(which: str) -> str:
     return SP.oracle_pack_sequences(context_len=512, n_shards=16)
 
 
+def q_trace_message_latency(spark, sf_dir):
+    """Per-channel FIFO send↔recv latency profile — the message-line
+    primitive the reference's process-level comm views can't give
+    (operators/comm.py:match_messages; attr consumption mirrors
+    pipit/trace.py:412-428). BIGINT latency sums, mean as one division."""
+    t = derived_trace(spark, sf_dir)
+    return t.message_latency()
+
+
+ORACLE_TRACE_MSG_LATENCY = ORACLE_TRACE_CTE + """
+, sends AS (
+    SELECT process AS src, k % 16 AS dst,
+           ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS send_ts,
+           rn * 4 + 2 AS sq, msg_len
+    FROM leaf WHERE etype IN ('click', 'purchase')
+),
+recvs AS (
+    SELECT k % 16 AS src, process AS dst,
+           ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS recv_ts,
+           rn * 4 + 2 AS sq
+    FROM leaf WHERE etype IN ('view', 'signup')
+),
+s AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst
+                                   ORDER BY send_ts, sq) AS n FROM sends),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst
+                                   ORDER BY recv_ts, sq) AS n FROM recvs),
+side AS (
+    SELECT COALESCE(sc.src, rc.src) AS src, COALESCE(sc.dst, rc.dst) AS dst,
+           COALESCE(sc.ns, 0) AS n_sends, COALESCE(rc.nr, 0) AS n_recvs
+    FROM (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS ns
+          FROM sends GROUP BY 1, 2) sc
+    FULL OUTER JOIN (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS nr
+                     FROM recvs GROUP BY 1, 2) rc
+      ON sc.src = rc.src AND sc.dst = rc.dst
+),
+m AS (
+    SELECT s.src, s.dst, CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(r.recv_ts - s.send_ts) AS BIGINT) AS total_latency_ns,
+           CAST(MAX(r.recv_ts - s.send_ts) AS BIGINT) AS max_latency_ns,
+           CAST(SUM(s.msg_len) AS BIGINT) AS total_bytes
+    FROM s JOIN r ON s.src = r.src AND s.dst = r.dst AND s.n = r.n
+    GROUP BY 1, 2
+)
+SELECT side.src, side.dst, side.n_sends, side.n_recvs,
+       COALESCE(m.n_matched, 0) AS n_matched,
+       m.total_latency_ns,
+       CAST(m.total_latency_ns AS DOUBLE) / m.n_matched AS mean_latency_ns,
+       m.max_latency_ns, m.total_bytes
+FROM side LEFT JOIN m ON side.src = m.src AND side.dst = m.dst
+"""
+
+
+def q_doc_tfidf(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords in the exact-integer ppm mode
+    (llm/text.py:tfidf_topk — BIGINT linear-IDF scores, rank total
+    order, bit-reproducible by construction)."""
+    return X.tfidf_topk(load(spark, sf_dir, "documents"), k=3, mode="ppm")
+
+
+def q_emb_hamming_topk(spark, sf_dir):
+    """Hamming top-k over sign-quantized codes — the 1-bit ANN tier;
+    all-integer xor/popcount scoring, exact across engines
+    (llm/similarity.py:hamming_topk)."""
+    return V.hamming_topk(
+        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10
+    )
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -3245,6 +3313,9 @@ def queries():
         # the round; these join the never-checked pool for r05)
         "doc_perplexity_buckets": q_doc_perplexity_buckets,
         "doc_card_scan": q_doc_card_scan,
+        "trace_message_latency": q_trace_message_latency,
+        "doc_tfidf": q_doc_tfidf,
+        "emb_hamming_topk": q_emb_hamming_topk,
     }
 
 
@@ -3399,6 +3470,9 @@ def oracle_sql():
         "doc_bpe": _oracle_bpe(),
         "doc_perplexity_buckets": _oracle_perplexity_buckets(),
         "doc_card_scan": _oracle_card_scan(),
+        "trace_message_latency": ORACLE_TRACE_MSG_LATENCY,
+        "doc_tfidf": X.oracle_tfidf_topk(k=3),
+        "emb_hamming_topk": V.oracle_hamming_topk(k=5, query_max_id=10),
         "media_decode": ORACLE_MEDIA_DECODE,
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),

@@ -444,6 +444,20 @@ class Trace:
             self._comm_source(), block_size=block_size, output=output
         )
 
+    def match_messages(self) -> DataFrame:
+        """FIFO per-channel send↔recv pairing — one row per matched
+        message with its latency (operators/comm.py:match_messages)."""
+        from .operators.comm import match_messages
+
+        return match_messages(self._comm_source())
+
+    def message_latency(self) -> DataFrame:
+        """Per-channel latency/imbalance profile over the FIFO-matched
+        messages (operators/comm.py:message_latency)."""
+        from .operators.comm import message_latency
+
+        return message_latency(self._comm_source())
+
     def message_histogram(self, bins: int = 20) -> DataFrame:
         from .operators.comm import message_histogram
 

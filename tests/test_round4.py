@@ -345,3 +345,150 @@ def test_lsh_index_metadata_roundtrip(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_r4_lshmeta")
         spark.sql("DROP TABLE IF EXISTS t_r4_lshmeta__lshmeta")
+
+
+# --------------------------------------------------------------------- #
+# FIFO message matching (match_messages / message_latency)
+# --------------------------------------------------------------------- #
+def _msg_events(spark):
+    """Two channels: 0→1 (3 sends, 2 recvs — one unmatched send) and
+    1→0 (1 send, 1 recv, recv stamped BEFORE the send: clock skew)."""
+    rows = [
+        # (event_id, ts, seq, etype, name, process, attrs)
+        (1, 100, 1, "Instant", "MpiSend", 0, {"receiver": "1", "msg_length": "10"}),
+        (2, 200, 2, "Instant", "MpiSend", 0, {"receiver": "1", "msg_length": "20"}),
+        (3, 300, 3, "Instant", "MpiSend", 0, {"receiver": "1", "msg_length": "30"}),
+        (4, 150, 1, "Instant", "MpiRecv", 1, {"sender": "0", "msg_length": "10"}),
+        (5, 290, 2, "Instant", "MpiRecv", 1, {"sender": "0", "msg_length": "20"}),
+        (6, 500, 3, "Instant", "MpiSend", 1, {"receiver": "0", "msg_length": "7"}),
+        (7, 400, 4, "Instant", "MpiRecv", 0, {"sender": "1", "msg_length": "7"}),
+        # noise: a non-Instant row with a send name must be ignored
+        (8, 50, 0, "Enter", "MpiSend", 0, None),
+    ]
+    return spark.createDataFrame(
+        [
+            (e, t, q, et, nm, p, a)
+            for (e, t, q, et, nm, p, a) in rows
+        ],
+        schema=(
+            f"{S.EVENT_ID} long, {S.TIMESTAMP} long, {S.SEQ} long, "
+            f"{S.EVENT_TYPE} string, {S.NAME} string, {S.PROCESS} int, "
+            f"{S.ATTRIBUTES} map<string,string>"
+        ),
+    )
+
+
+def test_match_messages_fifo_pairing(spark):
+    from pipit_spark.operators.comm import match_messages
+
+    pairs = match_messages(_msg_events(spark)).orderBy("src", "dst", "n")
+    got = [
+        (r["src"], r["dst"], r["n"], r["send_ts"], r["recv_ts"],
+         r["latency_ns"], r["msg_length"])
+        for r in pairs.collect()
+    ]
+    assert got == [
+        # channel 0→1: FIFO order — 1st send↔1st recv, 2nd↔2nd; 3rd send
+        # has no recv and must NOT appear
+        (0, 1, 1, 100, 150, 50, 10),
+        (0, 1, 2, 200, 290, 90, 20),
+        # channel 1→0: negative latency reported, not clamped
+        (1, 0, 1, 500, 400, -100, 7),
+    ]
+
+
+def test_message_latency_channel_profile(spark):
+    from pipit_spark.operators.comm import message_latency
+
+    prof = {
+        (r["src"], r["dst"]): r.asDict()
+        for r in message_latency(_msg_events(spark)).collect()
+    }
+    c01 = prof[(0, 1)]
+    assert (c01["n_sends"], c01["n_recvs"], c01["n_matched"]) == (3, 2, 2)
+    assert c01["total_latency_ns"] == 140
+    assert c01["mean_latency_ns"] == 70.0
+    assert c01["max_latency_ns"] == 90
+    assert c01["total_bytes"] == 30
+    c10 = prof[(1, 0)]
+    assert (c10["n_sends"], c10["n_recvs"], c10["n_matched"]) == (1, 1, 1)
+    assert c10["total_latency_ns"] == -100
+
+
+# --------------------------------------------------------------------- #
+# binary quantization + Hamming top-k
+# --------------------------------------------------------------------- #
+def test_binary_quantize_packs_sign_bits(spark):
+    from pipit_spark.llm.similarity import binary_quantize
+
+    # 34 dims → 2 words; bits 0,2 of word 0 and bit 1 (dim 33) of word 1
+    vec = [0.0] * 34
+    vec[0] = 1.5
+    vec[2] = 0.1
+    vec[33] = 2.0
+    emb = spark.createDataFrame(
+        [(0, vec)], "vec_id long, embedding array<float>"
+    )
+    row = binary_quantize(emb).collect()[0]
+    assert row["bits"] == [0b101, 0b10]
+
+
+def test_hamming_topk_matches_numpy_bruteforce(spark):
+    import numpy as np
+
+    from pipit_spark.llm.similarity import hamming_topk
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((40, 24)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["hamming"])
+        for r in hamming_topk(emb, k=3, query_max_id=4).collect()
+    }
+    signs = (mat > 0)
+    for q in range(4):
+        d = [
+            (int((signs[q] ^ signs[c]).sum()), c)
+            for c in range(40) if c != q
+        ]
+        d.sort()
+        for rk, (dist, c) in enumerate(d[:3], start=1):
+            assert got[(q, rk)] == (c, dist), (q, rk)
+
+
+# --------------------------------------------------------------------- #
+# TF-IDF keywords
+# --------------------------------------------------------------------- #
+def test_tfidf_topk_log_and_ppm_modes(spark):
+    import math
+
+    from pipit_spark.llm.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana common"),
+            (1, "banana cherry common"),
+            (2, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    # ppm mode: doc 0's top term is apple (tf=2, df=1) — exact integers
+    ppm = {
+        (r["doc_id"], r["rank"]): (r["token"], r["score_ppm"])
+        for r in tfidf_topk(docs, k=2, mode="ppm").collect()
+    }
+    assert ppm[(0, 1)] == ("apple", 2 * 3 * 1_000_000 // 1)
+    # 'common' (df=3) scores tf*N*1e6/df = 1e6 everywhere — always last
+    assert ppm[(0, 2)][0] == "banana"
+    # log mode: classic tf·ln(N/df)
+    log_rows = {
+        (r["doc_id"], r["token"]): r["score"]
+        for r in tfidf_topk(docs, k=3, mode="log").collect()
+    }
+    assert log_rows[(0, "apple")] == pytest.approx(2 * math.log(3 / 1))
+    assert log_rows[(0, "common")] == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        tfidf_topk(docs, mode="nope")
