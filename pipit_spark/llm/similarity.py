@@ -696,6 +696,91 @@ FROM coded
 """.replace("{table}", table)
 
 
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 5,
+    query_max_id: int = 10,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k most-similar corpus vectors with a DIFFERENT label — the
+    near-miss examples that teach an embedding model its decision
+    boundary (easy negatives are free; hard ones are the expensive,
+    valuable sliver). Identical search shape to :func:`cosine_topk`
+    (broadcast queries, one corpus scan, per-partition partial top-k);
+    the label inequality rides the join condition so mismatched pairs
+    are dropped BEFORE scoring, not filtered after."""
+    from pyspark.sql import Window
+
+    nn = with_norm(emb, vec_col)
+    q = F.broadcast(
+        nn.filter(F.col("vec_id") < query_max_id).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(label_col).alias("__lq"),
+            F.col(vec_col).alias("__vq"),
+            F.col("__norm").alias("__nq"),
+        )
+    )
+    c = nn.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(label_col).alias("__lc"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+    )
+    scored = q.join(c, F.col("__lq") != F.col("__lc")).withColumn(
+        "cosine",
+        _dot(F.col("__vq"), F.col("__vc")) / (F.col("__nq") * F.col("__nc")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id",
+            F.col("__lq").cast("int").alias("query_label"),
+            "neighbor_id",
+            F.col("__lc").cast("int").alias("neighbor_label"),
+            F.round("cosine", 4).alias("cosine"),
+            F.col("__rk").cast("int").alias("rank"),
+        )
+    )
+
+
+def oracle_hard_negatives(
+    table: str = "embeddings", k: int = 5, query_max_id: int = 10
+) -> str:
+    cos = """
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * sqrt(list_sum(list_transform(c.embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+    """
+    return f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, CAST(q.label AS INT) AS query_label,
+           c.vec_id AS neighbor_id, CAST(c.label AS INT) AS neighbor_label,
+           {cos} AS cos_raw
+    FROM {table} q JOIN {table} c ON q.label != c.label
+    WHERE q.vec_id < {query_max_id}
+),
+ranked AS (
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           ROUND(cos_raw, 4) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 # --------------------------------------------------------------------- #
 # Binary (sign) quantization + Hamming search — the 1-bit memory tier
 # --------------------------------------------------------------------- #

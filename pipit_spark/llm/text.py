@@ -764,7 +764,9 @@ FROM flagged GROUP BY doc_id
 """
 
 
-def tfidf_topk(docs: DataFrame, k: int = 3, mode: str = "log") -> DataFrame:
+def tfidf_topk(
+    docs: DataFrame, k: int = 3, mode: str = "log", persist: bool = True
+) -> DataFrame:
     """Per-document top-k characteristic terms by TF-IDF — the keyword
     signal behind per-doc topic tags, near-query retrieval, and
     "what is this cluster about" summaries of dedup groups.
@@ -785,6 +787,19 @@ def tfidf_topk(docs: DataFrame, k: int = 3, mode: str = "log") -> DataFrame:
     bit-reproducible across engines and partitionings (the gate path;
     fits BIGINT up to N≈1e9 docs × tf≈1e3). Ties break (score DESC,
     token ASC).
+
+    df is deliberately an aggregation-over-tf + join, NOT a
+    ``COUNT() OVER (PARTITION BY token)`` window: hash aggregation
+    combines hot tokens map-side, while a window would funnel a
+    stopword's every (doc, tf) row — up to one per corpus document —
+    through a single task. The tf frame feeds both branches, and
+    Catalyst does NOT reuse the exchange (pruning makes the subtrees
+    differ), so with ``persist=True`` (default) tf is cached to skip
+    the second token-explode scan — same lifetime contract as
+    :func:`vocab_coverage`: the handle is exposed as
+    ``result.cached_tf``; long-lived sessions should unpersist it
+    after consuming the result (or pass ``persist=False`` to trade
+    a second corpus scan for zero cache footprint).
     """
     tok = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
@@ -792,6 +807,8 @@ def tfidf_topk(docs: DataFrame, k: int = 3, mode: str = "log") -> DataFrame:
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    if persist:
+        tf = tf.persist()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
     scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
@@ -810,11 +827,14 @@ def tfidf_topk(docs: DataFrame, k: int = 3, mode: str = "log") -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.desc(order_col), F.asc("token")
     )
-    return (
+    out = (
         scored.select("doc_id", "token", "tf", "df", score)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+    # release handle for the persisted tf counts (see docstring)
+    out.cached_tf = tf if persist else None
+    return out
 
 
 def oracle_tfidf_topk(table: str = "documents", k: int = 3) -> str:

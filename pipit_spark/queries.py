@@ -3148,6 +3148,15 @@ def q_emb_hamming_topk(spark, sf_dir):
     )
 
 
+def q_emb_hard_negatives(spark, sf_dir):
+    """Top-k cross-label near-misses per query — hard negatives for
+    contrastive training (llm/similarity.py:hard_negatives; same float
+    discipline as the driver-green emb_cosine_topk gate)."""
+    return V.hard_negatives(
+        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10
+    )
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -3316,6 +3325,7 @@ def queries():
         "trace_message_latency": q_trace_message_latency,
         "doc_tfidf": q_doc_tfidf,
         "emb_hamming_topk": q_emb_hamming_topk,
+        "emb_hard_negatives": q_emb_hard_negatives,
     }
 
 
@@ -3473,6 +3483,7 @@ def oracle_sql():
         "trace_message_latency": ORACLE_TRACE_MSG_LATENCY,
         "doc_tfidf": X.oracle_tfidf_topk(k=3),
         "emb_hamming_topk": V.oracle_hamming_topk(k=5, query_max_id=10),
+        "emb_hard_negatives": V.oracle_hard_negatives(k=5, query_max_id=10),
         "media_decode": ORACLE_MEDIA_DECODE,
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),

@@ -492,3 +492,32 @@ def test_tfidf_topk_log_and_ppm_modes(spark):
     assert log_rows[(0, "common")] == pytest.approx(0.0)
     with pytest.raises(ValueError):
         tfidf_topk(docs, mode="nope")
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    import numpy as np
+
+    from pipit_spark.llm.similarity import hard_negatives
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((30, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]], i % 3) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = hard_negatives(emb, k=4, query_max_id=3).collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r["query_label"] != r["neighbor_label"]
+        assert r["query_label"] == r["query_id"] % 3
+    # rank 1 is the true best cross-label cosine (numpy cross-check)
+    norms = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for q in range(3):
+        cand = [
+            (-sims[q, c], c) for c in range(30) if c % 3 != q % 3
+        ]
+        cand.sort()
+        best = cand[0][1]
+        got = [r for r in rows if r["query_id"] == q and r["rank"] == 1][0]
+        assert got["neighbor_id"] == best
