@@ -59,6 +59,10 @@ HEADLINE = [
     "emb_ivf_topk",
     "emb_semantic_dedup",
     "q21_waiting_orders",
+    # round-4 session-2 additions
+    "trace_message_latency",
+    "doc_tfidf",
+    "emb_hamming_topk",
 ]
 
 

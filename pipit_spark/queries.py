@@ -3173,9 +3173,11 @@ def queries():
     — BIGINT-sum determinism fix), trace_detect_pattern + media_decode
     + doc_bpe with their new value oracles, and 44 of the never-checked
     gates (advanced dedup / sampling / ANN / trace analyses).  The tail
-    leads with the ~11 never-checked gates that did not fit (r05
-    window), followed by every gate already driver-hash-green in
-    r01-r03.  Every oracle-bearing gate — window or tail — is
+    leads with the 11 never-checked gates that did not fit, followed by
+    every gate already driver-hash-green in r01-r03, then the gates
+    added during r04 itself (perplexity buckets, card scan, message
+    latency, TF-IDF, Hamming ANN, hard negatives) — never-checked tail
+    entries form the r05 window.  Every oracle-bearing gate — window or tail — is
     additionally value-checked locally by tools/parity_check.py (EXACT
     float compare, predicting the driver's hash) and column-checked by
     tests/test_oracle_parity.
