@@ -195,3 +195,176 @@ def read_partitioned_corpus(
     for c, v in filters.items():
         df = df.filter(F.col(c) == v)
     return df
+
+
+# --------------------------------------------------------------------- #
+# WARC / WET — Common Crawl ingestion
+# --------------------------------------------------------------------- #
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _parse_warc_records(blob: bytes):
+    """Yield (headers: dict, payload: bytes) per WARC/1.x record.
+
+    WARC framing (ISO 28500): a ``WARC/1.x`` version line, CRLF header
+    block terminated by an empty line, exactly ``Content-Length``
+    payload bytes, then CRLF CRLF. A truncated trailing record (torn
+    shard upload) stops the scan instead of raising — the records
+    before it are good and the tail loss is the uploader's bug to fix.
+    """
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # tolerate stray separators between records
+        while pos < n and blob[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if not blob[pos : pos + 5] == b"WARC/":
+            break
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers = {}
+        for line in blob[pos:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().decode("ascii", "replace").lower()] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            break
+        yield headers, blob[body_start : body_start + clen]
+        pos = body_start + clen
+
+
+def _maybe_gunzip(name: str, content: bytes) -> bytes:
+    if name.endswith(".gz") or content[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(content)
+    return content
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl WET ingestion: sharded ``*.warc.wet(.gz)`` files of
+    ``conversion`` records (pre-extracted page text) → one row per page,
+    ready for the documents pipeline (add ``doc_id`` via
+    ``monotonically_increasing_id`` or a content fingerprint).
+
+    Partitioning IS the file sharding: ``binaryFile`` gives one row —
+    one task — per shard, exactly how Common Crawl distributes the
+    corpus (~1 GB gzip segments, ~100k of them per crawl ≈ 100 TB), so
+    a 1000-executor cluster reads 1000 shards at a time with zero
+    shuffle. Parsing is one Python pass per shard inside mapInPandas
+    (Arrow-batched, record framing is byte arithmetic, not regex).
+    Memory envelope: whole-shard decompress, ~3× the .gz size — the
+    same envelope any WARC tool (warcio et al.) needs per stream;
+    Spark's binary source caps files at 2 GB which the CC segment
+    convention (<1.2 GB) already satisfies.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def gen(batches):
+        for pdf in batches:
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                blob = _maybe_gunzip(fname, bytes(content))
+                for h, body in _parse_warc_records(blob):
+                    if h.get("warc-type") != "conversion":
+                        continue
+                    rows.append(
+                        (
+                            fname,
+                            h.get("warc-record-id"),
+                            h.get("warc-target-uri"),
+                            h.get("warc-date"),
+                            len(body),
+                            body.decode("utf-8", "replace"),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in WET_SCHEMA.fields]
+                )
+
+    return files.select("path", "content").mapInPandas(gen, WET_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Raw WARC ingestion (``response`` records): one row per capture
+    with the HTTP status/content-type split out and the body kept as an
+    opaque ``binary`` payload — the multimodal-column convention
+    (llm/multimodal.py): planning and filtering never decode the blob;
+    downstream HTML→text / image decode runs in its own narrow pass.
+    Same sharding/memory model as :func:`read_wet`.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def gen(batches):
+        for pdf in batches:
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                blob = _maybe_gunzip(fname, bytes(content))
+                for h, body in _parse_warc_records(blob):
+                    if h.get("warc-type") != "response":
+                        continue
+                    status, ctype, payload = None, None, body
+                    split = body.find(b"\r\n\r\n")
+                    first = body[: body.find(b"\r\n")]
+                    if split >= 0 and first[:5] == b"HTTP/":
+                        payload = body[split + 4 :]
+                        parts = first.split(b" ")
+                        if len(parts) >= 2 and parts[1].isdigit():
+                            status = int(parts[1])
+                        for line in body[:split].split(b"\r\n")[1:]:
+                            k, _, v = line.partition(b":")
+                            if k.strip().lower() == b"content-type":
+                                ctype = v.strip().decode(
+                                    "utf-8", "replace"
+                                )
+                    rows.append(
+                        (
+                            fname,
+                            h.get("warc-record-id"),
+                            h.get("warc-target-uri"),
+                            h.get("warc-date"),
+                            status,
+                            ctype,
+                            payload,
+                            len(payload),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in WARC_SCHEMA.fields]
+                )
+
+    return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)

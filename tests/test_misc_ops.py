@@ -2037,3 +2037,76 @@ def test_pattern_stats_counts(spark):
     assert out["a"]["n_docs_matching"] == 1
     assert out["a"]["total_matches"] == 2
     assert out["b"]["total_matches"] == 0
+
+
+# --------------------------------------------------------------------- #
+# WARC / WET ingestion
+# --------------------------------------------------------------------- #
+def _wet_record(uri: str, text: str, rtype: str = "conversion") -> bytes:
+    body = text.encode()
+    return (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"WARC-Record-ID: <urn:uuid:{abs(hash(uri))}>\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body + b"\r\n\r\n"
+
+
+def test_read_wet_parses_plain_and_gz_shards(spark, tmp_path):
+    import gzip
+
+    from pipit_spark.llm.io import read_wet
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "seg-0.warc.wet").write_bytes(
+        _wet_record("warcinfo://x", "crawler info", rtype="warcinfo")
+        + _wet_record("http://a.example/", "hello world page A")
+        + _wet_record("http://b.example/", "unicode é中")
+    )
+    (d / "seg-1.warc.wet.gz").write_bytes(
+        gzip.compress(_wet_record("http://c.example/", "gz page C"))
+    )
+    rows = read_wet(spark, str(d)).orderBy("target_uri").collect()
+    # warcinfo records are filtered; the gzip member is parsed
+    assert [r["target_uri"] for r in rows] == [
+        "http://a.example/", "http://b.example/", "http://c.example/"
+    ]
+    assert rows[1]["text"] == "unicode é中"
+    assert rows[0]["content_length"] == len(b"hello world page A")
+    assert rows[0]["warc_date"] == "2026-01-01T00:00:00Z"
+
+
+def test_read_warc_http_split_and_truncation_tolerance(spark, tmp_path):
+    from pipit_spark.llm.io import read_warc
+
+    def resp(uri: str, body: bytes, ctype: str) -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\ncontent-type: "
+            + ctype.encode() + b"\r\n\r\n" + body
+        )
+        return (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    blob = resp("http://a.example/", b"<html>A</html>", "text/html")
+    blob += resp("http://img.example/x.png", b"\x89PNGfake", "image/png")
+    # torn tail record: Content-Length overruns the shard — the two
+    # records before it must still parse
+    blob += (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    )
+    (d / "seg-0.warc").write_bytes(blob)
+    rows = read_warc(spark, str(d)).orderBy("target_uri").collect()
+    assert len(rows) == 2
+    png = rows[1]
+    assert png["http_status"] == 200
+    assert png["http_content_type"] == "image/png"
+    assert bytes(png["payload"]) == b"\x89PNGfake"
+    assert png["n_bytes"] == len(b"\x89PNGfake")
