@@ -2110,3 +2110,87 @@ def test_read_warc_http_split_and_truncation_tolerance(spark, tmp_path):
     assert png["http_content_type"] == "image/png"
     assert bytes(png["payload"]) == b"\x89PNGfake"
     assert png["n_bytes"] == len(b"\x89PNGfake")
+
+
+# --------------------------------------------------------------------- #
+# web-corpus preparation (llm/web.py)
+# --------------------------------------------------------------------- #
+def test_html_to_text_strips_subtrees_and_entities(spark):
+    from pyspark.sql import functions as F
+
+    from pipit_spark.llm.web import html_to_text_expr
+
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style></head>"
+        "<body><h1>Header</h1><!-- secret --><p>Para &amp; one.</p>"
+        '<script>var x = "<p>not text</p>";</script>'
+        "<div>Block&nbsp;two &lt;tag&gt;</div><ul><li>item</li></ul>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "raw string")
+    out = df.select(html_to_text_expr(F.col("raw")).alias("t")).first()["t"]
+    # script/style/head contents and comments never leak into the text
+    for leak in ("not text", "color", "secret", "title", "T<"):
+        assert leak not in out
+    assert out == "Header\nPara & one.\nBlock two <tag>\nitem"
+
+
+def test_url_features_and_domain_filtering(spark):
+    from pipit_spark.llm.web import filter_domains, url_features
+
+    u = spark.createDataFrame(
+        [
+            (1, "https://sub.spam.example/a/b/c?x=1"),
+            (2, "http://good.org/"),
+        ],
+        "id long, url string",
+    )
+    m = {r["id"]: r for r in url_features(u).collect()}
+    assert m[1]["url_host"] == "sub.spam.example"
+    assert m[1]["url_domain"] == "spam.example"  # registrable, not host
+    assert m[1]["url_path_depth"] == 3 and m[1]["url_has_query"]
+    assert m[2]["url_path_depth"] == 0 and not m[2]["url_has_query"]
+
+    bl = spark.createDataFrame([("spam.example",)], "domain string")
+    assert [r["id"] for r in filter_domains(u, bl).collect()] == [2]
+    assert [
+        r["id"] for r in filter_domains(u, bl, mode="allow").collect()
+    ] == [1]
+    # helper columns must not leak into the output
+    assert "url_domain" not in filter_domains(u, bl).columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        filter_domains(u, bl, mode="nope")
+
+
+def test_warc_to_documents_bridge(spark, tmp_path):
+    from pipit_spark.llm.io import read_warc
+    from pipit_spark.llm.web import warc_to_documents
+
+    def resp(uri, body, ctype, status=b"200 OK"):
+        http = (
+            b"HTTP/1.1 " + status + b"\r\ncontent-type: "
+            + ctype.encode() + b"\r\n\r\n" + body
+        )
+        return (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{abs(hash(uri))}>\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(
+        resp("http://a.example/", b"<p>Hello</p>", "text/html")
+        + resp("http://nf.example/", b"<p>gone</p>", "text/html",
+               status=b"404 Not Found")
+        + resp("http://img.example/i.png", b"\x89PNG", "image/png")
+    )
+    docs = warc_to_documents(read_warc(spark, str(d))).collect()
+    # 404s and non-HTML captures are dropped; text is extracted
+    assert len(docs) == 1
+    assert docs[0]["url"] == "http://a.example/"
+    assert docs[0]["text"] == "Hello"
+    assert docs[0]["doc_id"] is not None
