@@ -868,3 +868,184 @@ ranked AS (
 SELECT doc_id, token, tf, df, score_ppm, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: dict[str, str],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    mode: str = "log",
+) -> DataFrame:
+    """BM25 retrieval over the corpus: top-k documents per query — the
+    search tier a curation pipeline uses for targeted selection (pull
+    documents near a benchmark's topics, audit what a dedup cluster is
+    about, build retrieval-filtered subsets à la DSIR-with-queries).
+
+    ``queries`` maps query_id → query text (tokenized with the corpus
+    tokenizer). Per-term scores are the classic Robertson/Sparck-Jones
+    BM25: ``idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``.
+
+    One corpus scan builds (doc, term) tf + doc lengths; the exploded
+    stream is immediately cut to query terms (a broadcast isin filter —
+    the query vocabulary is tiny), so df/score work touches only
+    matching postings. avgdl joins as a 1-row broadcast scalar; the
+    final per-query top-k is the rank-window partial-top-k pattern.
+
+    ``mode="log"``: real BM25 idf ``ln((N−df+0.5)/(df+0.5)+1)``.
+    ``mode="rational"``: idf = ``(N−df+0.5)/(df+0.5)`` — a monotone-
+    per-term surrogate built ONLY from IEEE-exact ops (+,−,×,÷ are
+    correctly rounded, so Spark and DuckDB agree bit-for-bit; ``ln`` is
+    only 1-ulp-accurate and may differ between libms) — and per-term
+    scores quantized to integer micro-units (``floor(s·1e6)``) before
+    the cross-term sum, so the score is a BIGINT sum (order-independent
+    — a float sum's partial-aggregation order varies by engine and
+    partitioning) divided once at the end. The gate uses this mode;
+    rankings differ from log-idf only across terms, not within one.
+    """
+    if mode not in ("log", "rational"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    terms = sorted(
+        {
+            t
+            for q in queries.values()
+            for t in q.strip().split()
+            if t
+        }
+    )
+    qmap = [
+        (qid, t) for qid, q in sorted(queries.items())
+        for t in sorted(set(q.strip().split())) if t
+    ]
+    spark = docs.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame(qmap, "query_id string, token string")
+    )
+    # doc length is a row-local array expression — no explode, no
+    # aggregation, so the full token stream is never shuffled for it
+    dl = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0)
+        ).cast("long").alias("dl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scalars = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("__n"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("__avgdl"),
+        )
+    )
+    idf_raw = (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    idf = F.log(idf_raw + 1.0) if mode == "log" else idf_raw
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    # rational mode: the BIGINT micro-unit sum is exact, then ONE
+    # division — a double sum would be partial-aggregation-order-
+    # dependent in the last ulp
+    agg_score = (
+        (F.sum(F.floor(idf * sat * 1e6).cast("long")) / F.lit(1e6))
+        if mode == "rational"
+        else F.sum(idf * sat)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(scalars)
+        .join(qdf, "token")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            agg_score.alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id",
+            F.round("score", 4).alias("score"),
+            F.col("n_terms").cast("int").alias("n_terms"),
+            "rank",
+        )
+    )
+
+
+def oracle_bm25_topk(
+    queries: dict[str, str],
+    table: str = "documents",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of bm25_topk(mode="rational") — +,−,×,÷ only, so
+    both engines produce bit-identical doubles."""
+    norm = _sql_norm("text")
+    qrows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in sorted(queries.items())
+        for t in sorted(set(q.strip().split())) if t
+    )
+    return f"""
+WITH qmap(query_id, token) AS (VALUES {qrows}),
+dl AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split({norm}, ' '),
+                t -> length(t) > 0)) AS BIGINT) AS dl
+    FROM {table}
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(string_split({norm}, ' ')) AS token
+          FROM {table})
+    WHERE token IN (SELECT DISTINCT token FROM qmap)
+    GROUP BY 1, 2
+),
+dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS __n,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS __avgdl
+    FROM dl
+),
+scored AS (
+    -- micro-unit BIGINT sum then one division: order-independent,
+    -- bit-identical to the engine (see bm25_topk rational mode)
+    SELECT q.query_id, tf.doc_id,
+           CAST(SUM(CAST(FLOOR(
+               ((sc.__n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * ({k1} + 1))
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / sc.__avgdl))
+               * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS score,
+           CAST(COUNT(*) AS INT) AS n_terms
+    FROM tf
+    JOIN dfq USING (token)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN sc
+    JOIN qmap q ON q.token = tf.token
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, ROUND(score, 4) AS score, n_terms,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, doc_id, score, n_terms, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

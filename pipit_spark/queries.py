@@ -3148,6 +3148,20 @@ def q_emb_hamming_topk(spark, sf_dir):
     )
 
 
+_BM25_QUERIES = {"q1": "fast table", "q2": "query value data"}
+
+
+def q_doc_bm25(spark, sf_dir):
+    """BM25 retrieval top-5 per query in the exact rational mode
+    (llm/text.py:bm25_topk — IEEE-exact idf surrogate, per-term scores
+    quantized to BIGINT micro-units so the cross-term sum is
+    order-independent)."""
+    return X.bm25_topk(
+        load(spark, sf_dir, "documents"), _BM25_QUERIES, k=5,
+        mode="rational",
+    )
+
+
 def q_emb_hard_negatives(spark, sf_dir):
     """Top-k cross-label near-misses per query — hard negatives for
     contrastive training (llm/similarity.py:hard_negatives; same float
@@ -3328,6 +3342,7 @@ def queries():
         "doc_tfidf": q_doc_tfidf,
         "emb_hamming_topk": q_emb_hamming_topk,
         "emb_hard_negatives": q_emb_hard_negatives,
+        "doc_bm25": q_doc_bm25,
     }
 
 
@@ -3486,6 +3501,7 @@ def oracle_sql():
         "doc_tfidf": X.oracle_tfidf_topk(k=3),
         "emb_hamming_topk": V.oracle_hamming_topk(k=5, query_max_id=10),
         "emb_hard_negatives": V.oracle_hard_negatives(k=5, query_max_id=10),
+        "doc_bm25": X.oracle_bm25_topk(_BM25_QUERIES, k=5),
         "media_decode": ORACLE_MEDIA_DECODE,
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),

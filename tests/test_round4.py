@@ -521,3 +521,34 @@ def test_hard_negatives_excludes_same_label(spark):
         best = cand[0][1]
         got = [r for r in rows if r["query_id"] == q and r["rank"] == 1][0]
         assert got["neighbor_id"] == best
+
+
+def test_bm25_ranking_semantics(spark):
+    from pipit_spark.llm.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            # "cat" appears in 1 of 4 docs (rare), "the" in all (common)
+            (0, "the cat sat"),
+            (1, "the dog ran"),
+            (2, "the the the the the the the the the the the dog"),
+            (3, "the fish swam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, {"q": "the cat"}, k=4, mode="rational").collect()
+    by_rank = {r["rank"]: r for r in out}
+    # the only cat-matching doc wins despite matching fewer terms overall
+    assert by_rank[1]["doc_id"] == 0 and by_rank[1]["n_terms"] == 2
+    # among the-only docs, tf saturation + length norm: doc 2 repeats
+    # "the" but is long — its score must stay below doc 0's cat boost
+    assert by_rank[1]["score"] > by_rank[2]["score"]
+    # every doc matches "the", so all 4 rows come back
+    assert len(out) == 4
+    # log mode runs and preserves the cat winner
+    log_out = bm25_topk(docs, {"q": "the cat"}, k=1, mode="log").collect()
+    assert log_out[0]["doc_id"] == 0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        bm25_topk(docs, {"q": "x"}, mode="nope")
