@@ -368,3 +368,55 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
+
+
+def read_wet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming WET ingestion: the same parser as :func:`read_wet`
+    over a ``binaryFile`` file-source stream — new Common Crawl
+    segments landing in ``path`` flow through as they arrive (the
+    production shape for continuous crawl ingestion; compose with
+    llm/pipeline.incremental_new_docs or the streaming near-dup screen
+    for dedup-on-arrival). File-granular tasks and checkpointed file
+    tracking come from the source; one shard is parsed exactly once
+    across restarts."""
+    import pandas as pd
+
+    # the binaryFile source's schema is fixed but must be stated
+    # explicitly for streaming (no inference pass on a stream)
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .load(path)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                blob = _maybe_gunzip(fname, bytes(content))
+                for h, body in _parse_warc_records(blob):
+                    if h.get("warc-type") != "conversion":
+                        continue
+                    rows.append(
+                        (
+                            fname,
+                            h.get("warc-record-id"),
+                            h.get("warc-target-uri"),
+                            h.get("warc-date"),
+                            len(body),
+                            body.decode("utf-8", "replace"),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in WET_SCHEMA.fields]
+                )
+
+    return files.select("path", "content").mapInPandas(gen, WET_SCHEMA)

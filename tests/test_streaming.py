@@ -713,3 +713,62 @@ def test_streaming_near_dup_screen(spark, tmp_path):
 
     with pytest.raises(ValueError, match="num_hashes: index=16"):
         streaming_near_dup_screen(stream, idx, num_hashes=8, portable=True)
+
+
+# --------------------------------------------------------------------- #
+# streaming WET ingestion
+# --------------------------------------------------------------------- #
+def test_read_wet_stream_incremental_shards(spark, tmp_path):
+    import gzip
+
+    from pipit_spark.llm.io import read_wet_stream
+
+    def rec(uri, text):
+        body = text.encode()
+        return (
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body + b"\r\n\r\n"
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (d / "seg-0.warc.wet").write_bytes(
+        rec("http://a.example/", "page A") + rec("http://b.example/", "page B")
+    )
+
+    def run_once():
+        # parquet sink: the recoverable-sink shape a real ingestion
+        # job uses (memory sink can't resume from a checkpoint)
+        q = (
+            read_wet_stream(spark, str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {
+        r["target_uri"]: r["text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {"http://a.example/": "page A", "http://b.example/": "page B"}
+
+    # a new gz shard lands; resume from the checkpoint — only the new
+    # shard is parsed (file-source exactly-once tracking), the earlier
+    # rows are not duplicated in the sink
+    (d / "seg-1.warc.wet.gz").write_bytes(
+        gzip.compress(rec("http://c.example/", "page C"))
+    )
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert {r["target_uri"] for r in rows} == {
+        "http://a.example/", "http://b.example/", "http://c.example/"
+    }
