@@ -280,3 +280,57 @@ def test_corpus_card_single_scan(spark):
     tree = tree_of(corpus_card(docs))
     assert tree.count("Scan parquet") == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_message_latency_channel_windows_no_nested_loop(trace):
+    """FIFO matching: both rank windows partition on the (src, dst)
+    CHANNEL (|P|² key spread — a process-keyed window would serialize a
+    hot rank's traffic), the pairing is an equi-join (sort-merge or
+    hash, never a nested loop), and event bodies stay out of the
+    shuffle (no `attributes` column above the scans)."""
+    tree = tree_of(trace.message_latency())
+    assert "hashpartitioning(src" in plan_of(trace.message_latency())
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_hamming_topk_broadcast_and_partial_topk(spark):
+    """1-bit search: the 10 query codes broadcast (never the corpus),
+    and WindowGroupLimit cuts each partition to k before the single
+    query-keyed exchange."""
+    from pipit_spark.llm.similarity import hamming_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    tree = tree_of(hamming_topk(emb, k=5, query_max_id=10))
+    assert "BroadcastExchange" in tree
+    assert "WindowGroupLimit" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_bm25_term_filter_before_aggregation(spark):
+    """The query-term isin cut must discard the exploded token stream
+    BEFORE the tf aggregation's exchange — the plan property that makes
+    bm25 cheaper per byte than tfidf."""
+    from pipit_spark.llm.text import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(bm25_topk(docs, {"q": "fast table"}, k=3))
+    # the IN-filter on the two query terms appears in a Filter node
+    # (post-explode, pre-aggregation), not as a post-join filter
+    assert "token" in plan and "IN (" in plan.replace("IN  (", "IN (")
+    tree = tree_of(bm25_topk(docs, {"q": "fast table"}, k=3))
+    assert "CartesianProduct" not in tree
+
+
+def test_tfidf_no_window_over_token(spark):
+    """df must come from hash aggregation (map-side combine on hot
+    stopwords), never a COUNT() OVER (PARTITION BY token) window."""
+    from pipit_spark.llm.text import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tree = tree_of(tfidf_topk(docs, k=3, mode="ppm", persist=False))
+    # exactly one Window (the per-doc rank), partitioned by doc_id
+    assert tree.count("Window") - tree.count("WindowGroupLimit") <= 1
+    assert "hashpartitioning(token" in plan_of(
+        tfidf_topk(docs, k=3, mode="ppm", persist=False)
+    )
