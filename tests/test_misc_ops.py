@@ -2194,3 +2194,56 @@ def test_warc_to_documents_bridge(spark, tmp_path):
     assert docs[0]["url"] == "http://a.example/"
     assert docs[0]["text"] == "Hello"
     assert docs[0]["doc_id"] is not None
+
+
+# --------------------------------------------------------------------- #
+# config-driven recipe runner (llm/recipe.py)
+# --------------------------------------------------------------------- #
+def test_recipe_matches_fused_clean_corpus(spark):
+    from pipit_spark.llm.pipeline import clean_corpus
+    from pipit_spark.llm.recipe import run_recipe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rec = [
+        {"op": "lang_filter", "lang": "en"},
+        {"op": "token_window", "min": 10, "max": 100_000},
+        {"op": "quality_floor", "min_quality": 0.3},
+        {"op": "exact_dedup"},
+    ]
+    got = {r["doc_id"] for r in run_recipe(docs, rec).select("doc_id").collect()}
+    want = {r["doc_id"] for r in clean_corpus(docs).select("doc_id").collect()}
+    # declaring the steps as config must not change the semantics of
+    # the hand-fused pipeline (same expression factories under both)
+    assert got == want and got
+    # documents shape preserved through every non-terminal step
+    assert set(run_recipe(docs, rec).columns) == set(docs.columns)
+
+
+def test_recipe_terminal_pack_and_errors(spark):
+    import pytest as _p
+
+    from pipit_spark.llm.recipe import run_recipe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    evals = docs.limit(3).select("doc_id", "text")
+    packs = run_recipe(
+        docs,
+        [
+            {"op": "c4_rules"},
+            {"op": "pii_redact"},
+            {"op": "decontaminate", "n": 5},
+            {"op": "sample", "pct": 50},
+            {"op": "pack", "context_len": 512, "n_shards": 4},
+        ],
+        eval_docs=evals,
+    )
+    assert set(packs.columns) == {
+        "shard", "pack_in_shard", "n_docs", "total_tokens"
+    }
+    assert packs.count() > 0
+    with _p.raises(ValueError, match="unknown recipe op"):
+        run_recipe(docs, [{"op": "nope"}])
+    with _p.raises(ValueError, match="terminal"):
+        run_recipe(docs, [{"op": "pack"}, {"op": "sample"}])
+    with _p.raises(ValueError, match="eval_docs"):
+        run_recipe(docs, [{"op": "decontaminate"}])
