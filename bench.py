@@ -63,6 +63,7 @@ HEADLINE = [
     "trace_message_latency",
     "doc_tfidf",
     "emb_hamming_topk",
+    "doc_bm25",
 ]
 
 
