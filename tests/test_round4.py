@@ -552,3 +552,63 @@ def test_bm25_ranking_semantics(spark):
 
     with _p.raises(ValueError):
         bm25_topk(docs, {"q": "x"}, mode="nope")
+
+
+def test_session2_gates_partitioning_determinism(spark):
+    """The driver's hash gate compares EXACT values, so every new gate
+    must produce bit-identical results under different shuffle
+    partitionings (the r01-r03 trace-mean failures were exactly this
+    property breaking). Run each gate at 4 vs 13 shuffle partitions and
+    require equality of the full sorted frame."""
+    from pipit_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "trace_message_latency", "doc_tfidf", "emb_hamming_topk",
+        "emb_hard_negatives", "doc_bm25",
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("4", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            Q.clear_state(spark)
+            for n in names:
+                pdf = Q.queries()[n](spark, sf).toPandas()
+                pdf = pdf[sorted(pdf.columns)].sort_values(
+                    list(sorted(pdf.columns))
+                ).reset_index(drop=True)
+                results.setdefault(n, []).append(pdf)
+        for n, (a, b) in results.items():
+            pd.testing.assert_frame_equal(a, b, check_exact=True), n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        Q.clear_state(spark)
+
+
+def test_vocab_sketches_merge_without_rescan(spark):
+    from pipit_spark.llm.text import merge_vocab_sketches, vocab_sketches
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "a"),
+            (1, "beta gamma delta", "a"),
+            (2, "epsilon zeta", "b"),
+            (3, "zeta eta theta", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    sk = vocab_sketches(docs)
+    rows = {r["group"]: r for r in sk.collect()}
+    # at toy scale the HLL estimate is exact
+    assert round(rows["a"]["est_distinct"]) == 4  # alpha beta gamma delta
+    assert round(rows["b"]["est_distinct"]) == 4  # epsilon zeta eta theta
+    assert rows["a"]["n_tokens"] == 6
+    # union across groups: 8 distinct tokens total, from sketches alone
+    merged = merge_vocab_sketches(sk).collect()[0]
+    assert round(merged["est_distinct_union"]) == 8
+    assert merged["n_tokens_total"] == 11 and merged["n_sketches"] == 2
+    # mergeability contract: union of per-source sketches equals the
+    # sketch built over the whole corpus
+    whole = vocab_sketches(docs.withColumn("source", F.lit("all")))
+    assert round(whole.collect()[0]["est_distinct"]) == 8
