@@ -170,3 +170,73 @@ def test_chunk_documents_tiling_property(spark, n_tokens, chunk, data):
         tok for _, t, _ in rows[1:] for tok in t[overlap:]
     ]
     assert rebuilt == toks
+
+
+# --------------------------------------------------------------------- #
+# FIFO message-matching property check (operators/comm.match_messages)
+# --------------------------------------------------------------------- #
+@st.composite
+def message_events(draw):
+    """Random send/recv interleavings over 3 processes, with colliding
+    timestamps and unbalanced channels (more sends than recvs and vice
+    versa)."""
+    rows = []
+    eid = 0
+    for p in range(3):
+        n_ev = draw(st.integers(0, 12))
+        for i in range(n_ev):
+            kind = draw(st.sampled_from(["send", "recv"]))
+            other = draw(st.sampled_from([q for q in range(3) if q != p]))
+            ts = draw(st.integers(0, 5)) * 10  # force ts collisions
+            if kind == "send":
+                attrs = {"receiver": str(other), "msg_length": "10"}
+                name = "MpiSend"
+            else:
+                attrs = {"sender": str(other), "msg_length": "10"}
+                name = "MpiRecv"
+            rows.append((eid, ts, i, "Instant", name, p, attrs))
+            eid += 1
+    return rows
+
+
+def _fifo_reference(rows):
+    """Straight-line FIFO pairing: per channel, nth send ↔ nth recv in
+    (ts, seq) order."""
+    from collections import defaultdict
+
+    sends, recvs = defaultdict(list), defaultdict(list)
+    for eid, ts, seq, _, name, p, attrs in rows:
+        if name == "MpiSend":
+            sends[(p, int(attrs["receiver"]))].append((ts, seq, eid))
+        else:
+            recvs[(int(attrs["sender"]), p)].append((ts, seq, eid))
+    pairs = set()
+    for ch in sends:
+        ss = sorted(sends[ch])
+        rr = sorted(recvs.get(ch, []))
+        for n, (s, r) in enumerate(zip(ss, rr), start=1):
+            pairs.add((ch[0], ch[1], n, s[2], r[2], r[0] - s[0]))
+    return pairs
+
+
+@settings(max_examples=12, deadline=None)
+@given(message_events())
+def test_match_messages_equals_fifo_reference(spark, rows):
+    from pipit_spark.operators.comm import match_messages
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows,
+        schema=(
+            f"{S.EVENT_ID} long, {S.TIMESTAMP} long, {S.SEQ} long, "
+            f"{S.EVENT_TYPE} string, {S.NAME} string, {S.PROCESS} int, "
+            f"{S.ATTRIBUTES} map<string,string>"
+        ),
+    )
+    got = {
+        (r["src"], r["dst"], r["n"], r["send_event_id"],
+         r["recv_event_id"], r["latency_ns"])
+        for r in match_messages(df).collect()
+    }
+    assert got == _fifo_reference(rows)
