@@ -1283,3 +1283,43 @@ def ann_recall_report(
             F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
         )
     )
+
+
+def save_pq_index(codes_df: DataFrame, cb: PQCodebooks, table: str) -> None:
+    """Persist a PQ index (the build-once/search-many lifecycle, PQ's
+    counterpart of :func:`~pipit_spark.llm.dedup.save_lsh_index`): the
+    coded corpus saves as a catalog table — the m uint8-sized codes per
+    vector ARE the index, 16-32× smaller than the raw floats — and the
+    trained codebooks ride in a companion ``{table}__pqmeta`` table
+    (one row per (subspace, codeword) with its centroid), so tomorrow's
+    search job reconstructs the exact float codebooks without the
+    training sample or any retrain drift. No bucketing: search is a
+    full LUT-gather scan of the codes, there is no join key to
+    co-locate."""
+    spark = codes_df.sparkSession
+    codes_df.write.mode("overwrite").saveAsTable(table)
+    books = cb.codebooks  # (m, ksub, dsub) float64
+    rows = [
+        (mi, ki, [float(x) for x in books[mi, ki]])
+        for mi in range(books.shape[0])
+        for ki in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "m_idx int, k_idx int, centroid array<double>"
+    ).write.mode("overwrite").saveAsTable(f"{table}__pqmeta")
+
+
+def load_pq_index(spark, table: str):
+    """Load a :func:`save_pq_index` index: returns ``(codes_df,
+    PQCodebooks)`` ready for :func:`pq_search`. The codebook table is
+    KB-sized (m×ksub rows) — the collect is driver-trivial and exact
+    (float64 round-trips losslessly through the catalog)."""
+    codes_df = spark.table(table)
+    meta = spark.table(f"{table}__pqmeta").collect()
+    m = max(r["m_idx"] for r in meta) + 1
+    ksub = max(r["k_idx"] for r in meta) + 1
+    dsub = len(meta[0]["centroid"])
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in meta:
+        books[r["m_idx"], r["k_idx"]] = r["centroid"]
+    return codes_df, PQCodebooks(books)

@@ -612,3 +612,32 @@ def test_vocab_sketches_merge_without_rescan(spark):
     # sketch built over the whole corpus
     whole = vocab_sketches(docs.withColumn("source", F.lit("all")))
     assert round(whole.collect()[0]["est_distinct"]) == 8
+
+
+def test_pq_index_save_load_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from pipit_spark.llm import similarity as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = V.pq_train(emb, m=8, ksub=16)
+    codes = V.pq_encode(emb, cb)
+    queries = emb.filter("vec_id < 5")
+    before = (
+        V.pq_search(queries, codes, cb, k=5)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    V.save_pq_index(codes, cb, "pq_rt_idx")
+    try:
+        codes2, cb2 = V.load_pq_index(spark, "pq_rt_idx")
+        # float64 codebooks round-trip losslessly through the catalog
+        assert np.array_equal(cb.codebooks, cb2.codebooks)
+        after = (
+            V.pq_search(queries, codes2, cb2, k=5)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(before, after)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pq_rt_idx")
+        spark.sql("DROP TABLE IF EXISTS pq_rt_idx__pqmeta")
