@@ -1323,3 +1323,37 @@ def load_pq_index(spark, table: str):
     for r in meta:
         books[r["m_idx"], r["k_idx"]] = r["centroid"]
     return codes_df, PQCodebooks(books)
+
+
+def save_ivf_index(index: IVFIndex, table: str) -> None:
+    """Persist an :class:`IVFIndex` (the IVF counterpart of
+    :func:`save_pq_index`): the cell-assigned corpus saves as a catalog
+    table PARTITIONED by ``__cell`` — so a later search job's cell
+    probes become partition pruning, reading nprobe/nlist of the files
+    instead of filtering a full scan — and the centroids ride in a
+    companion ``{table}__ivfmeta`` table (float64-lossless)."""
+    spark = index.assigned.sparkSession
+    (
+        index.assigned.write.mode("overwrite")
+        .partitionBy("__cell")
+        .saveAsTable(table)
+    )
+    cent = index.centroids
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").saveAsTable(f"{table}__ivfmeta")
+
+
+def load_ivf_index(spark, table: str, vec_col: str = "embedding") -> IVFIndex:
+    """Load a :func:`save_ivf_index` index ready for
+    :func:`ivf_search`. Cell probes prune the ``__cell`` partitions of
+    the catalog table — the scan cost is nprobe/nlist of the corpus by
+    FILE layout, not post-scan filtering."""
+    assigned = spark.table(table)
+    meta = sorted(
+        spark.table(f"{table}__ivfmeta").collect(),
+        key=lambda r: r["cell"],
+    )
+    cent = np.stack([np.asarray(r["centroid"]) for r in meta])
+    return IVFIndex(cent, assigned, vec_col)

@@ -641,3 +641,37 @@ def test_pq_index_save_load_roundtrip(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS pq_rt_idx")
         spark.sql("DROP TABLE IF EXISTS pq_rt_idx__pqmeta")
+
+
+def test_ivf_index_save_load_roundtrip_with_pruning(spark):
+    import numpy as np
+
+    from pipit_spark.llm import similarity as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = V.ivf_build(emb, nlist=8)
+    q = emb.filter("vec_id < 5")
+    before = (
+        V.ivf_search(idx, q, k=5, nprobe=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    V.save_ivf_index(idx, "ivf_rt_idx")
+    try:
+        idx2 = V.load_ivf_index(spark, "ivf_rt_idx")
+        assert np.array_equal(idx.centroids, idx2.centroids)
+        after = (
+            V.ivf_search(idx2, q, k=5, nprobe=3)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(before, after)
+        # the partitionBy(__cell) layout turns cell probes into
+        # partition pruning — visible as a PartitionFilters entry
+        probe = idx2.assigned.filter("__cell = 3")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "__cell" in plan.split(
+            "PartitionFilters", 1
+        )[1][:120]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_rt_idx")
+        spark.sql("DROP TABLE IF EXISTS ivf_rt_idx__ivfmeta")
