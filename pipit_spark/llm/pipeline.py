@@ -58,11 +58,22 @@ def clean_corpus(
         & F.col("n_tokens").between(min_tokens, max_tokens)
         & (F.col("quality_score") >= min_quality)
     )
-    w = Window.partitionBy("fingerprint")
+    # keep-first as ONE min_by aggregation, not a fingerprint window:
+    # a hash aggregate combines hot keys map-side, while a window needs
+    # every row of a group in one task — with real-corpus boilerplate
+    # (millions of identical docs sharing a fingerprint) the window
+    # form funnels the whole hot group through a single task at 100 TB.
+    # Same scan count (one), same result (doc_id is unique, so min_by
+    # is deterministic).
     return (
-        keep.withColumn("__rep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("__rep"))
-        .select("doc_id", "n_tokens", "quality_score")
+        keep.groupBy("fingerprint")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "n_tokens", "quality_score"),
+                F.col("doc_id"),
+            ).alias("__r")
+        )
+        .select("__r.doc_id", "__r.n_tokens", "__r.quality_score")
     )
 
 
@@ -233,12 +244,11 @@ def incremental_new_docs(
     exactly the delta to append to the seen-set for the next run.
     """
     fp = docs.select("doc_id", fingerprint_expr().alias("fingerprint"))
-    w = Window.partitionBy("fingerprint")
-    batch_first = (
-        fp.withColumn("__rep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("__rep"))
-        .select("doc_id", "fingerprint")
-    )
+    # skew-safe keep-first: hash aggregation (map-side combine on hot
+    # fingerprints) instead of a fingerprint window — see clean_corpus
+    batch_first = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id", "fingerprint")
     seen = seen_fingerprints.select("fingerprint")
     if method == "exact":
         return batch_first.join(seen, "fingerprint", "left_anti").select(
@@ -333,6 +343,11 @@ def clean_corpus_report(
     survives_filters = (
         ~F.col("__drop_lang") & ~F.col("__drop_len") & ~F.col("__drop_q")
     )
+    # the window here is load-bearing: unlike clean_corpus (which only
+    # needs the keep-first SURVIVOR and uses the skew-safe min_by
+    # aggregation), the report labels EVERY row with its drop stage, so
+    # each row needs its group's rep id in-row. Diagnostic op — run it
+    # on samples if a corpus has degenerate boilerplate hot keys.
     w = Window.partitionBy("__fp")
     flagged = flagged.withColumn(
         "__rep",

@@ -36,7 +36,7 @@ Step vocabulary (``op`` key selects, remaining keys are parameters):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .text import pred_lang_expr, fingerprint_expr, stats_exprs
 
@@ -86,11 +86,19 @@ def run_recipe(
                 redacted = F.regexp_replace(redacted, pat, tag)
             df = df.withColumn("text", redacted)
         elif op == "exact_dedup":
-            w = Window.partitionBy(fingerprint_expr())
+            # skew-safe keep-first: ONE min_by hash aggregation (hot
+            # fingerprints combine map-side; a window would funnel a
+            # whole boilerplate group through one task)
+            cols = df.columns
             df = (
-                df.withColumn("__rep", F.min("doc_id").over(w))
-                .filter(F.col("doc_id") == F.col("__rep"))
-                .drop("__rep")
+                df.groupBy(fingerprint_expr().alias("__fp"))
+                .agg(
+                    F.min_by(
+                        F.struct(*[F.col(c) for c in cols]),
+                        F.col("doc_id"),
+                    ).alias("__r")
+                )
+                .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
             )
         elif op == "fuzzy_dedup":
             from .dedup import fuzzy_dedup
