@@ -299,11 +299,29 @@ def _budget_select(
     """The greedy per-source budget rule, shared by every selector: in
     descending ``order_col`` order (doc_id tie-break), a document is
     kept iff the tokens BEFORE it fit the budget — so the budget may be
-    exceeded by at most one document. One place owns the rule."""
+    exceeded by at most one document. One place owns the rule.
+
+    TWO-STAGE, because the prefix sum is a window and a window can't
+    split a hot source (one source dominating a 100 TB corpus = one
+    task). Stage 1 prunes within (source, salt): a row's salted prefix
+    is a subset of its global prefix (tokens are non-negative), so
+    ``local_before >= budget`` already proves ``global_before >=
+    budget`` — survivors are a subset of the salted candidates, and
+    each salt keeps at most ``budget`` docs (every doc has >= 1
+    token). Stage 2 runs the EXACT global rule on the <= 64·budget
+    candidates per source — a bounded window regardless of corpus
+    size. Results identical to the single-window form."""
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64))
+    w1 = Window.partitionBy("source", salt).orderBy(
+        F.col(order_col).desc(), F.col("doc_id").asc()
+    )
+    cand = feats.withColumn(
+        "__lb", F.sum("n_tokens").over(w1) - F.col("n_tokens")
+    ).filter(F.col("__lb") < budget_per_source).drop("__lb")
     w = Window.partitionBy("source").orderBy(
         F.col(order_col).desc(), F.col("doc_id").asc()
     )
-    return feats.withColumn(
+    return cand.withColumn(
         "__before", F.sum("n_tokens").over(w) - F.col("n_tokens")
     ).filter(F.col("__before") < budget_per_source)
 
@@ -317,9 +335,12 @@ def select_by_token_budget(
     tokens BEFORE it fit the budget (so the budget may be exceeded by
     at most one document, the standard greedy rule).
 
-    One shuffle (by source), one partition-local sort — same shape as
-    :func:`pack_sequences`; at 100 TB the per-source sort is the only
-    non-scan cost, and a skewed source splits via AQE.
+    Two-stage prefix sum (see :func:`_budget_select`): the salted
+    first stage bounds what reaches the exact per-source window at
+    64·budget candidates, so a source that dominates the corpus
+    cannot funnel its whole row set through one task (AQE splits
+    skewed JOINS, not windows — the single-window form had no
+    escape hatch).
     """
     se = stats_exprs()
     feats = docs.select(
@@ -415,18 +436,29 @@ def sample_exact_k(
     equivalent of a reservoir sample. Strata smaller than ``k`` return
     whole.
 
-    One shuffle (by stratum), per-stratum window rank — at 100 TB each
-    stratum ranks independently; with no strata the rank is a global
-    TakeOrderedAndProject-style top-k via a single-partition window
-    over only the k-smallest candidates... so for the unstratified case
-    we instead route through orderBy+limit (distributed partial
-    top-k)."""
+    Unstratified: orderBy+limit (Catalyst's distributed partial
+    top-k). Stratified: TWO-STAGE top-k, because a window over a hot
+    stratum (one source dominating the corpus) would funnel the whole
+    stratum through a single task — windows can't split a hot key.
+    Stage 1 ranks within (stratum, salt) and keeps ≤ k per salt (the
+    global top-k of a stratum is contained in the union of its salted
+    top-k's — top-k distributes over any partition of the rows);
+    stage 2 re-ranks the ≤ 64·k survivors per stratum, a bounded
+    window regardless of corpus size. Results identical to the
+    single-window form."""
     rank = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
     if strata is None:
         return docs.withColumn("__r", rank).orderBy("__r").limit(k).drop("__r")
-    w = Window.partitionBy(strata).orderBy(rank, F.col("doc_id"))
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64))
+    w1 = Window.partitionBy(strata, salt).orderBy(rank, F.col("doc_id"))
+    cand = (
+        docs.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy(strata).orderBy(rank, F.col("doc_id"))
     return (
-        docs.withColumn("__rn", F.row_number().over(w))
+        cand.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

@@ -713,31 +713,43 @@ def novelty_scores(docs: DataFrame, n: int = 3) -> DataFrame:
     corpus-unique n-grams is fresh content; near-zero novelty is
     boilerplate or a near-duplicate).
 
-    One shingle pass, a document-frequency count via a window over the
-    shingle key (same single shuffle the inverted index pays — no
-    df-table join back), then a per-doc aggregation. Document frequency
-    counts DOCUMENTS (distinct shingles per doc), not occurrences.
+    All-aggregation shape — deliberately NO window over the shingle
+    key: a boilerplate shingle shared by millions of documents would
+    funnel its whole posting list through one window task (windows
+    can't split a hot key; hash aggregation combines it map-side).
+    A corpus-unique shingle has exactly one owner, so per-doc unique
+    counts come from the shingle-keyed aggregate's ``min(doc_id)``
+    without ever materializing per-row document frequencies:
+    one branch counts each doc's distinct shingles, the other counts
+    df==1 shingles grouped by their single owner, and the two
+    doc-keyed frames join skew-free. Document frequency counts
+    DOCUMENTS (distinct shingles per doc), not occurrences.
     """
     from .dedup import shingle_table
 
     sh = shingle_table(docs, n=n, distinct=True)
-    from pyspark.sql import Window
-
-    df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    flagged = sh.withColumn("__unique", (df_w == 1).cast("int"))
-    return (
-        flagged.groupBy("doc_id")
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams")
+    )
+    uniques = (
+        sh.groupBy("shingle")
         .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum("__unique").alias("n_unique"),
+            F.count(F.lit(1)).alias("__df"),
+            F.min("doc_id").alias("doc_id"),
         )
+        .filter(F.col("__df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        per_doc.join(uniques, "doc_id", "left")
         .select(
             "doc_id",
             "n_ngrams",
-            "n_unique",
-            F.round(F.col("n_unique") / F.col("n_ngrams"), 6).alias(
-                "novelty"
-            ),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.round(
+                F.coalesce("n_unique", F.lit(0)) / F.col("n_ngrams"), 6
+            ).alias("novelty"),
         )
     )
 
