@@ -161,14 +161,28 @@ def shingle_table(
 
 
 def _pair_common_counts(
-    docs: DataFrame, n: int, max_df: int
+    docs: DataFrame, n: int, max_df: int, persist: bool = True
 ) -> DataFrame:
     """The shared bucketed inverted-index plan behind every set-overlap
     pair operator: distinct shingles per doc with set sizes riding the
     group keys, df-capped posting lists, intra-bucket pair explosion,
     and the per-pair intersection count. Returns
     ``(a, b, sz_a, sz_b, common)`` with a < b. ONE place owns this plan
-    so Jaccard and containment cannot drift."""
+    so Jaccard and containment cannot drift.
+
+    The df cap is applied COUNT-FIRST: a count aggregation (map-side
+    combine absorbs hot keys) finds the surviving shingles, and only
+    their rows reach the posting-list collection — so no aggregation
+    buffer ever holds more than ``max_df`` entries. Collecting first
+    and size-filtering after would buffer a stop-shingle's ENTIRE
+    posting list (corpus-scale for "of the and" at 1e9 docs) in one
+    task before the filter discards it. The shingle stream feeds both
+    the count and the join probe, so with ``persist=True`` (default)
+    it caches spill-safely for the query's lifetime (the
+    vocab_coverage contract — clear with ``spark.catalog.clearCache()``
+    or pass ``persist=False`` to trade a second text scan)."""
+    from pyspark import StorageLevel
+
     sh = (
         docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
         .select(
@@ -194,10 +208,20 @@ def _pair_common_counts(
             F.explode("__set").alias("shingle"),
         )
     )
-    buckets = (
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    surviving = (
         sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df").between(2, max_df))
+        .select("shingle")
+    )
+    # post-filter, every shingle has <= max_df rows — the collection
+    # buffers and the pair explosion are bounded by construction
+    buckets = (
+        sh.join(surviving, "shingle")
+        .groupBy("shingle")
         .agg(F.collect_list(F.struct("doc_id", "sz")).alias("__ds"))
-        .filter(F.size("__ds").between(2, max_df))
     )
     return (
         buckets.select(F.explode("__ds").alias("__x"), "__ds")
@@ -569,7 +593,8 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, bits: int = 64
+    docs: DataFrame, max_hamming: int = 3, bits: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: documents whose 64-bit signatures
     differ in at most ``max_hamming`` bits, with the distance.
@@ -581,7 +606,17 @@ def simhash_pairs(
     posting-list shape as the LSH and Jaccard ops. Exact hamming
     distance (16 nibble XOR popcounts, all codegen) verifies the
     survivors. No cross join at any scale; the only quadratic work is
-    intra-bucket, bounded by block-collision rates."""
+    intra-bucket, and that quadratic is INHERENT to the contract —
+    identical documents agree on every block and genuinely are pairs.
+
+    ``max_bucket`` is the degenerate-corpus escape hatch: a corpus
+    that hasn't been exact-deduped first can put millions of identical
+    docs in one bucket (one collection buffer, a quadratic pair blast).
+    With ``max_bucket`` set, oversized buckets are counted FIRST (hash
+    aggregation, map-side combine) and dropped before any posting list
+    materializes — recall loss only on groups that exact dedup should
+    have collapsed anyway. Default None preserves exact semantics
+    (the oracle gate's configuration)."""
     n_blocks = max_hamming + 1
     nibbles = bits // 4
     if nibbles % n_blocks:
@@ -599,11 +634,27 @@ def simhash_pairs(
             ])
         ).alias("__b", "__blk"),
     )
-    buckets = (
-        blocks.groupBy("__b", "__blk")
-        .agg(F.collect_list("__m").alias("__ms"))
-        .filter(F.size("__ms") >= 2)
-    )
+    if max_bucket is not None:
+        from pyspark import StorageLevel
+
+        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+        surviving = (
+            blocks.groupBy("__b", "__blk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n").between(2, max_bucket))
+            .select("__b", "__blk")
+        )
+        buckets = (
+            blocks.join(surviving, ["__b", "__blk"])
+            .groupBy("__b", "__blk")
+            .agg(F.collect_list("__m").alias("__ms"))
+        )
+    else:
+        buckets = (
+            blocks.groupBy("__b", "__blk")
+            .agg(F.collect_list("__m").alias("__ms"))
+            .filter(F.size("__ms") >= 2)
+        )
     cand = (
         buckets.select(F.explode("__ms").alias("__x"), "__ms")
         .select("__x", F.explode("__ms").alias("__y"))

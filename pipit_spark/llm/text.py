@@ -485,19 +485,34 @@ def winnow_pairs(
     coefficient shared/min(|A|, |B|) — robust to one document embedding
     a fragment of another, where Jaccard dilutes.
 
-    Plan: the fingerprint table groups into per-fingerprint posting
-    lists (ONE shuffle; the document-frequency cap is a ``size()``
-    filter on the list, killing boilerplate-fingerprint skew before any
-    pair explodes — the lesson-14 shape), pairs explode intra-list,
-    and the per-doc fingerprint counts join back (doc-level cardinality
-    — AQE broadcasts)."""
-    fps = winnow_fingerprints(docs, k=k, w=w)
+    Plan: the document-frequency cap applies COUNT-FIRST — a count
+    aggregation (map-side combine absorbs boilerplate fingerprints)
+    finds the surviving fingerprints, and only their rows reach the
+    posting-list collection, so no aggregation buffer ever holds more
+    than ``max_df`` doc ids (collecting first and size-filtering after
+    would buffer a hot fingerprint's corpus-scale posting list in one
+    task before discarding it). Pairs explode intra-list, and the
+    per-doc fingerprint counts join back (doc-level cardinality — AQE
+    broadcasts). The fingerprint stream feeds the count, the probe,
+    and the sizes aggregate — it persists spill-safely for the query
+    (clear via ``spark.catalog.clearCache()``)."""
+    from pyspark import StorageLevel
+
+    fps = winnow_fingerprints(docs, k=k, w=w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("__n"))
-    posting = (
+    surviving = (
         fps.groupBy("fingerprint")
-        .agg(F.collect_list("doc_id").alias("__docs"))
-        .filter(F.size("__docs") <= max_df)
-        .select(F.array_sort("__docs").alias("__docs"))
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fingerprint")
+    )
+    posting = (
+        fps.join(surviving, "fingerprint")
+        .groupBy("fingerprint")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("__docs"))
+        .select("__docs")
     )
     pairs = (
         posting.select(

@@ -675,3 +675,16 @@ def test_ivf_index_save_load_roundtrip_with_pruning(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_rt_idx")
         spark.sql("DROP TABLE IF EXISTS ivf_rt_idx__ivfmeta")
+
+
+def test_simhash_max_bucket_drops_degenerate_groups(spark):
+    from pipit_spark.llm.dedup import simhash_pairs
+
+    rows = [(i, "identical boilerplate text repeated") for i in range(20)]
+    rows.append((100, "a genuinely different document about other things"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # default: identical docs genuinely are pairs — all C(20,2) emitted
+    assert simhash_pairs(docs).count() == 20 * 19 // 2
+    # capped: the degenerate bucket is counted out before any posting
+    # list materializes
+    assert simhash_pairs(docs, max_bucket=5).count() == 0
