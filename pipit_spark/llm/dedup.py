@@ -177,13 +177,16 @@ def _pair_common_counts(
     and size-filtering after would buffer a stop-shingle's ENTIRE
     posting list (corpus-scale for "of the and" at 1e9 docs) in one
     task before the filter discards it. The shingle stream feeds both
-    the count and the join probe, so with ``persist=True`` (default)
-    it caches spill-safely for the query's lifetime (the
-    vocab_coverage contract — clear with ``spark.catalog.clearCache()``
-    or pass ``persist=False`` to trade a second text scan)."""
+    the count and the join probe; with ``persist=True`` (default) the
+    compact PER-DOC set frame caches spill-safely — one row per doc,
+    far cheaper to materialize than the exploded shingle stream, which
+    both branches re-derive with an in-memory explode — for the
+    query's lifetime (the vocab_coverage contract: clear with
+    ``spark.catalog.clearCache()``, or pass ``persist=False`` to trade
+    a second text scan for zero cache footprint)."""
     from pyspark import StorageLevel
 
-    sh = (
+    sets = (
         docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
         .select(
             "doc_id",
@@ -202,14 +205,14 @@ def _pair_common_counts(
         )
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("__set"))
-        .select(
-            "doc_id",
-            F.size("__set").alias("sz"),
-            F.explode("__set").alias("shingle"),
-        )
     )
     if persist:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sets.select(
+        "doc_id",
+        F.size("__set").alias("sz"),
+        F.explode("__set").alias("shingle"),
+    )
     surviving = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
