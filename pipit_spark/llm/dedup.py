@@ -619,7 +619,11 @@ def simhash_pairs(
     aggregation, map-side combine) and dropped before any posting list
     materializes — recall loss only on groups that exact dedup should
     have collapsed anyway. Default None preserves exact semantics
-    (the oracle gate's configuration)."""
+    (the oracle gate's configuration). The capped path persists the
+    per-block frame spill-safely for the query's lifetime (both the
+    count and the probe consume it) — the vocab_coverage contract:
+    clear with ``spark.catalog.clearCache()`` in long-lived
+    sessions."""
     n_blocks = max_hamming + 1
     nibbles = bits // 4
     if nibbles % n_blocks:

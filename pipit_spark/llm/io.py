@@ -271,26 +271,11 @@ def _maybe_gunzip(name: str, content: bytes) -> bytes:
     return content
 
 
-def read_wet(spark: SparkSession, path: str) -> DataFrame:
-    """Common Crawl WET ingestion: sharded ``*.warc.wet(.gz)`` files of
-    ``conversion`` records (pre-extracted page text) → one row per page,
-    ready for the documents pipeline (add ``doc_id`` via
-    ``monotonically_increasing_id`` or a content fingerprint).
-
-    Partitioning IS the file sharding: ``binaryFile`` gives one row —
-    one task — per shard, exactly how Common Crawl distributes the
-    corpus (~1 GB gzip segments, ~100k of them per crawl ≈ 100 TB), so
-    a 1000-executor cluster reads 1000 shards at a time with zero
-    shuffle. Parsing is one Python pass per shard inside mapInPandas
-    (Arrow-batched, record framing is byte arithmetic, not regex).
-    Memory envelope: whole-shard decompress, ~3× the .gz size — the
-    same envelope any WARC tool (warcio et al.) needs per stream;
-    Spark's binary source caps files at 2 GB which the CC segment
-    convention (<1.2 GB) already satisfies.
-    """
+def _wet_shard_parser():
+    """One shared per-shard WET parse loop (a mapInPandas generator) —
+    the batch and streaming readers MUST stay byte-identical, so there
+    is exactly one copy of the record walk."""
     import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path)
 
     def gen(batches):
         for pdf in batches:
@@ -314,7 +299,30 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
                     rows, columns=[f.name for f in WET_SCHEMA.fields]
                 )
 
-    return files.select("path", "content").mapInPandas(gen, WET_SCHEMA)
+    return gen
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl WET ingestion: sharded ``*.warc.wet(.gz)`` files of
+    ``conversion`` records (pre-extracted page text) → one row per page,
+    ready for the documents pipeline (add ``doc_id`` via
+    ``monotonically_increasing_id`` or a content fingerprint).
+
+    Partitioning IS the file sharding: ``binaryFile`` gives one row —
+    one task — per shard, exactly how Common Crawl distributes the
+    corpus (~1 GB gzip segments, ~100k of them per crawl ≈ 100 TB), so
+    a 1000-executor cluster reads 1000 shards at a time with zero
+    shuffle. Parsing is one Python pass per shard inside mapInPandas
+    (Arrow-batched, record framing is byte arithmetic, not regex).
+    Memory envelope: whole-shard decompress, ~3× the .gz size — the
+    same envelope any WARC tool (warcio et al.) needs per stream;
+    Spark's binary source caps files at 2 GB which the CC segment
+    convention (<1.2 GB) already satisfies.
+    """
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        _wet_shard_parser(), WET_SCHEMA
+    )
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -379,8 +387,6 @@ def read_wet_stream(spark: SparkSession, path: str) -> DataFrame:
     for dedup-on-arrival). File-granular tasks and checkpointed file
     tracking come from the source; one shard is parsed exactly once
     across restarts."""
-    import pandas as pd
-
     # the binaryFile source's schema is fixed but must be stated
     # explicitly for streaming (no inference pass on a stream)
     binary_schema = T.StructType(
@@ -396,27 +402,6 @@ def read_wet_stream(spark: SparkSession, path: str) -> DataFrame:
         .schema(binary_schema)
         .load(path)
     )
-
-    def gen(batches):
-        for pdf in batches:
-            for fname, content in zip(pdf["path"], pdf["content"]):
-                rows = []
-                blob = _maybe_gunzip(fname, bytes(content))
-                for h, body in _parse_warc_records(blob):
-                    if h.get("warc-type") != "conversion":
-                        continue
-                    rows.append(
-                        (
-                            fname,
-                            h.get("warc-record-id"),
-                            h.get("warc-target-uri"),
-                            h.get("warc-date"),
-                            len(body),
-                            body.decode("utf-8", "replace"),
-                        )
-                    )
-                yield pd.DataFrame(
-                    rows, columns=[f.name for f in WET_SCHEMA.fields]
-                )
-
-    return files.select("path", "content").mapInPandas(gen, WET_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        _wet_shard_parser(), WET_SCHEMA
+    )

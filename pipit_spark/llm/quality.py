@@ -270,6 +270,17 @@ WHERE local.n_tokens BETWEEN {min_tokens} AND {max_tokens}
 # --------------------------------------------------------- PII redaction
 
 
+def pii_redact_expr():
+    """The redaction fold as a reusable expression — ONE owner of the
+    rule application order, shared by :func:`pii_redact` and the
+    recipe runner's in-place step so a new rule (or an escaping fix
+    for replacement metacharacters) lands everywhere at once."""
+    redacted = F.col("text")
+    for tag, pat in PII_RULES:
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return redacted
+
+
 def pii_redact(docs: DataFrame) -> DataFrame:
     """Scrub emails / IPv4 addresses / phone numbers, replacing each
     match with a typed tag, and count matches per category (counts are
@@ -278,9 +289,7 @@ def pii_redact(docs: DataFrame) -> DataFrame:
     Pure regexp codegen — a narrow map over the corpus with no shuffle;
     at 100 TB this is scan-bound, which is the best possible shape.
     """
-    redacted = F.col("text")
-    for tag, pat in PII_RULES:
-        redacted = F.regexp_replace(redacted, pat, tag)
+    redacted = pii_redact_expr()
     return docs.select(
         "doc_id",
         redacted.alias("clean_text"),

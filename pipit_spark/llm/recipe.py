@@ -28,7 +28,7 @@ Step vocabulary (``op`` key selects, remaining keys are parameters):
 ``exact_dedup``       keep-first by normalized-text fingerprint
 ``fuzzy_dedup``       near-dup clusters → keep min-id (method/threshold)
 ``decontaminate``     drop docs sharing n-grams with ``eval_docs``
-``sample``            deterministic md5 ~pct% sample (optional strata)
+``sample``            deterministic md5 ~pct% sample (pct)
 ``shuffle``           deterministic training order (adds shard/pos cols)
 ``pack``              pack into context windows (terminal: pack stats)
 ====================  ====================================================
@@ -43,6 +43,18 @@ from .text import pred_lang_expr, fingerprint_expr, stats_exprs
 
 def _semi(docs: DataFrame, kept: DataFrame) -> DataFrame:
     return docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+
+
+def _check_keys(op: str, step: dict, allowed: set) -> None:
+    """Fail at build time on parameter typos for the dict-driven steps
+    (function-backed steps forward **step, so Python's TypeError
+    already catches theirs)."""
+    extra = set(step) - allowed
+    if extra:
+        raise ValueError(
+            f"recipe step {op!r} got unknown parameter(s) "
+            f"{sorted(extra)} — allowed: {sorted(allowed)}"
+        )
 
 
 def run_recipe(
@@ -60,16 +72,19 @@ def run_recipe(
         step = dict(step)
         op = step.pop("op", None)
         if op == "lang_filter":
+            _check_keys(op, step, {"lang"})
             df = df.filter(
                 pred_lang_expr() == step.get("lang", "en")
             )
         elif op == "token_window":
+            _check_keys(op, step, {"min", "max"})
             df = df.filter(
                 stats_exprs()["n_tokens"].between(
                     step.get("min", 10), step.get("max", 100_000)
                 )
             )
         elif op == "quality_floor":
+            _check_keys(op, step, {"min_quality"})
             df = df.filter(
                 stats_exprs()["quality_score"]
                 >= step.get("min_quality", 0.3)
@@ -79,16 +94,20 @@ def run_recipe(
 
             df = _semi(df, heuristic_filter(df, **step))
         elif op == "pii_redact":
-            from .quality import PII_RULES
+            from .quality import pii_redact_expr
 
-            redacted = F.col("text")
-            for tag, pat in PII_RULES:
-                redacted = F.regexp_replace(redacted, pat, tag)
-            df = df.withColumn("text", redacted)
+            _check_keys(op, step, set())
+            df = df.withColumn("text", pii_redact_expr())
         elif op == "exact_dedup":
+            _check_keys(op, step, set())
             # skew-safe keep-first: ONE min_by hash aggregation (hot
             # fingerprints combine map-side; a window would funnel a
-            # whole boilerplate group through one task)
+            # whole boilerplate group through one task). Bodies ride
+            # the aggregation buffers, but each moves AT MOST once and
+            # duplicate groups collapse map-side — the id-only
+            # alternative (min agg + semi join back) still shuffles
+            # every body through the join exchange, so it is not
+            # cheaper, just a second shuffle.
             cols = df.columns
             df = (
                 df.groupBy(fingerprint_expr().alias("__fp"))
@@ -116,12 +135,15 @@ def run_recipe(
         elif op == "sample":
             from .sampling import sample_corpus
 
-            step.pop("strata", None)  # runner keeps the docs shape
+            _check_keys(op, step, {"pct"})
             df = sample_corpus(df, pct=step.get("pct", 10))
         elif op == "shuffle":
             from .sampling import shuffle_corpus
 
-            df = shuffle_corpus(df, **step)
+            # shuffle_corpus emits only (doc_id, shard, pos_in_shard);
+            # join the order back so the step ADDS columns instead of
+            # replacing the documents shape (the runner's contract)
+            df = df.join(shuffle_corpus(df, **step), "doc_id")
         elif op == "pack":
             from .sampling import pack_sequences
 

@@ -18,17 +18,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# entity → replacement, applied in one pass via a regex alternation
-# (the handful that dominate real HTML; numeric entities are handled
-# separately below)
+# entity → replacement (the handful that dominate real HTML; numeric
+# entities are handled separately below). ``&amp;`` MUST decode LAST:
+# decoding it first would turn escaped entities like ``&amp;lt;`` into
+# ``&lt;`` and then into a literal ``<`` the source page never
+# displayed (double-decoding).
 _ENTITIES = {
     "&nbsp;": " ",
-    "&amp;": "&",
     "&lt;": "<",
     "&gt;": ">",
     "&quot;": '"',
     "&#39;": "'",
     "&apos;": "'",
+    "&amp;": "&",
 }
 
 
@@ -124,12 +126,17 @@ def filter_domains(
     shuffles. ``blocklist`` needs one column ``domain``."""
     if mode not in ("block", "allow"):
         raise ValueError(f"unknown mode: {mode!r}")
-    feats = url_features(df, url_col)
-    joined = feats.join(
-        F.broadcast(blocklist.select(F.lower("domain").alias("url_domain"))),
-        "url_domain",
+    # internal join key, NOT the public url_domain name — a caller who
+    # already ran url_features keeps their columns intact
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    keyed = df.withColumn(
+        "__fd_domain", F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    )
+    joined = keyed.join(
+        F.broadcast(
+            blocklist.select(F.lower("domain").alias("__fd_domain"))
+        ),
+        "__fd_domain",
         "left_anti" if mode == "block" else "left_semi",
     )
-    return joined.drop(
-        "url_host", "url_domain", "url_path_depth", "url_has_query"
-    )
+    return joined.drop("__fd_domain")

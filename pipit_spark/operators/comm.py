@@ -38,6 +38,35 @@ def _sender_col(df: DataFrame):
     return F.element_at(F.col(S.ATTRIBUTES), S.ATTR_SENDER).cast("int")
 
 
+def _channel_sends(events: DataFrame) -> DataFrame:
+    """Send Instants projected to their channel — ONE owner of the
+    send definition (event type, name set, attribute columns) so
+    :func:`match_messages` and :func:`message_latency`'s side counts
+    can never diverge on what a send is."""
+    inst = events.filter(F.col(S.EVENT_TYPE) == "Instant")
+    return inst.filter(F.col(S.NAME).isin(*S.SEND_NAMES)).select(
+        F.col(S.PROCESS).cast("int").alias("src"),
+        _receiver_col(inst).alias("dst"),
+        F.col(S.TIMESTAMP).alias("send_ts"),
+        F.col(S.EVENT_ID).alias("send_event_id"),
+        _msg_length_col(inst).cast("long").alias("msg_length"),
+        F.col(S.SEQ).alias("__sq"),
+    )
+
+
+def _channel_recvs(events: DataFrame) -> DataFrame:
+    """Recv Instants projected to their channel (see
+    :func:`_channel_sends`)."""
+    inst = events.filter(F.col(S.EVENT_TYPE) == "Instant")
+    return inst.filter(F.col(S.NAME).isin(*S.RECV_NAMES)).select(
+        _sender_col(inst).alias("src"),
+        F.col(S.PROCESS).cast("int").alias("dst"),
+        F.col(S.TIMESTAMP).alias("recv_ts"),
+        F.col(S.EVENT_ID).alias("recv_event_id"),
+        F.col(S.SEQ).alias("__sq"),
+    )
+
+
 def match_messages(events: DataFrame) -> DataFrame:
     """FIFO per-channel send↔recv pairing: the nth send Instant on
     process p addressed to q (``attributes['receiver']``) pairs with the
@@ -64,22 +93,8 @@ def match_messages(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    inst = events.filter(F.col(S.EVENT_TYPE) == "Instant")
-    sends = inst.filter(F.col(S.NAME).isin(*S.SEND_NAMES)).select(
-        F.col(S.PROCESS).cast("int").alias("src"),
-        _receiver_col(inst).alias("dst"),
-        F.col(S.TIMESTAMP).alias("send_ts"),
-        F.col(S.EVENT_ID).alias("send_event_id"),
-        _msg_length_col(inst).cast("long").alias("msg_length"),
-        F.col(S.SEQ).alias("__sq"),
-    )
-    recvs = inst.filter(F.col(S.NAME).isin(*S.RECV_NAMES)).select(
-        _sender_col(inst).alias("src"),
-        F.col(S.PROCESS).cast("int").alias("dst"),
-        F.col(S.TIMESTAMP).alias("recv_ts"),
-        F.col(S.EVENT_ID).alias("recv_event_id"),
-        F.col(S.SEQ).alias("__sq"),
-    )
+    sends = _channel_sends(events)
+    recvs = _channel_recvs(events)
     # program order per channel = (timestamp, per-location seq) — the
     # same total order the matching kernel uses, so ties at equal ts
     # are deterministic
@@ -105,20 +120,13 @@ def message_latency(events: DataFrame) -> DataFrame:
     analyst wants to SEE (the standard first check before trusting any
     cross-process timing)."""
     pairs = match_messages(events)
-    inst = events.filter(F.col(S.EVENT_TYPE) == "Instant")
-    sends = inst.filter(F.col(S.NAME).isin(*S.SEND_NAMES)).select(
-        F.col(S.PROCESS).cast("int").alias("src"),
-        _receiver_col(inst).alias("dst"),
-    )
-    recvs = inst.filter(F.col(S.NAME).isin(*S.RECV_NAMES)).select(
-        _sender_col(inst).alias("src"),
-        F.col(S.PROCESS).cast("int").alias("dst"),
-    )
     side = (
-        sends.groupBy("src", "dst")
+        _channel_sends(events)
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_sends"))
         .join(
-            recvs.groupBy("src", "dst")
+            _channel_recvs(events)
+            .groupBy("src", "dst")
             .agg(F.count(F.lit(1)).alias("n_recvs")),
             ["src", "dst"], "full_outer",
         )

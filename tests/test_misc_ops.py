@@ -2247,3 +2247,54 @@ def test_recipe_terminal_pack_and_errors(spark):
         run_recipe(docs, [{"op": "pack"}, {"op": "sample"}])
     with _p.raises(ValueError, match="eval_docs"):
         run_recipe(docs, [{"op": "decontaminate"}])
+
+
+def test_html_entities_no_double_decode(spark):
+    from pyspark.sql import functions as F
+
+    from pipit_spark.llm.web import html_to_text_expr
+
+    # '&amp;lt;b&amp;gt;' renders as the literal text '&lt;b&gt;' — it
+    # must NOT double-decode into markup-like '<b>'
+    df = spark.createDataFrame([("<p>&amp;lt;b&amp;gt; and A&amp;B</p>",)], "raw string")
+    out = df.select(html_to_text_expr(F.col("raw")).alias("t")).first()["t"]
+    assert out == "&lt;b&gt; and A&B"
+
+
+def test_filter_domains_preserves_caller_columns(spark):
+    from pipit_spark.llm.web import filter_domains, url_features
+
+    u = spark.createDataFrame(
+        [(1, "https://spam.example/a"), (2, "http://good.org/")],
+        "id long, url string",
+    )
+    # a caller who already materialized url_features keeps them intact
+    feats = url_features(u)
+    kept = filter_domains(
+        feats, spark.createDataFrame([("spam.example",)], "domain string")
+    )
+    assert set(kept.columns) == set(feats.columns)
+    row = kept.collect()[0]
+    assert row["id"] == 2 and row["url_domain"] == "good.org"
+
+
+def test_recipe_shuffle_keeps_docs_shape_and_typos_fail(spark):
+    import pytest as _p
+
+    from pipit_spark.llm.recipe import run_recipe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = run_recipe(docs, [{"op": "shuffle", "seed": 3}])
+    # shuffle ADDS order columns; the documents shape survives, so a
+    # following text-based step still works
+    assert set(docs.columns) <= set(out.columns)
+    assert {"shard", "pos_in_shard"} <= set(out.columns)
+    packs = run_recipe(
+        docs, [{"op": "shuffle"}, {"op": "pack", "context_len": 512}]
+    )
+    assert packs.count() > 0
+    # parameter typos on dict-driven steps fail at build time
+    with _p.raises(ValueError, match="unknown parameter"):
+        run_recipe(docs, [{"op": "quality_floor", "min_qality": 0.9}])
+    with _p.raises(ValueError, match="unknown parameter"):
+        run_recipe(docs, [{"op": "sample", "strata": "source"}])
