@@ -2298,3 +2298,20 @@ def test_recipe_shuffle_keeps_docs_shape_and_typos_fail(spark):
         run_recipe(docs, [{"op": "quality_floor", "min_qality": 0.9}])
     with _p.raises(ValueError, match="unknown parameter"):
         run_recipe(docs, [{"op": "sample", "strata": "source"}])
+
+
+def test_example_scripts_run(spark):
+    """The examples/ walkthroughs must stay runnable — they are the
+    switching user's on-ramp. Run their main() in-process against the
+    session fixture (monkeypatching get_spark to avoid a second JVM)."""
+    import runpy
+    import sys
+    from unittest import mock
+
+    for script, argv in (
+        ("examples/trace_analysis.py", ["tests/data/foo-bar.csv"]),
+        ("examples/corpus_pipeline.py", ["/root/testdata/sf0.001"]),
+    ):
+        with mock.patch("pipit_spark.session.get_spark", return_value=spark), \
+             mock.patch.object(sys, "argv", [script] + argv):
+            runpy.run_path(script, run_name="__main__")
