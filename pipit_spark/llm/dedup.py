@@ -757,6 +757,43 @@ SELECT doc_id, {nibbles} AS simhash FROM votes
 
 
 # ------------------------------------------------------ decontamination
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    min_run: int = 1,
+) -> DataFrame:
+    """Span-level decontamination: surgically remove the word runs a
+    document shares with an evaluation set, keeping the rest — the
+    scalpel to :func:`decontaminate`'s hammer (which drops whole
+    documents and with them every clean token they carried; on long
+    documents with one quoted benchmark question that is almost-total
+    collateral loss).
+
+    Same machinery as :func:`remove_repeated_spans` (shared
+    :func:`_remove_marked_spans` tail), with the marked positions
+    coming from a BROADCAST semi-join against the eval n-gram set
+    instead of the cross-doc repeat rule — eval sets are small, so the
+    corpus-side positional stream never shuffles for the marking.
+    ``min_run=1`` by default: ANY eval n-gram overlap is contamination
+    (matching decontaminate's rule), unlike boilerplate removal where
+    single isolated shingle hits are noise.
+
+    Returns (doc_id, text, n_removed_words).
+    """
+    safe = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    sh = shingle_table(safe, n=n, keep_pos=True)
+    eval_sh = F.broadcast(
+        shingle_table(
+            eval_docs.select("doc_id", "text"), n=n, distinct=False
+        ).select("shingle").distinct()
+    )
+    marked = sh.join(eval_sh, "shingle", "left_semi").select("doc_id", "p")
+    return _remove_marked_spans(safe, marked, n, min_run)
+
+
 def decontaminate(
     corpus: DataFrame, eval_docs: DataFrame, n: int = 5
 ) -> DataFrame:
@@ -843,6 +880,77 @@ SELECT eval_doc,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_corpus_docs,
        CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_leaked_ngrams
 FROM hits GROUP BY eval_doc
+"""
+
+
+def oracle_decontaminate_spans(
+    table: str = "documents",
+    eval_pred: str = "doc_id < 25",
+    corpus_pred: str = "doc_id >= 25",
+    n: int = 5,
+    min_run: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`decontaminate_spans` — identical
+    positional shingling, eval-set marking, gaps-and-islands runs, and
+    ordered re-concat (the oracle_remove_repeated_spans tail with the
+    dup rule swapped for the eval semi-join)."""
+    norm = _sql_norm("text")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split({norm}, ' ') AS t
+    FROM {table} WHERE {corpus_pred}
+),
+pos AS (
+    SELECT doc_id, t,
+           unnest(range(1, GREATEST(len(t) - {n} + 1, 1) + 1)) AS p
+    FROM toks
+),
+sh AS (
+    SELECT doc_id, p,
+           array_to_string(list_slice(t, p, p + {n} - 1), ' ') AS shingle
+    FROM pos
+),
+ev AS (
+    SELECT DISTINCT unnest({_sql_shingles(n)}) AS shingle
+    FROM {table} WHERE {eval_pred}
+),
+dp AS (
+    SELECT doc_id, p FROM sh
+    WHERE shingle IN (SELECT shingle FROM ev)
+),
+runs AS (
+    SELECT doc_id, p,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+    FROM dp
+),
+spans AS (
+    SELECT doc_id, MIN(p) AS start, COUNT(*) AS rl
+    FROM runs GROUP BY doc_id, grp
+    HAVING COUNT(*) >= {min_run}
+),
+covered AS (
+    SELECT DISTINCT doc_id, unnest(range(start, start + rl + {n} - 1)) AS wp
+    FROM spans
+),
+words AS (
+    SELECT doc_id, unnest(t) AS word, generate_subscripts(t, 1) AS wp
+    FROM toks
+),
+kept AS (
+    SELECT w.doc_id, w.wp, w.word
+    FROM words w
+    LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.wp = c.wp
+    WHERE c.wp IS NULL
+),
+cleaned AS (
+    SELECT doc_id, string_agg(word, ' ' ORDER BY wp) AS text,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT t0.doc_id,
+       COALESCE(c.text, '') AS text,
+       CAST(len(t0.t) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed_words
+FROM toks t0 LEFT JOIN cleaned c ON t0.doc_id = c.doc_id
 """
 
 
@@ -985,12 +1093,9 @@ def remove_repeated_spans(
     repeated spans come back with empty text, fully-unique documents
     unchanged (modulo whitespace normalization).
     """
-    from pyspark.sql import Window
-
     safe = docs.select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
-    toked = safe.select("doc_id", _tokens(F.col("text")).alias("toks"))
     # one shared shingling implementation module-wide (shingle_table):
     # the positional stream, no dedup shuffle
     sh = shingle_table(safe, n=k, keep_pos=True)
@@ -1001,6 +1106,20 @@ def remove_repeated_spans(
         .select("shingle")
     )
     dup_pos = sh.join(dup, "shingle", "left_semi").select("doc_id", "p")
+    return _remove_marked_spans(safe, dup_pos, k, min_run)
+
+
+def _remove_marked_spans(
+    safe: DataFrame, dup_pos: DataFrame, k: int, min_run: int
+) -> DataFrame:
+    """Shared span-removal tail: marked positions → gaps-and-islands
+    runs → covered-word explosion → per-doc ordered re-concat. One
+    owner, so corpus-repeat removal (:func:`remove_repeated_spans`) and
+    eval-overlap removal (:func:`decontaminate_spans`) cannot drift in
+    their run/rebuild semantics."""
+    from pyspark.sql import Window
+
+    toked = safe.select("doc_id", _tokens(F.col("text")).alias("toks"))
     w = Window.partitionBy("doc_id").orderBy("p")
     runs = (
         dup_pos.withColumn("_grp", F.col("p") - F.row_number().over(w))

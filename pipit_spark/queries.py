@@ -2818,6 +2818,18 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination: eval-overlapping word runs removed
+    surgically, clean remainder kept (llm/dedup.py:decontaminate_spans
+    — the scalpel to doc_decontaminate's whole-doc drop)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.decontaminate_spans(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        n=5,
+    )
+
+
 def q_doc_winnow(spark, sf_dir):
     """MOSS-style winnowing fingerprints (k-gram hash + min-per-window,
     rightmost tie rule) — the shift-robust rolling-hash fingerprint."""
@@ -3343,6 +3355,7 @@ def queries():
         "emb_hamming_topk": q_emb_hamming_topk,
         "emb_hard_negatives": q_emb_hard_negatives,
         "doc_bm25": q_doc_bm25,
+        "doc_decontaminate_spans": q_doc_decontaminate_spans,
     }
 
 
@@ -3502,6 +3515,7 @@ def oracle_sql():
         "emb_hamming_topk": V.oracle_hamming_topk(k=5, query_max_id=10),
         "emb_hard_negatives": V.oracle_hard_negatives(k=5, query_max_id=10),
         "doc_bm25": X.oracle_bm25_topk(_BM25_QUERIES, k=5),
+        "doc_decontaminate_spans": D.oracle_decontaminate_spans(n=5),
         "media_decode": ORACLE_MEDIA_DECODE,
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),

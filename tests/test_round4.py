@@ -688,3 +688,38 @@ def test_simhash_max_bucket_drops_degenerate_groups(spark):
     # capped: the degenerate bucket is counted out before any posting
     # list materializes
     assert simhash_pairs(docs, max_bucket=5).count() == 0
+
+
+def test_decontaminate_spans_surgical_removal(spark):
+    from pipit_spark.llm.dedup import decontaminate, decontaminate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta unique tail"),
+            (1, "totally clean document with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(docs, evals, n=5).collect()
+    }
+    # exactly the eval-matched 5-word run is removed; the clean words
+    # on both sides survive (whole-doc decontaminate would drop doc 0)
+    assert out[0]["text"] == "alpha beta theta unique tail"
+    assert out[0]["n_removed_words"] == 5
+    assert out[1]["text"] == (
+        "totally clean document with no overlap at all whatsoever"
+    )
+    assert out[1]["n_removed_words"] == 0
+    # consistency with the whole-doc detector: the docs it flags are
+    # exactly the docs the span remover touches
+    flagged = {
+        r["doc_id"] for r in decontaminate(docs, evals, n=5).collect()
+    }
+    touched = {d for d, r in out.items() if r["n_removed_words"] > 0}
+    assert flagged == touched == {0}
