@@ -792,7 +792,8 @@ FROM flagged GROUP BY doc_id
 
 
 def tfidf_topk(
-    docs: DataFrame, k: int = 3, mode: str = "log", persist: bool = True
+    docs: DataFrame, k: int = 3, mode: str = "log", persist: bool = True,
+    group_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document top-k characteristic terms by TF-IDF — the keyword
     signal behind per-doc topic tags, near-query retrieval, and
@@ -813,7 +814,11 @@ def tfidf_topk(
     arithmetic — a linear-IDF variant whose ordering and VALUES are
     bit-reproducible across engines and partitionings (the gate path;
     fits BIGINT up to N≈1e9 docs × tf≈1e3). Ties break (score DESC,
-    token ASC).
+    token ASC). ``group_col`` generalizes the granularity: pass
+    ``"source"`` for per-source distinctive vocabulary (what is THIS
+    source about, relative to the corpus — df then counts sources and
+    N is the source count), or a cluster-id column to label dedup
+    clusters.
 
     df is deliberately an aggregation-over-tf + join, NOT a
     ``COUNT() OVER (PARTITION BY token)`` window: hash aggregation
@@ -829,15 +834,15 @@ def tfidf_topk(
     a second corpus scan for zero cache footprint).
     """
     tok = docs.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+        group_col, F.explode(_tokens(F.col("text"))).alias("token")
     ).filter(F.length("token") > 0)
-    tf = tok.groupBy("doc_id", "token").agg(
+    tf = tok.groupBy(group_col, "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
     if persist:
         tf = tf.persist()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    n_docs = docs.agg(F.countDistinct(group_col).alias("__n"))
     scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
     if mode == "ppm":
         score = F.expr("tf * __n * 1000000 div df").alias("score_ppm")
@@ -851,11 +856,11 @@ def tfidf_topk(
         raise ValueError(f"unknown mode: {mode!r}")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("doc_id").orderBy(
+    w = Window.partitionBy(group_col).orderBy(
         F.desc(order_col), F.asc("token")
     )
     out = (
-        scored.select("doc_id", "token", "tf", "df", score)
+        scored.select(group_col, "token", "tf", "df", score)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
@@ -864,35 +869,38 @@ def tfidf_topk(
     return out
 
 
-def oracle_tfidf_topk(table: str = "documents", k: int = 3) -> str:
+def oracle_tfidf_topk(
+    table: str = "documents", k: int = 3, group_col: str = "doc_id"
+) -> str:
     """DuckDB twin of tfidf_topk(mode="ppm") — all-integer scoring, so
     the hash comparison is exact by construction."""
     norm = _sql_norm("text")
+    g = group_col
     return f"""
 WITH tok AS (
-    SELECT doc_id, unnest(string_split({norm}, ' ')) AS token
+    SELECT {g}, unnest(string_split({norm}, ' ')) AS token
     FROM {table}
 ),
 tf AS (
-    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    SELECT {g}, token, CAST(COUNT(*) AS BIGINT) AS tf
     FROM tok WHERE length(token) > 0 GROUP BY 1, 2
 ),
 dfq AS (
     SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
 ),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS __n FROM {table}),
+n AS (SELECT CAST(COUNT(DISTINCT {g}) AS BIGINT) AS __n FROM {table}),
 scored AS (
-    SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+    SELECT tf.{g}, tf.token, tf.tf, dfq.df,
            CAST((tf.tf * n.__n * 1000000) // dfq.df AS BIGINT)
                AS score_ppm
     FROM tf JOIN dfq USING (token) CROSS JOIN n
 ),
 ranked AS (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY {g}
                  ORDER BY score_ppm DESC, token ASC) AS rank
     FROM scored
 )
-SELECT doc_id, token, tf, df, score_ppm, CAST(rank AS INT) AS rank
+SELECT {g}, token, tf, df, score_ppm, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
 

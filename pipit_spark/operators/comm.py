@@ -260,6 +260,17 @@ def _fixed_width_histogram(
     )
 
 
+def latency_histogram(events: DataFrame, bins: int = 20) -> DataFrame:
+    """Distribution of FIFO-matched message latencies (the p2p health
+    view :func:`message_latency`'s per-channel means smooth over —
+    bimodal latency means two traffic classes; a long tail means
+    contention). Same np.histogram semantics and plan as
+    :func:`message_histogram`, over :func:`match_messages` latencies."""
+    return _fixed_width_histogram(
+        match_messages(events), F.col("latency_ns"), bins
+    )
+
+
 def message_histogram(events: DataFrame, bins: int = 20) -> DataFrame:
     """Histogram of message sizes (pipit/trace.py:446-455)."""
     sends = events.filter(F.col(S.NAME).isin(*S.SEND_NAMES))

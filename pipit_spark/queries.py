@@ -3144,11 +3144,73 @@ FROM side LEFT JOIN m ON side.src = m.src AND side.dst = m.dst
 """
 
 
+def q_trace_latency_histogram(spark, sf_dir):
+    """Latency distribution over the FIFO-matched messages
+    (operators/comm.py:latency_histogram). The gate compares bin_idx +
+    count only: bin EDGES are lo + i·width doubles at ~1e15 ns, where
+    ROUND(x, 6) injects engine-specific noise (the folded-stacks
+    lesson) — counts and indexes are exact integers."""
+    t = derived_trace(spark, sf_dir)
+    return t.latency_histogram(bins=20).select(
+        "bin_idx", F.col("count").cast("long").alias("count")
+    )
+
+
+ORACLE_TRACE_LATENCY_HISTOGRAM = ORACLE_TRACE_CTE + """
+, sends AS (
+    SELECT process AS src, k % 16 AS dst,
+           ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS send_ts,
+           rn * 4 + 2 AS sq
+    FROM leaf WHERE etype IN ('click', 'purchase')
+),
+recvs AS (
+    SELECT k % 16 AS src, process AS dst,
+           ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS recv_ts,
+           rn * 4 + 2 AS sq
+    FROM leaf WHERE etype IN ('view', 'signup')
+),
+s AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst
+                                   ORDER BY send_ts, sq) AS n FROM sends),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst
+                                   ORDER BY recv_ts, sq) AS n FROM recvs),
+lat AS (
+    SELECT CAST(r.recv_ts - s.send_ts AS DOUBLE) AS x
+    FROM s JOIN r ON s.src = r.src AND s.dst = r.dst AND s.n = r.n
+),
+rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM lat),
+params AS (
+    SELECT lo, hi, CASE WHEN hi > lo THEN (hi - lo) / 20 ELSE 1.0 END AS width
+    FROM rng
+),
+counts AS (
+    SELECT LEAST(CAST(FLOOR((x - lo) / width) AS BIGINT), 19) AS bin_idx,
+           CAST(COUNT(*) AS BIGINT) AS count
+    FROM lat, params
+    WHERE x >= lo AND x <= hi
+    GROUP BY 1
+)
+SELECT b.bin_idx, COALESCE(c.count, 0) AS count
+FROM (SELECT unnest(range(20)) AS bin_idx) b
+LEFT JOIN counts c ON c.bin_idx = b.bin_idx
+"""
+
+
 def q_doc_tfidf(spark, sf_dir):
     """Per-doc top-3 TF-IDF keywords in the exact-integer ppm mode
     (llm/text.py:tfidf_topk — BIGINT linear-IDF scores, rank total
     order, bit-reproducible by construction)."""
     return X.tfidf_topk(load(spark, sf_dir, "documents"), k=3, mode="ppm")
+
+
+def q_doc_source_tfidf(spark, sf_dir):
+    """Per-source distinctive vocabulary: the same exact-integer
+    TF-IDF machinery at source granularity (llm/text.py:tfidf_topk,
+    group_col='source' — what is this source about, relative to the
+    corpus)."""
+    return X.tfidf_topk(
+        load(spark, sf_dir, "documents"), k=3, mode="ppm",
+        group_col="source",
+    )
 
 
 def q_emb_hamming_topk(spark, sf_dir):
@@ -3356,6 +3418,8 @@ def queries():
         "emb_hard_negatives": q_emb_hard_negatives,
         "doc_bm25": q_doc_bm25,
         "doc_decontaminate_spans": q_doc_decontaminate_spans,
+        "trace_latency_histogram": q_trace_latency_histogram,
+        "doc_source_tfidf": q_doc_source_tfidf,
     }
 
 
@@ -3516,6 +3580,8 @@ def oracle_sql():
         "emb_hard_negatives": V.oracle_hard_negatives(k=5, query_max_id=10),
         "doc_bm25": X.oracle_bm25_topk(_BM25_QUERIES, k=5),
         "doc_decontaminate_spans": D.oracle_decontaminate_spans(n=5),
+        "trace_latency_histogram": ORACLE_TRACE_LATENCY_HISTOGRAM,
+        "doc_source_tfidf": X.oracle_tfidf_topk(k=3, group_col="source"),
         "media_decode": ORACLE_MEDIA_DECODE,
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),

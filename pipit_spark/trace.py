@@ -458,6 +458,13 @@ class Trace:
 
         return message_latency(self._comm_source())
 
+    def latency_histogram(self, bins: int = 20) -> DataFrame:
+        """Distribution of FIFO-matched message latencies
+        (operators/comm.py:latency_histogram)."""
+        from .operators.comm import latency_histogram
+
+        return latency_histogram(self._comm_source(), bins=bins)
+
     def message_histogram(self, bins: int = 20) -> DataFrame:
         from .operators.comm import message_histogram
 

@@ -723,3 +723,37 @@ def test_decontaminate_spans_surgical_removal(spark):
     }
     touched = {d for d, r in out.items() if r["n_removed_words"] > 0}
     assert flagged == touched == {0}
+
+
+def test_latency_histogram_covers_all_pairs(spark):
+    from pipit_spark.operators.comm import latency_histogram, match_messages
+
+    ev = _msg_events(spark)
+    hist = latency_histogram(ev, bins=5).collect()
+    assert len(hist) == 5  # every bin present, including empty ones
+    assert sum(r["count"] for r in hist) == match_messages(ev).count()
+    # bin edges span [min, max] of the latencies (-100 .. 90)
+    assert hist[0]["bin_start"] == -100.0
+    assert hist[-1]["bin_end"] == 90.0
+
+
+def test_tfidf_group_granularity(spark):
+    from pipit_spark.llm.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha alpha shared", "s1"),
+            (1, "alpha shared words", "s1"),
+            (2, "beta beta shared", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source"], r["rank"]): r["token"]
+        for r in tfidf_topk(
+            docs, k=1, mode="ppm", group_col="source"
+        ).collect()
+    }
+    # each source's most distinctive term, df counted over SOURCES
+    assert rows[("s1", 1)] == "alpha"
+    assert rows[("s2", 1)] == "beta"
