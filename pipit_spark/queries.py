@@ -3264,8 +3264,9 @@ def queries():
     leads with the 11 never-checked gates that did not fit, followed by
     every gate already driver-hash-green in r01-r03, then the gates
     added during r04 itself (perplexity buckets, card scan, message
-    latency, TF-IDF, Hamming ANN, hard negatives, BM25) — never-checked
-    tail entries form the r05 window.  Every oracle-bearing gate — window or tail — is
+    latency + latency histogram, TF-IDF at doc and source granularity,
+    Hamming ANN, hard negatives, BM25, span-level decontamination) —
+    never-checked tail entries form the r05 window.  Every oracle-bearing gate — window or tail — is
     additionally value-checked locally by tools/parity_check.py (EXACT
     float compare, predicting the driver's hash) and column-checked by
     tests/test_oracle_parity.

@@ -26,7 +26,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -115,6 +115,136 @@ def streaming_match(events: DataFrame) -> DataFrame:
         fn,
         outputStructType=MATCHED_INTERVAL_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------- #
+# live FIFO message matching
+# --------------------------------------------------------------------- #
+MATCHED_MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.IntegerType()),
+        T.StructField("dst", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("send_event_id", T.LongType()),
+        T.StructField("recv_event_id", T.LongType()),
+        T.StructField("send_ts", T.LongType()),
+        T.StructField("recv_ts", T.LongType()),
+        T.StructField("latency_ns", T.LongType()),
+        T.StructField("msg_length", T.LongType()),
+    ]
+)
+
+# state: the channel's pending send queue (ts, eid, len), pending recv
+# queue (ts, eid), and the running match count — MPI non-overtaking
+# order means plain FIFO queues, whose depth is the channel's in-flight
+# message count, not the trace length
+_MSG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s_ts", T.ArrayType(T.LongType())),
+        T.StructField("s_id", T.ArrayType(T.LongType())),
+        T.StructField("s_len", T.ArrayType(T.LongType())),
+        T.StructField("r_ts", T.ArrayType(T.LongType())),
+        T.StructField("r_id", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def streaming_match_messages(events: DataFrame) -> DataFrame:
+    """Live FIFO send↔recv pairing: the streaming twin of
+    ``operators/comm.py:match_messages`` — one matched-message row
+    (with latency) the moment BOTH sides of a message have arrived.
+    State per (src, dst) channel = the pending send/recv queues, so a
+    matched pair leaves state immediately and the footprint tracks
+    in-flight messages, not history. Emits the same row shape as the
+    batch op; per channel the nth send pairs with the nth recv exactly
+    as in batch (FIFO is insensitive to how the batches slice the
+    stream, given per-location arrival order — the same contract as
+    :func:`streaming_match`)."""
+    from .. import schema as S
+    from ..operators.comm import (
+        _msg_length_col, _receiver_col, _sender_col,
+    )
+
+    inst = events.filter(F.col(S.EVENT_TYPE) == "Instant")
+    sends = inst.filter(F.col(S.NAME).isin(*S.SEND_NAMES)).select(
+        F.col(S.PROCESS).cast("int").alias("src"),
+        _receiver_col(inst).alias("dst"),
+        F.col(S.TIMESTAMP).alias("ts"),
+        F.col(S.SEQ).alias("sq"),
+        F.col(S.EVENT_ID).alias("eid"),
+        F.lit(1).alias("kind"),
+        _msg_length_col(inst).cast("long").alias("mlen"),
+    )
+    recvs = inst.filter(F.col(S.NAME).isin(*S.RECV_NAMES)).select(
+        _sender_col(inst).alias("src"),
+        F.col(S.PROCESS).cast("int").alias("dst"),
+        F.col(S.TIMESTAMP).alias("ts"),
+        F.col(S.SEQ).alias("sq"),
+        F.col(S.EVENT_ID).alias("eid"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("mlen"),
+    )
+    chan = sends.unionByName(recvs)
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_ts, s_id, s_len, r_ts, r_id, n = state.get
+            sq_ = [list(s_ts), list(s_id), list(s_len)]
+            rq = [list(r_ts), list(r_id)]
+            n = int(n)
+        else:
+            sq_, rq, n = [[], [], []], [[], []], 0
+        src, dst = int(key[0]), int(key[1])
+
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "sq"], kind="mergesort")
+            for ts, eid, kind, mlen in zip(
+                pdf["ts"], pdf["eid"], pdf["kind"], pdf["mlen"]
+            ):
+                if kind == 1:
+                    if rq[0]:
+                        n += 1
+                        rts, rid = rq[0].pop(0), rq[1].pop(0)
+                        out.append(
+                            (src, dst, n, int(eid), rid, int(ts), rts,
+                             rts - int(ts), int(mlen))
+                        )
+                    else:
+                        sq_[0].append(int(ts))
+                        sq_[1].append(int(eid))
+                        sq_[2].append(int(mlen))
+                else:
+                    if sq_[0]:
+                        n += 1
+                        sts = sq_[0].pop(0)
+                        sid = sq_[1].pop(0)
+                        slen = sq_[2].pop(0)
+                        out.append(
+                            (src, dst, n, sid, int(eid), sts, int(ts),
+                             int(ts) - sts, slen)
+                        )
+                    else:
+                        rq[0].append(int(ts))
+                        rq[1].append(int(eid))
+
+        state.update((sq_[0], sq_[1], sq_[2], rq[0], rq[1], n))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[f.name for f in MATCHED_MESSAGE_SCHEMA.fields],
+            )
+
+    return chan.groupBy("src", "dst").applyInPandasWithState(
+        fn,
+        outputStructType=MATCHED_MESSAGE_SCHEMA,
+        stateStructType=_MSG_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -772,3 +772,82 @@ def test_read_wet_stream_incremental_shards(spark, tmp_path):
     assert {r["target_uri"] for r in rows} == {
         "http://a.example/", "http://b.example/", "http://c.example/"
     }
+
+
+def test_streaming_match_messages_equals_batch(spark, tmp_path):
+    """The live FIFO matcher must emit exactly the batch op's pairs,
+    even when sends and their recvs land in DIFFERENT micro-batches
+    (the pending queue carries across in state)."""
+    import pandas as pd
+
+    from pipit_spark import schema as S
+    from pipit_spark.operators.comm import match_messages
+    from pipit_spark.streaming.matching import streaming_match_messages
+
+    rows = [
+        # batch 0: two sends 0→1, one recv on 1 (one send stays pending)
+        (1, 100, 1, "Instant", "MpiSend", 0, {"receiver": "1", "msg_length": "10"}),
+        (2, 200, 2, "Instant", "MpiSend", 0, {"receiver": "1", "msg_length": "20"}),
+        (3, 150, 1, "Instant", "MpiRecv", 1, {"sender": "0", "msg_length": "10"}),
+        # a recv with no send yet — must wait in state for batch 1
+        (4, 400, 2, "Instant", "MpiRecv", 0, {"sender": "1", "msg_length": "7"}),
+    ]
+    rows2 = [
+        # batch 1: completes both pending messages
+        (5, 290, 3, "Instant", "MpiRecv", 1, {"sender": "0", "msg_length": "20"}),
+        (6, 500, 3, "Instant", "MpiSend", 1, {"receiver": "0", "msg_length": "7"}),
+    ]
+    cols = [
+        S.EVENT_ID, S.TIMESTAMP, S.SEQ, S.EVENT_TYPE, S.NAME,
+        S.PROCESS, "thread", S.ATTRIBUTES,
+    ]
+    d = tmp_path / "stream"
+    d.mkdir()
+    from pipit_spark.schema import EVENT_SCHEMA
+
+    for i, batch in enumerate((rows, rows2)):
+        pdf = pd.DataFrame(
+            [(e, t, q, et, nm, p, 0, a) for (e, t, q, et, nm, p, a) in batch],
+            columns=cols,
+        )
+        spark.createDataFrame(pdf, schema=EVENT_SCHEMA).repartition(
+            1
+        ).write.mode("overwrite").parquet(str(d / f"batch{i}"))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_match_messages(stream)
+        .writeStream.format("memory")
+        .queryName("live_msgs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["src"], r["dst"], r["n"]): (
+            r["send_event_id"], r["recv_event_id"], r["latency_ns"],
+            r["msg_length"],
+        )
+        for r in spark.sql("SELECT * FROM live_msgs").collect()
+    }
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(
+            [(e, t, q_, et, nm, p, 0, a) for (e, t, q_, et, nm, p, a) in rows + rows2],
+            columns=cols,
+        ),
+        schema=EVENT_SCHEMA,
+    )
+    want = {
+        (r["src"], r["dst"], r["n"]): (
+            r["send_event_id"], r["recv_event_id"], r["latency_ns"],
+            r["msg_length"],
+        )
+        for r in match_messages(batch_df).collect()
+    }
+    assert got == want and len(got) == 3
