@@ -2308,10 +2308,17 @@ def test_example_scripts_run(spark):
     import sys
     from unittest import mock
 
-    for script, argv in (
-        ("examples/trace_analysis.py", ["tests/data/foo-bar.csv"]),
-        ("examples/corpus_pipeline.py", ["/root/testdata/sf0.001"]),
-    ):
-        with mock.patch("pipit_spark.session.get_spark", return_value=spark), \
-             mock.patch.object(sys, "argv", [script] + argv):
-            runpy.run_path(script, run_name="__main__")
+    try:
+        for script, argv in (
+            ("examples/trace_analysis.py", ["tests/data/foo-bar.csv"]),
+            ("examples/corpus_pipeline.py", ["/root/testdata/sf0.001"]),
+        ):
+            with mock.patch(
+                "pipit_spark.session.get_spark", return_value=spark
+            ), mock.patch.object(sys, "argv", [script] + argv):
+                runpy.run_path(script, run_name="__main__")
+    finally:
+        # the examples persist Trace.matched internally; a leaked cache
+        # entry would substitute (InMemoryTableScan) into OTHER tests'
+        # structurally-identical plans and break the plan contracts
+        spark.catalog.clearCache()
