@@ -140,3 +140,52 @@ def filter_domains(
         "left_anti" if mode == "block" else "left_semi",
     )
     return joined.drop("__fd_domain")
+
+
+def dedup_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+) -> DataFrame:
+    """Keep the LATEST capture per URL — the first dedup a multi-crawl
+    corpus needs (the same page is re-captured every crawl; training on
+    every capture over-weights stable pages and mixes stale content
+    with its own update). One ``max_by`` hash aggregation keyed on the
+    URL: a hot URL's captures combine map-side (the skew-safe keep-one
+    shape, not a window), with ``(date, record_id)`` as the
+    deterministic recency order (ISO-8601 dates compare correctly as
+    strings; record_id breaks same-second ties)."""
+    cols = df.columns
+    order = (
+        F.struct(F.col(date_col), F.col("record_id"))
+        if "record_id" in cols
+        else F.col(date_col)
+    )
+    return (
+        df.groupBy(F.col(url_col).alias("__u"))
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in cols]), order
+            ).alias("__r")
+        )
+        .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
+    )
+
+
+def has_noindex_expr(html_col: Column) -> Column:
+    """True when the page opts out of indexing via
+    ``<meta name="robots" content="...noindex...">`` — the crawl-etiquette
+    filter a responsible corpus builder applies before training on a
+    capture. Pure regexp (codegen); attribute order within the tag is
+    handled both ways."""
+    pat_fwd = (
+        r"""(?is)<meta[^>]+name\s*=\s*["']?robots["']?[^>]*"""
+        r"""content\s*=\s*["'][^"'>]*noindex"""
+    )
+    pat_rev = (
+        r"""(?is)<meta[^>]+content\s*=\s*["'][^"'>]*noindex[^>]*"""
+        r"""name\s*=\s*["']?robots["']?"""
+    )
+    return (F.regexp_count(html_col, F.lit(pat_fwd)) > 0) | (
+        F.regexp_count(html_col, F.lit(pat_rev)) > 0
+    )

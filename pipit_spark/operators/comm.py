@@ -294,6 +294,43 @@ def comm_over_time(
     )
 
 
+def comm_matrix_over_time(
+    events: DataFrame, bins: int = 10, output: str = "size"
+) -> DataFrame:
+    """Communication-matrix EVOLUTION: the (sender, receiver) volume
+    cube per trace-time bin — how the traffic pattern drifts across
+    phases (an all-to-all phase and a neighbor-exchange phase average
+    into mush in the static matrix; this separates them). Bin edges
+    span the whole trace's [min ts, max ts] like
+    :func:`comm_over_time`; one conditional projection + hash
+    aggregation, same single-exchange shape as :func:`comm_matrix` with
+    the bin index riding the group key. Returns
+    (bin_idx, sender, receiver, volume) — sparse: only non-empty cells.
+    """
+    spark = events.sparkSession  # noqa: F841  (parity with helpers)
+    lo, hi = events.agg(
+        F.min(S.TIMESTAMP).cast("double"), F.max(S.TIMESTAMP).cast("double")
+    ).collect()[0]
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / bins if hi > lo else 1.0
+    sends = events.filter(F.col(S.NAME).isin(*S.SEND_NAMES))
+    ts = F.col(S.TIMESTAMP).cast("double")
+    proj = sends.filter((ts >= lo) & (ts <= hi)).select(
+        F.least(
+            F.floor((ts - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+        ).cast("int").alias("bin_idx"),
+        F.col(S.PROCESS).cast("int").alias("sender"),
+        _receiver_col(sends).alias("receiver"),
+        _msg_length_col(sends).alias("__len"),
+    )
+    vol = (
+        F.sum("__len") if output == "size" else F.count(F.lit(1))
+    ).cast("double")
+    return proj.groupBy("bin_idx", "sender", "receiver").agg(
+        vol.alias("volume")
+    )
+
+
 def comm_by_function(
     matched: DataFrame, output: str = "size", message_type: str = "send"
 ) -> DataFrame:

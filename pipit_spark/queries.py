@@ -3195,6 +3195,40 @@ LEFT JOIN counts c ON c.bin_idx = b.bin_idx
 """
 
 
+def q_trace_comm_matrix_over_time(spark, sf_dir):
+    """Traffic-pattern drift: the (sender, receiver) volume cube per
+    trace-time bin (operators/comm.py:comm_matrix_over_time). Bin
+    indexing over epoch-ns doubles is engine-identical (same IEEE cast
+    + one division — the proven comm_over_time machinery)."""
+    t = derived_trace(spark, sf_dir)
+    return t.comm_matrix_over_time(bins=10, output="size")
+
+
+ORACLE_TRACE_COMM_MATRIX_OVER_TIME = ORACLE_TRACE_CTE + """
+, rng AS (
+    SELECT CAST(MIN(enter_ts) AS DOUBLE) AS lo,
+           CAST(MAX(leave_ts) AS DOUBLE) AS hi
+    FROM roots
+),
+params AS (
+    SELECT lo, hi,
+           CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END AS width
+    FROM rng
+),
+sends AS (
+    SELECT CAST(ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS DOUBLE) AS x,
+           process AS sender, k % 16 AS receiver, msg_len
+    FROM leaf WHERE etype IN ('click', 'purchase')
+)
+SELECT CAST(LEAST(FLOOR((x - lo) / width), 9) AS INT) AS bin_idx,
+       sender, CAST(receiver AS INT) AS receiver,
+       CAST(SUM(msg_len) AS DOUBLE) AS volume
+FROM sends, params
+WHERE x >= lo AND x <= hi
+GROUP BY 1, 2, 3
+"""
+
+
 def q_doc_tfidf(spark, sf_dir):
     """Per-doc top-3 TF-IDF keywords in the exact-integer ppm mode
     (llm/text.py:tfidf_topk — BIGINT linear-IDF scores, rank total
@@ -3421,6 +3455,7 @@ def queries():
         "doc_decontaminate_spans": q_doc_decontaminate_spans,
         "trace_latency_histogram": q_trace_latency_histogram,
         "doc_source_tfidf": q_doc_source_tfidf,
+        "trace_comm_matrix_over_time": q_trace_comm_matrix_over_time,
     }
 
 
@@ -3583,6 +3618,7 @@ def oracle_sql():
         "doc_decontaminate_spans": D.oracle_decontaminate_spans(n=5),
         "trace_latency_histogram": ORACLE_TRACE_LATENCY_HISTOGRAM,
         "doc_source_tfidf": X.oracle_tfidf_topk(k=3, group_col="source"),
+        "trace_comm_matrix_over_time": ORACLE_TRACE_COMM_MATRIX_OVER_TIME,
         "media_decode": ORACLE_MEDIA_DECODE,
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),

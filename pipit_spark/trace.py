@@ -458,6 +458,17 @@ class Trace:
 
         return message_latency(self._comm_source())
 
+    def comm_matrix_over_time(
+        self, bins: int = 10, output: str = "size"
+    ) -> DataFrame:
+        """Per-time-bin communication matrix — traffic-pattern drift
+        (operators/comm.py:comm_matrix_over_time)."""
+        from .operators.comm import comm_matrix_over_time
+
+        return comm_matrix_over_time(
+            self._comm_source(), bins=bins, output=output
+        )
+
     def latency_histogram(self, bins: int = 20) -> DataFrame:
         """Distribution of FIFO-matched message latencies
         (operators/comm.py:latency_histogram)."""

@@ -2322,3 +2322,44 @@ def test_example_scripts_run(spark):
         # entry would substitute (InMemoryTableScan) into OTHER tests'
         # structurally-identical plans and break the plan contracts
         spark.catalog.clearCache()
+
+
+def test_dedup_urls_keeps_latest_capture(spark):
+    from pipit_spark.llm.web import dedup_urls
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.example/", "2026-01-01T00:00:00Z", "r1", "old text"),
+            ("http://a.example/", "2026-02-01T00:00:00Z", "r2", "new text"),
+            # same-second recapture: record_id breaks the tie
+            ("http://b.example/", "2026-01-01T00:00:00Z", "r3", "b v1"),
+            ("http://b.example/", "2026-01-01T00:00:00Z", "r9", "b v2"),
+        ],
+        "url string, warc_date string, record_id string, text string",
+    )
+    out = {r["url"]: r for r in dedup_urls(df).collect()}
+    assert len(out) == 2
+    assert out["http://a.example/"]["text"] == "new text"
+    assert out["http://b.example/"]["record_id"] == "r9"
+    assert set(dedup_urls(df).columns) == set(df.columns)
+
+
+def test_has_noindex_expr(spark):
+    from pyspark.sql import functions as F
+
+    from pipit_spark.llm.web import has_noindex_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, '<html><meta name="robots" content="noindex,nofollow">x'),
+            (2, "<html><META CONTENT='noindex' NAME=robots>x"),
+            (3, '<html><meta name="robots" content="index,follow">x'),
+            (4, "<html>no meta at all</html>"),
+        ],
+        "id long, html string",
+    )
+    got = {
+        r["id"]: r["ni"]
+        for r in df.select("id", has_noindex_expr(F.col("html")).alias("ni")).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False}
