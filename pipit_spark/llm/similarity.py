@@ -1177,9 +1177,30 @@ def ivf_pq_topk(
     )
 
     queries = emb.filter(F.col("vec_id") < query_max_id)
+    return ivfpq_search(
+        queries, coded, index.centroids, cb, k=k, nprobe=nprobe,
+        vec_col=vec_col,
+    )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    coded: DataFrame,
+    centroids,
+    cb: PQCodebooks,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search an IVF-PQ index frame (``(neighbor_id, __cell, codes)`` —
+    built inline by :func:`ivf_pq_topk` or loaded from the catalog by
+    :func:`load_ivfpq_index`): per query, probe the ``nprobe`` nearest
+    cells and LUT-score the candidates' codes. ONE owner of the search
+    tail, so the inline and persisted paths cannot drift."""
+    spark = queries.sparkSession
     qids, qm = _collect_normalized_queries(queries, "vec_id", vec_col)
     lut = _pq_lut(qm, cb.codebooks)
-    order = np.argsort(-(qm @ index.centroids.T), axis=1)[:, :nprobe]
+    order = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
     bq = spark.sparkContext.broadcast(
         ({int(q): i for i, q in enumerate(qids)}, lut)
     )
@@ -1357,3 +1378,74 @@ def load_ivf_index(spark, table: str, vec_col: str = "embedding") -> IVFIndex:
     )
     cent = np.stack([np.asarray(r["centroid"]) for r in meta])
     return IVFIndex(cent, assigned, vec_col)
+
+
+def save_ivfpq_index(
+    emb: DataFrame,
+    table: str,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int | None = 16,
+    train_max_id: int | None = 256,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+) -> None:
+    """Build and persist the production ANN composition in one call:
+    the IVF-PQ index rows ``(neighbor_id, __cell, codes)`` save as a
+    catalog table PARTITIONED by cell (probes → partition pruning, the
+    save_ivf_index layout) at PQ-code size (16-32× below raw floats —
+    both levers persist together), with centroids and codebooks in the
+    ``__ivfmeta``/``__pqmeta`` companion tables."""
+    index = ivf_build(
+        emb, nlist=nlist, train_max_id=train_max_id,
+        kmeans_iters=kmeans_iters, vec_col=vec_col,
+    )
+    cb = pq_train(
+        emb, m=m, ksub=ksub, train_max_id=train_max_id,
+        kmeans_iters=kmeans_iters, vec_col=vec_col,
+    )
+    coded = pq_encode(
+        index.assigned, cb, vec_col="__vc", id_col="neighbor_id",
+        extra_cols=("__cell",),
+    )
+    spark = emb.sparkSession
+    (
+        coded.select("neighbor_id", "__cell", "codes")
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .saveAsTable(table)
+    )
+    cent = index.centroids
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").saveAsTable(f"{table}__ivfmeta")
+    books = cb.codebooks
+    spark.createDataFrame(
+        [
+            (mi, ki, [float(x) for x in books[mi, ki]])
+            for mi in range(books.shape[0])
+            for ki in range(books.shape[1])
+        ],
+        "m_idx int, k_idx int, centroid array<double>",
+    ).write.mode("overwrite").saveAsTable(f"{table}__pqmeta")
+
+
+def load_ivfpq_index(spark, table: str):
+    """Load a :func:`save_ivfpq_index` index: returns ``(coded_df,
+    centroids, PQCodebooks)`` ready for :func:`ivfpq_search` — the
+    float64 metadata round-trips losslessly, so a later job's search
+    results are identical to searching the build-time index."""
+    coded = spark.table(table)
+    ivf_meta = sorted(
+        spark.table(f"{table}__ivfmeta").collect(), key=lambda r: r["cell"]
+    )
+    centroids = np.stack([np.asarray(r["centroid"]) for r in ivf_meta])
+    pq_meta = spark.table(f"{table}__pqmeta").collect()
+    mm = max(r["m_idx"] for r in pq_meta) + 1
+    kk = max(r["k_idx"] for r in pq_meta) + 1
+    dsub = len(pq_meta[0]["centroid"])
+    books = np.zeros((mm, kk, dsub), dtype=np.float64)
+    for r in pq_meta:
+        books[r["m_idx"], r["k_idx"]] = r["centroid"]
+    return coded, centroids, PQCodebooks(books)

@@ -757,3 +757,29 @@ def test_tfidf_group_granularity(spark):
     # each source's most distinctive term, df counted over SOURCES
     assert rows[("s1", 1)] == "alpha"
     assert rows[("s2", 1)] == "beta"
+
+
+def test_ivfpq_index_save_load_roundtrip(spark):
+    from pipit_spark.llm import similarity as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # inline build+search (the gate-covered path)
+    before = (
+        V.ivf_pq_topk(emb, k=5, query_max_id=5, nlist=8, nprobe=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    V.save_ivfpq_index(emb, "ivfpq_rt_idx", nlist=8)
+    try:
+        coded, cent, cb = V.load_ivfpq_index(spark, "ivfpq_rt_idx")
+        after = (
+            V.ivfpq_search(
+                emb.filter("vec_id < 5"), coded, cent, cb, k=5, nprobe=3
+            )
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(before, after)
+    finally:
+        for t in ("ivfpq_rt_idx", "ivfpq_rt_idx__ivfmeta",
+                  "ivfpq_rt_idx__pqmeta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
