@@ -949,6 +949,10 @@ def bm25_topk(
             if t
         }
     )
+    if not terms:
+        raise ValueError(
+            "bm25_topk: queries contain no non-empty terms"
+        )
     qmap = [
         (qid, t) for qid, q in sorted(queries.items())
         for t in sorted(set(q.strip().split())) if t
@@ -1032,11 +1036,19 @@ def oracle_bm25_topk(
     """DuckDB twin of bm25_topk(mode="rational") — +,−,×,÷ only, so
     both engines produce bit-identical doubles."""
     norm = _sql_norm("text")
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
     qrows = ", ".join(
-        f"('{qid}', '{t}')"
+        f"('{esc(qid)}', '{esc(t)}')"
         for qid, q in sorted(queries.items())
         for t in sorted(set(q.strip().split())) if t
     )
+    if not qrows:
+        raise ValueError(
+            "oracle_bm25_topk: queries contain no non-empty terms"
+        )
     return f"""
 WITH qmap(query_id, token) AS (VALUES {qrows}),
 dl AS (
@@ -1060,12 +1072,16 @@ sc AS (
 ),
 scored AS (
     -- micro-unit BIGINT sum then one division: order-independent,
-    -- bit-identical to the engine (see bm25_topk rational mode)
+    -- bit-identical to the engine (see bm25_topk rational mode).
+    -- The saturation term is parenthesized as ONE quotient so the
+    -- operation tree is exactly Spark's idf * (num / den) * 1e6 —
+    -- IEEE rounding is per-operation, so ((idf*num)/den) could differ
+    -- in the last ulp and flip the floor(x*1e6) quantization.
     SELECT q.query_id, tf.doc_id,
            CAST(SUM(CAST(FLOOR(
                ((sc.__n - dfq.df + 0.5) / (dfq.df + 0.5))
-               * (tf.tf * ({k1} + 1))
-               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / sc.__avgdl))
+               * ((tf.tf * ({k1} + 1))
+                  / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / sc.__avgdl)))
                * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS score,
            CAST(COUNT(*) AS INT) AS n_terms
     FROM tf

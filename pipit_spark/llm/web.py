@@ -154,15 +154,22 @@ def dedup_urls(
     URL: a hot URL's captures combine map-side (the skew-safe keep-one
     shape, not a window), with ``(date, record_id)`` as the
     deterministic recency order (ISO-8601 dates compare correctly as
-    strings; record_id breaks same-second ties)."""
+    strings; record_id breaks same-second ties).
+
+    Rows with a NULL url (WARC-Target-URI is optional per the WARC
+    spec, and the parser emits None for missing headers) are NOT
+    captures of one shared page — they pass through unchanged rather
+    than collapsing into a single keep-one group."""
     cols = df.columns
     order = (
         F.struct(F.col(date_col), F.col("record_id"))
         if "record_id" in cols
         else F.col(date_col)
     )
-    return (
-        df.groupBy(F.col(url_col).alias("__u"))
+    with_url = df.filter(F.col(url_col).isNotNull())
+    null_url = df.filter(F.col(url_col).isNull())
+    deduped = (
+        with_url.groupBy(F.col(url_col).alias("__u"))
         .agg(
             F.max_by(
                 F.struct(*[F.col(c) for c in cols]), order
@@ -170,6 +177,7 @@ def dedup_urls(
         )
         .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
     )
+    return deduped.unionByName(null_url)
 
 
 def has_noindex_expr(html_col: Column) -> Column:

@@ -3034,14 +3034,19 @@ def q_media_decode(spark, sf_dir):
     payload is real — llm/multimodal.py:_decode_bytes).  The stub's
     dims and feature bytes are pure md5 functions of the payload, so
     the DuckDB oracle recomputes them exactly; features are emitted as
-    their source bytes (ints) to keep the hash float-free."""
+    their source bytes (ints), comma-joined into one string column —
+    the driver's canonicalizer sorts/hashes pandas frames and cannot
+    handle list-typed cells (r04 err: unhashable type 'list')."""
     from .llm import multimodal as M
 
     media = M.synthesize_media(load(spark, sf_dir, "documents"))
     return M.decode_media(media, feat_dim=16, codec="stub").select(
         "media_id", "kind", "height", "width", "n_bytes",
-        F.transform(
-            "features", lambda x: F.round(x * 255).cast("int")
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features", lambda x: F.round(x * 255).cast("int")
+            ).cast("array<string>"),
         ).alias("feat_bytes"),
     )
 
@@ -3064,10 +3069,10 @@ SELECT media_id, kind,
            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 64
            AS INT) AS width,
        CAST(nb AS BIGINT) AS n_bytes,
-       list_transform(range(0, 16), i ->
+       array_to_string(list_transform(range(0, 16), i ->
            CAST((strpos('0123456789abcdef', substr(fx, 2 * i + 1, 1)) - 1) * 16
            + (strpos('0123456789abcdef', substr(fx, 2 * i + 2, 1)) - 1)
-           AS INT)) AS feat_bytes
+           AS INT)), ',') AS feat_bytes
 FROM m
 """
 
@@ -3232,18 +3237,25 @@ GROUP BY 1, 2, 3
 def q_doc_tfidf(spark, sf_dir):
     """Per-doc top-3 TF-IDF keywords in the exact-integer ppm mode
     (llm/text.py:tfidf_topk — BIGINT linear-IDF scores, rank total
-    order, bit-reproducible by construction)."""
-    return X.tfidf_topk(load(spark, sf_dir, "documents"), k=3, mode="ppm")
+    order, bit-reproducible by construction).  persist=False: a gate
+    run is one-shot, so the tf cache would only leak into the session
+    (nobody unpersists the returned handle) — trade one extra token
+    scan for zero cache footprint."""
+    return X.tfidf_topk(
+        load(spark, sf_dir, "documents"), k=3, mode="ppm",
+        persist=False,
+    )
 
 
 def q_doc_source_tfidf(spark, sf_dir):
     """Per-source distinctive vocabulary: the same exact-integer
     TF-IDF machinery at source granularity (llm/text.py:tfidf_topk,
     group_col='source' — what is this source about, relative to the
-    corpus)."""
+    corpus).  persist=False for the same one-shot-gate reason as
+    q_doc_tfidf."""
     return X.tfidf_topk(
         load(spark, sf_dir, "documents"), k=3, mode="ppm",
-        group_col="source",
+        group_col="source", persist=False,
     )
 
 

@@ -208,18 +208,24 @@ def streaming_match_messages(events: DataFrame) -> DataFrame:
             for ts, eid, kind, mlen in zip(
                 pdf["ts"], pdf["eid"], pdf["kind"], pdf["mlen"]
             ):
+                # recv rows carry no msg_length, which makes the
+                # pandas column float64 — a send that ALSO lacks the
+                # attribute arrives as NaN; carry it through as NULL
+                # exactly like the batch twin (int(NaN) would raise
+                # and kill the streaming query)
+                mlen = None if pd.isna(mlen) else int(mlen)
                 if kind == 1:
                     if rq[0]:
                         n += 1
                         rts, rid = rq[0].pop(0), rq[1].pop(0)
                         out.append(
                             (src, dst, n, int(eid), rid, int(ts), rts,
-                             rts - int(ts), int(mlen))
+                             rts - int(ts), mlen)
                         )
                     else:
                         sq_[0].append(int(ts))
                         sq_[1].append(int(eid))
-                        sq_[2].append(int(mlen))
+                        sq_[2].append(mlen)
                 else:
                     if sq_[0]:
                         n += 1

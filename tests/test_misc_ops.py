@@ -2344,6 +2344,25 @@ def test_dedup_urls_keeps_latest_capture(spark):
     assert set(dedup_urls(df).columns) == set(df.columns)
 
 
+def test_dedup_urls_null_urls_pass_through(spark):
+    """WARC-Target-URI is optional; None-url rows are distinct captures
+    and must NOT collapse into one keep-one group."""
+    from pipit_spark.llm.web import dedup_urls
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.example/", "2026-01-01T00:00:00Z", "r1", "old"),
+            ("http://a.example/", "2026-02-01T00:00:00Z", "r2", "new"),
+            (None, "2026-01-01T00:00:00Z", "r3", "anon 1"),
+            (None, "2026-03-01T00:00:00Z", "r4", "anon 2"),
+        ],
+        "url string, warc_date string, record_id string, text string",
+    )
+    out = dedup_urls(df).collect()
+    assert len(out) == 3
+    assert {r["record_id"] for r in out} == {"r2", "r3", "r4"}
+
+
 def test_has_noindex_expr(spark):
     from pyspark.sql import functions as F
 

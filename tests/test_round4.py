@@ -554,6 +554,57 @@ def test_bm25_ranking_semantics(spark):
         bm25_topk(docs, {"q": "x"}, mode="nope")
 
 
+def test_bm25_oracle_boundaries(spark):
+    """Oracle/engine parity at the edges the r04 advisor flagged:
+    quote-bearing tokens must be escaped into valid SQL, empty term
+    sets must raise on BOTH sides (not render broken VALUES), and the
+    floor(x*1e6) quantization must agree — the oracle's operation tree
+    mirrors Spark's idf * (num/den) association exactly."""
+    import duckdb
+    import pytest as _p
+
+    from pipit_spark.llm.text import bm25_topk, oracle_bm25_topk
+
+    with _p.raises(ValueError):
+        bm25_topk(spark.createDataFrame(
+            [(0, "x")], "doc_id long, text string"), {"q": "   "})
+    with _p.raises(ValueError):
+        oracle_bm25_topk({"q": "   "})
+
+    # a token containing a single quote renders as escaped SQL
+    sql = oracle_bm25_topk({"q'1": "o'brien cat"})
+    assert "'o''brien'" in sql and "'q''1'" in sql
+
+    # engine vs oracle on a tiny corpus where per-term scores land
+    # near floor boundaries (tf saturation hits exact rationals)
+    rows = [
+        (0, "cat cat cat dog"),
+        (1, "dog dog fish"),
+        (2, "cat fish fish fish fish"),
+        (3, "bird"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_topk(
+            docs, {"q": "cat fish"}, k=4, mode="rational"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = {
+        (q, d): (s, rk)
+        for q, d, s, _n, rk in con.execute(
+            oracle_bm25_topk({"q": "cat fish"}, k=4)
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_session2_gates_partitioning_determinism(spark):
     """The driver's hash gate compares EXACT values, so every new gate
     must produce bit-identical results under different shuffle

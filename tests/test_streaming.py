@@ -796,6 +796,11 @@ def test_streaming_match_messages_equals_batch(spark, tmp_path):
         # batch 1: completes both pending messages
         (5, 290, 3, "Instant", "MpiRecv", 1, {"sender": "0", "msg_length": "20"}),
         (6, 500, 3, "Instant", "MpiSend", 1, {"receiver": "0", "msg_length": "7"}),
+        # msg_length is OPTIONAL: a send without it must flow through
+        # as NULL like the batch twin, not raise int(NaN) (the recv
+        # rows make the pandas mlen column float64)
+        (7, 600, 4, "Instant", "MpiSend", 2, {"receiver": "0"}),
+        (8, 700, 4, "Instant", "MpiRecv", 0, {"sender": "2"}),
     ]
     cols = [
         S.EVENT_ID, S.TIMESTAMP, S.SEQ, S.EVENT_TYPE, S.NAME,
@@ -850,4 +855,5 @@ def test_streaming_match_messages_equals_batch(spark, tmp_path):
         )
         for r in match_messages(batch_df).collect()
     }
-    assert got == want and len(got) == 3
+    assert got == want and len(got) == 4
+    assert got[(2, 0, 1)][3] is None  # missing msg_length → NULL
