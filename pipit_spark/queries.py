@@ -3298,49 +3298,97 @@ def queries():
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 entries per round.
 
-    Driver-coverage history (from CORRECTNESS_r0*.json): r01+r02 checked
-    the first-50 of the old order (TPC-H + trace + events gates); r03
-    checked a rotated window (trace + core LLM gates).  65 gates have at
-    least one driver-hash-green row across r01-r03; 56 had NEVER been
-    driver-checked before r04.  This round's window therefore holds:
-    the 3 repaired mean gates (flat_profile / load_imbalance / multirun
-    — BIGINT-sum determinism fix), trace_detect_pattern + media_decode
-    + doc_bpe with their new value oracles, and 44 of the never-checked
-    gates (advanced dedup / sampling / ANN / trace analyses).  The tail
-    leads with the 11 never-checked gates that did not fit, followed by
-    every gate already driver-hash-green in r01-r03, then the gates
-    added during r04 itself (perplexity buckets, card scan, message
-    latency + latency histogram, TF-IDF at doc and source granularity,
-    Hamming ANN, hard negatives, BM25, span-level decontamination) —
-    never-checked tail entries form the r05 window.  Every oracle-bearing gate — window or tail — is
-    additionally value-checked locally by tools/parity_check.py (EXACT
-    float compare, predicting the driver's hash) and column-checked by
+    Driver-coverage history (from CORRECTNESS_r0*.json): r01+r02
+    checked the first-50 of the original order (TPC-H + trace + events
+    gates); r03 a rotated window (trace + core LLM gates); r04 the
+    56-strong never-checked backlog — 49/50 hash-green, the one red
+    being media_decode's ERR (list-typed feat_bytes broke the driver's
+    canonicalizer; the gate now serializes features to a string).
+    After r04, 114 of 137 gates have at least one driver-hash-green
+    row and 23 have never been driver-checked.  This round's window:
+    those 23 (media_decode + the r04 tail-appended additions + the
+    emb_* approximate-ANN rows-only gates), then the 18 gates whose
+    last green row is r02, then 9 flagship re-confirmations last green
+    in r03.  The tail holds only gates driver-hash-green in r03 or
+    r04.  Every oracle-bearing gate — window or tail — is additionally
+    value-checked locally by tools/parity_check.py (EXACT float
+    compare, predicting the driver's hash) and column-checked by
     tests/test_oracle_parity.
     """
     return {
-        # ---- r04 window (slots 1-50) -------------------------------
-        # repaired AVG-determinism gates (driver-red in r01+r03)
+        # ---- r05 window (slots 1-50) -------------------------------
+        # never-driver-checked before this round (media_decode's r04
+        # row was an ERR: list-typed feat_bytes; now string-serialized)
+        "media_decode": q_media_decode,
+        "doc_clean_report": q_doc_clean_report,
+        "emb_ann_recall": q_emb_ann_recall,
+        "emb_topk_pandas": q_emb_topk_pandas,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
+        "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
+        "doc_shuffle": q_doc_shuffle,
+        "doc_split": q_doc_split,
+        "doc_length_buckets": q_doc_length_buckets,
+        "doc_pack_manifest": q_doc_pack_manifest,
+        "doc_perplexity_buckets": q_doc_perplexity_buckets,
+        "doc_card_scan": q_doc_card_scan,
+        "trace_message_latency": q_trace_message_latency,
+        "doc_tfidf": q_doc_tfidf,
+        "emb_hamming_topk": q_emb_hamming_topk,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "doc_bm25": q_doc_bm25,
+        "doc_decontaminate_spans": q_doc_decontaminate_spans,
+        "trace_latency_histogram": q_trace_latency_histogram,
+        "doc_source_tfidf": q_doc_source_tfidf,
+        "trace_comm_matrix_over_time": q_trace_comm_matrix_over_time,
+        # stalest re-confirmations: last driver-green in r02
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q12_priority_lines": q12_priority_lines,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        "events_outliers": q_events_outliers,
+        "events_props_stats": q_events_props_stats,
+        "rollup_orders": q_rollup_orders,
+        "doc_exact_dups": q_doc_exact_dups,
+        # flagship re-confirmations: last driver-green in r03
+        "trace_match_inc": q_trace_match_inc,
+        "trace_cct": q_trace_cct,
+        "trace_time_profile": q_trace_time_profile,
+        "q1_pricing_summary": q1_pricing_summary,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_training_set": q_doc_training_set,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "doc_clean_corpus": q_doc_clean_corpus,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
+        # ---- window boundary (entry 50) ----------------------------
+        # tail: every entry below is driver-hash-green in r03 or r04
         "trace_flat_profile": q_trace_flat_profile,
         "trace_load_imbalance": q_trace_load_imbalance,
         "trace_multirun": q_trace_multirun,
-        # newly value-oracled gates
         "trace_detect_pattern": q_trace_detect_pattern,
         "doc_bpe": q_doc_bpe,
-        "media_decode": q_media_decode,
-        # never-driver-checked: trace analyses
         "trace_diff": q_trace_diff,
         "trace_slow_calls": q_trace_slow_calls,
         "trace_folded_stacks": q_trace_folded_stacks,
         "trace_comm_by_function": q_trace_comm_by_function,
         "trace_comm_locality": q_trace_comm_locality,
-        # never-driver-checked: TPC-H variants
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q9_product_profit": q9_product_profit,
         "q11_important_stock": q11_important_stock,
         "q16_parts_supplier_count": q16_parts_supplier_count,
         "q20_excess_stock": q20_excess_stock,
         "q21_waiting_orders": q21_waiting_orders,
-        # never-driver-checked: dedup / text / quality
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "doc_containment": q_doc_containment,
         "doc_edit_pairs": q_doc_edit_pairs,
@@ -3363,7 +3411,6 @@ def queries():
         "emb_lsh_ann": q_emb_lsh_ann,
         "doc_dedup_quality": q_doc_dedup_quality,
         "doc_model_score": q_doc_model_score,
-        # never-driver-checked: sampling / packing / pipelines
         "doc_dsir": q_doc_dsir,
         "doc_select_dsir": q_doc_select_dsir,
         "doc_chunk": q_doc_chunk,
@@ -3371,60 +3418,24 @@ def queries():
         "doc_sample_exact_k": q_doc_sample_exact_k,
         "doc_incremental_bloom": q_doc_incremental_bloom,
         "doc_incremental_neardup": q_doc_incremental_neardup,
-        # never-driver-checked: ANN exact-configuration gates
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "emb_ivf_topk_exact": q_emb_ivf_topk_exact,
         "emb_pq_topk_exact": q_emb_pq_topk_exact,
         "emb_ivfpq_topk_exact": q_emb_ivfpq_topk_exact,
-        # ---- window boundary (entry 50) ----------------------------
-        # tail head: never-checked gates that did not fit -> r05 window
-        "doc_clean_report": q_doc_clean_report,
-        "emb_ann_recall": q_emb_ann_recall,
-        "emb_topk_pandas": q_emb_topk_pandas,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "emb_pq_topk": q_emb_pq_topk,
-        "emb_ivfpq_topk": q_emb_ivfpq_topk,
-        "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
-        "doc_shuffle": q_doc_shuffle,
-        "doc_split": q_doc_split,
-        "doc_length_buckets": q_doc_length_buckets,
-        "doc_pack_manifest": q_doc_pack_manifest,
-        # tail: driver-hash-green in r01-r03
-        "trace_match_inc": q_trace_match_inc,
         "trace_session_stats": q_trace_session_stats,
-        "trace_cct": q_trace_cct,
         "trace_idle_time": q_trace_idle_time,
         "trace_comm_matrix": q_trace_comm_matrix,
         "trace_comm_count": q_trace_comm_count,
         "trace_comm_by_process": q_trace_comm_by_process,
         "trace_message_histogram": q_trace_message_histogram,
         "trace_comm_over_time": q_trace_comm_over_time,
-        "trace_time_profile": q_trace_time_profile,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q4_order_priority": q4_order_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q10_returned_items": q10_returned_items,
-        "q12_priority_lines": q12_priority_lines,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q22_idle_customers": q22_idle_customers,
         "window_topk_orders": q_window_topk,
         "sessionize_events": q_sessionize,
         "asof_attribution": q_asof_attribution,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
-        "events_outliers": q_events_outliers,
-        "events_props_stats": q_events_props_stats,
         "profile_lineitem": q_profile_lineitem,
-        "rollup_orders": q_rollup_orders,
         "doc_text_stats": q_doc_text_stats,
         "doc_token_frequencies": q_doc_token_frequencies,
         "doc_token_counts": q_doc_token_counts,
@@ -3435,39 +3446,20 @@ def queries():
         "doc_heuristic_filter": q_doc_heuristic_filter,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_corpus_summary": q_doc_corpus_summary,
-        "doc_exact_dups": q_doc_exact_dups,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash": q_doc_minhash,
-        "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
-        "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_incremental": q_doc_incremental,
         "doc_simhash": q_doc_simhash,
         "doc_embedding_dedup": q_doc_embedding_dedup,
-        "doc_clean_corpus": q_doc_clean_corpus,
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_mix_sources": q_doc_mix_sources,
         "doc_token_budget": q_doc_token_budget,
         "doc_decontaminate": q_doc_decontaminate,
-        "doc_training_set": q_doc_training_set,
-        "emb_cosine_topk": q_emb_cosine_topk,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_quantize": q_emb_quantize,
-        # r04 additions (tail append — the first-50 window is fixed for
-        # the round; these join the never-checked pool for r05)
-        "doc_perplexity_buckets": q_doc_perplexity_buckets,
-        "doc_card_scan": q_doc_card_scan,
-        "trace_message_latency": q_trace_message_latency,
-        "doc_tfidf": q_doc_tfidf,
-        "emb_hamming_topk": q_emb_hamming_topk,
-        "emb_hard_negatives": q_emb_hard_negatives,
-        "doc_bm25": q_doc_bm25,
-        "doc_decontaminate_spans": q_doc_decontaminate_spans,
-        "trace_latency_histogram": q_trace_latency_histogram,
-        "doc_source_tfidf": q_doc_source_tfidf,
-        "trace_comm_matrix_over_time": q_trace_comm_matrix_over_time,
     }
 
 
