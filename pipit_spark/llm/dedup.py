@@ -1881,3 +1881,131 @@ directions AS (
 SELECT contained, container, ROUND(containment, 6) AS containment
 FROM directions WHERE containment >= {threshold}
 """
+
+
+# ------------------------------------------------------- cluster audit
+def cluster_summary(docs: DataFrame) -> DataFrame:
+    """Audit table for exact-duplicate clusters: one row per
+    fingerprint group of size ≥ 2 with its representative (min
+    doc_id), member count, distinct-source spread, and the byte bill
+    (total chars, and chars that dedup would reclaim).  The question
+    this answers at 100 TB is "WHERE is my duplication coming from" —
+    a cluster spanning many sources is syndication; one source
+    repeating itself is a crawler artifact (cf. the per-pair views:
+    exact_duplicates gives the groups, this prices them).
+
+    Shape: the same single hash-groupBy as exact_duplicates — one
+    shuffle on the md5 fingerprint, every aggregate map-side
+    combinable, output bounded by the number of duplicate groups.
+    All-integer columns (driver-gate discipline)."""
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("__chars"),
+        F.md5(F.lower(F.coalesce(_norm(F.col("text")), F.lit("")))).alias(
+            "fingerprint"
+        ),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("representative"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("__chars").alias("total_chars"),
+            (F.sum("__chars") - F.max("__chars")).alias(
+                "reclaimable_chars"
+            ),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def oracle_cluster_summary(table: str = "documents") -> str:
+    """DuckDB twin of :func:`cluster_summary` (same normalization as
+    oracle_exact_duplicates; all-integer aggregates)."""
+    from .text import _sql_norm
+
+    norm = _sql_norm("text")
+    return f"""
+SELECT md5(lower(COALESCE({norm}, ''))) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS representative,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) - MAX(length(text)) AS BIGINT)
+           AS reclaimable_chars
+FROM {table}
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+def dup_inflation(docs: DataFrame) -> DataFrame:
+    """Per-source duplication-inflation report: how many bytes each
+    source's exact duplicates add, as exact-integer ppm — the number
+    that prices a dedup pass BEFORE running it (a source at 40%
+    inflation pays for MinHash; one at 0.1% doesn't).
+
+    Two bounded hash aggregations: (source, fingerprint) first — one
+    shuffle over fingerprint-sized rows, never the text — then a
+    per-source rollup of the group table.  distinct_chars keeps ONE
+    copy per fingerprint (its max length — copies are
+    normalization-identical, so lengths differ only by collapsed
+    whitespace); ``inflation_ppm = (total−distinct)·1e6 div total``."""
+    fp = docs.select(
+        "source",
+        F.length("text").cast("long").alias("__chars"),
+        F.md5(F.lower(F.coalesce(_norm(F.col("text")), F.lit("")))).alias(
+            "__fp"
+        ),
+    )
+    per_group = fp.groupBy("source", "__fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("__chars").alias("chars_all"),
+        F.max("__chars").alias("chars_one"),
+    )
+    return (
+        per_group.groupBy("source")
+        .agg(
+            F.sum("n_copies").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("chars_all").alias("total_chars"),
+            F.sum("chars_one").alias("distinct_chars"),
+        )
+        .withColumn(
+            "inflation_ppm",
+            F.expr(
+                "(total_chars - distinct_chars) * 1000000"
+                " div total_chars"
+            ),
+        )
+    )
+
+
+def oracle_dup_inflation(table: str = "documents") -> str:
+    """DuckDB twin of :func:`dup_inflation` (all-integer)."""
+    from .text import _sql_norm
+
+    norm = _sql_norm("text")
+    return f"""
+WITH fp AS (
+    SELECT source, CAST(length(text) AS BIGINT) AS chars,
+           md5(lower(COALESCE({norm}, ''))) AS fp
+    FROM {table}
+),
+per_group AS (
+    SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(SUM(chars) AS BIGINT) AS chars_all,
+           CAST(MAX(chars) AS BIGINT) AS chars_one
+    FROM fp GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(chars_all) AS BIGINT) AS total_chars,
+       CAST(SUM(chars_one) AS BIGINT) AS distinct_chars,
+       (SUM(chars_all) - SUM(chars_one)) * 1000000 // SUM(chars_all)
+           AS inflation_ppm
+FROM per_group GROUP BY 1
+"""

@@ -1449,3 +1449,77 @@ def load_ivfpq_index(spark, table: str):
     for r in pq_meta:
         books[r["m_idx"], r["k_idx"]] = r["centroid"]
     return coded, centroids, PQCodebooks(books)
+
+
+# ---------------------------------------------------------- isolation
+def isolation_scores(
+    emb: DataFrame,
+    query_max_id: int = 100,
+    bottom_k: int = 20,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-isolation outliers: the ``bottom_k`` vectors (among
+    ``vec_id < query_max_id``) whose MAXIMUM cosine similarity to any
+    other corpus vector is lowest — the "nothing else looks like
+    this" signal a curation pipeline uses to surface OCR garbage,
+    encoding corruption, or genuinely novel content before training.
+
+    Exact form: reuses :func:`cosine_topk`'s broadcast-query /
+    one-corpus-scan plan with k=1 (the nearest neighbor IS the max
+    similarity), then a global bottom-k — query count is bounded, so
+    the work is |queries|·|corpus| dot products in one scan, never
+    |corpus|².  The 100-TB path swaps the scan for the IVF index
+    (:func:`ivf_topk` k=1): isolation scores are then lower bounds
+    (a missed true neighbor can only make a vector look MORE
+    isolated), which is the right direction for a triage queue.
+    Ties break (max_cosine ASC, vec_id ASC) — total order, so the
+    LIMIT is deterministic."""
+    nearest = cosine_topk(
+        emb, k=1, query_max_id=query_max_id, vec_col=vec_col
+    )
+    return (
+        nearest.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("neighbor_id").alias("nearest_id"),
+            F.col("cosine").alias("max_cosine"),
+        )
+        .orderBy(F.asc("max_cosine"), F.asc("vec_id"))
+        .limit(bottom_k)
+    )
+
+
+def oracle_isolation_scores(
+    table: str = "embeddings",
+    query_max_id: int = 100,
+    bottom_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`isolation_scores` — shares
+    oracle_cosine_topk's float expression tree (the cosine gates prove
+    the two engines agree bit-for-bit on it)."""
+    cos = """
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * sqrt(list_sum(list_transform(c.embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+    """
+    return f"""
+WITH scored AS (
+    SELECT q.vec_id, c.vec_id AS neighbor_id, {cos} AS cos_raw
+    FROM {table} q JOIN {table} c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {query_max_id}
+),
+nearest AS (
+    SELECT vec_id, neighbor_id AS nearest_id,
+           ROUND(cos_raw, 4) AS max_cosine,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos_raw DESC, neighbor_id ASC)
+               AS rnk
+    FROM scored
+)
+SELECT vec_id, nearest_id, max_cosine
+FROM nearest WHERE rnk = 1
+ORDER BY max_cosine ASC, vec_id ASC
+LIMIT {bottom_k}
+"""

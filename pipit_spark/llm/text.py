@@ -1148,3 +1148,206 @@ def merge_vocab_sketches(sketches: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens_total"),
         F.count(F.lit(1)).alias("n_sketches"),
     )
+
+
+# ------------------------------------------------------------ bigram LM
+def bigram_lm(
+    docs: DataFrame, top_k: int = 200, min_count: int = 2
+) -> DataFrame:
+    """Corpus bigram language model: the top-``top_k`` adjacent token
+    pairs with their counts and conditional probability
+    ``P(w2 | w1)`` — the cheapest corpus-level LM a curation pipeline
+    can hold (n-gram quality scoring à la CCNet/KenLM, but computable
+    in one Spark pass with exact-integer statistics; heavier KenLM
+    scoring plugs in via llm/scoring.py:model_score).
+
+    ONE text scan: each document's token array yields its adjacent
+    pairs ROW-LOCALLY (zip of the array with its own 1-shift — no
+    self-join, no window over the token stream), and the exploded
+    pairs collapse immediately into (w1, w2) counts — the only
+    shuffle, map-side combined, output bounded by the corpus's
+    distinct-bigram vocabulary (≪ corpus at 100 TB).  Context counts
+    are an aggregation OVER the pair table (vocabulary-sized, never
+    the token stream twice); AQE broadcasts it into the join.
+
+    ``cond_ppm = pair_count·1e6 div ctx_count`` is exact BIGINT
+    arithmetic — bit-reproducible across engines and partitionings
+    (the driver-gate discipline: no float aggregation anywhere).
+    Ties in the top-k break (pair_count DESC, w1 ASC, w2 ASC) — a
+    total order, so the LIMIT is deterministic.
+    """
+    toks = docs.select(
+        F.filter(
+            _tokens(F.col("text")), lambda t: F.length(t) > 0
+        ).alias("__ts")
+    )
+    n1 = F.greatest(F.size("__ts") - 1, F.lit(0))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__ts"), 1, n1),
+                F.slice(F.col("__ts"), 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pair = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    # aliased group key: joining an aggregate derived from the same
+    # frame back against it raises ambiguous-column errors otherwise
+    ctx = pair.groupBy(F.col("w1").alias("__c")).agg(
+        F.sum("pair_count").alias("ctx_count")
+    )
+    lm = (
+        pair.join(ctx, pair["w1"] == ctx["__c"])
+        .drop("__c")
+        .filter(F.col("pair_count") >= min_count)
+        .withColumn(
+            "cond_ppm", F.expr("pair_count * 1000000 div ctx_count")
+        )
+    )
+    return (
+        lm.orderBy(F.desc("pair_count"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+        .select("w1", "w2", "pair_count", "ctx_count", "cond_ppm")
+    )
+
+
+def oracle_bigram_lm(
+    table: str = "documents", top_k: int = 200, min_count: int = 2
+) -> str:
+    """DuckDB twin of :func:`bigram_lm` — all-integer statistics, so
+    the driver's hash comparison is exact by construction."""
+    norm = _sql_norm("text")
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split({norm}, ' '),
+                       t -> length(t) > 0) AS ts
+    FROM {table}
+),
+idx AS (
+    SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks
+),
+bi AS (SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM idx),
+pair AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM bi GROUP BY 1, 2
+),
+ctx AS (
+    SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS ctx_count
+    FROM pair GROUP BY 1
+)
+SELECT pair.w1, pair.w2, pair.pair_count, ctx.ctx_count,
+       pair.pair_count * 1000000 // ctx.ctx_count AS cond_ppm
+FROM pair JOIN ctx ON pair.w1 = ctx.w1
+WHERE pair.pair_count >= {min_count}
+ORDER BY pair.pair_count DESC, pair.w1 ASC, pair.w2 ASC
+LIMIT {top_k}
+"""
+
+
+def lm_score(
+    docs: DataFrame, lm: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every document under a :func:`bigram_lm` table: mean
+    conditional probability (ppm) over the document's adjacent
+    bigrams, unseen bigrams scoring 0 — the classic cheap fluency /
+    domain-fit signal (a document whose bigrams the corpus LM has
+    never seen is either novel or garbage; pair with
+    :func:`vocab_coverage` to tell which).
+
+    The LM table is top-k-bounded by construction, so it rides a
+    broadcast join against the document pair stream — the corpus
+    never shuffles.  All-integer output: ``n_bigrams`` (total adjacent
+    pairs), ``lm_hits`` (pairs found in the LM, with multiplicity),
+    ``mean_cond_ppm = Σ cond_ppm·count div n_bigrams`` (0 for
+    bigram-less documents).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            _tokens(F.col("text")), lambda t: F.length(t) > 0
+        ).alias("__ts"),
+    )
+    n1 = F.greatest(F.size("__ts") - 1, F.lit(0))
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__ts"), 1, n1),
+                F.slice(F.col("__ts"), 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    per_doc = pairs.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    joined = per_doc.join(
+        F.broadcast(lm.select("w1", "w2", "cond_ppm")),
+        ["w1", "w2"],
+        "left",
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("cond_ppm").isNotNull(), F.col("cnt"))
+            .otherwise(F.lit(0))
+        ).alias("lm_hits"),
+        F.sum(
+            F.coalesce(F.col("cond_ppm"), F.lit(0)) * F.col("cnt")
+        ).alias("__tot"),
+    )
+    out = docs.select(id_col).join(scored, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("lm_hits", F.lit(0)).alias("lm_hits"),
+        F.coalesce(
+            F.expr("__tot div n_bigrams"), F.lit(0)
+        ).alias("mean_cond_ppm"),
+    )
+
+
+def oracle_lm_score(
+    table: str = "documents", top_k: int = 200, min_count: int = 2
+) -> str:
+    """DuckDB twin of :func:`lm_score` over :func:`oracle_bigram_lm`'s
+    LM — exact-integer, shares the LM definition by construction."""
+    norm = _sql_norm("text")
+    lm = oracle_bigram_lm(table=table, top_k=top_k, min_count=min_count)
+    return f"""
+WITH lm AS ({lm}),
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split({norm}, ' '),
+                       t -> length(t) > 0) AS ts
+    FROM {table}
+),
+idx AS (
+    SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks
+),
+bi AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM idx),
+per_doc AS (
+    SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bi GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT p.doc_id,
+           SUM(p.cnt) AS n_bigrams,
+           SUM(CASE WHEN lm.cond_ppm IS NOT NULL THEN p.cnt
+                    ELSE 0 END) AS lm_hits,
+           SUM(COALESCE(lm.cond_ppm, 0) * p.cnt) AS tot
+    FROM per_doc p
+    LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.lm_hits, 0) AS BIGINT) AS lm_hits,
+       CAST(COALESCE(s.tot // s.n_bigrams, 0) AS BIGINT)
+           AS mean_cond_ppm
+FROM {table} d LEFT JOIN scored s USING (doc_id)
+"""

@@ -367,3 +367,33 @@ def slow_calls(trace, p: float = 0.95, metric: str = S.TIME_INC) -> DataFrame:
             "threshold",
         )
     )
+
+
+def caller_callee(trace, metric: str = S.TIME_INC) -> DataFrame:
+    """Caller→callee edge profile (gprof-style): per (parent_name,
+    name) pair, the call count and summed metric over the callee's
+    Enter rows — which edges of the call graph carry the time, without
+    materializing the full CCT.  The reference exposes caller/callee
+    context per-event (pipit/trace.py:193-292 populates _parent /
+    _depth); this rolls those columns up into the edge table its
+    notebook examples build by hand.
+
+    One hash aggregation over the already-matched frame: parent_name
+    is free (the fused matching kernel emits it — matching.py), so no
+    join and no second shuffle.  Metric sums are kept in BIGINT ns
+    (exact, partition-order-independent — the flat-profile lesson);
+    root frames (no caller) group under '<root>'."""
+    m = trace.matched
+    return (
+        m.filter(F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES))
+        .groupBy(
+            F.coalesce(F.col(S.PARENT_NAME), F.lit("<root>")).alias(
+                "caller"
+            ),
+            F.col(S.NAME).alias("callee"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum(F.col(metric).cast("long")).alias("total_ns"),
+        )
+    )

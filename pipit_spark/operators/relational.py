@@ -260,3 +260,96 @@ def profile_table(
         "column string, n_rows long, n_nulls long, n_distinct long, "
         "min_val double, max_val double, mean_val double",
     )
+
+
+def burst_windows(
+    events: DataFrame,
+    bin_seconds: int = 3600,
+    top_k: int = 3,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-type burst detection: the ``top_k`` busiest fixed windows
+    for each event type — load-spike triage over an event stream
+    (which hours melted the ingest tier, and with what volume vs the
+    type's steady state).
+
+    One hash aggregation on (type, epoch-aligned window): counts
+    combine map-side, the aggregated table is |types|·|windows| rows
+    (tiny), and the per-type baseline (mean events per ACTIVE window,
+    exact-integer div) joins back from a second aggregate OVER that
+    table — the raw stream is scanned once and never re-shuffled.
+    Windows align to the Unix epoch (floor(epoch_sec / bin) · bin) —
+    the same arithmetic in both engines, no timezone involvement.
+    Ties break (n_events DESC, win_start ASC): total order under the
+    rank, deterministic at any partitioning.
+
+    ``ts_col`` may be a timestamp column or an epoch-ns BIGINT (the
+    canonical events frame ships ns-longs).  The ns→sec step is
+    INTEGER division — epoch-ns ≈ 1.7e18 exceeds a double's exact
+    range, so a float divide would corrupt window boundaries."""
+    dt = events.schema[ts_col].dataType.typeName()
+    if dt in ("long", "bigint"):
+        secs = F.expr(f"{ts_col} div 1000000000")
+    else:
+        secs = F.unix_timestamp(F.col(ts_col)).cast("long")
+    # floor-div then re-multiply: exact for the non-negative epochs here
+    win = (secs / F.lit(bin_seconds)).cast("long") * F.lit(bin_seconds)
+    per_win = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            win.alias("win_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    base = per_win.groupBy(F.col("event_type").alias("__t")).agg(
+        F.expr("sum(n_events) div count(*)").alias("mean_per_window")
+    )
+    ranked = (
+        per_win.join(base, per_win["event_type"] == base["__t"])
+        .drop("__t")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.desc("n_events"), F.asc("win_start")
+                )
+            ).cast("int"),
+        )
+    )
+    return ranked.filter(F.col("rank") <= top_k).select(
+        "event_type", "win_start", "n_events", "mean_per_window", "rank"
+    )
+
+
+def oracle_burst_windows(
+    table: str = "events", bin_seconds: int = 3600, top_k: int = 3
+) -> str:
+    """DuckDB twin of :func:`burst_windows` — all-integer epoch
+    arithmetic and counts, exact by construction."""
+    return f"""
+WITH per_win AS (
+    SELECT event_type,
+           (CAST(FLOOR(epoch(ts)) AS BIGINT) // {bin_seconds})
+               * {bin_seconds} AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM {table}
+    GROUP BY 1, 2
+),
+base AS (
+    SELECT event_type,
+           SUM(n_events) // COUNT(*) AS mean_per_window
+    FROM per_win GROUP BY 1
+),
+ranked AS (
+    SELECT p.event_type, p.win_start, p.n_events,
+           CAST(b.mean_per_window AS BIGINT) AS mean_per_window,
+           ROW_NUMBER() OVER (PARTITION BY p.event_type
+                              ORDER BY p.n_events DESC,
+                                       p.win_start ASC) AS rank
+    FROM per_win p JOIN base b USING (event_type)
+)
+SELECT event_type, win_start, n_events, mean_per_window,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {top_k}
+"""

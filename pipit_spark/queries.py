@@ -3292,6 +3292,225 @@ def q_emb_hard_negatives(spark, sf_dir):
 
 
 # ===================================================================== #
+# round-5 gates: web module, bigram LM, cluster audits, bursts, edges
+# ===================================================================== #
+def _web_captures(spark, sf_dir):
+    """Deterministic WARC-ish capture table derived from documents:
+    urls collide across doc_ids (mod-97 slug → multi-capture pages),
+    every 13th capture has a NULL url (WARC-Target-URI is optional),
+    and dates/record-ids are pure doc_id functions — both engines
+    rebuild the identical table."""
+    docs = load(spark, sf_dir, "documents")
+    slug = F.col("doc_id") % 97
+    path = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("p"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("a/b"))
+        .otherwise(F.lit("a/b/c"))
+    )
+    qs = F.when(F.col("doc_id") % 2 == 0, F.lit("?ref=x")).otherwise(
+        F.lit("")
+    )
+    url = F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+        F.format_string(
+            "http://%s.example/%s/%d%s", F.col("source"), path, slug, qs
+        )
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.format_string(
+            "2026-01-%02dT00:00:00Z", (F.col("doc_id") % 28) + 1
+        ).alias("warc_date"),
+        F.format_string("r%06d", F.col("doc_id")).alias("record_id"),
+    )
+
+
+_SQL_WEB_CAPTURES = """
+captures AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE printf('http://%s.example/%s/%d%s', source,
+                     CASE WHEN doc_id % 3 = 0 THEN 'p'
+                          WHEN doc_id % 3 = 1 THEN 'a/b'
+                          ELSE 'a/b/c' END,
+                     doc_id % 97,
+                     CASE WHEN doc_id % 2 = 0 THEN '?ref=x' ELSE '' END)
+           END AS url,
+           printf('2026-01-%02dT00:00:00Z', doc_id % 28 + 1)
+               AS warc_date,
+           printf('r%06d', doc_id) AS record_id
+    FROM documents
+)
+"""
+
+
+def q_web_dedup_urls(spark, sf_dir):
+    """Keep-latest-capture URL dedup over a multi-crawl capture table
+    (llm/web.py:dedup_urls): one max_by hash aggregation keyed on the
+    url — skew-safe keep-one, hot URLs combine map-side — with
+    (warc_date, record_id) recency order and NULL-url captures passing
+    through unchanged (they are not captures of one shared page)."""
+    from .llm.web import dedup_urls
+
+    return dedup_urls(_web_captures(spark, sf_dir))
+
+
+ORACLE_WEB_DEDUP_URLS = (
+    "WITH " + _SQL_WEB_CAPTURES + """
+, ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY url ORDER BY warc_date DESC, record_id DESC
+    ) AS rk
+    FROM captures WHERE url IS NOT NULL
+)
+SELECT doc_id, url, warc_date, record_id FROM ranked WHERE rk = 1
+UNION ALL
+SELECT doc_id, url, warc_date, record_id
+FROM captures WHERE url IS NULL
+"""
+)
+
+
+def q_web_url_features(spark, sf_dir):
+    """URL decomposition via the built-in parse_url — host,
+    registrable-ish domain, path depth, query presence
+    (llm/web.py:url_features; pure JVM expressions, no UDF)."""
+    from .llm.web import url_features
+
+    caps = _web_captures(spark, sf_dir).filter(F.col("url").isNotNull())
+    return url_features(caps).select(
+        "doc_id", "url_host", "url_domain",
+        F.col("url_path_depth").cast("long").alias("url_path_depth"),
+        "url_has_query",
+    )
+
+
+ORACLE_WEB_URL_FEATURES = (
+    "WITH " + _SQL_WEB_CAPTURES + """
+SELECT doc_id,
+       lower(regexp_extract(url, 'https?://([^/]+)', 1)) AS url_host,
+       regexp_extract(lower(regexp_extract(url, 'https?://([^/]+)', 1)),
+                      '([^.]+\\.[^.]+)$', 1) AS url_domain,
+       CAST(len(list_filter(
+           string_split(regexp_extract(url, 'https?://[^/]+([^?#]*)', 1),
+                        '/'),
+           s -> length(s) > 0)) AS BIGINT) AS url_path_depth,
+       (instr(url, '?') > 0) AS url_has_query
+FROM captures WHERE url IS NOT NULL
+"""
+)
+
+
+def q_doc_bigram_lm(spark, sf_dir):
+    """Corpus bigram LM: top-200 adjacent token pairs with conditional
+    probability in exact ppm integers (llm/text.py:bigram_lm — one
+    text scan, row-local pair generation, vocabulary-bounded output)."""
+    return X.bigram_lm(
+        load(spark, sf_dir, "documents"), top_k=200, min_count=2
+    )
+
+
+def q_doc_lm_score(spark, sf_dir):
+    """Per-document fluency under the corpus bigram LM: mean
+    conditional ppm over each doc's bigrams, unseen pairs scoring 0
+    (llm/text.py:lm_score — the LM broadcasts, corpus never
+    shuffles)."""
+    docs = load(spark, sf_dir, "documents")
+    return X.lm_score(docs, X.bigram_lm(docs, top_k=200, min_count=2))
+
+
+def q_doc_cluster_summary(spark, sf_dir):
+    """Per-cluster audit of exact-duplicate groups: representative,
+    member count, source spread, and reclaimable bytes
+    (llm/dedup.py:cluster_summary).  Duplicates injected exactly as
+    q_doc_exact_dups does (the synthetic corpus has none)."""
+    docs = load(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return D.cluster_summary(docs.unionByName(dups))
+
+
+# duplicate-injected corpus rides in as a derived table: the oracle
+# helpers open their own WITH clause, so a wrapping CTE cannot nest
+_SQL_DUP_CORPUS = """(SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 100 = 0) dup_corpus"""
+
+ORACLE_DOC_CLUSTER_SUMMARY = D.oracle_cluster_summary(
+    table=_SQL_DUP_CORPUS
+)
+
+
+def q_doc_dup_inflation(spark, sf_dir):
+    """Per-source duplication-inflation pricing
+    (llm/dedup.py:dup_inflation) on the same injected-duplicate corpus
+    as the cluster gates — how many ppm of each source's bytes a
+    dedup pass would reclaim."""
+    docs = load(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return D.dup_inflation(docs.unionByName(dups))
+
+
+ORACLE_DOC_DUP_INFLATION = D.oracle_dup_inflation(
+    table=_SQL_DUP_CORPUS
+)
+
+
+def q_emb_isolation(spark, sf_dir):
+    """Embedding-isolation outliers: bottom-20 vectors by max cosine
+    to any other vector (llm/similarity.py:isolation_scores — the
+    exact bounded-query form; the 100-TB path swaps in ivf_topk)."""
+    return V.isolation_scores(
+        load(spark, sf_dir, "embeddings"), query_max_id=100, bottom_k=20
+    )
+
+
+def q_events_burst_windows(spark, sf_dir):
+    """Per-type busiest hours over the event stream with the type's
+    mean-per-active-window baseline
+    (operators/relational.py:burst_windows — epoch-aligned windows,
+    exact-integer counts and baseline)."""
+    from .operators.relational import burst_windows
+
+    return burst_windows(
+        load(spark, sf_dir, "events"), bin_seconds=3600, top_k=3
+    )
+
+
+def q_trace_caller_callee(spark, sf_dir):
+    """Caller→callee edge profile over the matched frame
+    (operators/profile.py:caller_callee): per edge, call count +
+    BIGINT-summed inclusive ns — parent_name comes free from the
+    fused matching kernel, so this is one hash aggregation, no join.
+    Reference context columns: pipit/trace.py:193-292."""
+    t = derived_trace(spark, sf_dir)
+    return t.caller_callee()
+
+
+ORACLE_TRACE_CALLER_CALLEE = ORACLE_TRACE_CTE + """
+SELECT 'session' AS caller, etype AS callee,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(SUM(dur) AS BIGINT) AS total_ns
+FROM leaf GROUP BY 2
+UNION ALL
+SELECT '<root>' AS caller, 'session' AS callee,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(SUM(leave_ts - enter_ts) AS BIGINT) AS total_ns
+FROM roots
+"""
+
+
+def _oracle_burst_windows() -> str:
+    from .operators.relational import oracle_burst_windows
+
+    return oracle_burst_windows(bin_seconds=3600, top_k=3)
+
+
+# ===================================================================== #
 # registry
 # ===================================================================== #
 def queries():
@@ -3308,9 +3527,10 @@ def queries():
     row and 23 have never been driver-checked.  This round's window:
     those 23 (media_decode + the r04 tail-appended additions + the
     emb_* approximate-ANN rows-only gates), then the 18 gates whose
-    last green row is r02, then 9 flagship re-confirmations last green
-    in r03.  The tail holds only gates driver-hash-green in r03 or
-    r04.  Every oracle-bearing gate — window or tail — is additionally
+    last green row is r02, then the 9 gates ADDED this round (web
+    module, bigram LM, cluster audits, bursts, isolation,
+    caller-callee).  The tail holds only gates driver-hash-green in
+    r03 or r04.  Every oracle-bearing gate — window or tail — is additionally
     value-checked locally by tools/parity_check.py (EXACT float
     compare, predicting the driver's hash) and column-checked by
     tests/test_oracle_parity.
@@ -3361,7 +3581,19 @@ def queries():
         "events_props_stats": q_events_props_stats,
         "rollup_orders": q_rollup_orders,
         "doc_exact_dups": q_doc_exact_dups,
-        # flagship re-confirmations: last driver-green in r03
+        # new this round: web module, bigram LM, cluster audits,
+        # bursts, caller-callee edges (never driver-checked)
+        "web_dedup_urls": q_web_dedup_urls,
+        "web_url_features": q_web_url_features,
+        "doc_bigram_lm": q_doc_bigram_lm,
+        "doc_lm_score": q_doc_lm_score,
+        "doc_cluster_summary": q_doc_cluster_summary,
+        "doc_dup_inflation": q_doc_dup_inflation,
+        "emb_isolation": q_emb_isolation,
+        "events_burst_windows": q_events_burst_windows,
+        "trace_caller_callee": q_trace_caller_callee,
+        # ---- window boundary (entry 50) ----------------------------
+        # tail: every entry below is driver-hash-green in r03 or r04
         "trace_match_inc": q_trace_match_inc,
         "trace_cct": q_trace_cct,
         "trace_time_profile": q_trace_time_profile,
@@ -3371,8 +3603,6 @@ def queries():
         "emb_cosine_topk": q_emb_cosine_topk,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_dedup_clusters": q_doc_dedup_clusters,
-        # ---- window boundary (entry 50) ----------------------------
-        # tail: every entry below is driver-hash-green in r03 or r04
         "trace_flat_profile": q_trace_flat_profile,
         "trace_load_imbalance": q_trace_load_imbalance,
         "trace_multirun": q_trace_multirun,
@@ -3624,6 +3854,17 @@ def oracle_sql():
         "doc_source_tfidf": X.oracle_tfidf_topk(k=3, group_col="source"),
         "trace_comm_matrix_over_time": ORACLE_TRACE_COMM_MATRIX_OVER_TIME,
         "media_decode": ORACLE_MEDIA_DECODE,
+        "web_dedup_urls": ORACLE_WEB_DEDUP_URLS,
+        "web_url_features": ORACLE_WEB_URL_FEATURES,
+        "doc_bigram_lm": X.oracle_bigram_lm(top_k=200, min_count=2),
+        "doc_lm_score": X.oracle_lm_score(top_k=200, min_count=2),
+        "doc_cluster_summary": ORACLE_DOC_CLUSTER_SUMMARY,
+        "doc_dup_inflation": ORACLE_DOC_DUP_INFLATION,
+        "emb_isolation": V.oracle_isolation_scores(
+            query_max_id=100, bottom_k=20
+        ),
+        "events_burst_windows": _oracle_burst_windows(),
+        "trace_caller_callee": ORACLE_TRACE_CALLER_CALLEE,
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),
         "doc_pack_sequences": _oracle_sampling("pack"),

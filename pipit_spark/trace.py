@@ -496,6 +496,13 @@ class Trace:
     # ------------------------------------------------------------------ #
     # profiling (pipit/trace.py:514-804)
     # ------------------------------------------------------------------ #
+    def caller_callee(self, metric: str = S.TIME_INC) -> DataFrame:
+        """Caller→callee edge profile over the matched frame
+        (operators/profile.py:caller_callee)."""
+        from .operators.profile import caller_callee
+
+        return caller_callee(self, metric=metric)
+
     def flat_profile(
         self,
         metrics: str | list[str] = S.TIME_EXC,

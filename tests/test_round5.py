@@ -1,0 +1,199 @@
+"""Round-5 additions: web gates, bigram LM, cluster audits, burst
+windows, isolation scores, caller-callee edges."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bigram_lm_semantics(spark):
+    from pipit_spark.llm.text import bigram_lm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b c"),
+            (1, "a b x"),
+            (2, "z"),  # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    lm = {
+        (r["w1"], r["w2"]): r
+        for r in bigram_lm(docs, top_k=10, min_count=1).collect()
+    }
+    # "a b" occurs 3×; context "a" occurs 3× total → P(b|a)=1.0
+    assert lm[("a", "b")]["pair_count"] == 3
+    assert lm[("a", "b")]["ctx_count"] == 3
+    assert lm[("a", "b")]["cond_ppm"] == 1_000_000
+    # "b a" 1× of context b's 3 → 333333 (floor div)
+    assert lm[("b", "a")]["cond_ppm"] == 333_333
+    # single-token doc contributes nothing
+    assert not any(w1 == "z" or w2 == "z" for w1, w2 in lm)
+
+
+def test_lm_score_semantics(spark):
+    from pipit_spark.llm.text import bigram_lm, lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x"), (2, "z")],
+        "doc_id long, text string",
+    )
+    lm = bigram_lm(docs, top_k=2, min_count=1)  # keeps top-2 pairs only
+    out = {r["doc_id"]: r for r in lm_score(docs, lm).collect()}
+    # doc 2 has no bigrams: all-zero row, not a missing row
+    assert out[2]["n_bigrams"] == 0 and out[2]["mean_cond_ppm"] == 0
+    # every doc present
+    assert set(out) == {0, 1, 2}
+    # hits never exceed total bigrams
+    for r in out.values():
+        assert r["lm_hits"] <= r["n_bigrams"]
+
+
+def test_cluster_summary_and_dup_inflation(spark):
+    from pipit_spark.llm.dedup import cluster_summary, dup_inflation
+
+    docs = spark.createDataFrame(
+        [
+            (0, "same text", "s1", 9),
+            (1, "same text", "s2", 9),
+            (2, "same  text", "s1", 10),  # normalizes to the same fp
+            (3, "unique", "s1", 6),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    cs = cluster_summary(docs).collect()
+    assert len(cs) == 1
+    row = cs[0]
+    assert row["representative"] == 0
+    assert row["n_docs"] == 3 and row["n_sources"] == 2
+    # lengths 9+9+10 = 28 total; keep the longest copy (10) → 18 back
+    assert row["total_chars"] == 28 and row["reclaimable_chars"] == 18
+
+    infl = {r["source"]: r for r in dup_inflation(docs).collect()}
+    assert infl["s1"]["n_docs"] == 3 and infl["s1"]["n_distinct"] == 2
+    # s1: chars 9+10+6=25, distinct keeps max(9,10)=10 and 6 → 16
+    assert infl["s1"]["total_chars"] == 25
+    assert infl["s1"]["distinct_chars"] == 16
+    assert infl["s1"]["inflation_ppm"] == (25 - 16) * 1_000_000 // 25
+    assert infl["s2"]["inflation_ppm"] == 0
+
+
+def test_burst_windows_both_ts_types(spark):
+    from pipit_spark.operators.relational import burst_windows
+
+    rows = [
+        # type A: 3 events in hour 0, 1 in hour 1
+        ("A", 100), ("A", 200), ("A", 300), ("A", 3700),
+        # type B: 2 events in hour 2
+        ("B", 7300), ("B", 7400),
+    ]
+    as_long = spark.createDataFrame(
+        [(t, s * 1_000_000_000) for t, s in rows],
+        "event_type string, ts long",
+    )
+    from datetime import datetime, timezone
+
+    as_ts = spark.createDataFrame(
+        [
+            (t, datetime.fromtimestamp(s, tz=timezone.utc))
+            for t, s in rows
+        ],
+        "event_type string, ts timestamp",
+    )
+    for df in (as_long, as_ts):
+        out = {
+            (r["event_type"], r["rank"]): r
+            for r in burst_windows(df, bin_seconds=3600, top_k=2).collect()
+        }
+        assert out[("A", 1)]["win_start"] == 0
+        assert out[("A", 1)]["n_events"] == 3
+        assert out[("A", 2)]["win_start"] == 3600
+        # A's baseline: (3+1) div 2 active windows = 2
+        assert out[("A", 1)]["mean_per_window"] == 2
+        assert out[("B", 1)]["win_start"] == 7200
+        assert out[("B", 1)]["n_events"] == 2
+
+
+def test_isolation_scores_bottom_k(spark):
+    import numpy as np
+
+    from pipit_spark.llm.similarity import isolation_scores
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8).astype("float32")
+    vecs = [
+        # 0-3: tight cluster around base
+        *[(i, (base + rng.normal(scale=0.01, size=8).astype("float32")).tolist())
+          for i in range(4)],
+        # 4: orthogonal-ish outlier
+        (4, rng.normal(size=8).astype("float32").tolist()),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = isolation_scores(emb, query_max_id=5, bottom_k=1).collect()
+    assert len(out) == 1 and out[0]["vec_id"] == 4
+    # cluster members' max cosine ≈ 1 ≫ outlier's
+    allr = isolation_scores(emb, query_max_id=5, bottom_k=5).collect()
+    sims = {r["vec_id"]: r["max_cosine"] for r in allr}
+    assert all(sims[i] > 0.99 for i in range(4))
+    assert sims[4] < 0.9
+
+
+def test_caller_callee_foo_bar(spark):
+    from pipit_spark.trace import Trace
+
+    t = Trace.from_csv(spark, "tests/data/foo-bar.csv")
+    edges = {
+        (r["caller"], r["callee"]): r for r in t.caller_callee().collect()
+    }
+    # golden call edges; roots group under <root>
+    assert edges[("<root>", "main()")]["n_calls"] == 2
+    assert ("main()", "foo()") in edges
+    assert edges[("foo()", "baz()")]["total_ns"] == 10_000_000_000
+    for r in edges.values():
+        assert r["n_calls"] >= 1 and r["total_ns"] > 0
+
+
+def test_web_gate_null_urls_survive(spark):
+    from pipit_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = Q.q_web_dedup_urls(spark, sf).toPandas()
+    n_docs = Q.load(spark, sf, "documents").count()
+    n_null = int(out["url"].isna().sum())
+    # every 13th doc has a NULL url and must pass through 1:1
+    assert n_null == len([i for i in range(n_docs) if i % 13 == 0])
+    # non-null urls are unique after dedup
+    nn = out[out["url"].notna()]
+    assert nn["url"].is_unique
+
+
+def test_round5_gates_partitioning_determinism(spark):
+    """Driver hash discipline: bit-identical results at 4 vs 13
+    shuffle partitions for every gate added this round."""
+    from pipit_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "web_dedup_urls", "web_url_features", "doc_bigram_lm",
+        "doc_lm_score", "doc_cluster_summary", "doc_dup_inflation",
+        "emb_isolation", "events_burst_windows", "trace_caller_callee",
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("4", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            Q.clear_state(spark)
+            for n in names:
+                pdf = Q.queries()[n](spark, sf).toPandas()
+                pdf = pdf[sorted(pdf.columns)].sort_values(
+                    list(sorted(pdf.columns))
+                ).reset_index(drop=True)
+                results.setdefault(n, []).append(pdf)
+        for n, (a, b) in results.items():
+            pd.testing.assert_frame_equal(a, b, check_exact=True), n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        Q.clear_state(spark)
