@@ -64,6 +64,11 @@ HEADLINE = [
     "doc_tfidf",
     "emb_hamming_topk",
     "doc_bm25",
+    # round-5 additions
+    "doc_bigram_lm",
+    "web_dedup_urls",
+    "emb_isolation",
+    "trace_caller_callee",
 ]
 
 
