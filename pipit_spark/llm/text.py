@@ -1351,3 +1351,62 @@ SELECT d.doc_id,
            AS mean_cond_ppm
 FROM {table} d LEFT JOIN scored s USING (doc_id)
 """
+
+
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    """The mergeable half of :func:`bigram_lm`: the full (w1, w2)
+    count table with NO top-k cut — persist one per corpus revision /
+    shard, then :func:`merge_bigram_counts` unions them into a
+    combined LM without re-scanning text (the incremental-statistics
+    pattern of vocab_sketches, exact instead of sketched: bigram
+    count tables are vocabulary²-bounded, so exactness is
+    affordable)."""
+    toks = docs.select(
+        F.filter(
+            _tokens(F.col("text")), lambda t: F.length(t) > 0
+        ).alias("__ts")
+    )
+    n1 = F.greatest(F.size("__ts") - 1, F.lit(0))
+    return (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__ts"), 1, n1),
+                    F.slice(F.col("__ts"), 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
+def merge_bigram_counts(
+    counts: DataFrame, top_k: int = 200, min_count: int = 2
+) -> DataFrame:
+    """Union any number of :func:`bigram_counts` outputs (stacked with
+    unionByName) into one :func:`bigram_lm`-shaped table — counts sum,
+    contexts and conditional ppm recompute over the merged totals.
+    The inputs are vocabulary-sized aggregates, so this runs in
+    seconds regardless of how many corpus-bytes they summarize."""
+    pair = counts.groupBy("w1", "w2").agg(
+        F.sum("pair_count").alias("pair_count")
+    )
+    ctx = pair.groupBy(F.col("w1").alias("__c")).agg(
+        F.sum("pair_count").alias("ctx_count")
+    )
+    lm = (
+        pair.join(ctx, pair["w1"] == ctx["__c"])
+        .drop("__c")
+        .filter(F.col("pair_count") >= min_count)
+        .withColumn(
+            "cond_ppm", F.expr("pair_count * 1000000 div ctx_count")
+        )
+    )
+    return (
+        lm.orderBy(F.desc("pair_count"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+        .select("w1", "w2", "pair_count", "ctx_count", "cond_ppm")
+    )

@@ -33,6 +33,28 @@ def test_bigram_lm_semantics(spark):
     assert not any(w1 == "z" or w2 == "z" for w1, w2 in lm)
 
 
+def test_bigram_counts_merge_equals_whole_corpus(spark):
+    """Split the corpus, count each half, merge — must equal the LM
+    built from the whole corpus in one pass."""
+    from pipit_spark.llm.text import (
+        bigram_counts, bigram_lm, merge_bigram_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b a b c", "a b x", "b c a", "c a b", "x a b"]
+        )],
+        "doc_id long, text string",
+    )
+    whole = bigram_lm(docs, top_k=10, min_count=1).collect()
+    half1 = bigram_counts(docs.filter("doc_id < 2"))
+    half2 = bigram_counts(docs.filter("doc_id >= 2"))
+    merged = merge_bigram_counts(
+        half1.unionByName(half2), top_k=10, min_count=1
+    ).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, whole))
+
+
 def test_lm_score_semantics(spark):
     from pipit_spark.llm.text import bigram_lm, lm_score
 
