@@ -2009,3 +2009,87 @@ SELECT source,
            AS inflation_ppm
 FROM per_group GROUP BY 1
 """
+
+
+def near_dup_cluster_summary(
+    docs: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """The fuzzy counterpart of :func:`cluster_summary`: one audit row
+    per NEAR-duplicate cluster (connected component of the pair
+    graph), with representative, member count, source spread, and
+    total chars — "what would cluster-dedup actually merge, and where
+    did it come from".  The heavy lifting is
+    :func:`dedup_clusters`' label propagation over the pair graph
+    (corpus never iterates); docs join the labels once on doc_id for
+    the metadata rollup."""
+    labels = dedup_clusters(pairs)
+    member = labels.join(
+        docs.select("doc_id", "source", F.length("text").cast("long").alias("__chars")),
+        "doc_id",
+    )
+    return (
+        member.groupBy(F.col("component").alias("representative"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("__chars").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def oracle_near_dup_cluster_summary(
+    n: int = 3, threshold: float = 0.5, table: str = "documents"
+) -> str:
+    """DuckDB twin composed from the recursive-CTE cluster oracle."""
+    clusters = oracle_dedup_clusters(n=n, threshold=threshold, table=table)
+    return f"""
+WITH labels AS ({clusters})
+SELECT l.component AS representative,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+       CAST(SUM(length(d.text)) AS BIGINT) AS total_chars
+FROM labels l JOIN {table} d ON d.doc_id = l.doc_id
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+def dup_degree_stats(pairs: DataFrame) -> DataFrame:
+    """Degree histogram of the near-duplicate pair graph: how many
+    documents have exactly k near-dup partners — the shape that
+    separates syndication cliques (heavy tail) from isolated
+    re-posts (degree 1), and the early-warning for LSH parameter
+    drift (a sudden fat tail means the banding got too permissive).
+    Two bounded aggregations over the PAIR table (never the
+    corpus)."""
+    ends = pairs.select(F.col("a").alias("doc_id")).unionAll(
+        pairs.select(F.col("b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def oracle_dup_degree_stats(
+    n: int = 3, threshold: float = 0.5, table: str = "documents"
+) -> str:
+    pairs = oracle_ngram_jaccard_pairs(
+        n=n, threshold=threshold, table=table
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+ends AS (
+    SELECT a AS doc_id FROM pairs
+    UNION ALL
+    SELECT b AS doc_id FROM pairs
+),
+deg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM ends GROUP BY 1
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY 1
+"""

@@ -1410,3 +1410,77 @@ def merge_bigram_counts(
         .limit(top_k)
         .select("w1", "w2", "pair_count", "ctx_count", "cond_ppm")
     )
+
+
+def length_percentiles(
+    docs: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Exact token-length percentiles per group (p25/p50/p75/p95) by
+    EXPLICIT rank selection — the distribution profile a curation run
+    reads before setting token-window filters.  Both engines pick the
+    element at ``rank = floor(p·(n−1)) + 1`` of the (length, doc_id)
+    sort — a concrete member of the set with a total order, so the
+    result is bit-identical across engines and partitionings
+    (interpolating percentile definitions differ between engines;
+    rank selection doesn't).  One window over per-group sorted
+    lengths; groups are independent partitions, no global sort."""
+    from pyspark.sql import Window
+
+    lens = docs.select(
+        F.col(group_col).alias("grp"),
+        "doc_id",
+        F.size(
+            F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("grp").orderBy("n_tokens", "doc_id")
+    ranked = lens.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    sel = {
+        f"p{int(p * 100)}": F.max(
+            F.when(
+                F.col("rk")
+                == F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1,
+                F.col("n_tokens"),
+            )
+        ).alias(f"p{int(p * 100)}")
+        for p in (0.25, 0.5, 0.75, 0.95)
+    }
+    return (
+        ranked.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"), *sel.values()
+        )
+    )
+
+
+def oracle_length_percentiles(
+    table: str = "documents", group_col: str = "source"
+) -> str:
+    """DuckDB twin of :func:`length_percentiles` — same explicit rank
+    selection, so exact by construction."""
+    norm = _sql_norm("text")
+    g = group_col
+    cols = ", ".join(
+        f"CAST(MAX(CASE WHEN rk = CAST(FLOOR({p} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN n_tokens END) AS BIGINT) AS p{int(p * 100)}"
+        for p in (0.25, 0.5, 0.75, 0.95)
+    )
+    return f"""
+WITH lens AS (
+    SELECT {g} AS grp, doc_id,
+           CAST(len(list_filter(string_split({norm}, ' '),
+                t -> length(t) > 0)) AS BIGINT) AS n_tokens
+    FROM {table}
+),
+ranked AS (
+    SELECT grp, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY grp
+                              ORDER BY n_tokens, doc_id) AS rk,
+           COUNT(*) OVER (PARTITION BY grp) AS n
+    FROM lens
+)
+SELECT grp AS {g}, CAST(COUNT(*) AS BIGINT) AS n_docs, {cols}
+FROM ranked GROUP BY 1
+"""

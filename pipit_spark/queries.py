@@ -3510,6 +3510,32 @@ def _oracle_burst_windows() -> str:
     return oracle_burst_windows(bin_seconds=3600, top_k=3)
 
 
+def q_doc_neardup_cluster_summary(spark, sf_dir):
+    """Per-cluster audit of NEAR-duplicate components (size, source
+    spread, byte bill) over the n-gram Jaccard pair graph
+    (llm/dedup.py:near_dup_cluster_summary; same pair generator as
+    doc_dedup_clusters)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return D.near_dup_cluster_summary(docs, pairs)
+
+
+def q_doc_dup_degree(spark, sf_dir):
+    """Degree histogram of the near-dup pair graph — the
+    clique-vs-chain shape and the LSH-drift early warning
+    (llm/dedup.py:dup_degree_stats)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return D.dup_degree_stats(pairs)
+
+
+def q_doc_length_percentiles(spark, sf_dir):
+    """Exact per-source token-length percentiles by explicit rank
+    selection — engine- and partitioning-independent by construction
+    (llm/text.py:length_percentiles)."""
+    return X.length_percentiles(load(spark, sf_dir, "documents"))
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -3690,6 +3716,10 @@ def queries():
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_quantize": q_emb_quantize,
+        # round-5 second-wave additions (tail -> r06 window pool)
+        "doc_neardup_cluster_summary": q_doc_neardup_cluster_summary,
+        "doc_dup_degree": q_doc_dup_degree,
+        "doc_length_percentiles": q_doc_length_percentiles,
     }
 
 
@@ -3865,6 +3895,11 @@ def oracle_sql():
         ),
         "events_burst_windows": _oracle_burst_windows(),
         "trace_caller_callee": ORACLE_TRACE_CALLER_CALLEE,
+        "doc_neardup_cluster_summary": D.oracle_near_dup_cluster_summary(
+            n=3, threshold=0.5
+        ),
+        "doc_dup_degree": D.oracle_dup_degree_stats(n=3, threshold=0.5),
+        "doc_length_percentiles": X.oracle_length_percentiles(),
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),
         "doc_pack_sequences": _oracle_sampling("pack"),

@@ -201,6 +201,8 @@ def test_round5_gates_partitioning_determinism(spark):
         "web_dedup_urls", "web_url_features", "doc_bigram_lm",
         "doc_lm_score", "doc_cluster_summary", "doc_dup_inflation",
         "emb_isolation", "events_burst_windows", "trace_caller_callee",
+        "doc_neardup_cluster_summary", "doc_dup_degree",
+        "doc_length_percentiles",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -219,3 +221,46 @@ def test_round5_gates_partitioning_determinism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         Q.clear_state(spark)
+
+
+def test_near_dup_cluster_summary_and_degree(spark):
+    from pipit_spark.llm.dedup import (
+        dup_degree_stats, near_dup_cluster_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x", "s1"), (1, "x", "s1"), (2, "x", "s2"),
+            (3, "y", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # pair graph: 0-1, 1-2 (a chain; 0-2 connect transitively)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "a long, b long"
+    )
+    cs = near_dup_cluster_summary(docs, pairs).collect()
+    assert len(cs) == 1
+    assert cs[0]["representative"] == 0
+    assert cs[0]["n_docs"] == 3 and cs[0]["n_sources"] == 2
+    assert cs[0]["total_chars"] == 3
+
+    deg = {r["degree"]: r["n_docs"] for r in dup_degree_stats(pairs).collect()}
+    # docs 0 and 2 have degree 1; doc 1 has degree 2
+    assert deg == {1: 2, 2: 1}
+
+
+def test_length_percentiles_rank_selection(spark):
+    from pipit_spark.llm.text import length_percentiles
+
+    # 5 docs with 1..5 tokens: p50 rank = floor(0.5*4)+1 = 3 → 3 tokens
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1)), "s") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    out = length_percentiles(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 5
+    assert r["p25"] == 2 and r["p50"] == 3
+    assert r["p75"] == 4 and r["p95"] == 4  # floor(.95*4)=3 → rank 4
