@@ -1151,6 +1151,34 @@ def merge_vocab_sketches(sketches: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------ bigram LM
+def _bigram_pairs(docs: DataFrame, id_col: str | None = None) -> DataFrame:
+    """Adjacent token pairs, generated ROW-LOCALLY: each document's
+    token array zips with its own 1-shift inside one projection — no
+    self-join, no window over the token stream.  The single shared
+    pair shape behind :func:`bigram_lm` / :func:`bigram_counts` /
+    :func:`lm_score` (tokenizer or pair-shape changes happen HERE,
+    once)."""
+    cols = [F.col(id_col)] if id_col else []
+    toks = docs.select(
+        *cols,
+        F.filter(
+            _tokens(F.col("text")), lambda t: F.length(t) > 0
+        ).alias("__ts"),
+    )
+    n1 = F.greatest(F.size("__ts") - 1, F.lit(0))
+    out_cols = [id_col] if id_col else []
+    return toks.select(
+        *out_cols,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__ts"), 1, n1),
+                F.slice(F.col("__ts"), 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(*out_cols, "bg.w1", "bg.w2")
+
+
 def bigram_lm(
     docs: DataFrame, top_k: int = 200, min_count: int = 2
 ) -> DataFrame:
@@ -1176,41 +1204,10 @@ def bigram_lm(
     Ties in the top-k break (pair_count DESC, w1 ASC, w2 ASC) — a
     total order, so the LIMIT is deterministic.
     """
-    toks = docs.select(
-        F.filter(
-            _tokens(F.col("text")), lambda t: F.length(t) > 0
-        ).alias("__ts")
-    )
-    n1 = F.greatest(F.size("__ts") - 1, F.lit(0))
-    pairs = toks.select(
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("__ts"), 1, n1),
-                F.slice(F.col("__ts"), 2, n1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
-    pair = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("pair_count")
-    )
-    # aliased group key: joining an aggregate derived from the same
-    # frame back against it raises ambiguous-column errors otherwise
-    ctx = pair.groupBy(F.col("w1").alias("__c")).agg(
-        F.sum("pair_count").alias("ctx_count")
-    )
-    lm = (
-        pair.join(ctx, pair["w1"] == ctx["__c"])
-        .drop("__c")
-        .filter(F.col("pair_count") >= min_count)
-        .withColumn(
-            "cond_ppm", F.expr("pair_count * 1000000 div ctx_count")
-        )
-    )
-    return (
-        lm.orderBy(F.desc("pair_count"), F.asc("w1"), F.asc("w2"))
-        .limit(top_k)
-        .select("w1", "w2", "pair_count", "ctx_count", "cond_ppm")
+    # one-shot == counts + merge by definition: the incremental path
+    # and this one CANNOT drift (merge≡whole-corpus pinned by pytest)
+    return merge_bigram_counts(
+        bigram_counts(docs), top_k=top_k, min_count=min_count
     )
 
 
@@ -1265,23 +1262,7 @@ def lm_score(
     ``mean_cond_ppm = Σ cond_ppm·count div n_bigrams`` (0 for
     bigram-less documents).
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.filter(
-            _tokens(F.col("text")), lambda t: F.length(t) > 0
-        ).alias("__ts"),
-    )
-    n1 = F.greatest(F.size("__ts") - 1, F.lit(0))
-    pairs = toks.select(
-        id_col,
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("__ts"), 1, n1),
-                F.slice(F.col("__ts"), 2, n1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("bg"),
-    ).select(id_col, "bg.w1", "bg.w2")
+    pairs = _bigram_pairs(docs, id_col=id_col)
     per_doc = pairs.groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -1361,23 +1342,8 @@ def bigram_counts(docs: DataFrame) -> DataFrame:
     pattern of vocab_sketches, exact instead of sketched: bigram
     count tables are vocabulary²-bounded, so exactness is
     affordable)."""
-    toks = docs.select(
-        F.filter(
-            _tokens(F.col("text")), lambda t: F.length(t) > 0
-        ).alias("__ts")
-    )
-    n1 = F.greatest(F.size("__ts") - 1, F.lit(0))
     return (
-        toks.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("__ts"), 1, n1),
-                    F.slice(F.col("__ts"), 2, n1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("bg")
-        )
-        .select("bg.w1", "bg.w2")
+        _bigram_pairs(docs)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
@@ -1426,11 +1392,18 @@ def length_percentiles(
     lengths; groups are independent partitions, no global sort."""
     from pyspark.sql import Window
 
+    # NULL text coalesces to '' BEFORE tokenizing: Spark's size(NULL)
+    # is -1 (sorts first) while DuckDB's len(NULL) is NULL (sorts
+    # last) — uncoalesced, one NULL document shifts every percentile
+    # rank differently per engine. '' tokenizes to 0 on both.
     lens = docs.select(
         F.col(group_col).alias("grp"),
         "doc_id",
         F.size(
-            F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0)
+            F.filter(
+                _tokens(F.coalesce(F.col("text"), F.lit(""))),
+                lambda t: F.length(t) > 0,
+            )
         ).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("grp").orderBy("n_tokens", "doc_id")
@@ -1459,8 +1432,9 @@ def oracle_length_percentiles(
     table: str = "documents", group_col: str = "source"
 ) -> str:
     """DuckDB twin of :func:`length_percentiles` — same explicit rank
-    selection, so exact by construction."""
-    norm = _sql_norm("text")
+    selection (and the same NULL-text coalesce), so exact by
+    construction."""
+    norm = _sql_norm("COALESCE(text, '')")
     g = group_col
     cols = ", ".join(
         f"CAST(MAX(CASE WHEN rk = CAST(FLOOR({p} * (n - 1)) AS BIGINT) + 1 "

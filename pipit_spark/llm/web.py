@@ -159,25 +159,41 @@ def dedup_urls(
     Rows with a NULL url (WARC-Target-URI is optional per the WARC
     spec, and the parser emits None for missing headers) are NOT
     captures of one shared page — they pass through unchanged rather
-    than collapsing into a single keep-one group."""
+    than collapsing into a single keep-one group.  With a record_id
+    column this stays ONE scan + one exchange: each NULL-url row
+    groups under its own synthetic key (a \\x00-prefixed record_id —
+    no real URL starts with NUL) and max_by returns the row itself.
+    Without record_id there is no per-row key to synthesize, so the
+    input splits into two filtered scans and unions back."""
     cols = df.columns
     order = (
         F.struct(F.col(date_col), F.col("record_id"))
         if "record_id" in cols
         else F.col(date_col)
     )
-    with_url = df.filter(F.col(url_col).isNotNull())
-    null_url = df.filter(F.col(url_col).isNull())
-    deduped = (
-        with_url.groupBy(F.col(url_col).alias("__u"))
-        .agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in cols]), order
-            ).alias("__r")
+
+    def keep_one(frame, key):
+        return (
+            frame.groupBy(key.alias("__u"))
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in cols]), order
+                ).alias("__r")
+            )
+            .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
         )
-        .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
-    )
-    return deduped.unionByName(null_url)
+
+    if "record_id" in cols:
+        # WARC-Record-ID is mandatory per ISO 28500, so record_id is
+        # non-null whenever the column exists; the inner coalesce just
+        # keeps a malformed row from producing a NULL group key
+        key = F.coalesce(
+            F.col(url_col),
+            F.concat(F.lit("\x00"), F.coalesce(F.col("record_id"), F.lit(""))),
+        )
+        return keep_one(df, key)
+    deduped = keep_one(df.filter(F.col(url_col).isNotNull()), F.col(url_col))
+    return deduped.unionByName(df.filter(F.col(url_col).isNull()))
 
 
 def has_noindex_expr(html_col: Column) -> Column:

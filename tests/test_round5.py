@@ -250,6 +250,39 @@ def test_near_dup_cluster_summary_and_degree(spark):
     assert deg == {1: 2, 2: 1}
 
 
+def test_length_percentiles_null_text_matches_oracle(spark):
+    """NULL text: Spark's size(NULL)=-1 vs DuckDB's len(NULL)=NULL
+    would shift every rank differently per engine — both sides
+    coalesce to '' (0 tokens) instead."""
+    import duckdb
+
+    from pipit_spark.llm.text import (
+        length_percentiles, oracle_length_percentiles,
+    )
+
+    rows = [(0, None), (1, "w"), (2, "w w"), (3, "w w w"),
+            (4, "w w w w")]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in rows],
+        "doc_id long, text string, source string",
+    )
+    got = length_percentiles(docs).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if t is None else repr(t)}, 's')"
+            for i, t in rows
+        )
+        + ") t(doc_id, text, source)"
+    )
+    want = con.execute(oracle_length_percentiles()).df().iloc[0]
+    for c in ("n_docs", "p25", "p50", "p75", "p95"):
+        assert got[c] == want[c], (c, got[c], want[c])
+    # the NULL doc counts as 0 tokens: p25 of [0,1,2,3,4] -> rank 2 -> 1
+    assert got["p25"] == 1 and got["p50"] == 2
+
+
 def test_length_percentiles_rank_selection(spark):
     from pipit_spark.llm.text import length_percentiles
 
