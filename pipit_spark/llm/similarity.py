@@ -1523,3 +1523,65 @@ FROM nearest WHERE rnk = 1
 ORDER BY max_cosine ASC, vec_id ASC
 LIMIT {bottom_k}
 """
+
+
+def ivf_append(
+    spark, table: str, new_emb: DataFrame, vec_col: str = "embedding"
+) -> int:
+    """Append a new vector batch to a persisted IVF index WITHOUT
+    retraining: the saved centroids load from the companion meta
+    table, the batch assigns to cells in one Arrow pass, and the rows
+    append into the cell-partitioned catalog table — the
+    build-once/append-many lifecycle an embedding store needs at
+    100 TB (re-clustering the corpus per ingest batch would dwarf the
+    ingest itself).  Search (:func:`load_ivf_index` → `ivf_search`)
+    sees appended vectors immediately; partition pruning is unchanged
+    because the append lands in the same ``__cell`` layout.
+
+    Frozen centroids mean cells drift as the distribution shifts —
+    monitor :func:`ivf_cell_stats` and rebuild when the cell-size
+    skew degrades probe efficiency.  Caller is responsible for id
+    dedup (compose with the incremental-ingestion ops).  Returns the
+    number of appended rows."""
+    meta = sorted(
+        spark.table(f"{table}__ivfmeta").collect(),
+        key=lambda r: r["cell"],
+    )
+    cent = np.stack([np.asarray(r["centroid"]) for r in meta])
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(vs: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series((mat @ c.T).argmax(axis=1).astype("int32"))
+
+    batch = with_norm(new_emb, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+        cell_udf(F.col(vec_col)).alias("__cell"),
+    )
+    n = batch.count()
+    batch.write.mode("append").partitionBy("__cell").saveAsTable(table)
+    return n
+
+
+def ivf_cell_stats(spark, table: str) -> DataFrame:
+    """Cell-occupancy profile of a persisted IVF index: per-cell row
+    counts plus each cell's share in ppm — the rebuild trigger for
+    :func:`ivf_append`'s frozen-centroid drift (a cell holding 30% of
+    the corpus means probes stopped pruning)."""
+    counts = spark.table(table).groupBy("__cell").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    total = counts.agg(F.sum("n_vectors").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("__cell").alias("cell"),
+            "n_vectors",
+            F.expr("n_vectors * 1000000 div __t").alias("share_ppm"),
+        )
+    )

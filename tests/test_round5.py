@@ -297,3 +297,50 @@ def test_length_percentiles_rank_selection(spark):
     assert r["n_docs"] == 5
     assert r["p25"] == 2 and r["p50"] == 3
     assert r["p75"] == 4 and r["p95"] == 4  # floor(.95*4)=3 → rank 4
+
+
+def test_ivf_append_and_cell_stats(spark):
+    """Build-once/append-many: an appended batch is searchable with
+    identical results to a from-scratch index over the combined
+    corpus ASSIGNED WITH THE SAME centroids, and cell stats reflect
+    the append."""
+    import numpy as np
+
+    from pipit_spark.llm import similarity as V
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400 AND vec_id < 450")
+    idx = V.ivf_build(base, nlist=8, train_max_id=256)
+    V.save_ivf_index(idx, "ivf_append_idx")
+    try:
+        n = V.ivf_append(spark, "ivf_append_idx", batch)
+        assert n == 50
+        idx2 = V.load_ivf_index(spark, "ivf_append_idx")
+        assert idx2.assigned.count() == 450
+        # search over the appended index must equal searching a
+        # rebuilt index with the SAME (frozen) centroids: rebuild by
+        # training on the same base sample, assigning the full corpus
+        idx_full = V.ivf_build(
+            base.unionByName(batch), nlist=8, train_max_id=256
+        )
+        assert np.array_equal(idx2.centroids, idx_full.centroids)
+        q = emb.filter("vec_id < 3")
+        got = (
+            V.ivf_search(idx2, q, k=5, nprobe=8)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = (
+            V.ivf_search(idx_full, q, k=5, nprobe=8)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        stats = V.ivf_cell_stats(spark, "ivf_append_idx").toPandas()
+        assert stats["n_vectors"].sum() == 450
+        assert (stats["share_ppm"] > 0).all()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_append_idx")
+        spark.sql("DROP TABLE IF EXISTS ivf_append_idx__ivfmeta")
