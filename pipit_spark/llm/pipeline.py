@@ -607,3 +607,31 @@ SELECT shard, pack_in_shard,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM cum GROUP BY shard, pack_in_shard
 """
+
+
+def corpus_health(docs: DataFrame) -> dict:
+    """One-call corpus health check: the audit tiers a curation run
+    reads before (and after) touching anything, as a dict of LAZY
+    DataFrames — collect the ones you want, each is independently
+    scan-efficient and individually driver-gated:
+
+    - ``card``: one-row datasheet (quality.corpus_card — one scan)
+    - ``dup_inflation``: per-source dedup ROI in ppm (dedup)
+    - ``dup_clusters``: exact-dup cluster audit (dedup)
+    - ``length_percentiles``: per-source token-length spread (text)
+    - ``vocab``: corpus vocabulary stats (text.vocab_stats)
+
+    Nothing here triggers a job — this is an API-composition
+    convenience, not a new operator; the point is that a user gets
+    the whole health picture from one import."""
+    from .dedup import cluster_summary, dup_inflation
+    from .quality import corpus_card
+    from .text import length_percentiles, vocab_stats
+
+    return {
+        "card": corpus_card(docs),
+        "dup_inflation": dup_inflation(docs),
+        "dup_clusters": cluster_summary(docs),
+        "length_percentiles": length_percentiles(docs),
+        "vocab": vocab_stats(docs),
+    }

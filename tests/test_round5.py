@@ -344,3 +344,17 @@ def test_ivf_append_and_cell_stats(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_append_idx")
         spark.sql("DROP TABLE IF EXISTS ivf_append_idx__ivfmeta")
+
+
+def test_corpus_health_composition(spark):
+    from pipit_spark.llm.pipeline import corpus_health
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    h = corpus_health(docs)
+    assert set(h) == {
+        "card", "dup_inflation", "dup_clusters",
+        "length_percentiles", "vocab",
+    }
+    assert h["card"].count() == 1
+    assert h["length_percentiles"].count() > 0
+    assert h["vocab"].count() >= 1
