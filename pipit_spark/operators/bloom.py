@@ -117,3 +117,42 @@ def might_contain(bloom: BloomBitmap, col: Column, spark) -> Column:
         return pd.Series(bits.all(axis=1))
 
     return probe(F.array(*_positions(col, bloom.num_bits, bloom.num_hashes)))
+
+
+def save_bloom(bloom: BloomBitmap, spark, table: str) -> None:
+    """Persist a built filter as a one-row catalog table (words +
+    hash-family parameters) — the seen-set summary an incremental
+    ingest job carries BETWEEN runs: KBs per corpus revision, loaded
+    in milliseconds, instead of re-scanning the corpus to rebuild the
+    filter every batch."""
+    spark.createDataFrame(
+        [(
+            [int(w) for w in bloom.words.view(np.int64)],
+            bloom.num_bits,
+            bloom.num_hashes,
+        )],
+        "words array<long>, num_bits long, num_hashes int",
+    ).write.mode("overwrite").saveAsTable(table)
+
+
+def load_bloom(spark, table: str) -> BloomBitmap:
+    """Load a :func:`save_bloom` filter ready for
+    :func:`might_contain` — the probe job never touches the corpus
+    the filter summarizes."""
+    r = spark.table(table).collect()[0]
+    arr = np.array(r["words"], dtype=np.int64).view(np.uint64)
+    return BloomBitmap(arr, int(r["num_bits"]), int(r["num_hashes"]))
+
+
+def merge_blooms(a: BloomBitmap, b: BloomBitmap) -> BloomBitmap:
+    """Union two filters built with IDENTICAL parameters (bitwise OR
+    of the bit arrays): membership in either input survives — so
+    per-shard / per-revision filters build independently and combine
+    without any rescan. The no-false-negative guarantee composes:
+    the union can only over-approximate."""
+    if (a.num_bits, a.num_hashes) != (b.num_bits, b.num_hashes):
+        raise ValueError(
+            "merge_blooms: filters must share num_bits/num_hashes "
+            f"(got {a.num_bits}/{a.num_hashes} vs {b.num_bits}/{b.num_hashes})"
+        )
+    return BloomBitmap(a.words | b.words, a.num_bits, a.num_hashes)

@@ -358,3 +358,33 @@ def test_corpus_health_composition(spark):
     assert h["card"].count() == 1
     assert h["length_percentiles"].count() > 0
     assert h["vocab"].count() >= 1
+
+
+def test_bloom_save_load_merge(spark):
+    from pipit_spark.operators.bloom import (
+        BloomBitmap, build_bloom, load_bloom, merge_blooms,
+        might_contain, save_bloom,
+    )
+
+    a = spark.createDataFrame([("x",), ("y",)], "k string")
+    b = spark.createDataFrame([("z",),], "k string")
+    fa = build_bloom(a, "k", num_bits=1 << 12, num_hashes=3)
+    fb = build_bloom(b, "k", num_bits=1 << 12, num_hashes=3)
+    save_bloom(fa, spark, "bloom_rt")
+    try:
+        fa2 = load_bloom(spark, "bloom_rt")
+        assert (fa2.words == fa.words).all()
+        assert (fa2.num_bits, fa2.num_hashes) == (1 << 12, 3)
+        merged = merge_blooms(fa2, fb)
+        probe = spark.createDataFrame(
+            [("x",), ("y",), ("z",), ("w",)], "k string"
+        ).select("k", might_contain(merged, F.col("k"), spark).alias("m"))
+        got = {r["k"]: r["m"] for r in probe.collect()}
+        # no false negatives across the union
+        assert got["x"] and got["y"] and got["z"]
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            merge_blooms(fa, BloomBitmap(fb.words, 1 << 12, 4))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bloom_rt")
