@@ -216,6 +216,7 @@ def incremental_new_docs(
     method: str = "exact",
     bloom_bits: int | None = None,
     bloom_hashes: int | None = None,
+    bloom=None,
 ) -> DataFrame:
     """Incremental ingestion: of an incoming batch, keep only documents
     whose content fingerprint is NEW — not in the already-processed set
@@ -239,6 +240,16 @@ def incremental_new_docs(
     (gate ``doc_incremental_bloom`` value-checks this against the
     ``method="exact"`` oracle); at 100 TB the anti-join's shuffle input
     drops from the whole batch to roughly its duplicate fraction.
+
+    Pass ``bloom=`` a prebuilt :class:`..operators.bloom.BloomBitmap`
+    (e.g. ``load_bloom`` of a persisted filter, or ``merge_blooms`` of
+    per-revision filters) to skip the per-run seen-set fold entirely —
+    the steady-state ingestion loop then reads KBs of filter instead
+    of aggregating the seen-set every batch. The filter must summarize
+    (a superset of) ``seen_fingerprints``: extra insertions only cost
+    false-positive verifications; a MISSING insertion would break the
+    no-false-negative contract, so always persist the filter and the
+    seen-set in the same transaction.
 
     Returns the surviving documents with their fingerprints, which is
     exactly the delta to append to the seen-set for the next run.
@@ -266,7 +277,8 @@ def incremental_new_docs(
     if bloom_hashes is None:
         bloom_hashes = get_option("dedup.bloom_hashes")
     spark = docs.sparkSession
-    bloom = build_bloom(seen, "fingerprint", bloom_bits, bloom_hashes)
+    if bloom is None:
+        bloom = build_bloom(seen, "fingerprint", bloom_bits, bloom_hashes)
     # ONE pass, no union, no persist: rows the filter rejects get a
     # NULL join key, and a null key never equi-matches — so the
     # left-anti join keeps every definite-new row without ever probing

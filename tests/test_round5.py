@@ -388,3 +388,35 @@ def test_bloom_save_load_merge(spark):
             merge_blooms(fa, BloomBitmap(fb.words, 1 << 12, 4))
     finally:
         spark.sql("DROP TABLE IF EXISTS bloom_rt")
+
+
+def test_incremental_with_persisted_bloom(spark):
+    """The steady-state ingestion loop: a persisted filter drives the
+    pre-filter and the result equals method='exact'."""
+    from pipit_spark.llm.pipeline import incremental_new_docs
+    from pipit_spark.llm.text import doc_fingerprint
+    from pipit_spark.operators.bloom import build_bloom, load_bloom, save_bloom
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seen_docs = docs.filter("doc_id < 250")
+    batch = docs.filter("doc_id >= 200")  # 50-doc overlap
+    seen = doc_fingerprint(seen_docs).select("fingerprint")
+    f = build_bloom(seen, "fingerprint", num_bits=1 << 16, num_hashes=5)
+    save_bloom(f, spark, "bloom_incr")
+    try:
+        f2 = load_bloom(spark, "bloom_incr")
+        got = sorted(
+            r["doc_id"]
+            for r in incremental_new_docs(
+                batch, seen, method="bloom", bloom=f2
+            ).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in incremental_new_docs(
+                batch, seen, method="exact"
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bloom_incr")
