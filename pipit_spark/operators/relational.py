@@ -353,3 +353,64 @@ SELECT event_type, win_start, n_events, mean_per_window,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {top_k}
 """
+
+
+def common_paths(
+    events: DataFrame,
+    length: int = 3,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Discovered funnels: the ``top_k`` most common length-``length``
+    consecutive event-type sequences across users — funnel() measures
+    a DECLARED path; this finds which paths actually happen (the
+    product-analytics complement, and the trace analogue of bigram_lm
+    over event streams).
+
+    One window pass per user timeline (lead×(length−1) over the
+    (ts, event_id) order — users hash to independent partitions, no
+    global sort), then a hash aggregation on the sequence string —
+    map-side combined, output bounded by |event-type|^length.  Ties
+    break (n_occurrences DESC, path ASC): deterministic LIMIT."""
+    order = [F.col(ts_col), F.col("event_id")] if "event_id" in events.columns \
+        else [F.col(ts_col)]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    seqs = events.select(
+        F.concat_ws(">", *steps).alias("path"),
+        steps[-1].alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    return (
+        seqs.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(top_k)
+    )
+
+
+def oracle_common_paths(
+    table: str = "events", length: int = 3, top_k: int = 20
+) -> str:
+    """DuckDB twin of :func:`common_paths` — integer counts, same
+    total order, exact by construction."""
+    leads = ["event_type"] + [
+        f"LEAD(event_type, {i}) OVER w" for i in range(1, length)
+    ]
+    concat = " || '>' || ".join(leads)
+    return f"""
+WITH seqs AS (
+    SELECT {concat} AS path,
+           LEAD(event_type, {length - 1}) OVER w AS last_step
+    FROM {table}
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM seqs WHERE last_step IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, path ASC
+LIMIT {top_k}
+"""

@@ -3510,6 +3510,12 @@ def _oracle_burst_windows() -> str:
     return oracle_burst_windows(bin_seconds=3600, top_k=3)
 
 
+def _oracle_common_paths() -> str:
+    from .operators.relational import oracle_common_paths
+
+    return oracle_common_paths(length=3, top_k=20)
+
+
 def q_doc_neardup_cluster_summary(spark, sf_dir):
     """Per-cluster audit of NEAR-duplicate components (size, source
     spread, byte bill) over the n-gram Jaccard pair graph
@@ -3527,6 +3533,18 @@ def q_doc_dup_degree(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     return D.dup_degree_stats(pairs)
+
+
+def q_events_common_paths(spark, sf_dir):
+    """Discovered funnels: top-20 most common 3-event consecutive
+    sequences across user timelines
+    (operators/relational.py:common_paths) — which paths actually
+    happen, complementing the declared-path funnel gate."""
+    from .operators.relational import common_paths
+
+    return common_paths(
+        load(spark, sf_dir, "events"), length=3, top_k=20
+    )
 
 
 def q_doc_length_percentiles(spark, sf_dir):
@@ -3720,6 +3738,7 @@ def queries():
         "doc_neardup_cluster_summary": q_doc_neardup_cluster_summary,
         "doc_dup_degree": q_doc_dup_degree,
         "doc_length_percentiles": q_doc_length_percentiles,
+        "events_common_paths": q_events_common_paths,
     }
 
 
@@ -3900,6 +3919,7 @@ def oracle_sql():
         ),
         "doc_dup_degree": D.oracle_dup_degree_stats(n=3, threshold=0.5),
         "doc_length_percentiles": X.oracle_length_percentiles(),
+        "events_common_paths": _oracle_common_paths(),
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),
         "doc_pack_sequences": _oracle_sampling("pack"),

@@ -202,7 +202,7 @@ def test_round5_gates_partitioning_determinism(spark):
         "doc_lm_score", "doc_cluster_summary", "doc_dup_inflation",
         "emb_isolation", "events_burst_windows", "trace_caller_callee",
         "doc_neardup_cluster_summary", "doc_dup_degree",
-        "doc_length_percentiles",
+        "doc_length_percentiles", "events_common_paths",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -420,3 +420,28 @@ def test_incremental_with_persisted_bloom(spark):
         assert got == want and len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS bloom_incr")
+
+
+def test_common_paths_semantics(spark):
+    from datetime import datetime, timezone
+
+    from pipit_spark.operators.relational import common_paths
+
+    def t(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc)
+
+    events = spark.createDataFrame(
+        [
+            (1, 10, t(1), "a"), (2, 10, t(2), "b"), (3, 10, t(3), "c"),
+            (4, 20, t(1), "a"), (5, 20, t(2), "b"), (6, 20, t(3), "c"),
+            (7, 30, t(1), "x"), (8, 30, t(2), "y"),  # too short for 3
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = {r["path"]: r["n_occurrences"]
+           for r in common_paths(events, length=3, top_k=5).collect()}
+    assert out == {"a>b>c": 2}
+    # length=2 picks up the short timeline too
+    out2 = {r["path"]: r["n_occurrences"]
+            for r in common_paths(events, length=2, top_k=5).collect()}
+    assert out2 == {"a>b": 2, "b>c": 2, "x>y": 1}
