@@ -56,6 +56,23 @@ def main() -> None:
     cosine_topk(emb, k=3, query_max_id=2).show()
     hamming_topk(emb, k=3, query_max_id=2).show()
 
+    from pipit_spark.llm.pipeline import corpus_health
+    from pipit_spark.llm.similarity import isolation_scores
+    from pipit_spark.llm.text import bigram_lm, lm_score
+
+    print("== corpus health (one-call audit tiers) ==")
+    health = corpus_health(docs)
+    health["card"].show(truncate=False)
+    health["dup_inflation"].orderBy("source").show(3)
+
+    print("== bigram LM + per-doc fluency ==")
+    lm = bigram_lm(docs, top_k=100)
+    lm.show(3)
+    lm_score(docs, lm).orderBy("doc_id").show(3)
+
+    print("== embedding isolation outliers ==")
+    isolation_scores(emb, query_max_id=20, bottom_k=3).show()
+
 
 if __name__ == "__main__":
     main()
