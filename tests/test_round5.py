@@ -445,3 +445,43 @@ def test_common_paths_semantics(spark):
     out2 = {r["path"]: r["n_occurrences"]
             for r in common_paths(events, length=2, top_k=5).collect()}
     assert out2 == {"a>b": 2, "b>c": 2, "x>y": 1}
+
+
+def test_bigram_lm_matches_pure_python_reference(spark):
+    """Independent straight-line reference: Counter-based pair/context
+    counts and integer conditional ppm over a randomized corpus must
+    equal the distributed plan exactly."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        for _ in range(60)
+    ]
+    from pipit_spark.llm.text import bigram_lm
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): (
+            r["pair_count"], r["ctx_count"], r["cond_ppm"]
+        )
+        for r in bigram_lm(docs, top_k=10_000, min_count=1).collect()
+    }
+
+    pair = Counter()
+    for t in texts:
+        toks = [w for w in t.split() if w]
+        for x, y in zip(toks, toks[1:]):
+            pair[(x, y)] += 1
+    ctx = Counter()
+    for (x, _), c in pair.items():
+        ctx[x] += c
+    want = {
+        (x, y): (c, ctx[x], c * 1_000_000 // ctx[x])
+        for (x, y), c in pair.items()
+    }
+    assert got == want
