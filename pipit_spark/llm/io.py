@@ -405,3 +405,94 @@ def read_wet_stream(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         _wet_shard_parser(), WET_SCHEMA
     )
+
+
+def write_arrow_ipc(
+    df: DataFrame, path: str, shards: int | None = None
+) -> DataFrame:
+    """Write the frame as sharded Arrow IPC (Feather V2) files — the
+    zero-copy interchange format ML dataloaders mmap directly
+    (PyTorch/JAX readers, DuckDB, polars all open it without a Spark
+    runtime). One file per partition, written executor-side inside
+    mapInPandas — no driver collect, no shuffle beyond the optional
+    ``shards`` repartition; the returned manifest (one row per shard:
+    path, rows, bytes) is the only thing that crosses to the driver.
+
+    The parquet sinks stay the system of record; IPC is the
+    training-loop hand-off (column-major, no decode on read)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    os.makedirs(path, exist_ok=True)
+    if shards is not None:
+        df = df.repartition(shards)
+    # the Arrow schema comes from the SPARK schema (an empty pandas
+    # frame infers object/null types that from_pandas can't convert)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(df.schema)
+
+    def gen(batches):
+        import uuid
+
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        n = 0
+        if pdfs:
+            with ipc.new_file(fname, arrow_schema) as w:
+                for p in pdfs:
+                    t = pa.Table.from_pandas(
+                        p, schema=arrow_schema, preserve_index=False
+                    )
+                    w.write_table(t)
+                    n += len(p)
+            yield pd.DataFrame(
+                {
+                    "shard": [fname],
+                    "n_rows": [n],
+                    "n_bytes": [os.path.getsize(fname)],
+                }
+            )
+
+    out = df.mapInPandas(
+        gen, "shard string, n_rows long, n_bytes long"
+    )
+    # materialize the writes NOW (the manifest is the action)
+    manifest = out.collect()
+    return df.sparkSession.createDataFrame(
+        manifest, "shard string, n_rows long, n_bytes long"
+    )
+
+
+def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Read sharded Arrow IPC files back into a DataFrame: one task
+    per shard (the ``binaryFile`` convention of the WARC readers), the
+    IPC payload decoded zero-copy by pyarrow inside mapInPandas.
+    Schema comes from the first shard's embedded Arrow schema."""
+    import glob as _glob
+
+    import pyarrow.ipc as ipc
+
+    first = sorted(_glob.glob(f"{path}/part-*.arrow"))
+    if not first:
+        raise FileNotFoundError(f"no part-*.arrow shards under {path}")
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    with ipc.open_file(first[0]) as r:
+        schema = from_arrow_schema(r.schema)
+
+    files = spark.read.format("binaryFile").load(f"{path}/part-*.arrow")
+
+    def gen(batches):
+        import io as _io
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                with ipc.open_file(_io.BytesIO(bytes(blob))) as r:
+                    yield r.read_all().to_pandas()
+
+    return files.select("content").mapInPandas(gen, schema)

@@ -485,3 +485,30 @@ def test_bigram_lm_matches_pure_python_reference(spark):
         for (x, y), c in pair.items()
     }
     assert got == want
+
+
+def test_arrow_ipc_roundtrip(spark, tmp_path):
+    from pipit_spark.llm.io import read_arrow_ipc, write_arrow_ipc
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "source")
+    p = str(tmp_path / "ipc")
+    manifest = write_arrow_ipc(docs, p, shards=4)
+    m = manifest.collect()
+    assert len(m) == 4
+    assert sum(r["n_rows"] for r in m) == docs.count()
+    assert all(r["n_bytes"] > 0 for r in m)
+
+    back = read_arrow_ipc(spark, p)
+    assert back.count() == docs.count()
+    a = docs.orderBy("doc_id").collect()
+    b = back.orderBy("doc_id").collect()
+    assert a == b
+
+    # the shards open without Spark (the dataloader contract)
+    import pyarrow.ipc as ipc
+
+    with ipc.open_file(m[0]["shard"]) as r:
+        t = r.read_all()
+    assert set(t.column_names) == {"doc_id", "text", "source"}
