@@ -326,6 +326,16 @@ class Trace:
 
         return write_folded(self.folded_stacks(metric=metric, sep=sep), path)
 
+    def to_arrow_ipc(self, path: str, shards: int | None = None):
+        """Export the MATCHED frame (events + derived inc/exc metrics,
+        caller context, depth) as sharded Arrow IPC files — the
+        zero-copy hand-off to pandas/polars/DuckDB analysis outside a
+        Spark runtime (llm/io.py:write_arrow_ipc; executor-side
+        writes, manifest returned)."""
+        from .llm.io import write_arrow_ipc
+
+        return write_arrow_ipc(self.matched, path, shards=shards)
+
     def summary(self) -> dict:
         """One-call trace overview: the numbers an analyst asks for
         first (and the reference answers via several manual pandas

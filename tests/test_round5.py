@@ -512,3 +512,16 @@ def test_arrow_ipc_roundtrip(spark, tmp_path):
     with ipc.open_file(m[0]["shard"]) as r:
         t = r.read_all()
     assert set(t.column_names) == {"doc_id", "text", "source"}
+
+
+def test_trace_to_arrow_ipc(spark, tmp_path):
+    import pyarrow.ipc as ipc
+
+    from pipit_spark.trace import Trace
+
+    t = Trace.from_csv(spark, "tests/data/foo-bar.csv")
+    m = t.to_arrow_ipc(str(tmp_path / "trace_ipc"), shards=2).collect()
+    assert sum(r["n_rows"] for r in m) == t.matched.count()
+    with ipc.open_file(m[0]["shard"]) as r:
+        cols = set(r.schema.names)
+    assert "time_inc" in cols and "parent_name" in cols
