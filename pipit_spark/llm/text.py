@@ -366,46 +366,55 @@ def winnow_fingerprints(
     Guarantee: any shared substring of length ≥ k + w - 1 between two
     documents yields at least one shared fingerprint.
 
-    Shape: explode k-gram start positions (slice/sequence, codegen),
-    hash each k-gram, one per-doc window min over position order (the
-    only shuffle, keyed by doc), then distinct surviving hashes. The
-    hash is the first 8 md5 hex chars — engine-portable, so the DuckDB
-    oracle replays the whole pipeline ("rolling" evaluation is an
-    implementation detail of single-pass engines; the hash VALUES are
-    position-independent)."""
-    from pyspark.sql import Window
-
+    Shape: the ENTIRE winnow — k-gram hashes, the w-window minima, and
+    the selected-position distinct — evaluates ROW-LOCALLY as array
+    expressions inside one projection; the only thing that ever leaves
+    the row is the per-doc fingerprint set.  (The previous shape
+    exploded one row per character position — each carrying the whole
+    document text — and shuffled ~N·len(text) rows into a window: the
+    explode/window pair made this the registry's slowest fingerprint
+    stage by far.  Rule and hash VALUES are unchanged, so the DuckDB
+    oracle replays the same pipeline and the gate hash is identical.)
+    The hash is the first 8 md5 hex chars — engine-portable."""
+    # The projection is ~ms of CPU per document, so parallelism must
+    # come from the INPUT split: a corpus packed into few files (the
+    # sf fixtures are ONE parquet file) would run the whole winnow on
+    # one core — 12 s single-task vs 1.7 s spread, measured at sf0.1.
+    # At real scale the file sharding provides the splits and this
+    # no-ops; the repartition only fires when the source under-splits.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     norm = _norm(F.col("text"))
-    pos = docs.select(
-        "doc_id",
-        norm.alias("__t"),
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.length(norm) - k + 1, F.lit(1)),
-            )
-        ).alias("p"),
+    n = F.greatest(F.length(norm) - k + 1, F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda p: F.substring(F.md5(F.substring(norm, p, k)), 1, 8),
     )
-    grams = pos.select(
-        "doc_id",
-        "p",
-        F.substring(F.col("__t"), F.col("p"), k).alias("__g"),
-    ).withColumn("__h", F.substring(F.md5("__g"), 1, 8))
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.currentRow, w - 1)
+    with_hs = docs.select("doc_id", hs.alias("__hs"))
+    # The (hash, -p)-struct window-min rule reduces to plain string
+    # comparison: position p is its own window's rightmost minimum iff
+    # h_p is STRICTLY below every one of the next w-1 hashes (equality
+    # loses to the later position by the -p tie-break).  'ｚ' (U+FF5A)
+    # sorts above every hex char, so an end-of-doc empty slice always
+    # selects.
+    sentinel = "ｚ"
+    fps = F.array_distinct(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size("__hs")),
+                lambda p: F.element_at("__hs", p)
+                < F.coalesce(
+                    F.array_min(F.slice("__hs", p + 1, w - 1)),
+                    F.lit(sentinel),
+                ),
+            ),
+            lambda p: F.element_at("__hs", p),
+        )
     )
-    # rightmost-minimum rule: a position is selected iff its window's
-    # min occurs at its LAST position among equals — implement by
-    # tagging each hash with -p and taking min of (hash, -p) structs
-    sel = grams.withColumn(
-        "__m", F.min(F.struct(F.col("__h"), (-F.col("p")).alias("np"))).over(win)
-    )
-    picked = sel.filter(
-        (F.col("__m.__h") == F.col("__h")) & (F.col("__m.np") == -F.col("p"))
-    )
-    return picked.select("doc_id", F.col("__h").alias("fingerprint")).distinct()
+    return with_hs.select(
+        "doc_id", F.explode(fps).alias("fingerprint")
+    ).distinct()
 
 
 def oracle_winnow_fingerprints(
@@ -502,38 +511,30 @@ def winnow_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    # df BETWEEN 2 and max_df: singletons can't pair, so they skip the
+    # posting-list collection entirely
     surviving = (
         fps.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_df)
+        .filter(F.col("__df").between(2, max_df))
         .select("fingerprint")
     )
     posting = (
         fps.join(surviving, "fingerprint")
         .groupBy("fingerprint")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("__docs"))
+        .agg(F.collect_list("doc_id").alias("__docs"))
         .select("__docs")
     )
+    # double-EXPLODE, not flatten(transform(transform)): the nested
+    # transform materializes all df² structs in ONE row buffer before
+    # anything filters, while explode×2 streams df² ROWS through
+    # codegen and lets the pair aggregation start combining map-side
+    # (the _pair_common_counts shape; 63 s → ~7 s on the sf0.1 gate)
     pairs = (
-        posting.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("__docs"),
-                            lambda x: F.transform(
-                                F.col("__docs"),
-                                lambda y: F.struct(
-                                    x.alias("a"), y.alias("b")
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda s: s["a"] < s["b"],
-                )
-            ).alias("p")
-        )
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        posting.select(F.explode("__docs").alias("__a"), "__docs")
+        .select("__a", F.explode("__docs").alias("__b"))
+        .filter(F.col("__a") < F.col("__b"))
+        .groupBy(F.col("__a").alias("a"), F.col("__b").alias("b"))
         .agg(F.count("*").cast("bigint").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )

@@ -2882,9 +2882,14 @@ def q_doc_length_buckets(spark, sf_dir):
 def q_doc_winnow_pairs(spark, sf_dir):
     """MOSS clone-detection pairs over winnowing fingerprints (gate
     pins a clone-like bar -- >= 20 shared fingerprints -- so the pair
-    set stays a report, not a near-cartesian of the templated
-    fixture)."""
-    return X.winnow_pairs(load(spark, sf_dir, "documents"), min_shared=20)
+    set stays a report, not a near-cartesian of the templated fixture;
+    max_df=256 because a fingerprint in >5% of a 5k-doc corpus is
+    boilerplate, and every df-surviving fingerprint costs df^2/2
+    exploded pairs -- the df=1000 default made this gate a 63 s
+    outlier at sf0.1, 15x the median gate)."""
+    return X.winnow_pairs(
+        load(spark, sf_dir, "documents"), min_shared=20, max_df=256
+    )
 
 
 def q_doc_line_fluency(spark, sf_dir):
@@ -3830,7 +3835,9 @@ def oracle_sql():
         "doc_dedup_quality": D.oracle_dedup_quality_report(),
         "doc_split": "SELECT doc_id, split FROM (" + _SP.oracle_split_corpus() + ") s",
         "doc_length_buckets": _SP.oracle_length_buckets(),
-        "doc_winnow_pairs": X.oracle_winnow_pairs(min_shared=20),
+        "doc_winnow_pairs": X.oracle_winnow_pairs(
+            min_shared=20, max_df=256
+        ),
         "doc_line_fluency": QL.oracle_filter_lines_by_fluency(
             min_fluency=-3.4016
         ),
