@@ -142,7 +142,14 @@ def shingle_table(
     ``keep_pos=True`` additionally carries the 1-based start position
     ``p`` (positional consumers like repeated-span removal); positions
     are unique per doc, so it implies the non-distinct stream."""
-    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    from ..partitioning import spread_input
+
+    # every downstream consumer (minhash mins, df counts, banding)
+    # does its heavy per-shingle hashing MAP-SIDE in the scan task —
+    # an under-split source serializes all of it onto one core
+    toked = spread_input(docs).select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
     pos = toked.select(
         "doc_id",
         "toks",

@@ -49,7 +49,11 @@ def cosine_pairs(
     left side to vec_id < query_max_id (bounded driver set, broadcast).
     Near-dup detection by embedding — integer pair output is robust to
     float epsilon across engines (scores rounded separately)."""
-    nn = with_norm(emb, vec_col).select(
+    from ..partitioning import spread_input
+
+    # the scoring side pays O(|corpus|) dot products per row: an
+    # under-split source (1-file fixture) serializes it — 27 s→2 s
+    nn = with_norm(spread_input(emb), vec_col).select(
         F.col("vec_id"), F.col(vec_col).alias("__v"), "__norm"
     )
     left = nn
@@ -93,7 +97,9 @@ def cosine_topk(
     window rank after one scan of the corpus."""
     from pyspark.sql import Window
 
-    nn = with_norm(emb, vec_col)
+    from ..partitioning import spread_input
+
+    nn = with_norm(spread_input(emb), vec_col)
     q = F.broadcast(
         nn.filter(F.col("vec_id") < query_max_id).select(
             F.col("vec_id").alias("query_id"),

@@ -377,14 +377,11 @@ def winnow_fingerprints(
     oracle replays the same pipeline and the gate hash is identical.)
     The hash is the first 8 md5 hex chars — engine-portable."""
     # The projection is ~ms of CPU per document, so parallelism must
-    # come from the INPUT split: a corpus packed into few files (the
-    # sf fixtures are ONE parquet file) would run the whole winnow on
-    # one core — 12 s single-task vs 1.7 s spread, measured at sf0.1.
-    # At real scale the file sharding provides the splits and this
-    # no-ops; the repartition only fires when the source under-splits.
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    # come from the INPUT split (12 s single-task vs 1.7 s spread on
+    # the 1-file sf0.1 fixture) — see partitioning.spread_input.
+    from ..partitioning import spread_input
+
+    docs = spread_input(docs)
     norm = _norm(F.col("text"))
     n = F.greatest(F.length(norm) - k + 1, F.lit(1))
     hs = F.transform(
