@@ -20,7 +20,13 @@ from pyspark.sql import DataFrame
 
 def spread_input(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to default parallelism iff its current split
-    is narrower — the guard for compute-dense per-row operators."""
+    is narrower — the guard for compute-dense per-row operators.
+
+    Streaming frames pass through untouched: ``.rdd`` is illegal on a
+    streaming source, and a micro-batch's parallelism is the stream
+    source's file/partition granularity anyway."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
