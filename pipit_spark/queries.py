@@ -3552,6 +3552,67 @@ def q_events_common_paths(spark, sf_dir):
     )
 
 
+def q_doc_bigram_lm_merged(spark, sf_dir):
+    """The INCREMENTAL bigram-LM path under the same oracle as
+    doc_bigram_lm: count two corpus halves independently, merge the
+    count tables (llm/text.py:bigram_counts / merge_bigram_counts) —
+    the merge must be indistinguishable from the one-shot LM, which
+    is exactly what a per-revision statistics pipeline relies on."""
+    docs = load(spark, sf_dir, "documents")
+    half1 = X.bigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    half2 = X.bigram_counts(docs.filter(F.col("doc_id") % 2 == 1))
+    return X.merge_bigram_counts(
+        half1.unionByName(half2), top_k=200, min_count=2
+    )
+
+
+def q_web_domain_stats(spark, sf_dir):
+    """Per-domain crawl summary over the synthesized capture table:
+    captures, distinct pages, and keep-one dedup survivors — the
+    per-domain view a crawl triage reads (llm/web.py:url_features +
+    dedup_urls composed)."""
+    from .llm.web import dedup_urls, url_features
+
+    caps = _web_captures(spark, sf_dir).filter(F.col("url").isNotNull())
+    feats = url_features(caps)
+    per = feats.groupBy("url_domain").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.countDistinct("url").alias("n_pages"),
+    )
+    kept = url_features(dedup_urls(caps)).groupBy(
+        F.col("url_domain").alias("__d")
+    ).agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        per.join(kept, per["url_domain"] == kept["__d"])
+        .drop("__d")
+        .select("url_domain", "n_captures", "n_pages", "n_kept")
+    )
+
+
+ORACLE_WEB_DOMAIN_STATS = (
+    "WITH " + _SQL_WEB_CAPTURES + """
+, feats AS (
+    SELECT *, regexp_extract(lower(regexp_extract(url, 'https?://([^/]+)', 1)),
+                             '([^.]+\\.[^.]+)$', 1) AS url_domain
+    FROM captures WHERE url IS NOT NULL
+),
+kept AS (
+    SELECT url_domain, COUNT(*) AS n_kept
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY url ORDER BY warc_date DESC, record_id DESC
+          ) AS rk FROM feats) t
+    WHERE rk = 1 GROUP BY 1
+)
+SELECT f.url_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_captures,
+       CAST(COUNT(DISTINCT f.url) AS BIGINT) AS n_pages,
+       CAST(ANY_VALUE(k.n_kept) AS BIGINT) AS n_kept
+FROM feats f JOIN kept k USING (url_domain)
+GROUP BY 1
+"""
+)
+
+
 def q_doc_length_percentiles(spark, sf_dir):
     """Exact per-source token-length percentiles by explicit rank
     selection — engine- and partitioning-independent by construction
@@ -3744,6 +3805,8 @@ def queries():
         "doc_dup_degree": q_doc_dup_degree,
         "doc_length_percentiles": q_doc_length_percentiles,
         "events_common_paths": q_events_common_paths,
+        "doc_bigram_lm_merged": q_doc_bigram_lm_merged,
+        "web_domain_stats": q_web_domain_stats,
     }
 
 
@@ -3927,6 +3990,8 @@ def oracle_sql():
         "doc_dup_degree": D.oracle_dup_degree_stats(n=3, threshold=0.5),
         "doc_length_percentiles": X.oracle_length_percentiles(),
         "events_common_paths": _oracle_common_paths(),
+        "doc_bigram_lm_merged": X.oracle_bigram_lm(top_k=200, min_count=2),
+        "web_domain_stats": ORACLE_WEB_DOMAIN_STATS,
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),
         "doc_pack_sequences": _oracle_sampling("pack"),

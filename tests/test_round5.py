@@ -203,6 +203,7 @@ def test_round5_gates_partitioning_determinism(spark):
         "emb_isolation", "events_burst_windows", "trace_caller_callee",
         "doc_neardup_cluster_summary", "doc_dup_degree",
         "doc_length_percentiles", "events_common_paths",
+        "doc_bigram_lm_merged", "web_domain_stats",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
