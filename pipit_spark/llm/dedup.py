@@ -142,14 +142,13 @@ def shingle_table(
     ``keep_pos=True`` additionally carries the 1-based start position
     ``p`` (positional consumers like repeated-span removal); positions
     are unique per doc, so it implies the non-distinct stream."""
-    from ..partitioning import spread_input
-
-    # every downstream consumer (minhash mins, df counts, banding)
-    # does its heavy per-shingle hashing MAP-SIDE in the scan task —
-    # an under-split source serializes all of it onto one core
-    toked = spread_input(docs).select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
-    )
+    # No spread_input here: unlike winnowing/all-pairs cosine, the
+    # map-side per-shingle hashing is a single bounded pass, and every
+    # consumer (minhash mins, df counts, banding) takes its real
+    # parallelism from its own explode→groupBy exchange — A/B at sf0.1
+    # shows repartitioning the raw text costs more than it saves
+    # (minhash 0.28 s→0.67 s, decontaminate 0.46 s→0.74 s).
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     pos = toked.select(
         "doc_id",
         "toks",
