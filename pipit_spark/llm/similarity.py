@@ -1591,3 +1591,109 @@ def ivf_cell_stats(spark, table: str) -> DataFrame:
             F.expr("n_vectors * 1000000 div __t").alias("share_ppm"),
         )
     )
+
+
+def decontaminate_embeddings(
+    emb: DataFrame,
+    eval_emb: DataFrame,
+    vec_col: str = "embedding",
+    threshold_ppm: int = 900_000,
+    quant: int = 1000,
+) -> DataFrame:
+    """Drop corpus rows whose embedding is near-duplicate of ANY eval
+    vector — semantic decontamination, the embedding-space complement
+    of the n-gram ``decontaminate`` (llm/dedup.py): a paraphrased eval
+    item shares no 8-gram but sits next to its source in embedding
+    space (cf. SemDeDup/D4, Abbas et al. 2023).
+
+    EXACT-INTEGER screen: components quantize to ``round(x·quant)``
+    BIGINTs; ``cos ≥ t`` becomes ``dot > 0 AND dot²·10¹² ≥
+    t_ppm²·|a|²·|b|²`` evaluated in DECIMAL(38,0) (HUGEINT in the
+    DuckDB oracle) — no float leaves the row, so the survivor set is
+    bit-identical across engines and partitionings at any scale (a
+    float cosine threshold flips membership in the last ulp). The
+    quantized cosine differs from the float cosine by O(1/quant) —
+    a screen threshold is a heuristic, not a sharp boundary;
+    ``quant=1000`` puts the wobble at the 3rd decimal.
+
+    Scale shape: the eval side is small (eval suites are 10³-10⁵
+    rows) and rides a broadcast nested-loop; the corpus never
+    shuffles — hit ids reduce map-side through the semi-join's
+    distinct. Per corpus row the screen costs |eval|·dim multiplies;
+    for |eval| beyond ~10⁵ route candidate generation through
+    ``lsh_ann_pairs`` first and exact-screen only the candidates."""
+    q = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x.cast("double") * quant).cast("long")
+    )
+    isq = F.aggregate(  # integer self-dot
+        F.zip_with(F.col("__qa"), F.col("__qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    corpus = emb.withColumn("__qa", q(F.col(vec_col)))
+    evals = eval_emb.select(q(F.col(vec_col)).alias("__qb"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    na2 = F.aggregate(
+        F.transform(F.col("__qa"), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    nb2 = F.aggregate(
+        F.transform(F.col("__qb"), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    hits = (
+        corpus.join(F.broadcast(evals))
+        .withColumn("__dot", isq)
+        .filter(
+            (F.col("__dot") > 0)
+            & (
+                dec(F.col("__dot")) * dec(F.col("__dot"))
+                * F.lit(10**12).cast("decimal(38,0)")
+                >= dec(F.lit(threshold_ppm)) * dec(F.lit(threshold_ppm))
+                * dec(na2) * dec(nb2)
+            )
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return emb.join(hits, "vec_id", "left_anti")
+
+
+def oracle_decontaminate_embeddings(
+    corpus_pred: str,
+    eval_pred: str,
+    threshold_ppm: int = 900_000,
+    quant: int = 1000,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replay of ``decontaminate_embeddings`` — same quantized
+    BIGINT dot products, HUGEINT comparison (DuckDB's native 128-bit
+    twin of Spark's DECIMAL(38,0)). ``corpus_pred``/``eval_pred``
+    split ``table`` into the two sides."""
+    return f"""
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS qv
+    FROM {table}
+),
+corpus AS (SELECT * FROM q WHERE {corpus_pred}),
+evals  AS (SELECT qv AS eb FROM q WHERE {eval_pred}),
+prod AS (
+    SELECT c.vec_id, c.label,
+           list_sum(list_transform(range(1, len(c.qv) + 1),
+               i -> c.qv[i] * e.eb[i])) AS dot,
+           list_sum(list_transform(c.qv, x -> x * x)) AS na2,
+           list_sum(list_transform(e.eb, x -> x * x)) AS nb2
+    FROM corpus c CROSS JOIN evals e
+),
+hits AS (
+    SELECT DISTINCT vec_id FROM prod
+    WHERE dot > 0
+      AND CAST(dot AS HUGEINT) * dot * 1000000000000
+          >= CAST({threshold_ppm} AS HUGEINT) * {threshold_ppm} * na2 * nb2
+)
+SELECT c.vec_id, c.label FROM corpus c
+ANTI JOIN hits h ON c.vec_id = h.vec_id
+ORDER BY c.vec_id
+"""

@@ -213,3 +213,160 @@ def has_noindex_expr(html_col: Column) -> Column:
     return (F.regexp_count(html_col, F.lit(pat_fwd)) > 0) | (
         F.regexp_count(html_col, F.lit(pat_rev)) > 0
     )
+
+
+def extract_links_expr(html_col: Column) -> Column:
+    """All ``href`` targets in the page as an ``array<string>`` — one
+    ``regexp_extract_all`` (JVM, codegen), no DOM parse. Quoted and
+    bare attribute forms both match; fragments/whitespace terminate a
+    bare value. Relative links come out as written — resolution
+    against the page URL is the caller's concern (``link_graph`` keeps
+    absolute http(s) targets only, which is what a cross-DOMAIN graph
+    needs anyway: a relative link can never leave the host)."""
+    return F.regexp_extract_all(
+        html_col,
+        F.lit(r"""(?i)href\s*=\s*(?:["']([^"'<>]+)["']|([^\s"'<>`]+))"""),
+        1,
+    )
+
+
+def link_graph(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Distinct (src_domain, dst_domain) edges from page captures —
+    the input to ``domain_pagerank``. One narrow pass: extract hrefs
+    (expression, above), explode, keep absolute http(s) targets,
+    reduce both endpoints to registrable-ish domains (same last-two-
+    label rule as ``url_features``), drop intra-domain self-loops, and
+    dedup. The explode multiplies rows ~50× (links/page) but carries
+    only two short strings — the page body never rides the exchange;
+    the only shuffle is the final distinct, whose map-side partial
+    aggregation absorbs repeated edges first."""
+    dom = lambda c: F.regexp_extract(  # noqa: E731
+        F.lower(F.parse_url(c, F.lit("HOST"))), r"([^.]+\.[^.]+)$", 1
+    )
+    links = df.select(
+        dom(F.col(url_col)).alias("src"),
+        F.explode(extract_links_expr(F.col(html_col))).alias("href"),
+    )
+    return (
+        links.filter(F.col("href").rlike(r"(?i)^https?://"))
+        .select("src", dom(F.col("href")).alias("dst"))
+        .filter((F.col("src") != F.col("dst")) & (F.col("src") != "") & (F.col("dst") != ""))
+        .distinct()
+    )
+
+
+def domain_pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    persist_edges: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a domain link graph — the crawl-
+    priority / quality prior Common-Crawl-scale curation ranks hosts
+    by (cf. the CC host-level ranking releases; no reference
+    counterpart, pipit reads traces).
+
+    ALL arithmetic is BIGINT: ranks live in integer units of
+    ``1/scale``, each out-edge carries ``rank div out_degree``, and the
+    damped update is ``(100-damping_pct)·scale div (100·n) +
+    damping_pct·Σcontrib div 100``. Integer sums are associative, so
+    the result is BIT-IDENTICAL across engines, partition counts, and
+    aggregation orders — float PageRank would differ in the last ulp
+    per partitioning (same lesson as the r01-r03 AVG gates). Dangling
+    mass (domains with no out-links) is dropped, not redistributed —
+    ranks sum to < scale; fine for ordering, documented for parity.
+
+    Scale shape: the edge table (the 100-TB side) is shuffled ONCE
+    onto its out-degree key and persisted; each iteration then joins
+    the domain-sized rank table to it and reduces contributions by
+    ``dst`` — per iteration, one shuffle of the rank table + one of
+    the (dst, contrib) stream, never the raw edges again. ``n`` rides
+    a 1-row broadcast."""
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).distinct()
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    ed = e.join(deg, "__src")  # same key as the distinct — no extra exchange
+    if persist_edges:
+        ed = ed.persist()
+    nodes = (
+        e.select(F.col("__src").alias("domain"))
+        .union(e.select("__dst"))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    base = F.expr(
+        f"CAST({(100 - damping_pct) * scale} AS BIGINT) div (100 * __n)"
+    )
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "domain", F.expr(f"CAST({scale} AS BIGINT) div __n").alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = ranks.join(
+            ed, ranks["domain"] == ed["__src"]
+        ).select(
+            F.col("__dst").alias("domain"),
+            F.expr("rank div __deg").alias("__c"),
+        )
+        sums = contrib.groupBy("domain").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes.join(sums, "domain", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "domain",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_pct} * coalesce(__s, CAST(0 AS BIGINT)))"
+                        " div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def oracle_pagerank_sql(
+    edges_cte: str,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB replay of ``domain_pagerank`` with the iterations
+    UNROLLED as CTE pairs (DuckDB restricts aggregates over a
+    recursive table). ``edges_cte`` must define ``edges(src, dst)``
+    (already distinct). Same integer-unit arithmetic — ``//`` and
+    ``div`` agree on non-negative BIGINTs — so the driver's exact hash
+    holds."""
+    parts = [
+        f"WITH {edges_cte}",
+        ", deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1)",
+        ", nodes AS (SELECT src AS domain FROM edges"
+        "  UNION SELECT dst FROM edges)",
+        ", nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f", r0 AS (SELECT domain, CAST({scale} AS BIGINT) // n AS rank"
+        "  FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f", s{i} AS (SELECT e.dst AS domain,"
+            f" SUM(r.rank // d.deg) AS s"
+            f" FROM r{i - 1} r JOIN edges e ON r.domain = e.src"
+            f" JOIN deg d ON d.src = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f", r{i} AS (SELECT nodes.domain,"
+            f" CAST({(100 - damping_pct) * scale} AS BIGINT) // (100 * nn.n)"
+            f" + ({damping_pct} * COALESCE(s{i}.s, 0)) // 100 AS rank"
+            f" FROM nodes CROSS JOIN nn"
+            f" LEFT JOIN s{i} ON s{i}.domain = nodes.domain)"
+        )
+    parts.append(
+        f"SELECT domain, rank FROM r{iterations} ORDER BY domain"
+    )
+    return "\n".join(parts)

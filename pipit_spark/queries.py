@@ -3620,6 +3620,83 @@ def q_doc_length_percentiles(spark, sf_dir):
     return X.length_percentiles(load(spark, sf_dir, "documents"))
 
 
+def _web_edges(spark, sf_dir):
+    """Deterministic 29-node domain link graph derived from documents:
+    three affine edge families mod 29 (out-degree ≤ 3 per node), both
+    engines rebuild the identical table."""
+    docs = load(spark, sf_dir, "documents")
+
+    def fam(mult, add):
+        return docs.select(
+            F.format_string("s%d", F.col("doc_id") % 29).alias("src"),
+            F.format_string(
+                "s%d", (F.col("doc_id") * mult + add) % 29
+            ).alias("dst"),
+        )
+
+    return (
+        fam(3, 7)
+        .union(fam(5, 3))
+        .union(fam(11, 2))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_SQL_WEB_EDGES = """edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT printf('s%d', doc_id % 29) AS src,
+               printf('s%d', (doc_id * 3 + 7) % 29) AS dst FROM documents
+        UNION ALL
+        SELECT printf('s%d', doc_id % 29),
+               printf('s%d', (doc_id * 5 + 3) % 29) FROM documents
+        UNION ALL
+        SELECT printf('s%d', doc_id % 29),
+               printf('s%d', (doc_id * 11 + 2) % 29) FROM documents
+    ) WHERE src != dst
+)"""
+
+
+def q_web_pagerank(spark, sf_dir):
+    """Fixed-iteration integer-unit PageRank over the synthesized
+    domain link graph (llm/web.py:domain_pagerank) — all-BIGINT
+    damped updates, bit-identical across engines/partitionings; the
+    crawl-priority prior CC-scale curation ranks hosts by. 4
+    iterations; edge persist off (29 edges — the persist is for the
+    100-TB edge side)."""
+    from .llm.web import domain_pagerank
+
+    return domain_pagerank(
+        _web_edges(spark, sf_dir), iterations=4, persist_edges=False
+    )
+
+
+def _build_oracle_web_pagerank():
+    from .llm.web import oracle_pagerank_sql
+
+    return oracle_pagerank_sql(_SQL_WEB_EDGES, iterations=4)
+
+
+ORACLE_WEB_PAGERANK = _build_oracle_web_pagerank()
+
+
+def q_emb_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination: drop corpus vectors whose
+    quantized-integer cosine against ANY eval vector (vec_id % 25 = 0,
+    the held-out split) reaches 0.40 — the paraphrase-robust
+    complement of n-gram decontaminate
+    (llm/similarity.py:decontaminate_embeddings; DECIMAL(38) screen,
+    no float crosses the gate). 0.40 because the fixture's synthetic
+    cross-split cosines top out at 0.46 — a production screen sits at
+    0.9+."""
+    emb = load(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    return V.decontaminate_embeddings(
+        corpus, evals, threshold_ppm=400_000
+    ).select("vec_id", "label")
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -3807,6 +3884,8 @@ def queries():
         "events_common_paths": q_events_common_paths,
         "doc_bigram_lm_merged": q_doc_bigram_lm_merged,
         "web_domain_stats": q_web_domain_stats,
+        "web_pagerank": q_web_pagerank,
+        "emb_decontaminate": q_emb_decontaminate,
     }
 
 
@@ -3992,6 +4071,10 @@ def oracle_sql():
         "events_common_paths": _oracle_common_paths(),
         "doc_bigram_lm_merged": X.oracle_bigram_lm(top_k=200, min_count=2),
         "web_domain_stats": ORACLE_WEB_DOMAIN_STATS,
+        "web_pagerank": ORACLE_WEB_PAGERANK,
+        "emb_decontaminate": V.oracle_decontaminate_embeddings(
+            "vec_id % 25 != 0", "vec_id % 25 = 0", threshold_ppm=400_000
+        ),
         "doc_clean_corpus": _oracle_clean_corpus(),
         "doc_sample_stratified": _oracle_sampling("sample"),
         "doc_pack_sequences": _oracle_sampling("pack"),

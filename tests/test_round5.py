@@ -526,3 +526,90 @@ def test_trace_to_arrow_ipc(spark, tmp_path):
     with ipc.open_file(m[0]["shard"]) as r:
         cols = set(r.schema.names)
     assert "time_inc" in cols and "parent_name" in cols
+
+
+def test_extract_links_and_link_graph(spark):
+    from pipit_spark.llm.web import link_graph
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://news.alpha.com/a",
+                '<a href="http://beta.org/x">b</a>'
+                "<a href='https://Gamma.net/y?q=1'>g</a>"
+                '<a href=/relative/path>rel</a>'
+                '<link href="style.css">'
+                '<a href="http://alpha.com/self">self</a>',
+            ),
+            ("http://beta.org/p", '<a href="http://alpha.com/z">back</a>'),
+            ("http://beta.org/q", '<a href="http://alpha.com/z2">dup-edge</a>'),
+        ],
+        "url string, html string",
+    )
+    edges = {
+        (r["src"], r["dst"]) for r in link_graph(pages).collect()
+    }
+    # relative + css links dropped, self-loop (alpha->alpha) dropped,
+    # host case-folded, repeated beta->alpha edge deduped
+    assert edges == {("alpha.com", "beta.org"), ("alpha.com", "gamma.net"),
+                     ("beta.org", "alpha.com")}
+
+
+def test_domain_pagerank_hand_values(spark):
+    from pipit_spark.llm.web import domain_pagerank
+
+    # two nodes, single edge a->b, 1 iteration, scale 1000, d=85:
+    # r0 = 500 each; b gets base 150//2=75 + 85*(500 div 1)//100 = 425
+    # -> 500; a (no in-links) = 75.
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {
+        r["domain"]: r["rank"]
+        for r in domain_pagerank(
+            e, iterations=1, scale=1000, persist_edges=False
+        ).collect()
+    }
+    assert got == {"a": 75, "b": 500}
+
+
+def test_domain_pagerank_partition_invariance(spark):
+    from pipit_spark.llm.web import domain_pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")],
+        "src string, dst string",
+    )
+    one = sorted(
+        map(tuple, domain_pagerank(e, iterations=4).collect())
+    )
+    many = sorted(
+        map(
+            tuple,
+            domain_pagerank(e.repartition(13), iterations=4).collect(),
+        )
+    )
+    assert one == many
+    # conservation: total rank <= scale (dangling mass only leaks out)
+    assert sum(r for _, r in one) <= 10**12
+
+
+def test_decontaminate_embeddings_drops_near_dups(spark):
+    from pipit_spark.llm.similarity import decontaminate_embeddings
+
+    evals = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.999, 0.01, 0.0]),   # near-dup of the eval vector
+            (2, [0.0, 1.0, 0.0]),      # orthogonal — survives
+            (3, [-1.0, 0.0, 0.0]),     # anti-parallel (dot<0) — survives
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = {
+        r["vec_id"]
+        for r in decontaminate_embeddings(
+            corpus, evals, threshold_ppm=950_000
+        ).collect()
+    }
+    assert kept == {2, 3}
