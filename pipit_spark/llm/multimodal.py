@@ -406,3 +406,143 @@ def multimodal_manifest(
         "media_id", "kind", "height", "width", "n_bytes",
         "features", "caption", "caption_tokens",
     )
+
+
+def media_phash(
+    media: DataFrame, feat_dim: int = 16, codec: str = "auto"
+) -> DataFrame:
+    """Perceptual hash per media item: one bit per decoded feature
+    cell, set iff the cell exceeds the ITEM's own mean — the
+    mean-threshold aHash family (pHash's DCT refinement slots into the
+    decoder); brightness/scale shifts that move every cell together
+    leave the hash unchanged. Bit derivation is integer-exact: cells
+    recover their byte values (the stub emits md5-byte/255; real
+    decoders emit cell-mean/255) and ``feat_dim·bᵢ > Σb`` avoids the
+    division — no float, so the hash is engine/partitioning-stable.
+    Everything after the decode pass is JVM expression work; the hash
+    packs into one BIGINT (feat_dim ≤ 64)."""
+    if feat_dim > 64:
+        raise ValueError("feat_dim > 64 cannot pack into one BIGINT word")
+    dec = decode_media(media, feat_dim=feat_dim, codec=codec)
+    b = F.transform(
+        "features", lambda x: F.round(x * 255).cast("long")
+    )
+    dec = dec.withColumn("__b", b).withColumn(
+        "__tot", F.aggregate("__b", F.lit(0).cast("long"), lambda a, v: a + v)
+    )
+    bit = lambda i: F.when(  # noqa: E731
+        F.col("__b")[i] * feat_dim > F.col("__tot"), F.lit(1).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    phash = bit(0) * 0
+    for i in range(feat_dim):
+        phash = phash + F.shiftleft(bit(i), i)
+    return dec.select(
+        "media_id", "kind", phash.alias("phash")
+    )
+
+
+def media_near_dups(
+    media: DataFrame,
+    feat_dim: int = 16,
+    max_hamming: int = 3,
+    codec: str = "auto",
+    block_bits: int | None = None,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance —
+    the image-dedup tier of a multimodal corpus (exact-byte dedup
+    misses every re-encode; this catches them at the feature level).
+
+    Pigeonhole banding, NEVER all-pairs: the hash splits into
+    ``max_hamming + 1`` blocks, any pair within the budget agrees on
+    ≥ 1 whole block, so candidates come from equal-(block index, block
+    value) buckets — same plan family as simhash_pairs
+    (llm/dedup.py), one bucket equi-join. Verification is
+    ``bit_count(a XOR b)``, all-integer. At 16 bits the bucket space
+    is small (gate scale); production images want feat_dim=64 with
+    16-bit blocks, where a bucket carries only true lookalikes."""
+    ph = media_phash(media, feat_dim=feat_dim, codec=codec)
+    nb = max_hamming + 1
+    bits = block_bits or feat_dim // nb
+    if bits * nb > feat_dim:
+        raise ValueError("block layout exceeds hash width")
+    mask = (1 << bits) - 1
+    blocks = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftright("phash", i * bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for i in range(nb)
+        ])
+    ).alias("blk")
+    keyed = ph.select(
+        F.col("media_id"), F.col("phash"), blocks
+    ).select(
+        "media_id", "phash", F.col("blk.bi").alias("bi"),
+        F.col("blk.bv").alias("bv"),
+    )
+    a, bl = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            bl,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def oracle_media_near_dups(
+    feat_dim: int = 16, max_hamming: int = 3
+) -> str:
+    """DuckDB replay of ``media_near_dups`` on the STUB codec over the
+    synthesized corpus: md5-byte features → mean-threshold bits →
+    packed hash → pigeonhole block join → xor bit_count verify. All
+    integer, so the driver's exact hash holds."""
+    nb = max_hamming + 1
+    bits = feat_dim // nb
+    mask = (1 << bits) - 1
+    return f"""
+WITH m AS (
+    SELECT doc_id AS media_id, md5(text || 'feat') AS fx FROM documents
+),
+by AS (
+    SELECT media_id,
+           list_transform(range(0, {feat_dim}), i ->
+               (strpos('0123456789abcdef', substr(fx, 2*i + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(fx, 2*i + 2, 1)) - 1))
+               AS b
+    FROM m
+),
+ph AS (
+    SELECT media_id,
+           list_sum(list_transform(range(0, {feat_dim}), i ->
+               CASE WHEN b[i + 1] * {feat_dim} > list_sum(b)
+                    THEN 1 << i ELSE 0 END)) AS phash
+    FROM by
+),
+blk AS (
+    SELECT media_id, phash, r.i AS bi,
+           (phash >> (r.i * {bits})) & {mask} AS bv
+    FROM ph CROSS JOIN (SELECT unnest(range(0, {nb})) AS i) r
+)
+SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b,
+       CAST(bit_count(CAST(xor(a.phash, b.phash) AS BIGINT)) AS INT)
+           AS hamming
+FROM blk a JOIN blk b
+  ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id
+WHERE bit_count(CAST(xor(a.phash, b.phash) AS BIGINT)) <= {max_hamming}
+ORDER BY 1, 2
+"""

@@ -3082,6 +3082,19 @@ FROM m
 """
 
 
+def q_media_near_dups(spark, sf_dir):
+    """Perceptual-hash near-duplicate media pairs on the stub codec
+    (llm/multimodal.py:media_near_dups): mean-threshold integer bit
+    derivation, pigeonhole block banding (never all-pairs), xor
+    bit_count verify — the image-dedup tier exact-byte dedup misses on
+    every re-encode. With codec='auto' the same plan runs over real
+    PIL/wave features."""
+    from .llm import multimodal as M
+
+    media = M.synthesize_media(load(spark, sf_dir, "documents"))
+    return M.media_near_dups(media, codec="stub")
+
+
 def _oracle_clean_corpus() -> str:
     from .llm.pipeline import oracle_clean_corpus
 
@@ -3886,6 +3899,7 @@ def queries():
         "web_domain_stats": q_web_domain_stats,
         "web_pagerank": q_web_pagerank,
         "emb_decontaminate": q_emb_decontaminate,
+        "media_near_dups": q_media_near_dups,
     }
 
 
@@ -4072,6 +4086,9 @@ def oracle_sql():
         "doc_bigram_lm_merged": X.oracle_bigram_lm(top_k=200, min_count=2),
         "web_domain_stats": ORACLE_WEB_DOMAIN_STATS,
         "web_pagerank": ORACLE_WEB_PAGERANK,
+        "media_near_dups": __import__(
+            "pipit_spark.llm.multimodal", fromlist=["x"]
+        ).oracle_media_near_dups(),
         "emb_decontaminate": V.oracle_decontaminate_embeddings(
             "vec_id % 25 != 0", "vec_id % 25 = 0", threshold_ppm=400_000
         ),

@@ -613,3 +613,25 @@ def test_decontaminate_embeddings_drops_near_dups(spark):
         ).collect()
     }
     assert kept == {2, 3}
+
+
+def test_media_phash_invariances(spark):
+    from pipit_spark.llm.multimodal import media_near_dups, media_phash
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"hello world")),
+            (2, "image", bytearray(b"hello world")),   # identical bytes
+            (3, "image", bytearray(b"other payload")),
+        ],
+        "media_id long, kind string, data binary",
+    )
+    ph = {r["media_id"]: r["phash"] for r in
+          media_phash(media, codec="stub").collect()}
+    assert ph[1] == ph[2]            # content-deterministic
+    assert 0 <= ph[1] < 2 ** 16      # packs into feat_dim bits
+    pairs = media_near_dups(media, codec="stub").collect()
+    ids = {(r["media_id_a"], r["media_id_b"]): r["hamming"] for r in pairs}
+    assert ids[(1, 2)] == 0          # identical items at distance 0
+    for (a, b), h in ids.items():
+        assert h <= 3 and a < b
