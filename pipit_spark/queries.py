@@ -3724,13 +3724,19 @@ def queries():
     being media_decode's ERR (list-typed feat_bytes broke the driver's
     canonicalizer; the gate now serializes features to a string).
     After r04, 114 of 137 gates have at least one driver-hash-green
-    row and 23 have never been driver-checked.  This round's window:
-    those 23 (media_decode + the r04 tail-appended additions + the
-    emb_* approximate-ANN rows-only gates), then the 18 gates whose
-    last green row is r02, then the 9 gates ADDED this round (web
-    module, bigram LM, cluster audits, bursts, isolation,
-    caller-callee).  The tail holds only gates driver-hash-green in
-    r03 or r04.  Every oracle-bearing gate — window or tail — is additionally
+    row and 23 have never been driver-checked.  This round (r05) the
+    registry grew to 155 and the window holds ALL 41 never-driver-
+    checked gates: the 23 from the r04 backlog (media_decode + tail
+    additions + the emb_* approximate-ANN rows-only gates), the 12
+    round-5 first-wave additions (web module, bigram LM, cluster
+    audits, bursts, isolation, caller-callee, second-wave audits), and
+    the 6 round-5 in-round additions (web_pagerank, emb_decontaminate,
+    media_near_dups, doc_length_percentiles, events_common_paths,
+    doc_bigram_lm_merged), plus 9 stale reconfirmations whose last
+    green row is r02.  The other 9 r02-stale gates moved to the tail
+    end (r01/r02 driver-green rows exist for all of them); the rest of
+    the tail is driver-hash-green in r03 or r04.  Every oracle-bearing
+    gate — window or tail — is additionally
     value-checked locally by tools/parity_check.py (EXACT float
     compare, predicting the driver's hash) and column-checked by
     tests/test_oracle_parity.
@@ -3764,23 +3770,25 @@ def queries():
         "trace_comm_matrix_over_time": q_trace_comm_matrix_over_time,
         # stalest re-confirmations: last driver-green in r02
         "q3_shipping_priority": q3_shipping_priority,
-        "q4_order_priority": q4_order_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
-        "q10_returned_items": q10_returned_items,
-        "q12_priority_lines": q12_priority_lines,
         "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
         "q18_large_volume": q18_large_volume,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q22_idle_customers": q22_idle_customers,
         "events_outliers": q_events_outliers,
-        "events_props_stats": q_events_props_stats,
         "rollup_orders": q_rollup_orders,
         "doc_exact_dups": q_doc_exact_dups,
+        # round-5 in-round additions, never driver-checked — every
+        # never-checked gate in the registry is now inside the window
+        "doc_neardup_cluster_summary": q_doc_neardup_cluster_summary,
+        "doc_dup_degree": q_doc_dup_degree,
+        "doc_length_percentiles": q_doc_length_percentiles,
+        "events_common_paths": q_events_common_paths,
+        "doc_bigram_lm_merged": q_doc_bigram_lm_merged,
+        "web_domain_stats": q_web_domain_stats,
+        "web_pagerank": q_web_pagerank,
+        "emb_decontaminate": q_emb_decontaminate,
+        "media_near_dups": q_media_near_dups,
         # new this round: web module, bigram LM, cluster audits,
         # bursts, caller-callee edges (never driver-checked)
         "web_dedup_urls": q_web_dedup_urls,
@@ -3890,16 +3898,17 @@ def queries():
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_quantize": q_emb_quantize,
-        # round-5 second-wave additions (tail -> r06 window pool)
-        "doc_neardup_cluster_summary": q_doc_neardup_cluster_summary,
-        "doc_dup_degree": q_doc_dup_degree,
-        "doc_length_percentiles": q_doc_length_percentiles,
-        "events_common_paths": q_events_common_paths,
-        "doc_bigram_lm_merged": q_doc_bigram_lm_merged,
-        "web_domain_stats": q_web_domain_stats,
-        "web_pagerank": q_web_pagerank,
-        "emb_decontaminate": q_emb_decontaminate,
-        "media_near_dups": q_media_near_dups,
+        # stale reconfirmations displaced from the window by the
+        # round-5 additions (all have r01/r02 driver-green rows)
+        "q4_order_priority": q4_order_priority,
+        "q10_returned_items": q10_returned_items,
+        "q12_priority_lines": q12_priority_lines,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        "events_props_stats": q_events_props_stats,
     }
 
 
