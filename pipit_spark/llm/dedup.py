@@ -167,7 +167,11 @@ def shingle_table(
 
 
 def _pair_common_counts(
-    docs: DataFrame, n: int, max_df: int, persist: bool = True
+    docs: DataFrame,
+    n: int,
+    max_df: int,
+    persist: bool = True,
+    survivor_broadcast: bool = False,
 ) -> DataFrame:
     """The shared bucketed inverted-index plan behind every set-overlap
     pair operator: distinct shingles per doc with set sizes riding the
@@ -189,8 +193,23 @@ def _pair_common_counts(
     both branches re-derive with an in-memory explode — for the
     query's lifetime (the vocab_coverage contract: clear with
     ``spark.catalog.clearCache()``, or pass ``persist=False`` to trade
-    a second text scan for zero cache footprint)."""
+    a second text scan for zero cache footprint).
+
+    ``survivor_broadcast=True`` is the BOUNDED-corpus fast path: the
+    surviving-shingle set rides a broadcast join, so the exploded
+    shingle stream never pays the probe-side exchange, and the persist
+    is skipped (two text scans beat materializing the set frame once
+    nothing downstream re-reads it) — measured 1.73 s→1.38 s at
+    sf0.1. It is OPT-IN because the surviving set (df ∈ [2, max_df])
+    grows with the corpus: at 100 TB it is NOT broadcastable, and the
+    default count-first shuffle plan — whose exchanges are map-side
+    combined down to one row per distinct shingle — is the shape that
+    survives. Flip it only when the shingle vocabulary is known to fit
+    an executor (≲ low GB)."""
     from pyspark import StorageLevel
+
+    if survivor_broadcast:
+        persist = False
 
     sets = (
         docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
@@ -227,6 +246,8 @@ def _pair_common_counts(
     )
     # post-filter, every shingle has <= max_df rows — the collection
     # buffers and the pair explosion are bounded by construction
+    if survivor_broadcast:
+        surviving = F.broadcast(surviving)
     buckets = (
         sh.join(surviving, "shingle")
         .groupBy("shingle")
@@ -249,15 +270,23 @@ def _pair_common_counts(
 
 # ------------------------------------------------------- n-gram Jaccard
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.8, max_df: int = 1000
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+    survivor_broadcast: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
     Plan: the shared :func:`_pair_common_counts` inverted index (df cap
     kills stop-shingle skew; only docs sharing >=1 shingle ever pair
     up), then Jaccard = |∩| / (|A| + |B| − |∩|).
+    ``survivor_broadcast`` passes through to the index plan (bounded-
+    corpus fast path — see there).
     """
-    pairs = _pair_common_counts(docs, n, max_df)
+    pairs = _pair_common_counts(
+        docs, n, max_df, survivor_broadcast=survivor_broadcast
+    )
     return (
         pairs.withColumn(
             "jaccard",
@@ -1822,7 +1851,11 @@ def load_lsh_index(spark, table: str) -> DataFrame:
 
 
 def containment_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.8, max_df: int = 1000
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+    survivor_broadcast: bool = False,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by n-gram CONTAINMENT
     ``|A∩B| / |A|`` — the subsumption detector Jaccard misses: a short
@@ -1835,7 +1868,9 @@ def containment_pairs(
     both directions of a pair come from one pair row via an explode,
     and the qualifying direction(s) are emitted.
     """
-    pairs = _pair_common_counts(docs, n, max_df)
+    pairs = _pair_common_counts(
+        docs, n, max_df, survivor_broadcast=survivor_broadcast
+    )
     directions = pairs.select(
         F.explode(
             F.array(
