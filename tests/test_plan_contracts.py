@@ -334,3 +334,39 @@ def test_tfidf_no_window_over_token(spark):
     assert "hashpartitioning(token" in plan_of(
         tfidf_topk(docs, k=3, mode="ppm", persist=False)
     )
+
+
+def test_pagerank_iteration_shape(spark):
+    """domain_pagerank: the rank update is hash-aggregate + equi-join
+    work — no nested-loop join anywhere, and n rides a broadcast (one
+    BroadcastExchange per iteration + one for the init)."""
+    plan = plan_of(Q.queries()["web_pagerank"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree  # the 1-row n scalar only
+    assert "CartesianProduct" not in tree
+    # every non-scalar join is an equi-join (SortMerge or Hash)
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree \
+        or "BroadcastHashJoin" in tree
+
+
+def test_media_near_dups_no_cartesian(spark):
+    """Pair generation is the pigeonhole block equi-join — never a
+    cross product of the media table against itself."""
+    tree = tree_of(Q.queries()["media_near_dups"](spark, SF_DIR))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_decontaminate_embeddings_corpus_no_exchange(spark):
+    """The eval side broadcasts; the corpus reaches the screen without
+    an Exchange before the join (hit-id distinct + anti-join shuffle
+    only the id sliver)."""
+    plan = plan_of(Q.queries()["emb_decontaminate"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree  # eval side broadcast
+    assert "CartesianProduct" not in tree
+    # the screen's input scan is not preceded by an exchange: the only
+    # exchanges shuffle the id sliver (distinct + anti join), which
+    # never carry the embedding arrays
+    import re
+    assert tree.count("Exchange") <= 3, tree
