@@ -1697,3 +1697,223 @@ SELECT c.vec_id, c.label FROM corpus c
 ANTI JOIN hits h ON c.vec_id = h.vec_id
 ORDER BY c.vec_id
 """
+
+
+def _portable_planes(
+    num_tables: int, num_planes: int, dim: int, quant: int = 1000
+) -> list[list[int]]:
+    """Integer hyperplane components derived from md5 — identical
+    constants on any engine, so LSH signatures built from them are
+    engine-portable (the float path's numpy RandomState is not). One
+    plane = ``dim`` ints in [-quant, quant] from
+    ``md5('lsh:{table}:{plane}:{dim}')``."""
+    import hashlib
+
+    out = []
+    for t in range(num_tables):
+        for p in range(num_planes):
+            out.append(
+                [
+                    int(
+                        hashlib.md5(
+                            f"lsh:{t}:{p}:{j}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % (2 * quant + 1)
+                    - quant
+                    for j in range(dim)
+                ]
+            )
+    return out
+
+
+def lsh_topk_portable(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_tables: int = 4,
+    num_planes: int = 4,
+    quant: int = 1000,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k neighbors with a FULLY value-checkable plan —
+    the driver-gateable twin of the float ANN tiers (ivf_topk /
+    pq_search verify only their exact configurations; this verifies
+    the approximate path itself).
+
+    Every stage is engine-exact: (1) signatures — per table, one bit
+    per plane, bit = ``Σⱼ cⱼ·round(vⱼ·quant) > 0`` over md5-derived
+    integer plane components (``_portable_planes``); (2) candidates —
+    banded OR-construction, corpus∪query signature equi-join per
+    table, so recall follows 1-(1-p^b)^T like the float path and NO
+    pair is scored outside a shared bucket; (3) ranking — per query,
+    order candidates by signed quantized cosine-squared surrogate
+    ``sign(dot)·(dot²·10⁶ div |c|²)`` in DECIMAL(38,0) (HUGEINT in
+    DuckDB): |q| is constant within a query group, so the surrogate
+    orders exactly like cosine, with vec_id as the total tie-break.
+    No float enters membership OR order — bit-identical across
+    engines and partitionings.
+
+    Scale shape: signatures are one narrow JVM pass per side; the
+    candidate join shuffles (table, signature) keys; ranking is a
+    per-query window over candidate slivers. Same bucket-skew note as
+    lsh_ann_pairs: pathological near-constant regions want the bucket
+    cap; here query buckets are |queries|-bounded already."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = _portable_planes(num_tables, num_planes, dim, quant)
+    qz = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x.cast("double") * quant).cast("long")
+    )
+
+    def sig_cols(qcol):
+        sigs = []
+        for t in range(num_tables):
+            bits = []
+            for p in range(num_planes):
+                c = planes[t * num_planes + p]
+                dot = sum(
+                    (F.element_at(qcol, j + 1) * F.lit(c[j]))
+                    for j in range(dim)
+                )
+                bits.append(
+                    F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+                )
+            sigs.append(sum(bits[1:], bits[0]))
+        return F.array(*sigs)
+
+    corp = emb.select(
+        F.col("vec_id").alias("cid"), qz(F.col(vec_col)).alias("cq")
+    ).withColumn("sigs", sig_cols(F.col("cq")))
+    qry = queries.select(
+        F.col("vec_id").alias("qid"), qz(F.col(vec_col)).alias("qq")
+    ).withColumn("sigs", sig_cols(F.col("qq")))
+    ce = corp.select(
+        "cid", "cq", F.posexplode("sigs").alias("t", "sig")
+    )
+    qe = qry.select(
+        "qid", "qq", F.posexplode("sigs").alias("t", "sig")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    na2 = F.aggregate(
+        F.transform(F.col("cq"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cand = (
+        qe.join(ce, ["t", "sig"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "qq", "cq")
+        .distinct()
+        .withColumn("__dot", idot)
+        .withColumn(
+            "__num",
+            dec(F.col("__dot")) * dec(F.col("__dot"))
+            * F.lit(10**6).cast("decimal(38,0)"),
+        )
+        .withColumn("__na2", dec(na2))
+        # div (integral division) on the POSITIVE quantity, negated
+        # after — truncation == floor there, so Spark's div and
+        # DuckDB's // agree exactly
+        .withColumn(
+            "__key",
+            F.when(
+                F.col("__dot") >= 0, F.expr("__num div __na2")
+            ).otherwise(-F.expr("__num div __na2")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("__key").desc(), F.col("cid").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("cid").alias("neighbor_id"),
+            F.col("__dot").alias("dot_q"),
+        )
+    )
+
+
+def oracle_lsh_topk_portable(
+    corpus_pred: str,
+    query_pred: str,
+    k: int = 5,
+    num_tables: int = 4,
+    num_planes: int = 4,
+    quant: int = 1000,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replay of ``lsh_topk_portable`` — same md5-derived plane
+    constants (embedded as literal lists), same integer signatures,
+    same HUGEINT rank surrogate."""
+    planes = _portable_planes(num_tables, num_planes, dim, quant)
+    plane_rows = ", ".join(
+        f"({t}, {p}, [{', '.join(str(c) for c in planes[t * num_planes + p])}])"
+        for t in range(num_tables)
+        for p in range(num_planes)
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS qv
+    FROM {table}
+),
+planes(t, p, c) AS (VALUES {plane_rows}),
+sigs AS (
+    SELECT q.vec_id, pl.t,
+           SUM(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                        i -> q.qv[i] * pl.c[i])) > 0
+                    THEN 1 << pl.p ELSE 0 END) AS sig
+    FROM q CROSS JOIN planes pl GROUP BY 1, 2
+),
+corpus AS (SELECT vec_id AS cid, qv AS cq FROM q
+           WHERE {corpus_pred}),
+queries AS (SELECT vec_id AS qid, qv AS qq FROM q
+            WHERE {query_pred}),
+cand AS (
+    SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS cid
+    FROM sigs qs JOIN sigs cs ON qs.t = cs.t AND qs.sig = cs.sig
+    JOIN queries qy ON qy.qid = qs.vec_id
+    JOIN corpus co ON co.cid = cs.vec_id
+    WHERE qs.vec_id != cs.vec_id
+),
+scored AS (
+    SELECT c.qid, c.cid,
+           list_sum(list_transform(range(1, {dim} + 1),
+               i -> qy.qq[i] * co.cq[i])) AS dot,
+           list_sum(list_transform(co.cq, x -> x * x)) AS na2
+    FROM cand c JOIN queries qy ON qy.qid = c.qid
+    JOIN corpus co ON co.cid = c.cid
+),
+keyed AS (
+    SELECT qid, cid, dot,
+           CASE WHEN dot >= 0
+                THEN (CAST(dot AS HUGEINT) * dot * 1000000) // na2
+                ELSE -((CAST(dot AS HUGEINT) * dot * 1000000) // na2)
+           END AS key
+    FROM scored
+),
+ranked AS (
+    SELECT qid, cid, dot,
+           ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY key DESC, cid ASC) AS rank
+    FROM keyed
+)
+SELECT qid AS query_id, rank, cid AS neighbor_id, dot AS dot_q
+FROM ranked WHERE rank <= {k}
+ORDER BY 1, 2
+"""

@@ -3095,6 +3095,19 @@ def q_media_near_dups(spark, sf_dir):
     return M.media_near_dups(media, codec="stub")
 
 
+def q_emb_lsh_topk(spark, sf_dir):
+    """Portable approximate top-k ANN — the value-checked twin of the
+    float LSH/IVF/PQ tiers (llm/similarity.py:lsh_topk_portable):
+    md5-derived integer hyperplanes, banded OR-construction candidate
+    join, signed quantized cosine-squared rank surrogate in
+    DECIMAL(38,0). The approximate PATH itself is driver-gateable —
+    membership and order contain no float."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    return V.lsh_topk_portable(corpus, qs, k=5)
+
+
 def _oracle_clean_corpus() -> str:
     from .llm.pipeline import oracle_clean_corpus
 
@@ -3730,10 +3743,11 @@ def queries():
     additions + the emb_* approximate-ANN rows-only gates), the 12
     round-5 first-wave additions (web module, bigram LM, cluster
     audits, bursts, isolation, caller-callee, second-wave audits), and
-    the 6 round-5 in-round additions (web_pagerank, emb_decontaminate,
-    media_near_dups, doc_length_percentiles, events_common_paths,
-    doc_bigram_lm_merged), plus 9 stale reconfirmations whose last
-    green row is r02.  The other 9 r02-stale gates moved to the tail
+    the 7 round-5 in-round additions (web_pagerank, emb_decontaminate,
+    media_near_dups, emb_lsh_topk — the value-checked approximate-ANN
+    path — doc_length_percentiles, events_common_paths,
+    doc_bigram_lm_merged), plus 8 stale reconfirmations whose last
+    green row is r02.  The other 10 r02-stale gates moved to the tail
     end (r01/r02 driver-green rows exist for all of them); the rest of
     the tail is driver-hash-green in r03 or r04.  Every oracle-bearing
     gate — window or tail — is additionally
@@ -3775,7 +3789,6 @@ def queries():
         "q8_market_share": q8_market_share,
         "q13_customer_distribution": q13_customer_distribution,
         "q18_large_volume": q18_large_volume,
-        "events_outliers": q_events_outliers,
         "rollup_orders": q_rollup_orders,
         "doc_exact_dups": q_doc_exact_dups,
         # round-5 in-round additions, never driver-checked — every
@@ -3789,6 +3802,7 @@ def queries():
         "web_pagerank": q_web_pagerank,
         "emb_decontaminate": q_emb_decontaminate,
         "media_near_dups": q_media_near_dups,
+        "emb_lsh_topk": q_emb_lsh_topk,
         # new this round: web module, bigram LM, cluster audits,
         # bursts, caller-callee edges (never driver-checked)
         "web_dedup_urls": q_web_dedup_urls,
@@ -3909,6 +3923,7 @@ def queries():
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_idle_customers": q22_idle_customers,
         "events_props_stats": q_events_props_stats,
+        "events_outliers": q_events_outliers,
     }
 
 
@@ -4095,6 +4110,9 @@ def oracle_sql():
         "doc_bigram_lm_merged": X.oracle_bigram_lm(top_k=200, min_count=2),
         "web_domain_stats": ORACLE_WEB_DOMAIN_STATS,
         "web_pagerank": ORACLE_WEB_PAGERANK,
+        "emb_lsh_topk": V.oracle_lsh_topk_portable(
+            "vec_id % 25 != 0", "vec_id % 25 = 0", k=5
+        ),
         "media_near_dups": __import__(
             "pipit_spark.llm.multimodal", fromlist=["x"]
         ).oracle_media_near_dups(),

@@ -661,3 +661,28 @@ def test_survivor_broadcast_fast_path_identical(spark):
         )
     )
     assert default == fast and len(default) > 0
+
+
+def test_lsh_topk_portable_recall_and_invariance(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pipit_spark.llm.similarity import lsh_topk_portable
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # planted: vector 100 is a tiny perturbation of vector 0
+    rows.append((100, (base[0] + 0.01 * rng.randn(8).astype("float32")).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") == 100)
+    corpus = emb.filter(F.col("vec_id") != 100)
+    out = lsh_topk_portable(corpus, qs, k=3, num_tables=8, num_planes=2)
+    got = [(r["rank"], r["neighbor_id"]) for r in
+           out.orderBy("rank").collect()]
+    assert got and got[0] == (1, 0)  # the planted near-dup ranks first
+    out13 = lsh_topk_portable(
+        corpus.repartition(13), qs, k=3, num_tables=8, num_planes=2
+    )
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, out13.collect()))
