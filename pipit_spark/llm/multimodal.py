@@ -3,10 +3,13 @@
 Media are opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched pandas UDFs over ``mapInPandas`` — the schema, batch
 shapes, partitioning, and UDF signatures here are the real 100 TB
-design; only the *codec* step is stubbed (image/audio libraries are not
-in this container), clearly marked below. A real deployment swaps
-``_STUB_decode_bytes`` for PIL/ffmpeg calls without touching the Spark
-plumbing.
+design. The codec layer is REAL for the formats stdlib can reach: PNG /
+BMP / PPM pixels via the first-party decoders in :mod:`codecs` (PIL is
+preferred when importable), WAV PCM via stdlib ``wave``. Entropy-coded
+formats (JPEG/GIF/mp3/ogg) decode dimensions from their public headers
+but fall back to the clearly-marked ``_STUB_decode_bytes`` for content
+features until a real library is present; ``codec='stub'`` pins the
+deterministic fake for oracle-checkable gates over non-media payloads.
 """
 
 from __future__ import annotations
@@ -117,11 +120,12 @@ def _parse_image_header(data: bytes) -> tuple[int, int] | None:
 def _decode_image_real(data: bytes, feat_dim: int) -> tuple:
     """Real image decode: PIL when importable (true dimensions + a
     feature vector of grayscale cell means from a feat_dim-cell
-    thumbnail strip); otherwise a pure-stdlib header parse for
-    PNG/GIF/BMP/JPEG (TRUE dimensions from the container header,
-    content-hash pseudo-features — pixel access needs a codec).
-    Raises CodecUnavailable when the bytes are not an image either path
-    can read."""
+    thumbnail strip); else the first-party PNG/BMP/PPM pixel decoders
+    (llm/codecs.py — true pixels, per-strip gray-mean features); else a
+    pure-stdlib header parse for JPEG/GIF (TRUE dimensions from the
+    container header, content-hash pseudo-features — entropy-coded
+    pixel access needs a codec library). Raises CodecUnavailable when
+    the bytes are not an image any path can read."""
     import io
 
     try:
@@ -139,9 +143,29 @@ def _decode_image_real(data: bytes, feat_dim: int) -> tuple:
             raise CodecUnavailable(str(e)) from e
         return h, w, len(data), feats
 
+    # PIL absent: first-party pixel decoders (PNG/BMP/PPM — see
+    # llm/codecs.py) give TRUE pixels; features are per-strip gray
+    # means, matching the PIL path's thumbnail-strip contract
+    from . import codecs as CD
+
+    try:
+        px = CD.decode_image_pixels(data)
+    except CD.CodecError:
+        px = None
+    if px is not None:
+        g = CD.gray_int(px)
+        h, w = g.shape
+        feats = [
+            float(s.mean()) / 255.0 if s.size else 0.0
+            for s in np.array_split(g, feat_dim, axis=1)
+        ]
+        return h, w, len(data), feats
+
     dims = _parse_image_header(data)
     if dims is None:
-        raise CodecUnavailable("not a PNG/GIF/BMP/JPEG header (PIL absent)")
+        raise CodecUnavailable(
+            "no first-party decoder and not a PNG/GIF/BMP/JPEG header"
+        )
     _, _, _, feats = _STUB_decode_bytes(data, "image", feat_dim)
     return dims[0], dims[1], len(data), feats
 
@@ -546,3 +570,119 @@ FROM blk a JOIN blk b
 WHERE bit_count(CAST(xor(a.phash, b.phash) AS BIGINT)) <= {max_hamming}
 ORDER BY 1, 2
 """
+
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("d1", T.IntegerType()),   # image: height | audio: channels
+        T.StructField("d2", T.IntegerType()),   # image: width  | audio: frames
+        T.StructField("px_sum", T.LongType()),  # Σ gray / Σ samples
+        T.StructField("wsum", T.LongType()),    # position-weighted Σ
+    ]
+)
+
+
+def synthesize_real_media(docs: DataFrame) -> DataFrame:
+    """REAL media files from a closed-form content formula — the
+    end-to-end proof corpus for the first-party codecs (llm/codecs.py).
+    Per doc_id: ``%3==0`` → 24-bit BMP, ``%3==2`` → 8-bit gray PNG
+    (zlib-compressed, real IDAT), ``%3==1`` → 16-bit PCM WAV.
+
+    Content is pure integer arithmetic in doc_id so a SQL oracle can
+    recompute any pixel/sample without ever seeing the bytes:
+      image: h = 8 + id%9, w = 8 + id%7, v(r,c) = (id*31 + r*7 + c*13) % 256
+      audio: n = 200 + id%56, s(i) = ((id*7919 + i*104729) % 65536) - 32768
+    Narrow mapInPandas — blobs are born partitioned, never shuffled."""
+    from . import codecs as CD
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"media_id": [], "kind": [], "fmt": [], "data": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 == 1:
+                    n = 200 + did % 56
+                    i = np.arange(n, dtype=np.int64)
+                    s = (did * 7919 + i * 104729) % 65536 - 32768
+                    kind, fmt = "audio", "wav"
+                    data = CD.encode_wav(s.astype(np.int16), 8000)
+                else:
+                    h, w = 8 + did % 9, 8 + did % 7
+                    r = np.arange(h, dtype=np.int64)[:, None]
+                    c = np.arange(w, dtype=np.int64)[None, :]
+                    v = ((did * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+                    kind = "image"
+                    if did % 3 == 0:
+                        fmt, data = "bmp", CD.encode_bmp(v)
+                    else:
+                        fmt, data = "png", CD.encode_png(v)
+                out["media_id"].append(did)
+                out["kind"].append(kind)
+                out["fmt"].append(fmt)
+                out["data"].append(data)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("fmt", T.StringType()),
+                T.StructField("data", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def media_pixel_stats(media: DataFrame) -> DataFrame:
+    """All-integer content statistics through the REAL decoders — no
+    stub anywhere on this path. Images: integer grayscale
+    ((R+G+B)//3) summed plainly and with the position weight
+    ``r·w + c + 1`` (a vertically-flipped or byte-order-broken decode
+    keeps px_sum but breaks wsum — the weighted sum is the orientation
+    proof). Audio: sample sum + ``(i+1)``-weighted sum. Exact BIGINT
+    on both engines → driver-hashable. Narrow mapInPandas, bounded
+    memory per batch."""
+    from . import codecs as CD
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {k.name: [] for k in STATS_SCHEMA.fields}
+            for mid, kind, fmt, data in zip(
+                pdf["media_id"], pdf["kind"], pdf["fmt"], pdf["data"]
+            ):
+                raw = bytes(data)
+                if kind == "audio":
+                    nch, _, s = CD.decode_wav(raw)
+                    s = s.astype(np.int64)
+                    d1, d2 = nch, len(s)
+                    px_sum = int(s.sum())
+                    wsum = int((np.arange(1, len(s) + 1) * s).sum())
+                else:
+                    g = CD.gray_int(CD.decode_image_pixels(raw))
+                    h, w = g.shape
+                    d1, d2 = h, w
+                    px_sum = int(g.sum())
+                    r = np.arange(h, dtype=np.int64)[:, None]
+                    c = np.arange(w, dtype=np.int64)[None, :]
+                    wsum = int(((r * w + c + 1) * g).sum())
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["fmt"].append(fmt)
+                out["d1"].append(d1)
+                out["d2"].append(d2)
+                out["px_sum"].append(px_sum)
+                out["wsum"].append(wsum)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "fmt", "data").mapInPandas(
+        gen, STATS_SCHEMA
+    )

@@ -3095,6 +3095,65 @@ def q_media_near_dups(spark, sf_dir):
     return M.media_near_dups(media, codec="stub")
 
 
+def q_media_decode_real(spark, sf_dir):
+    """END-TO-END proof of the REAL codec path — no stub anywhere:
+    synthesize actual BMP / zlib-compressed PNG / PCM WAV files whose
+    content is a closed-form integer formula of doc_id
+    (llm/multimodal.py:synthesize_real_media), decode them back through
+    the first-party decoders (llm/codecs.py: PNG inflate+unfilter, BMP
+    DIB, stdlib wave), and emit exact BIGINT content sums. The DuckDB
+    oracle recomputes the sums from the formula alone — it never sees
+    the bytes — so a bug in either the writer or the reader breaks the
+    hash. wsum's position weight additionally proves row order (a
+    vertically-flipped BMP decode keeps px_sum but breaks wsum)."""
+    from .llm import multimodal as M
+
+    return M.media_pixel_stats(
+        M.synthesize_real_media(load(spark, sf_dir, "documents"))
+    )
+
+
+ORACLE_MEDIA_DECODE_REAL = r"""
+WITH img AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+           8 + doc_id % 9 AS h, 8 + doc_id % 7 AS w
+    FROM documents WHERE doc_id % 3 <> 1
+),
+px AS (
+    SELECT i.media_id, i.fmt, i.h, i.w, r.r, c.c,
+           (i.media_id * 31 + r.r * 7 + c.c * 13) % 256 AS v
+    FROM img i
+    JOIN (SELECT unnest(range(0, 17)) AS r) r ON r.r < i.h
+    JOIN (SELECT unnest(range(0, 15)) AS c) c ON c.c < i.w
+),
+img_stats AS (
+    SELECT media_id, 'image' AS kind, fmt,
+           CAST(h AS INT) AS d1, CAST(w AS INT) AS d2,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM((r * w + c + 1) * v) AS BIGINT) AS wsum
+    FROM px GROUP BY media_id, fmt, h, w
+),
+aud AS (
+    SELECT doc_id AS media_id, 200 + doc_id % 56 AS n
+    FROM documents WHERE doc_id % 3 = 1
+),
+smp AS (
+    SELECT a.media_id, a.n, i.i,
+           (a.media_id * 7919 + i.i * 104729) % 65536 - 32768 AS s
+    FROM aud a JOIN (SELECT unnest(range(0, 256)) AS i) i ON i.i < a.n
+),
+aud_stats AS (
+    SELECT media_id, 'audio' AS kind, 'wav' AS fmt, CAST(1 AS INT) AS d1,
+           CAST(n AS INT) AS d2,
+           CAST(SUM(s) AS BIGINT) AS px_sum,
+           CAST(SUM((i + 1) * s) AS BIGINT) AS wsum
+    FROM smp GROUP BY media_id, n
+)
+SELECT * FROM img_stats UNION ALL SELECT * FROM aud_stats
+"""
+
+
 def q_emb_lsh_topk(spark, sf_dir):
     """Portable approximate top-k ANN — the value-checked twin of the
     float LSH/IVF/PQ tiers (llm/similarity.py:lsh_topk_portable):
@@ -3738,7 +3797,7 @@ def queries():
     canonicalizer; the gate now serializes features to a string).
     After r04, 114 of 137 gates have at least one driver-hash-green
     row and 23 have never been driver-checked.  This round (r05) the
-    registry grew to 155 and the window holds ALL 41 never-driver-
+    registry grew to 157 and the window holds ALL 42 never-driver-
     checked gates: the 23 from the r04 backlog (media_decode + tail
     additions + the emb_* approximate-ANN rows-only gates), the 12
     round-5 first-wave additions (web module, bigram LM, cluster
@@ -3746,8 +3805,11 @@ def queries():
     the 7 round-5 in-round additions (web_pagerank, emb_decontaminate,
     media_near_dups, emb_lsh_topk — the value-checked approximate-ANN
     path — doc_length_percentiles, events_common_paths,
-    doc_bigram_lm_merged), plus 8 stale reconfirmations whose last
-    green row is r02.  The other 10 r02-stale gates moved to the tail
+    doc_bigram_lm_merged), the media_decode_real real-codec proof
+    gate, plus 7 stale reconfirmations whose last green row is r02
+    (q8_market_share yielded its window slot to media_decode_real and
+    sits in the tail on its r01+r02 green rows).  The other 10
+    r02-stale gates moved to the tail
     end (r01/r02 driver-green rows exist for all of them); the rest of
     the tail is driver-hash-green in r03 or r04.  Every oracle-bearing
     gate — window or tail — is additionally
@@ -3786,7 +3848,6 @@ def queries():
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
         "q13_customer_distribution": q13_customer_distribution,
         "q18_large_volume": q18_large_volume,
         "rollup_orders": q_rollup_orders,
@@ -3803,6 +3864,9 @@ def queries():
         "emb_decontaminate": q_emb_decontaminate,
         "media_near_dups": q_media_near_dups,
         "emb_lsh_topk": q_emb_lsh_topk,
+        # round-5 real-codec proof gate (displaces the q8 stale
+        # reconfirmation to the tail — q8 has r01+r02 green rows)
+        "media_decode_real": q_media_decode_real,
         # new this round: web module, bigram LM, cluster audits,
         # bursts, caller-callee edges (never driver-checked)
         "web_dedup_urls": q_web_dedup_urls,
@@ -3841,6 +3905,7 @@ def queries():
         "q16_parts_supplier_count": q16_parts_supplier_count,
         "q20_excess_stock": q20_excess_stock,
         "q21_waiting_orders": q21_waiting_orders,
+        "q8_market_share": q8_market_share,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "doc_containment": q_doc_containment,
         "doc_edit_pairs": q_doc_edit_pairs,
@@ -4090,6 +4155,7 @@ def oracle_sql():
         "doc_source_tfidf": X.oracle_tfidf_topk(k=3, group_col="source"),
         "trace_comm_matrix_over_time": ORACLE_TRACE_COMM_MATRIX_OVER_TIME,
         "media_decode": ORACLE_MEDIA_DECODE,
+        "media_decode_real": ORACLE_MEDIA_DECODE_REAL,
         "web_dedup_urls": ORACLE_WEB_DEDUP_URLS,
         "web_url_features": ORACLE_WEB_URL_FEATURES,
         "doc_bigram_lm": X.oracle_bigram_lm(top_k=200, min_count=2),

@@ -32,6 +32,8 @@ PYTHON_STAGE_OK = {
     "emb_pq_topk", "emb_pq_topk_exact",
     "emb_ivfpq_topk", "emb_ivfpq_topk_exact", "emb_ann_recall",
     "emb_lsh_ann", "emb_semantic_dedup", "media_decode",
+    "media_near_dups",  # decode step is the codec Arrow stage
+    "media_decode_real",  # synth + real-codec decode, both Arrow stages
     # bloom probe is a vectorized Arrow bit-test by design
     "doc_incremental_bloom",
     # model-scoring hook (mapInPandas by contract)
