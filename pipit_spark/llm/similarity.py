@@ -1917,3 +1917,278 @@ SELECT qid AS query_id, rank, cid AS neighbor_id, dot AS dot_q
 FROM ranked WHERE rank <= {k}
 ORDER BY 1, 2
 """
+
+
+def _portable_centroids(
+    nlist: int, dim: int, quant: int = 1000
+) -> list[list[int]]:
+    """Integer cell centroids derived from md5 (``'ivfc:{j}:{i}'``) —
+    the IVF counterpart of :func:`_portable_planes`: identical
+    constants on any engine, so cell assignment built from them is
+    engine-portable. A random-direction Voronoi quantizer rather than
+    trained k-means — cells are less balanced than trained ones, but
+    the *index structure* (assign → probe → per-cell rank) is the same,
+    which is what the portable twin exists to verify."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"ivfc:{j}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % (2 * quant + 1)
+            - quant
+            for i in range(dim)
+        ]
+        for j in range(nlist)
+    ]
+
+
+def ivf_topk_portable(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 3,
+    quant: int = 1000,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via a FULLY value-checkable IVF plan — the
+    driver-gateable twin of the float IVF tier (ivf_topk verifies only
+    its exact nlist=1 configuration; this verifies the
+    assign→probe→rank structure itself, like lsh_topk_portable does
+    for the LSH tier).
+
+    Every stage is engine-exact integer/decimal arithmetic:
+    (1) assignment — cell(v) = argmax over md5-derived integer
+    centroids of the signed quantized cosine surrogate
+    ``sign(dot)·(dot²·10⁶ div |c_j|²)`` (|c_j|² is a compile-time
+    literal); computed as a NARROW array expression (array_max over
+    (key, -j) structs — no shuffle, no Python), ties to the smaller
+    cell index; (2) probing — each query keeps its ``nprobe`` best
+    cells by the same measure (reverse array_sort + slice, still
+    narrow); (3) candidates — probe ⋈ corpus-cell equi-join on the
+    cell id, never all-pairs; (4) ranking — the lsh_topk_portable
+    DECIMAL(38,0) surrogate with vec_id tie-break. No float enters
+    membership or order — bit-identical across engines/partitionings.
+
+    Scale shape: two narrow assignment passes, ONE shuffle on the cell
+    key for the candidate join, a per-query window over candidate
+    slivers. Unbalanced hot cells follow the same AQE-skew note as the
+    float path; production wants trained centroids (ivf_build) — this
+    twin trades balance for exact replayability."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    cents = _portable_centroids(nlist, dim, quant)
+    na2s = [sum(c * c for c in cj) for cj in cents]
+    qz = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x.cast("double") * quant).cast("long")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def with_cell_keys(df, vq_col):
+        """Adds __keys: array<struct<k,nj>> of per-centroid surrogate
+        keys — per-row expressions only, narrow. |c_j|² is a Python
+        int baked into the `div` SQL (same integral-division operator
+        as the candidate ranking, so truncation semantics match the
+        oracle's // exactly)."""
+        structs = []
+        tmp = []
+        for j, (cj, na2j) in enumerate(zip(cents, na2s)):
+            cvec = F.array(*[F.lit(int(x)) for x in cj])
+            df = df.withColumn(
+                f"__d{j}",
+                F.aggregate(
+                    F.zip_with(F.col(vq_col), cvec, lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + v,
+                ),
+            )
+            mag = (
+                f"(CAST(__d{j} AS DECIMAL(38,0)) * CAST(__d{j} AS "
+                f"DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0))) "
+                f"div CAST({int(na2j)} AS DECIMAL(38,0))"
+            )
+            df = df.withColumn(
+                f"__k{j}",
+                F.expr(
+                    f"CASE WHEN __d{j} >= 0 THEN {mag} "
+                    f"ELSE -({mag}) END"
+                ),
+            )
+            structs.append(
+                F.struct(
+                    F.col(f"__k{j}").alias("k"), F.lit(-j).alias("nj")
+                )
+            )
+            tmp += [f"__d{j}", f"__k{j}"]
+        return df.withColumn("__keys", F.array(*structs)).drop(*tmp)
+
+    corp = (
+        with_cell_keys(
+            emb.select(
+                F.col("vec_id").alias("cid"),
+                qz(F.col(vec_col)).alias("cq"),
+            ),
+            "cq",
+        )
+        .withColumn("__best", F.array_max(F.col("__keys")))
+        .withColumn("cell", -F.col("__best.nj"))
+        .drop("__best", "__keys")
+    )
+    qry = (
+        with_cell_keys(
+            queries.select(
+                F.col("vec_id").alias("qid"),
+                qz(F.col(vec_col)).alias("qq"),
+            ),
+            "qq",
+        )
+        .withColumn(
+            "__probes",
+            F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
+        )
+        .select(
+            "qid", "qq",
+            F.explode(
+                F.transform(F.col("__probes"), lambda s: -s["nj"])
+            ).alias("cell"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    na2 = F.aggregate(
+        F.transform(F.col("cq"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    cand = (
+        qry.join(corp, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "qq", "cq")
+        .withColumn("__dot", idot)
+        .withColumn(
+            "__num",
+            dec(F.col("__dot")) * dec(F.col("__dot"))
+            * F.lit(10**6).cast("decimal(38,0)"),
+        )
+        .withColumn("__na2", dec(na2))
+        .withColumn(
+            "__key",
+            F.when(
+                F.col("__dot") >= 0, F.expr("__num div __na2")
+            ).otherwise(-F.expr("__num div __na2")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("__key").desc(), F.col("cid").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("cid").alias("neighbor_id"),
+            F.col("__dot").alias("dot_q"),
+        )
+    )
+
+
+def oracle_ivf_topk_portable(
+    corpus_pred: str,
+    query_pred: str,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 3,
+    quant: int = 1000,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replay of ``ivf_topk_portable`` — same md5-derived
+    integer centroids (embedded as literal lists with precomputed
+    |c|²), same assignment/probe ranking (window instead of array
+    argmax — different mechanism, identical result incl. tie-breaks),
+    same HUGEINT rank surrogate."""
+    cents = _portable_centroids(nlist, dim, quant)
+    cent_rows = ", ".join(
+        f"({j}, [{', '.join(str(x) for x in cj)}], "
+        f"{sum(x * x for x in cj)})"
+        for j, cj in enumerate(cents)
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS qv
+    FROM {table}
+),
+cents(j, c, cna2) AS (VALUES {cent_rows}),
+akeys AS (
+    SELECT q.vec_id, ct.j,
+           list_sum(list_transform(range(1, {dim} + 1),
+               i -> q.qv[i] * ct.c[i])) AS dot,
+           ct.cna2
+    FROM q CROSS JOIN cents ct
+),
+akeyed AS (
+    SELECT vec_id, j,
+           CASE WHEN dot >= 0
+                THEN (CAST(dot AS HUGEINT) * dot * 1000000) // cna2
+                ELSE -((CAST(dot AS HUGEINT) * dot * 1000000) // cna2)
+           END AS key
+    FROM akeys
+),
+aranked AS (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY key DESC, j ASC) AS r
+    FROM akeyed
+),
+corpus AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE {corpus_pred}),
+queries AS (SELECT vec_id AS qid, qv AS qq FROM q WHERE {query_pred}),
+corpus_cells AS (
+    SELECT co.cid, a.j AS cell FROM corpus co
+    JOIN aranked a ON a.vec_id = co.cid AND a.r = 1
+),
+query_probes AS (
+    SELECT qy.qid, a.j AS cell FROM queries qy
+    JOIN aranked a ON a.vec_id = qy.qid AND a.r <= {nprobe}
+),
+cand AS (
+    SELECT qp.qid, cc.cid
+    FROM query_probes qp JOIN corpus_cells cc USING (cell)
+    WHERE qp.qid != cc.cid
+),
+scored AS (
+    SELECT c.qid, c.cid,
+           list_sum(list_transform(range(1, {dim} + 1),
+               i -> qy.qq[i] * co.cq[i])) AS dot,
+           list_sum(list_transform(co.cq, x -> x * x)) AS na2
+    FROM cand c JOIN queries qy ON qy.qid = c.qid
+    JOIN corpus co ON co.cid = c.cid
+),
+keyed AS (
+    SELECT qid, cid, dot,
+           CASE WHEN dot >= 0
+                THEN (CAST(dot AS HUGEINT) * dot * 1000000) // na2
+                ELSE -((CAST(dot AS HUGEINT) * dot * 1000000) // na2)
+           END AS key
+    FROM scored
+),
+ranked AS (
+    SELECT qid, cid, dot,
+           ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY key DESC, cid ASC) AS rank
+    FROM keyed
+)
+SELECT qid AS query_id, rank, cid AS neighbor_id, dot AS dot_q
+FROM ranked WHERE rank <= {k}
+ORDER BY 1, 2
+"""

@@ -3167,6 +3167,18 @@ def q_emb_lsh_topk(spark, sf_dir):
     return V.lsh_topk_portable(corpus, qs, k=5)
 
 
+def q_emb_ivf_topk_portable(spark, sf_dir):
+    """Value-checked twin of the float IVF ANN tier
+    (llm/similarity.py:ivf_topk_portable): md5-derived integer
+    centroids, narrow array-argmax cell assignment, nprobe probing,
+    one cell-key equi-join, DECIMAL(38,0) rank surrogate — the
+    approximate IVF PATH itself is driver-gateable."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    return V.ivf_topk_portable(corpus, qs, k=5, nlist=8, nprobe=3)
+
+
 def _oracle_clean_corpus() -> str:
     from .llm.pipeline import oracle_clean_corpus
 
@@ -3849,7 +3861,6 @@ def queries():
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q7_nation_volume": q7_nation_volume,
         "q13_customer_distribution": q13_customer_distribution,
-        "q18_large_volume": q18_large_volume,
         "rollup_orders": q_rollup_orders,
         "doc_exact_dups": q_doc_exact_dups,
         # round-5 in-round additions, never driver-checked — every
@@ -3864,6 +3875,7 @@ def queries():
         "emb_decontaminate": q_emb_decontaminate,
         "media_near_dups": q_media_near_dups,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_topk_portable": q_emb_ivf_topk_portable,
         # round-5 real-codec proof gate (displaces the q8 stale
         # reconfirmation to the tail — q8 has r01+r02 green rows)
         "media_decode_real": q_media_decode_real,
@@ -3906,6 +3918,7 @@ def queries():
         "q20_excess_stock": q20_excess_stock,
         "q21_waiting_orders": q21_waiting_orders,
         "q8_market_share": q8_market_share,
+        "q18_large_volume": q18_large_volume,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "doc_containment": q_doc_containment,
         "doc_edit_pairs": q_doc_edit_pairs,
@@ -4178,6 +4191,9 @@ def oracle_sql():
         "web_pagerank": ORACLE_WEB_PAGERANK,
         "emb_lsh_topk": V.oracle_lsh_topk_portable(
             "vec_id % 25 != 0", "vec_id % 25 = 0", k=5
+        ),
+        "emb_ivf_topk_portable": V.oracle_ivf_topk_portable(
+            "vec_id % 25 != 0", "vec_id % 25 = 0", k=5, nlist=8, nprobe=3
         ),
         "media_near_dups": __import__(
             "pipit_spark.llm.multimodal", fromlist=["x"]

@@ -686,3 +686,38 @@ def test_lsh_topk_portable_recall_and_invariance(spark):
     )
     assert sorted(map(tuple, out.collect())) == \
         sorted(map(tuple, out13.collect()))
+
+
+def test_ivf_topk_portable_recall_and_invariance(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pipit_spark.llm.similarity import ivf_topk_portable
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(24, 8).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(24)]
+    # planted: vector 100 is a tiny perturbation of vector 3
+    rows.append(
+        (100, (base[3] + 0.01 * rng.randn(8).astype("float32")).tolist())
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") == 100)
+    corpus = emb.filter(F.col("vec_id") != 100)
+    # nprobe == nlist makes probing exhaustive: the planted near-dup
+    # MUST surface regardless of which cell it landed in
+    out = ivf_topk_portable(corpus, qs, k=3, nlist=4, nprobe=4)
+    got = [(r["rank"], r["neighbor_id"]) for r in out.orderBy("rank").collect()]
+    assert got and got[0] == (1, 3)
+    # partitioning invariance: integer/decimal plan, bit-stable
+    out13 = ivf_topk_portable(
+        corpus.repartition(13), qs, k=3, nlist=4, nprobe=4
+    )
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, out13.collect()))
+    # nprobe < nlist returns a subset of the exhaustive candidates per
+    # query, still correctly ranked (prefix property not guaranteed,
+    # membership is)
+    out1 = ivf_topk_portable(corpus, qs, k=3, nlist=4, nprobe=1)
+    sub = {r["neighbor_id"] for r in out1.collect()}
+    assert sub  # probing its own best cell always yields candidates
