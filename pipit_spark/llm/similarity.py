@@ -2192,3 +2192,98 @@ SELECT qid AS query_id, rank, cid AS neighbor_id, dot AS dot_q
 FROM ranked WHERE rank <= {k}
 ORDER BY 1, 2
 """
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k0: int = 60,
+    k: int = 5,
+    item_col: str = "neighbor_id",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval lists (Cormack et al., SIGIR
+    2009): score(item) = Σ_lists 1/(k0 + rank). The standard ensemble
+    for hybrid retrieval — lexical BM25 ∪ vector ANN, or multiple ANN
+    indexes whose candidate sets miss different neighbors — because it
+    needs only RANKS, never the incomparable raw scores.
+
+    Integer-exact: each contribution is ``scale div (k0 + rank)``
+    (integral division — exact on any engine, so the fused order is
+    bit-stable and driver-hashable), summed per (query_id, item).
+    Ties break on the item id. Inputs need (query_id, rank,
+    ``item_col``); extra columns are ignored.
+
+    Scale shape: a union of |queries|·k-row frames, one hash aggregate
+    on (query_id, item), a per-query window over ≤ lists·k rows — the
+    fusion itself is query-set-sized, never corpus-sized; all the
+    heavy lifting stays in the underlying retrievals."""
+    if not ranked_lists:
+        raise ValueError("rrf_fuse: no input lists")
+    parts = [
+        df.select(
+            "query_id",
+            F.col(item_col).alias("item_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        for df in ranked_lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    contrib = u.withColumn(
+        "__c", F.expr(f"{int(scale)} div ({int(k0)} + rank)")
+    )
+    fused = contrib.groupBy("query_id", "item_id").agg(
+        F.sum("__c").alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.min("rank").cast("int").alias("best_rank"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("item_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "item_id", "rrf_score",
+            "n_lists", "best_rank",
+        )
+    )
+
+
+def oracle_rrf_fuse(
+    list_sqls: list[str],
+    k0: int = 60,
+    k: int = 5,
+    scale: int = 10**9,
+) -> str:
+    """DuckDB replay of :func:`rrf_fuse` over already-oracled retrieval
+    SQLs (each must yield (query_id, rank, neighbor_id, ...)) — the
+    composed-oracle pattern: the fusion gate reuses the underlying
+    tiers' replay verbatim, so one source of truth per tier."""
+    unions = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id AS item_id, "
+        f"CAST(rank AS BIGINT) AS rank FROM ({sql.rstrip().rstrip(';')})"
+        for sql in list_sqls
+    )
+    return f"""
+WITH u AS ({unions}),
+fused AS (
+    SELECT query_id, item_id,
+           SUM({int(scale)} // ({int(k0)} + rank)) AS rrf_score,
+           CAST(COUNT(*) AS INT) AS n_lists,
+           CAST(MIN(rank) AS INT) AS best_rank
+    FROM u GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY rrf_score DESC, item_id ASC) AS rank
+    FROM fused
+)
+SELECT query_id, CAST(rank AS INT) AS rank, item_id, rrf_score,
+       n_lists, best_rank
+FROM ranked WHERE rank <= {k}
+ORDER BY 1, 2
+"""

@@ -3179,6 +3179,26 @@ def q_emb_ivf_topk_portable(spark, sf_dir):
     return V.ivf_topk_portable(corpus, qs, k=5, nlist=8, nprobe=3)
 
 
+def q_emb_rrf_fusion(spark, sf_dir):
+    """Ensemble ANN retrieval: reciprocal-rank fusion of the two
+    value-checked approximate tiers (portable LSH + portable IVF) over
+    the same query set (llm/similarity.py:rrf_fuse). Different index
+    families miss different neighbors; RRF needs only ranks, so the
+    fusion is integer-exact and the composed plan stays
+    query-set-sized. The same operator fuses lexical BM25 with vector
+    ANN when queries carry both representations."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    return V.rrf_fuse(
+        [
+            V.lsh_topk_portable(corpus, qs, k=5),
+            V.ivf_topk_portable(corpus, qs, k=5, nlist=8, nprobe=3),
+        ],
+        k=5,
+    )
+
+
 def _oracle_clean_corpus() -> str:
     from .llm.pipeline import oracle_clean_corpus
 
@@ -3809,7 +3829,7 @@ def queries():
     canonicalizer; the gate now serializes features to a string).
     After r04, 114 of 137 gates have at least one driver-hash-green
     row and 23 have never been driver-checked.  This round (r05) the
-    registry grew to 157 and the window holds ALL 42 never-driver-
+    registry grew to 159 and the window holds ALL 44 never-driver-
     checked gates: the 23 from the r04 backlog (media_decode + tail
     additions + the emb_* approximate-ANN rows-only gates), the 12
     round-5 first-wave additions (web module, bigram LM, cluster
@@ -3817,10 +3837,12 @@ def queries():
     the 7 round-5 in-round additions (web_pagerank, emb_decontaminate,
     media_near_dups, emb_lsh_topk — the value-checked approximate-ANN
     path — doc_length_percentiles, events_common_paths,
-    doc_bigram_lm_merged), the media_decode_real real-codec proof
-    gate, plus 7 stale reconfirmations whose last green row is r02
-    (q8_market_share yielded its window slot to media_decode_real and
-    sits in the tail on its r01+r02 green rows).  The other 10
+    doc_bigram_lm_merged), the three round-5 session-3 additions
+    (media_decode_real — the real-codec proof, emb_ivf_topk_portable
+    and emb_rrf_fusion — the value-checked approximate-ANN twins),
+    plus 5 stale reconfirmations whose last green row is r02
+    (q8/q13/q18 yielded their window slots to the three new gates and
+    sit in the tail on their r01+r02 green rows).  The other 10
     r02-stale gates moved to the tail
     end (r01/r02 driver-green rows exist for all of them); the rest of
     the tail is driver-hash-green in r03 or r04.  Every oracle-bearing
@@ -3860,7 +3882,6 @@ def queries():
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q7_nation_volume": q7_nation_volume,
-        "q13_customer_distribution": q13_customer_distribution,
         "rollup_orders": q_rollup_orders,
         "doc_exact_dups": q_doc_exact_dups,
         # round-5 in-round additions, never driver-checked — every
@@ -3876,6 +3897,7 @@ def queries():
         "media_near_dups": q_media_near_dups,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk_portable": q_emb_ivf_topk_portable,
+        "emb_rrf_fusion": q_emb_rrf_fusion,
         # round-5 real-codec proof gate (displaces the q8 stale
         # reconfirmation to the tail — q8 has r01+r02 green rows)
         "media_decode_real": q_media_decode_real,
@@ -3919,6 +3941,7 @@ def queries():
         "q21_waiting_orders": q21_waiting_orders,
         "q8_market_share": q8_market_share,
         "q18_large_volume": q18_large_volume,
+        "q13_customer_distribution": q13_customer_distribution,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "doc_containment": q_doc_containment,
         "doc_edit_pairs": q_doc_edit_pairs,
@@ -4194,6 +4217,18 @@ def oracle_sql():
         ),
         "emb_ivf_topk_portable": V.oracle_ivf_topk_portable(
             "vec_id % 25 != 0", "vec_id % 25 = 0", k=5, nlist=8, nprobe=3
+        ),
+        "emb_rrf_fusion": V.oracle_rrf_fuse(
+            [
+                V.oracle_lsh_topk_portable(
+                    "vec_id % 25 != 0", "vec_id % 25 = 0", k=5
+                ),
+                V.oracle_ivf_topk_portable(
+                    "vec_id % 25 != 0", "vec_id % 25 = 0",
+                    k=5, nlist=8, nprobe=3,
+                ),
+            ],
+            k=5,
         ),
         "media_near_dups": __import__(
             "pipit_spark.llm.multimodal", fromlist=["x"]

@@ -721,3 +721,42 @@ def test_ivf_topk_portable_recall_and_invariance(spark):
     out1 = ivf_topk_portable(corpus, qs, k=3, nlist=4, nprobe=1)
     sub = {r["neighbor_id"] for r in out1.collect()}
     assert sub  # probing its own best cell always yields candidates
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from pipit_spark.llm.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30)],
+        "query_id long, rank int, neighbor_id long",
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 20), (1, 2, 40)],
+        "query_id long, rank int, neighbor_id long",
+    )
+    out = {
+        r["item_id"]: (r["rank"], r["rrf_score"], r["n_lists"], r["best_rank"])
+        for r in rrf_fuse([a, b], k0=60, k=4, scale=10**9).collect()
+    }
+    # item 20: ranks 2 (a) + 1 (b) -> 1e9//62 + 1e9//61 = 32524108
+    # item 10: rank 1 (a)          -> 1e9//61          = 16393442
+    # item 40: rank 2 (b)          -> 1e9//62          = 16129032
+    # item 30: rank 3 (a)          -> 1e9//63          = 15873015
+    assert out[20] == (1, 10**9 // 62 + 10**9 // 61, 2, 1)
+    assert out[10] == (2, 10**9 // 61, 1, 1)
+    assert out[40] == (3, 10**9 // 62, 1, 2)
+    assert out[30] == (4, 10**9 // 63, 1, 3)
+
+
+def test_rrf_fuse_tie_breaks_on_item_id(spark):
+    from pipit_spark.llm.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1, 7), (1, 2, 5)], "query_id long, rank int, neighbor_id long"
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, 7)], "query_id long, rank int, neighbor_id long"
+    )
+    rows = rrf_fuse([a, b], k=2).orderBy("rank").collect()
+    # identical scores -> smaller item id first
+    assert [r["item_id"] for r in rows] == [5, 7]
