@@ -69,6 +69,9 @@ HEADLINE = [
     "web_dedup_urls",
     "emb_isolation",
     "trace_caller_callee",
+    # round-5 session-3: real codec + portable ANN ensemble
+    "media_decode_real",
+    "emb_rrf_fusion",
 ]
 
 

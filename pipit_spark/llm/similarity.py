@@ -1728,6 +1728,40 @@ def _portable_planes(
     return out
 
 
+def _int_dots_udf(mat: list[list[int]]):
+    """Arrow-batched EXACT integer dot products of a quantized vector
+    column against a static integer matrix (one row per
+    plane/centroid): one numpy int64 matmul per batch. Replaces the
+    interpreted higher-order-function fold, which evaluates ~1e6
+    lambda ops/sec/core — at 16 planes x 64 dims that alone was ~1 ms
+    PER ROW; the matmul does the same work at memory bandwidth.
+    Bit-identical to the fold and to the DuckDB oracle: int64 products
+    of |v|<=quant-scaled longs, |dot| <= dim*quant^2 << 2^63."""
+    M = np.asarray(mat, dtype=np.int64).T  # dim x nplanes
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def dots(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        A = np.vstack(v.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series(list(A @ M))
+
+    return dots
+
+
+@F.pandas_udf(T.LongType())
+def _pair_dot_int_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact int64 pairwise dot of two quantized vector columns —
+    the vectorized twin of aggregate(zip_with(a, b, *)) for the
+    candidate-scoring joins (one multiply-add row per candidate
+    pair is the hot loop of every portable ANN tier)."""
+    if len(a) == 0:
+        return pd.Series([], dtype="int64")
+    A = np.vstack(a.to_numpy()).astype(np.int64, copy=False)
+    B = np.vstack(b.to_numpy()).astype(np.int64, copy=False)
+    return pd.Series((A * B).sum(axis=1))
+
+
 def lsh_topk_portable(
     emb: DataFrame,
     queries: DataFrame,
@@ -1756,7 +1790,8 @@ def lsh_topk_portable(
     No float enters membership OR order — bit-identical across
     engines and partitionings.
 
-    Scale shape: signatures are one narrow JVM pass per side; the
+    Scale shape: signatures are one narrow Arrow matmul pass per side
+    (exact int64 — see _int_dots_udf; no float, no shuffle); the
     candidate join shuffles (table, signature) keys; ranking is a
     per-query window over candidate slivers. Same bucket-skew note as
     lsh_ann_pairs: pathological near-constant regions want the bucket
@@ -1767,58 +1802,65 @@ def lsh_topk_portable(
     qz = lambda c: F.transform(  # noqa: E731
         c, lambda x: F.round(x.cast("double") * quant).cast("long")
     )
+    # All plane dots in ONE Arrow matmul per batch (_int_dots_udf);
+    # signature bits assembled from the dots array JVM-side. The
+    # quantization itself stays in F.round so rounding semantics match
+    # the oracle's ROUND exactly.
+    dots_udf = _int_dots_udf(planes)
 
-    def sig_cols(qcol):
+    def sigs_from_dots(dcol):
         sigs = []
         for t in range(num_tables):
-            bits = []
-            for p in range(num_planes):
-                c = planes[t * num_planes + p]
-                dot = sum(
-                    (F.element_at(qcol, j + 1) * F.lit(c[j]))
-                    for j in range(dim)
-                )
-                bits.append(
-                    F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-                )
+            bits = [
+                F.when(
+                    F.element_at(dcol, t * num_planes + p + 1) > 0,
+                    F.lit(1 << p),
+                ).otherwise(F.lit(0))
+                for p in range(num_planes)
+            ]
             sigs.append(sum(bits[1:], bits[0]))
         return F.array(*sigs)
 
-    corp = emb.select(
-        F.col("vec_id").alias("cid"), qz(F.col(vec_col)).alias("cq")
-    ).withColumn("sigs", sig_cols(F.col("cq")))
-    qry = queries.select(
-        F.col("vec_id").alias("qid"), qz(F.col(vec_col)).alias("qq")
-    ).withColumn("sigs", sig_cols(F.col("qq")))
+    def add_sigs(df, vcol):
+        return (
+            df.withColumn("__dots", dots_udf(F.col(vcol)))
+            .withColumn("sigs", sigs_from_dots(F.col("__dots")))
+            .drop("__dots")
+        )
+
+    corp = add_sigs(
+        emb.select(
+            F.col("vec_id").alias("cid"), qz(F.col(vec_col)).alias("cq")
+        ),
+        "cq",
+    ).withColumn("na2", _pair_dot_int_udf(F.col("cq"), F.col("cq")))
+    qry = add_sigs(
+        queries.select(
+            F.col("vec_id").alias("qid"), qz(F.col(vec_col)).alias("qq")
+        ),
+        "qq",
+    )
     ce = corp.select(
-        "cid", "cq", F.posexplode("sigs").alias("t", "sig")
+        "cid", "cq", "na2", F.posexplode("sigs").alias("t", "sig")
     )
     qe = qry.select(
         "qid", "qq", F.posexplode("sigs").alias("t", "sig")
-    )
-    idot = F.aggregate(
-        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
-    )
-    na2 = F.aggregate(
-        F.transform(F.col("cq"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     cand = (
         qe.join(ce, ["t", "sig"])
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", "qq", "cq")
+        .select("qid", "cid", "qq", "cq", "na2")
         .distinct()
-        .withColumn("__dot", idot)
+        .withColumn(
+            "__dot", _pair_dot_int_udf(F.col("qq"), F.col("cq"))
+        )
         .withColumn(
             "__num",
             dec(F.col("__dot")) * dec(F.col("__dot"))
             * F.lit(10**6).cast("decimal(38,0)"),
         )
-        .withColumn("__na2", dec(na2))
+        .withColumn("__na2", dec(F.col("na2")))
         # div (integral division) on the POSITIVE quantity, negated
         # after — truncation == floor there, so Spark's div and
         # DuckDB's // agree exactly
@@ -1965,7 +2007,8 @@ def ivf_topk_portable(
     centroids of the signed quantized cosine surrogate
     ``sign(dot)·(dot²·10⁶ div |c_j|²)`` (|c_j|² is a compile-time
     literal); computed as a NARROW array expression (array_max over
-    (key, -j) structs — no shuffle, no Python), ties to the smaller
+    (key, -j) structs over one exact-int64 Arrow matmul of the
+    centroid dots — no shuffle), ties to the smaller
     cell index; (2) probing — each query keeps its ``nprobe`` best
     cells by the same measure (reverse array_sort + slice, still
     narrow); (3) candidates — probe ⋈ corpus-cell equi-join on the
@@ -1987,23 +2030,21 @@ def ivf_topk_portable(
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 
+    cent_dots_udf = _int_dots_udf(cents)
+
     def with_cell_keys(df, vq_col):
         """Adds __keys: array<struct<k,nj>> of per-centroid surrogate
-        keys — per-row expressions only, narrow. |c_j|² is a Python
+        keys — all centroid dots in one Arrow int64 matmul
+        (_int_dots_udf), keys assembled JVM-side. |c_j|² is a Python
         int baked into the `div` SQL (same integral-division operator
         as the candidate ranking, so truncation semantics match the
         oracle's // exactly)."""
         structs = []
-        tmp = []
+        tmp = ["__dots"]
+        df = df.withColumn("__dots", cent_dots_udf(F.col(vq_col)))
         for j, (cj, na2j) in enumerate(zip(cents, na2s)):
-            cvec = F.array(*[F.lit(int(x)) for x in cj])
             df = df.withColumn(
-                f"__d{j}",
-                F.aggregate(
-                    F.zip_with(F.col(vq_col), cvec, lambda x, y: x * y),
-                    F.lit(0).cast("long"),
-                    lambda a, v: a + v,
-                ),
+                f"__d{j}", F.element_at(F.col("__dots"), j + 1)
             )
             mag = (
                 f"(CAST(__d{j} AS DECIMAL(38,0)) * CAST(__d{j} AS "
@@ -2056,27 +2097,22 @@ def ivf_topk_portable(
             ).alias("cell"),
         )
     )
-    idot = F.aggregate(
-        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
-    )
-    na2 = F.aggregate(
-        F.transform(F.col("cq"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
+    corp = corp.withColumn(
+        "na2", _pair_dot_int_udf(F.col("cq"), F.col("cq"))
     )
     cand = (
         qry.join(corp, "cell")
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", "qq", "cq")
-        .withColumn("__dot", idot)
+        .select("qid", "cid", "qq", "cq", "na2")
+        .withColumn(
+            "__dot", _pair_dot_int_udf(F.col("qq"), F.col("cq"))
+        )
         .withColumn(
             "__num",
             dec(F.col("__dot")) * dec(F.col("__dot"))
             * F.lit(10**6).cast("decimal(38,0)"),
         )
-        .withColumn("__na2", dec(na2))
+        .withColumn("__na2", dec(F.col("na2")))
         .withColumn(
             "__key",
             F.when(

@@ -32,6 +32,9 @@ PYTHON_STAGE_OK = {
     "emb_pq_topk", "emb_pq_topk_exact",
     "emb_ivfpq_topk", "emb_ivfpq_topk_exact", "emb_ann_recall",
     "emb_lsh_ann", "emb_semantic_dedup", "media_decode",
+    # portable integer ANN tiers: exact-int64 Arrow matmul kernels
+    # (_int_dots_udf / _pair_dot_int_udf) by design
+    "emb_lsh_topk", "emb_ivf_topk_portable", "emb_rrf_fusion",
     "media_near_dups",  # decode step is the codec Arrow stage
     "media_decode_real",  # synth + real-codec decode, both Arrow stages
     # bloom probe is a vectorized Arrow bit-test by design
