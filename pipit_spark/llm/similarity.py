@@ -1762,6 +1762,93 @@ def _pair_dot_int_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series((A * B).sum(axis=1))
 
 
+def _rank_portable_candidates(
+    pairs: DataFrame, corp: DataFrame, qry: DataFrame, k: int
+) -> DataFrame:
+    """Shared scoring+ranking tail of the portable ANN tiers.
+
+    ``pairs``: candidate (qid, cid) pairs — ids ONLY, so the bucket
+    join and dedup upstream never shuffle vectors. ``corp``:
+    (cid, cq, na2). ``qry``: (qid, qq).
+
+    Scoring volume scales with |candidate corpus rows|, not |pairs|:
+    for a bounded query batch (the production retrieval shape — corpus
+    grows, the query batch does not) the quantized queries are
+    collected once and every DISTINCT candidate row's dots against ALL
+    queries come out of one Arrow int64 matmul; the per-pair step is
+    then an element_at on the dots array. Above 10k queries it falls
+    back to the per-pair dot kernel (both paths are exact int64 —
+    identical values). Ranking: the DECIMAL(38,0) signed quantized
+    cosine-squared surrogate with vec_id tie-break; `div` on the
+    positive quantity so Spark's integral division matches DuckDB's //
+    exactly."""
+    from pyspark.sql import Window
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    spark = pairs.sparkSession
+    qrows = qry.select("qid", "qq").limit(10_001).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, dot_q long"
+        )
+    if len(qrows) <= 10_000:
+        qmat = [list(r.qq) for r in qrows]
+        qdots = _int_dots_udf(qmat)
+        idx = spark.createDataFrame(
+            [(r.qid, i + 1) for i, r in enumerate(qrows)],
+            "qid long, __qi int",
+        )
+        cids = (
+            pairs.select("cid")
+            .distinct()
+            .join(corp, "cid")
+            .withColumn("__qdots", qdots(F.col("cq")))
+            .select("cid", "na2", "__qdots")
+        )
+        cand = (
+            pairs.join(F.broadcast(idx), "qid")
+            .join(cids, "cid")
+            .withColumn(
+                "__dot", F.element_at(F.col("__qdots"), F.col("__qi"))
+            )
+        )
+    else:
+        cand = (
+            pairs.join(corp, "cid")
+            .join(qry, "qid")
+            .withColumn(
+                "__dot", _pair_dot_int_udf(F.col("qq"), F.col("cq"))
+            )
+        )
+    cand = (
+        cand.withColumn(
+            "__num",
+            dec(F.col("__dot")) * dec(F.col("__dot"))
+            * F.lit(10**6).cast("decimal(38,0)"),
+        )
+        .withColumn("__na2", dec(F.col("na2")))
+        .withColumn(
+            "__key",
+            F.when(
+                F.col("__dot") >= 0, F.expr("__num div __na2")
+            ).otherwise(-F.expr("__num div __na2")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("__key").desc(), F.col("cid").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("cid").alias("neighbor_id"),
+            F.col("__dot").alias("dot_q"),
+        )
+    )
+
+
 def lsh_topk_portable(
     emb: DataFrame,
     queries: DataFrame,
@@ -1840,51 +1927,21 @@ def lsh_topk_portable(
         ),
         "qq",
     )
-    ce = corp.select(
-        "cid", "cq", "na2", F.posexplode("sigs").alias("t", "sig")
-    )
-    qe = qry.select(
-        "qid", "qq", F.posexplode("sigs").alias("t", "sig")
-    )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    cand = (
+    # bucket join + dedup over ids ONLY — vectors never ride the
+    # (t, sig) shuffle or the distinct
+    ce = corp.select("cid", F.posexplode("sigs").alias("t", "sig"))
+    qe = qry.select("qid", F.posexplode("sigs").alias("t", "sig"))
+    pairs = (
         qe.join(ce, ["t", "sig"])
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", "qq", "cq", "na2")
+        .select("qid", "cid")
         .distinct()
-        .withColumn(
-            "__dot", _pair_dot_int_udf(F.col("qq"), F.col("cq"))
-        )
-        .withColumn(
-            "__num",
-            dec(F.col("__dot")) * dec(F.col("__dot"))
-            * F.lit(10**6).cast("decimal(38,0)"),
-        )
-        .withColumn("__na2", dec(F.col("na2")))
-        # div (integral division) on the POSITIVE quantity, negated
-        # after — truncation == floor there, so Spark's div and
-        # DuckDB's // agree exactly
-        .withColumn(
-            "__key",
-            F.when(
-                F.col("__dot") >= 0, F.expr("__num div __na2")
-            ).otherwise(-F.expr("__num div __na2")),
-        )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("qid").orderBy(
-        F.col("__key").desc(), F.col("cid").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            "rank",
-            F.col("cid").alias("neighbor_id"),
-            F.col("__dot").alias("dot_q"),
-        )
+    return _rank_portable_candidates(
+        pairs,
+        corp.select("cid", "cq", "na2"),
+        qry.select("qid", "qq"),
+        k,
     )
 
 
@@ -2028,8 +2085,6 @@ def ivf_topk_portable(
     qz = lambda c: F.transform(  # noqa: E731
         c, lambda x: F.round(x.cast("double") * quant).cast("long")
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-
     cent_dots_udf = _int_dots_udf(cents)
 
     def with_cell_keys(df, vq_col):
@@ -2078,20 +2133,18 @@ def ivf_topk_portable(
         .withColumn("cell", -F.col("__best.nj"))
         .drop("__best", "__keys")
     )
-    qry = (
-        with_cell_keys(
-            queries.select(
-                F.col("vec_id").alias("qid"),
-                qz(F.col(vec_col)).alias("qq"),
-            ),
-            "qq",
-        )
+    qbase = queries.select(
+        F.col("vec_id").alias("qid"), qz(F.col(vec_col)).alias("qq")
+    )
+    # probe list per query: ids only ride the cell join
+    qprobe = (
+        with_cell_keys(qbase, "qq")
         .withColumn(
             "__probes",
             F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
         )
         .select(
-            "qid", "qq",
+            "qid",
             F.explode(
                 F.transform(F.col("__probes"), lambda s: -s["nj"])
             ).alias("cell"),
@@ -2100,40 +2153,13 @@ def ivf_topk_portable(
     corp = corp.withColumn(
         "na2", _pair_dot_int_udf(F.col("cq"), F.col("cq"))
     )
-    cand = (
-        qry.join(corp, "cell")
+    pairs = (
+        qprobe.join(corp.select("cid", "cell"), "cell")
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", "qq", "cq", "na2")
-        .withColumn(
-            "__dot", _pair_dot_int_udf(F.col("qq"), F.col("cq"))
-        )
-        .withColumn(
-            "__num",
-            dec(F.col("__dot")) * dec(F.col("__dot"))
-            * F.lit(10**6).cast("decimal(38,0)"),
-        )
-        .withColumn("__na2", dec(F.col("na2")))
-        .withColumn(
-            "__key",
-            F.when(
-                F.col("__dot") >= 0, F.expr("__num div __na2")
-            ).otherwise(-F.expr("__num div __na2")),
-        )
+        .select("qid", "cid")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("qid").orderBy(
-        F.col("__key").desc(), F.col("cid").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            "rank",
-            F.col("cid").alias("neighbor_id"),
-            F.col("__dot").alias("dot_q"),
-        )
+    return _rank_portable_candidates(
+        pairs, corp.select("cid", "cq", "na2"), qbase, k
     )
 
 
