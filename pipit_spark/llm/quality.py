@@ -871,3 +871,141 @@ SELECT d.doc_id,
        CAST(COALESCE(p.n_cards, 0) AS BIGINT) AS n_cards
 FROM {table} d LEFT JOIN per_cand p USING (doc_id)
 """
+
+
+# ------------------------------------------------------------ licenses
+
+# (spdx id, family, lowercase marker substring) in detection-precedence
+# order. Markers are PLAIN substrings matched on lower(text) — both
+# engines use contains/strpos, so there is no regex-dialect risk; the
+# SPDX tag, when present, wins over any marker.
+LICENSE_MARKERS = [
+    ("Apache-2.0", "permissive", "apache license"),
+    ("MIT", "permissive", "mit license"),
+    ("BSD-3-Clause", "permissive", "bsd 3-clause"),
+    ("GPL-3.0-only", "copyleft", "gnu general public license"),
+    ("MPL-2.0", "weak-copyleft", "mozilla public license"),
+    ("CC-BY-4.0", "attribution", "creative commons attribution"),
+    ("CC0-1.0", "public-domain", "cc0"),
+]
+
+# families for SPDX ids seen in the wild beyond the marker set; ids not
+# listed here fall back to 'unknown' family (the id itself is still
+# reported verbatim)
+SPDX_FAMILIES = dict(
+    [(lic, fam) for lic, fam, _ in LICENSE_MARKERS]
+    + [
+        ("GPL-2.0-only", "copyleft"),
+        ("AGPL-3.0-only", "copyleft"),
+        ("LGPL-3.0-only", "weak-copyleft"),
+        ("BSD-2-Clause", "permissive"),
+        ("ISC", "permissive"),
+        ("Unlicense", "public-domain"),
+    ]
+)
+
+# RE2-compatible: no lookaround, '-' last in the class
+SPDX_RE = r"SPDX-License-Identifier: ([A-Za-z0-9.+-]+)"
+
+
+def detect_licenses(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document license detection for code/web corpora: the SPDX
+    tag (``SPDX-License-Identifier: <id>``, reported verbatim) wins;
+    otherwise the first matching marker substring from
+    ``LICENSE_MARKERS`` (case-insensitive, precedence = list order);
+    otherwise ``unknown``. ``family`` buckets the id for downstream
+    policy filters (permissive / copyleft / weak-copyleft /
+    attribution / public-domain / unknown).
+
+    Shape: one corpus scan, join-free — the when-chain and the single
+    regexp_extract are JVM codegen expressions, so the op costs the
+    same as reading the text column. At 100 TB this composes with
+    heuristic_filter / pii_redact into the same single-scan pass
+    (shared-expression plan, see llm/pipeline.py).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    spdx = F.regexp_extract(t, SPDX_RE, 1)
+    low = F.lower(t)
+    lic = F.when(spdx != "", spdx)
+    for lid, _fam, marker in LICENSE_MARKERS:
+        lic = lic.when(low.contains(marker), F.lit(lid))
+    lic = lic.otherwise(F.lit("unknown"))
+    out = docs.select(
+        "doc_id",
+        lic.alias("license"),
+        (spdx != "").alias("has_spdx"),
+    )
+    fam = None
+    for lid, family in SPDX_FAMILIES.items():
+        cond = F.col("license") == lid
+        fam = F.when(cond, family) if fam is None else fam.when(cond, family)
+    return out.withColumn("family", fam.otherwise(F.lit("unknown")))
+
+
+def license_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus license report: docs and share (integer ppm — the
+    integer-determinism rule from PLANS.md §14) per (license, family).
+    One scan + one map-side-combined hash aggregation; the total-count
+    scalar joins back as a 1-row broadcast."""
+    per = detect_licenses(docs, text_col)
+    counts = per.groupBy("license", "family").agg(
+        F.count("*").alias("docs")
+    )
+    total = per.agg(F.count("*").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "license",
+            "family",
+            "docs",
+            F.expr("docs * 1000000 div __total").alias("share_ppm"),
+        )
+    )
+
+
+def _sql_detect_licenses(text_expr: str) -> str:
+    """Shared SELECT-list fragment for the DuckDB twins: license,
+    has_spdx, family computed from ``text_expr`` exactly as
+    :func:`detect_licenses` does."""
+    low = f"lower({text_expr})"
+    spdx = f"regexp_extract({text_expr}, '{SPDX_RE}', 1)"
+    marker_chain = " ".join(
+        f"WHEN strpos({low}, '{m}') > 0 THEN '{lid}'"
+        for lid, _f, m in LICENSE_MARKERS
+    )
+    fam_chain = " ".join(
+        f"WHEN '{lid}' THEN '{fam}'" for lid, fam in SPDX_FAMILIES.items()
+    )
+    return f"""
+           CASE WHEN {spdx} <> '' THEN {spdx}
+                {marker_chain}
+                ELSE 'unknown' END AS license,
+           ({spdx} <> '') AS has_spdx,
+           CASE (CASE WHEN {spdx} <> '' THEN {spdx}
+                      {marker_chain}
+                      ELSE 'unknown' END)
+                {fam_chain}
+                ELSE 'unknown' END AS family
+    """
+
+
+def oracle_detect_licenses(
+    table: str = "documents", text_expr: str = "COALESCE(text, '')"
+) -> str:
+    return f"""
+SELECT doc_id, {_sql_detect_licenses(text_expr)}
+FROM {table}
+"""
+
+
+def oracle_license_mix(
+    table: str = "documents", text_expr: str = "COALESCE(text, '')"
+) -> str:
+    return f"""
+WITH per AS (
+    SELECT doc_id, {_sql_detect_licenses(text_expr)} FROM {table}
+)
+SELECT license, family, COUNT(*) AS docs,
+       COUNT(*) * 1000000 // (SELECT COUNT(*) FROM per) AS share_ppm
+FROM per GROUP BY license, family
+"""

@@ -1456,3 +1456,74 @@ ranked AS (
 SELECT grp AS {g}, CAST(COUNT(*) AS BIGINT) AS n_docs, {cols}
 FROM ranked GROUP BY 1
 """
+
+
+# ------------------------------------------------------ structure stats
+
+# (column, needle) — structural markers counted by replace-arithmetic:
+# count = (len(s) - len(replace(s, needle, ''))) / len(needle). Both
+# engines replace left-to-right non-overlapping, so the counts are
+# exact and dialect-free (no regex in the plan at all).
+STRUCTURE_NEEDLES = [
+    ("code_fences", "```"),
+    ("h1_headers", "\n# "),
+    ("h2_headers", "\n## "),
+    ("bullet_lines", "\n- "),
+    ("table_rows", "\n| "),
+    ("html_tags", "</"),
+]
+
+
+def structure_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document structural profile for mixing/filtering decisions
+    (code vs prose vs tables vs residual HTML): exact occurrence
+    counts of the ``STRUCTURE_NEEDLES`` markers plus line count and raw
+    length. A corpus destined for a code-capable model wants documents
+    WITH fences; a clean-prose mix wants ``html_tags = 0`` — both are
+    one filter over this frame.
+
+    Shape: single scan, join-free, all counts from replace-arithmetic
+    on the text column (JVM codegen, BIGINT outputs — the PLANS.md §14
+    integer-determinism rule applied to text forensics). At 100 TB
+    this is scan-bound and composes into the shared-expression
+    single-pass plan like text_stats."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def cnt(needle: str):
+        return (
+            (F.length(t) - F.length(F.replace(t, F.lit(needle))))
+            / len(needle)
+        ).cast("long")
+
+    cols = [cnt(n).alias(name) for name, n in STRUCTURE_NEEDLES]
+    return docs.select(
+        "doc_id",
+        *cols,
+        (F.length(t) - F.length(F.replace(t, F.lit("\n"))) + 1)
+        .cast("long")
+        .alias("n_lines"),
+        F.length(t).cast("long").alias("n_chars_raw"),
+    )
+
+
+def oracle_structure_stats(
+    table: str = "documents", text_expr: str = "COALESCE(text, '')"
+) -> str:
+    def cnt(needle: str) -> str:
+        esc = needle.replace("\n", "' || chr(10) || '")
+        return (
+            f"(length({text_expr}) - length(replace({text_expr}, "
+            f"'{esc}', ''))) // {len(needle)}"
+        )
+
+    cols = ",\n       ".join(
+        f"{cnt(n)} AS {name}" for name, n in STRUCTURE_NEEDLES
+    )
+    return f"""
+SELECT doc_id,
+       {cols},
+       (length({text_expr}) - length(replace({text_expr},
+            chr(10), ''))) + 1 AS n_lines,
+       length({text_expr}) AS n_chars_raw
+FROM {table}
+"""

@@ -3814,6 +3814,97 @@ def q_emb_decontaminate(spark, sf_dir):
     ).select("vec_id", "label")
 
 
+# ----- round-5 session-4: license + structure forensics ------------- #
+
+# Fixture text is synthetic word salad (no real licenses / markdown),
+# so the gates inject deterministic markers keyed on doc_id and the
+# oracles replay the same CASE — the established synthesis pattern
+# from media_decode / doc_pii gates.
+_LICENSE_SNIPPETS = [
+    "",
+    "\nSPDX-License-Identifier: MIT\n",
+    "\nSPDX-License-Identifier: Apache-2.0\n",
+    "\nSPDX-License-Identifier: GPL-3.0-only\n",
+    "\nReleased under the BSD 3-Clause license.\n",
+    "\nThis page is licensed under a Creative Commons Attribution"
+    " 4.0 International License.\n",
+    "\nDistributed under the terms of the GNU General Public"
+    " License v3.\n",
+]
+
+_STRUCT_SNIPPETS = [
+    "",
+    "\n```python\nx = 1\n```\n",
+    "\n# Title\n## Section\n## Notes\n- one\n- two\n- three\n",
+    "\n| a | b |\n| 1 | 2 |\n| 3 | 4 |\n",
+    "\n<div><p>residual</p></div>\n",
+]
+
+
+def _inject_snippets(docs, snippets):
+    arr = F.lit(snippets)
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.element_at(arr, (F.col("doc_id") % len(snippets) + 1).cast("int")),
+        ),
+    )
+
+
+def _sql_str(s: str) -> str:
+    """SQL literal for a Python string: newline-safe via chr(10)
+    concatenation (no dialect escape assumptions)."""
+    parts = [
+        "'" + p.replace("'", "''") + "'" for p in s.split("\n")
+    ]
+    return "(" + " || chr(10) || ".join(parts) + ")"
+
+
+def _sql_inject(snippets) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN {_sql_str(s)}" for i, s in enumerate(snippets)
+    )
+    return (
+        f"(COALESCE(text, '') || CASE doc_id % {len(snippets)} "
+        f"{whens} END)"
+    )
+
+
+def q_doc_licenses(spark, sf_dir):
+    """Per-document license detection (SPDX tag wins, then marker
+    substrings, else unknown) over deterministically injected markers
+    — llm/quality.py:detect_licenses. Single scan, join-free; the
+    production use is license-policy filtering of code/web corpora."""
+    return QL.detect_licenses(
+        _inject_snippets(
+            load(spark, sf_dir, "documents"), _LICENSE_SNIPPETS
+        )
+    )
+
+
+def q_doc_license_mix(spark, sf_dir):
+    """Corpus license report: docs + integer-ppm share per (license,
+    family) — llm/quality.py:license_mix. One hash aggregation over
+    the detect_licenses scan."""
+    return QL.license_mix(
+        _inject_snippets(
+            load(spark, sf_dir, "documents"), _LICENSE_SNIPPETS
+        )
+    )
+
+
+def q_doc_structure_stats(spark, sf_dir):
+    """Structural profile (code fences / markdown headers / bullets /
+    table rows / residual HTML, all replace-arithmetic BIGINT counts)
+    over injected markers — llm/text.py:structure_stats."""
+    return X.structure_stats(
+        _inject_snippets(
+            load(spark, sf_dir, "documents"), _STRUCT_SNIPPETS
+        )
+    )
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -4025,6 +4116,11 @@ def queries():
         "q22_idle_customers": q22_idle_customers,
         "events_props_stats": q_events_props_stats,
         "events_outliers": q_events_outliers,
+        # round-5 session-4 additions (r06 window candidates — no
+        # driver row yet; local parity only)
+        "doc_licenses": q_doc_licenses,
+        "doc_license_mix": q_doc_license_mix,
+        "doc_structure_stats": q_doc_structure_stats,
     }
 
 
@@ -4254,4 +4350,13 @@ def oracle_sql():
         # value-checked via emb_ivf_topk_exact), trace_detect_pattern
         # (iterative matrix profile; its input slice value-checked via
         # trace_match_inc), media_decode (stub codec binary synthesis).
+        "doc_licenses": QL.oracle_detect_licenses(
+            text_expr=_sql_inject(_LICENSE_SNIPPETS)
+        ),
+        "doc_license_mix": QL.oracle_license_mix(
+            text_expr=_sql_inject(_LICENSE_SNIPPETS)
+        ),
+        "doc_structure_stats": X.oracle_structure_stats(
+            text_expr=_sql_inject(_STRUCT_SNIPPETS)
+        ),
     }

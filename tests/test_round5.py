@@ -760,3 +760,75 @@ def test_rrf_fuse_tie_breaks_on_item_id(spark):
     rows = rrf_fuse([a, b], k=2).orderBy("rank").collect()
     # identical scores -> smaller item id first
     assert [r["item_id"] for r in rows] == [5, 7]
+
+
+def test_detect_licenses_goldens(spark):
+    from pipit_spark.llm.quality import detect_licenses
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain prose, nothing to see"),
+            (1, "header\nSPDX-License-Identifier: Apache-2.0\nbody"),
+            # SPDX beats a conflicting marker
+            (2, "The MIT License\nSPDX-License-Identifier: GPL-3.0-only"),
+            (3, "Released under the BSD 3-Clause license."),
+            (4, "This work uses a Creative Commons Attribution 4.0 deed"),
+            # unknown SPDX id: reported verbatim, family unknown
+            (5, "SPDX-License-Identifier: EUPL-1.2"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in detect_licenses(docs).collect()}
+    assert out[0]["license"] == "unknown" and not out[0]["has_spdx"]
+    assert out[1]["license"] == "Apache-2.0"
+    assert out[1]["family"] == "permissive" and out[1]["has_spdx"]
+    assert out[2]["license"] == "GPL-3.0-only"
+    assert out[2]["family"] == "copyleft"
+    assert out[3]["license"] == "BSD-3-Clause"
+    assert out[4]["license"] == "CC-BY-4.0"
+    assert out[4]["family"] == "attribution"
+    assert out[5]["license"] == "EUPL-1.2"
+    assert out[5]["family"] == "unknown" and out[5]["has_spdx"]
+    assert out[6]["license"] == "unknown"
+
+
+def test_license_mix_ppm(spark):
+    from pipit_spark.llm.quality import license_mix
+
+    docs = spark.createDataFrame(
+        [(i, "SPDX-License-Identifier: MIT" if i < 3 else "x")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    mix = {r["license"]: r for r in license_mix(docs).collect()}
+    assert mix["MIT"]["docs"] == 3
+    assert mix["MIT"]["share_ppm"] == 750_000
+    assert mix["unknown"]["share_ppm"] == 250_000
+
+
+def test_structure_stats_goldens(spark):
+    from pipit_spark.llm.text import structure_stats
+
+    text = (
+        "intro\n```py\ncode\n```\n# H1\n## H2a\n## H2b\n"
+        "- b1\n- b2\n| r | s |\n| 1 | 2 |\n<div><p>t</p></div>"
+    )
+    docs = spark.createDataFrame(
+        [(0, text), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in structure_stats(docs).collect()}
+    r0 = out[0]
+    assert r0["code_fences"] == 2
+    assert r0["h1_headers"] == 1
+    assert r0["h2_headers"] == 2
+    assert r0["bullet_lines"] == 2
+    assert r0["table_rows"] == 2
+    assert r0["html_tags"] == 2  # </p> and </div>
+    assert r0["n_lines"] == text.count("\n") + 1
+    assert r0["n_chars_raw"] == len(text)
+    # empty and NULL text degrade identically: zero counts, 1 "line"
+    for d in (1, 2):
+        assert out[d]["code_fences"] == 0
+        assert out[d]["n_lines"] == 1
+        assert out[d]["n_chars_raw"] == 0
