@@ -908,6 +908,29 @@ SPDX_FAMILIES = dict(
 SPDX_RE = r"SPDX-License-Identifier: ([A-Za-z0-9.+-]+)"
 
 
+def _license_expr(text_col: str):
+    """(license column, has_spdx column) — the shared classification
+    expressions (SPDX tag wins, then marker precedence, else
+    unknown)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    spdx = F.regexp_extract(t, SPDX_RE, 1)
+    low = F.lower(t)
+    lic = F.when(spdx != "", spdx)
+    for lid, _fam, marker in LICENSE_MARKERS:
+        lic = lic.when(low.contains(marker), F.lit(lid))
+    return lic.otherwise(F.lit("unknown")), (spdx != "")
+
+
+def _family_expr(lic_col):
+    fam = None
+    for lid, family in SPDX_FAMILIES.items():
+        cond = lic_col == lid
+        fam = (
+            F.when(cond, family) if fam is None else fam.when(cond, family)
+        )
+    return fam.otherwise(F.lit("unknown"))
+
+
 def detect_licenses(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document license detection for code/web corpora: the SPDX
     tag (``SPDX-License-Identifier: <id>``, reported verbatim) wins;
@@ -923,23 +946,29 @@ def detect_licenses(docs: DataFrame, text_col: str = "text") -> DataFrame:
     heuristic_filter / pii_redact into the same single-scan pass
     (shared-expression plan, see llm/pipeline.py).
     """
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    spdx = F.regexp_extract(t, SPDX_RE, 1)
-    low = F.lower(t)
-    lic = F.when(spdx != "", spdx)
-    for lid, _fam, marker in LICENSE_MARKERS:
-        lic = lic.when(low.contains(marker), F.lit(lid))
-    lic = lic.otherwise(F.lit("unknown"))
-    out = docs.select(
+    lic, has_spdx = _license_expr(text_col)
+    return docs.select(
         "doc_id",
         lic.alias("license"),
-        (spdx != "").alias("has_spdx"),
+        has_spdx.alias("has_spdx"),
+    ).withColumn("family", _family_expr(F.col("license")))
+
+
+def license_filter(
+    docs: DataFrame,
+    allowed_families: tuple[str, ...] = ("permissive", "public-domain"),
+    text_col: str = "text",
+) -> DataFrame:
+    """License-policy gate for code/web corpora: keeps documents whose
+    detected license family is in ``allowed_families``; every input
+    column rides through, plus ``license`` and ``family``. One scan,
+    join-free — composes with clean_corpus / pack_sequences into a
+    single-pass curation plan (see the doc_licensed_pack gate)."""
+    lic, _ = _license_expr(text_col)
+    out = docs.withColumn("license", lic).withColumn(
+        "family", _family_expr(F.col("license"))
     )
-    fam = None
-    for lid, family in SPDX_FAMILIES.items():
-        cond = F.col("license") == lid
-        fam = F.when(cond, family) if fam is None else fam.when(cond, family)
-    return out.withColumn("family", fam.otherwise(F.lit("unknown")))
+    return out.filter(F.col("family").isin(*list(allowed_families)))
 
 
 def license_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -3905,6 +3905,32 @@ def q_doc_structure_stats(spark, sf_dir):
     )
 
 
+def q_doc_licensed_pack(spark, sf_dir):
+    """Capstone composition for code-corpus curation: inject license
+    markers → license_filter (permissive + public-domain policy) →
+    pack survivors into 512-token windows. One scan into one shard
+    shuffle; the policy filter is pushed below the pack window
+    (llm/quality.py:license_filter + llm/sampling.py:pack_sequences)."""
+    docs = _inject_snippets(
+        load(spark, sf_dir, "documents"), _LICENSE_SNIPPETS
+    )
+    surv = QL.license_filter(docs, ("permissive", "public-domain"))
+    return _SP.pack_sequences(surv, context_len=512, n_shards=16)
+
+
+def _oracle_licensed_pack() -> str:
+    inj = _sql_inject(_LICENSE_SNIPPETS)
+    return f"""
+WITH survivors AS (
+    SELECT doc_id, {inj} AS text FROM (
+        SELECT doc_id, text, {QL._sql_detect_licenses(inj)}
+        FROM documents
+    ) WHERE family IN ('permissive', 'public-domain')
+)
+SELECT * FROM ({_SP.oracle_pack_sequences("survivors", 512, 16)})
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -4121,6 +4147,7 @@ def queries():
         "doc_licenses": q_doc_licenses,
         "doc_license_mix": q_doc_license_mix,
         "doc_structure_stats": q_doc_structure_stats,
+        "doc_licensed_pack": q_doc_licensed_pack,
     }
 
 
@@ -4359,4 +4386,5 @@ def oracle_sql():
         "doc_structure_stats": X.oracle_structure_stats(
             text_expr=_sql_inject(_STRUCT_SNIPPETS)
         ),
+        "doc_licensed_pack": _oracle_licensed_pack(),
     }

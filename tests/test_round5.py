@@ -832,3 +832,24 @@ def test_structure_stats_goldens(spark):
         assert out[d]["code_fences"] == 0
         assert out[d]["n_lines"] == 1
         assert out[d]["n_chars_raw"] == 0
+
+
+def test_license_filter_passthrough_and_policy(spark):
+    from pipit_spark.llm.quality import license_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "SPDX-License-Identifier: MIT", "a"),
+            (1, "SPDX-License-Identifier: GPL-3.0-only", "b"),
+            (2, "no license at all", "c"),
+            (3, "SPDX-License-Identifier: Unlicense", "d"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = license_filter(docs).orderBy("doc_id").collect()
+    # MIT (permissive) and Unlicense (public-domain) survive; GPL and
+    # unknown are dropped; input columns ride through
+    assert [r["doc_id"] for r in out] == [0, 3]
+    assert out[0]["source"] == "a" and out[1]["source"] == "d"
+    assert out[0]["license"] == "MIT"
+    assert out[1]["family"] == "public-domain"
