@@ -3962,8 +3962,12 @@ def queries():
     sit in the tail on their r01+r02 green rows).  The other 10
     r02-stale gates moved to the tail
     end (r01/r02 driver-green rows exist for all of them); the rest of
-    the tail is driver-hash-green in r03 or r04.  Every oracle-bearing
-    gate — window or tail — is additionally
+    the tail is driver-hash-green in r03 or r04.  The round-5
+    session-4 additions (doc_licenses, doc_license_mix,
+    doc_structure_stats, doc_licensed_pack — bringing the registry to
+    163) sit at the tail end with NO driver row yet (local parity
+    only); they are the first candidates for the r06 window rotation.
+    Every oracle-bearing gate — window or tail — is additionally
     value-checked locally by tools/parity_check.py (EXACT float
     compare, predicting the driver's hash) and column-checked by
     tests/test_oracle_parity.
