@@ -370,3 +370,60 @@ def test_decontaminate_embeddings_corpus_no_exchange(spark):
     # never carry the embedding arrays
     import re
     assert tree.count("Exchange") <= 3, tree
+
+
+def test_detect_licenses_single_scan_no_exchange(spark):
+    """License classification is one projection over one scan — no
+    join, no shuffle, no Python stage (pure when-chain + one
+    regexp_extract)."""
+    from pipit_spark.llm.quality import detect_licenses
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tree = tree_of(detect_licenses(docs))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+    assert "Exchange" not in tree, tree
+    assert "Python" not in tree, tree
+
+
+def test_structure_stats_single_scan_no_exchange(spark):
+    """Replace-arithmetic structural counts: one projection over one
+    scan, nothing else."""
+    from pipit_spark.llm.text import structure_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tree = tree_of(structure_stats(docs))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+    assert "Exchange" not in tree, tree
+
+
+def test_license_mix_broadcast_total(spark):
+    """The mix report's corpus-total scalar joins back as a 1-row
+    broadcast — no sort-merge join, no second aggregate path over the
+    big side."""
+    from pipit_spark.llm.quality import license_mix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tree = tree_of(license_mix(docs))
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_licensed_pack_filter_below_window(spark):
+    """Capstone shape: the license-policy filter runs in the scan
+    projection BELOW the pack window's shard exchange — survivors are
+    filtered before anything shuffles."""
+    from pipit_spark.llm.quality import license_filter
+    from pipit_spark.llm.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = pack_sequences(
+        license_filter(docs), context_len=512, n_shards=16
+    )
+    tree = tree_of(df)
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+    # exactly the pack shuffles: shard hash exchange (+ the final agg
+    # exchange); the filter itself must not add one
+    assert tree.count("Exchange") <= 2, tree
