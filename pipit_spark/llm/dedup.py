@@ -2134,3 +2134,177 @@ deg AS (
 SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM deg GROUP BY 1
 """
+
+
+# --------------------------------------------------- KMV corpus sketch
+
+
+def kmv_sketch(
+    docs: DataFrame,
+    k: int = 64,
+    ngram: int = 3,
+    group_col: str = "source",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """K-minimum-values sketch per group (Beyer et al. 2007): the ``k``
+    lexicographically smallest DISTINCT ``md5(shingle)`` digests of
+    each group's word-``ngram`` set — ``(grp, pos, h)`` rows.
+
+    The sketch answers corpus-level similarity questions ("which
+    sources duplicate each other", "how much does this crawl overlap
+    the last one") WITHOUT ever joining documents: per-group state is
+    k-sized and MERGEABLE — the union sketch is the k-min of the
+    concatenation (see merge_kmv + the merge≡whole-corpus pytest), so
+    shards/snapshots sketch independently and combine in k-sized
+    exchanges.
+
+    Scale shape: the same distinct-shingle scan minhash pays, then
+    TWO-PHASE exact k-min selection — rank within (grp, salt) buckets
+    first (if a digest is among a group's k smallest it is among its
+    salt bucket's k smallest), then rank the ≤ salt_buckets·k
+    survivors per group. Phase 1 parallelizes the per-group sort
+    ``salt_buckets``-wide, so a hot group (one source = half the
+    corpus) never serializes onto one task. md5 hex strings order
+    identically in every engine — no float, bit-identical sketches at
+    any partitioning."""
+    from pyspark.sql import Window
+
+    # the group id plays the doc role for the shingle scan (the scan
+    # only consumes doc_id + text)
+    base = docs.select(
+        F.col(group_col).cast("string").alias("doc_id"), F.col("text")
+    )
+    sh = shingle_table(base, n=ngram, distinct=False)
+    hashed = sh.select(
+        F.col("doc_id").alias("grp"), F.md5("shingle").alias("h")
+    ).distinct()
+    hashed = hashed.withColumn(
+        "__salt", F.pmod(F.xxhash64("h"), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy("grp", "__salt").orderBy("h")
+    survivors = (
+        hashed.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy("grp").orderBy("h")
+    return (
+        survivors.withColumn("pos", F.row_number().over(w2))
+        .filter(F.col("pos") <= k)
+        .select("grp", "pos", "h")
+    )
+
+
+def merge_kmv(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union-merge of KMV sketches: k-min of the concatenated digest
+    sets, regrouped — ``(grp, pos, h)`` in, same shape out. Feeding
+    per-shard sketches (relabeled to one grp) reproduces the
+    whole-corpus sketch exactly; exchanges are k-sized."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        sketches.select("grp", "h")
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("grp", "pos", "h")
+    )
+
+
+def kmv_source_similarity(
+    docs: DataFrame,
+    k: int = 64,
+    ngram: int = 3,
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise group similarity from KMV sketches: for each group
+    pair, the standard KMV Jaccard estimate — matches among the k
+    smallest digests of the UNION, over the union sketch size
+    (integer ppm). When a group has fewer than k distinct shingles the
+    sketch is the full set and the estimate is the exact Jaccard.
+
+    Everything after the sketch is k-sized: group sketches collapse to
+    one array row each, and the pair stage is a broadcast self-join of
+    |groups| rows — document bodies never meet."""
+    sk = kmv_sketch(docs, k=k, ngram=ngram, group_col=group_col)
+    arrs = sk.groupBy("grp").agg(
+        F.sort_array(F.collect_list("h")).alias("sk")
+    )
+    a = arrs.select(
+        F.col("grp").alias("source_a"), F.col("sk").alias("ska")
+    )
+    b = arrs.select(
+        F.col("grp").alias("source_b"), F.col("sk").alias("skb")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    )
+    u = F.array_sort(F.array_union(F.col("ska"), F.col("skb")))
+    kk = F.least(F.lit(k), F.size(u))
+    kmin = F.slice(u, 1, kk)
+    inter = F.array_intersect(F.col("ska"), F.col("skb"))
+    n_common = F.size(F.array_intersect(kmin, inter))
+    return pairs.select(
+        "source_a",
+        "source_b",
+        kk.cast("long").alias("sketch_k"),
+        n_common.cast("long").alias("n_common"),
+        (
+            n_common.cast("long") * F.lit(1_000_000)
+        ).alias("__num"),
+    ).withColumn(
+        "jaccard_ppm", F.expr("__num div sketch_k")
+    ).drop("__num")
+
+
+def oracle_kmv_source_similarity(
+    table: str = "documents",
+    k: int = 64,
+    ngram: int = 3,
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin: same distinct-md5 k-min per group (single-phase
+    rank — the salt split is a parallelism refactoring with identical
+    output), same union-k-min match count, same integer-ppm
+    estimate."""
+    return f"""
+WITH sh AS (
+    SELECT CAST({group_col} AS VARCHAR) AS grp,
+           unnest({_sql_shingles(ngram)}) AS s
+    FROM {table}
+),
+h AS (SELECT DISTINCT grp, md5(s) AS h FROM sh),
+rk AS (SELECT grp, h,
+              ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS pos
+       FROM h),
+sk AS (SELECT grp, h FROM rk WHERE pos <= {k}),
+pairs AS (
+    SELECT a.grp AS sa, b.grp AS sb
+    FROM (SELECT DISTINCT grp FROM sk) a
+    JOIN (SELECT DISTINCT grp FROM sk) b ON a.grp < b.grp
+),
+u AS (
+    SELECT p.sa, p.sb, s.h,
+           BOOL_OR(s.grp = p.sa) AS in_a,
+           BOOL_OR(s.grp = p.sb) AS in_b
+    FROM pairs p JOIN sk s ON s.grp IN (p.sa, p.sb)
+    GROUP BY p.sa, p.sb, s.h
+),
+ru AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+           COUNT(*) OVER (PARTITION BY sa, sb) AS usz
+    FROM u
+),
+fin AS (
+    SELECT sa, sb, LEAST({k}, usz) AS kk,
+           SUM(CASE WHEN rn <= LEAST({k}, usz) AND in_a AND in_b
+                    THEN 1 ELSE 0 END) AS n_common
+    FROM ru GROUP BY sa, sb, usz
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(kk AS BIGINT) AS sketch_k,
+       CAST(n_common AS BIGINT) AS n_common,
+       n_common * 1000000 // kk AS jaccard_ppm
+FROM fin
+"""

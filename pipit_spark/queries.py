@@ -3931,6 +3931,18 @@ SELECT * FROM ({_SP.oracle_pack_sequences("survivors", 512, 16)})
 """
 
 
+def q_doc_source_jaccard(spark, sf_dir):
+    """Cross-source corpus similarity from K-minimum-values sketches
+    (llm/dedup.py:kmv_source_similarity, Beyer et al. 2007): pairwise
+    Jaccard estimates in integer ppm, k=64 shingle-md5 sketches,
+    two-phase exact k-min so a hot source never serializes one task.
+    Document bodies never join — the pair stage is |sources|² over
+    k-sized arrays."""
+    return D.kmv_source_similarity(
+        load(spark, sf_dir, "documents"), k=64, ngram=3
+    )
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -4152,6 +4164,7 @@ def queries():
         "doc_license_mix": q_doc_license_mix,
         "doc_structure_stats": q_doc_structure_stats,
         "doc_licensed_pack": q_doc_licensed_pack,
+        "doc_source_jaccard": q_doc_source_jaccard,
     }
 
 
@@ -4391,4 +4404,5 @@ def oracle_sql():
             text_expr=_sql_inject(_STRUCT_SNIPPETS)
         ),
         "doc_licensed_pack": _oracle_licensed_pack(),
+        "doc_source_jaccard": D.oracle_kmv_source_similarity(k=64, ngram=3),
     }

@@ -853,3 +853,46 @@ def test_license_filter_passthrough_and_policy(spark):
     assert out[0]["source"] == "a" and out[1]["source"] == "d"
     assert out[0]["license"] == "MIT"
     assert out[1]["family"] == "public-domain"
+
+
+def test_kmv_sketch_merge_equals_whole(spark):
+    from pipit_spark.llm.dedup import kmv_sketch, merge_kmv
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 9} tok{(i + 1) % 9} tok{(i + 2) % 9} "
+             f"w{i} w{i + 1} w{i + 2} w{i + 3}", "s")
+         for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    k = 16
+    whole = kmv_sketch(docs, k=k, ngram=3).orderBy("pos").collect()
+    # shard by doc parity, sketch each shard, relabel, merge
+    parts = []
+    for p in (0, 1):
+        shard = docs.filter(F.col("doc_id") % 2 == p)
+        parts.append(kmv_sketch(shard, k=k, ngram=3))
+    merged = merge_kmv(parts[0].unionByName(parts[1]), k=k)
+    got = merged.orderBy("pos").collect()
+    assert [r["h"] for r in got] == [r["h"] for r in whole]
+    assert [r["pos"] for r in got] == list(range(1, len(whole) + 1))
+
+
+def test_kmv_similarity_exact_when_small(spark):
+    # fewer distinct shingles than k -> sketch is the full set and the
+    # estimate equals the exact Jaccard
+    from pipit_spark.llm.dedup import kmv_source_similarity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e", "x"),   # shingles: abc bcd cde
+            (1, "a b c q r", "y"),   # shingles: abc bcq cqr
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = kmv_source_similarity(docs, k=64, ngram=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # union = 5 distinct shingles, intersection = {a b c}
+    assert r["sketch_k"] == 5
+    assert r["n_common"] == 1
+    assert r["jaccard_ppm"] == 1_000_000 // 5
