@@ -3943,6 +3943,39 @@ def q_doc_source_jaccard(spark, sf_dir):
     )
 
 
+def q_doc_snapshot_overlap(spark, sf_dir):
+    """Crawl-over-crawl overlap from KMV sketches: label the fixture's
+    halves as old/new snapshots and estimate their shingle Jaccard —
+    the "how much of this crawl did we already have" monitor, k-sized
+    state per snapshot, no document join (llm/dedup.py:kmv_sketch
+    reused with a derived group)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "snap",
+        F.when(F.col("doc_id") % 2 == 0, "old").otherwise("new"),
+    )
+    return D.kmv_source_similarity(docs, k=64, ngram=3, group_col="snap")
+
+
+_CMS_PROBES = ["table", "spark", "the", "value", "zzz-absent"]
+
+
+def q_doc_cms_tokens(spark, sf_dir):
+    """Count-min sketch token-frequency estimates
+    (llm/sketches.py:cms_build/cms_estimate, Cormode 2005): bounded
+    depth×width integer state, cell-wise-SUM mergeable, portable md5
+    hashing so the driver hash-checks the sketch READ path itself.
+    Probes a fixed token list incl. one absent token (est 0 unless
+    collisions)."""
+    from .llm import sketches as SK
+
+    docs = load(spark, sf_dir, "documents")
+    cms = SK.cms_build(docs, width=1024, depth=4)
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBES], "tok string"
+    )
+    return SK.cms_estimate(cms, probes, width=1024, depth=4)
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -4165,6 +4198,8 @@ def queries():
         "doc_structure_stats": q_doc_structure_stats,
         "doc_licensed_pack": q_doc_licensed_pack,
         "doc_source_jaccard": q_doc_source_jaccard,
+        "doc_snapshot_overlap": q_doc_snapshot_overlap,
+        "doc_cms_tokens": q_doc_cms_tokens,
     }
 
 
@@ -4405,4 +4440,14 @@ def oracle_sql():
         ),
         "doc_licensed_pack": _oracle_licensed_pack(),
         "doc_source_jaccard": D.oracle_kmv_source_similarity(k=64, ngram=3),
+        "doc_snapshot_overlap": D.oracle_kmv_source_similarity(
+            k=64,
+            ngram=3,
+            group_col=(
+                "CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END"
+            ),
+        ),
+        "doc_cms_tokens": __import__(
+            "pipit_spark.llm.sketches", fromlist=["x"]
+        ).oracle_cms_estimates(_CMS_PROBES, width=1024, depth=4),
     }

@@ -896,3 +896,40 @@ def test_kmv_similarity_exact_when_small(spark):
     assert r["sketch_k"] == 5
     assert r["n_common"] == 1
     assert r["jaccard_ppm"] == 1_000_000 // 5
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from pipit_spark.llm.sketches import cms_build, cms_estimate, merge_cms
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b c"), (1, "a b d d"), (2, "e"), (3, None)],
+        "doc_id long, text string",
+    )
+    W, D_ = 64, 3
+    cms = cms_build(docs, width=W, depth=D_)
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("d",), ("zz",)], "tok string"
+    )
+    est = {
+        r["tok"]: r["est"]
+        for r in cms_estimate(cms, probes, W, D_).collect()
+    }
+    true = {"a": 4, "b": 2, "d": 2, "zz": 0}
+    for t, c in true.items():
+        assert est[t] >= c, (t, est[t], c)
+    # at this tiny load the sketch should be collision-free
+    assert est == true
+    # merge of shard sketches == whole-corpus sketch, cell for cell
+    s0 = cms_build(docs.filter(F.col("doc_id") < 2), width=W, depth=D_)
+    s1 = cms_build(docs.filter(F.col("doc_id") >= 2), width=W, depth=D_)
+    merged = merge_cms(s0.unionByName(s1))
+    diff = (
+        merged.withColumnRenamed("cnt", "m")
+        .join(cms, ["row", "col"], "full")
+        .filter(
+            F.coalesce(F.col("m"), F.lit(0))
+            != F.coalesce(F.col("cnt"), F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
