@@ -381,3 +381,53 @@ def streaming_near_dup_screen(
         .dropDuplicatesWithinWatermark(["doc_id", "match_id"])
         .select("doc_id", "match_id", "est_jaccard", time_col)
     )
+
+
+def streaming_cms_cells(
+    docs: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+    time_col: str = "ingest_time",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of :func:`pipit_spark.llm.sketches.cms_build`:
+    per event-time window, the SAME portable md5 cell increments (the
+    shared ``_cell`` factory, so batch and stream cannot drift)
+    aggregated with map-side combine. Append mode emits each window's
+    sketch when the watermark closes it; closed-window sketches roll
+    up into hourly/daily horizons via
+    :func:`~pipit_spark.llm.sketches.merge_cms` (cell-wise SUM) — the
+    constant-memory frequency monitor for a live corpus feed.
+
+    In-flight state is bounded: windows-in-flight × depth×width cells,
+    independent of stream volume."""
+    from ..llm.sketches import _cell
+    from ..llm.text import _tokens
+
+    toks = docs.select(
+        F.col(time_col),
+        F.explode(
+            F.filter(
+                _tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    cells = toks.select(
+        F.col(time_col),
+        F.posexplode(
+            F.array(*[_cell(i, F.col("tok"), width) for i in range(depth)])
+        ).alias("row", "col"),
+    )
+    return (
+        cells.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(F.col(time_col), window).alias("win"), "row", "col"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("win_start"), "row", "col", "cnt"
+        )
+    )

@@ -857,3 +857,51 @@ def test_streaming_match_messages_equals_batch(spark, tmp_path):
     }
     assert got == want and len(got) == 4
     assert got[(2, 0, 1)][3] is None  # missing msg_length → NULL
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """Windowed CMS cells off a stream: merging the per-window
+    sketches reproduces the batch sketch of the full corpus cell for
+    cell (same portable _cell hashing on both paths)."""
+    from datetime import datetime, timedelta
+
+    from pipit_spark.llm.sketches import cms_build, merge_cms
+    from pipit_spark.streaming.ops import streaming_cms_cells
+
+    schema = "doc_id long, text string, ingest_time timestamp"
+    t0 = datetime(2026, 1, 1)
+    t1 = t0 + timedelta(minutes=1, seconds=1)  # second window
+    rows = [(0, "a a b", t0), (1, "a c", t0), (2, "b c c", t1)]
+    d = tmp_path / "cms_stream"
+    d.mkdir()
+    for i, chunk in enumerate([rows[:2], rows[2:]]):
+        spark.createDataFrame(chunk, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch{i}"))
+    docs = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    W, D_ = 32, 3
+    out = streaming_cms_cells(docs, width=W, depth=D_)
+    _run_to_memory(out, "cms_stream_tbl", mode="complete")
+    got = spark.sql(
+        "select win_start, row, col, cnt from cms_stream_tbl"
+    )
+    assert got.select("win_start").distinct().count() == 2
+    merged = merge_cms(got.select("row", "col", "cnt"))
+    batch = cms_build(
+        spark.createDataFrame(rows, schema=schema), width=W, depth=D_
+    )
+    diff = (
+        merged.withColumnRenamed("cnt", "m")
+        .join(batch, ["row", "col"], "full")
+        .filter(
+            F.coalesce(F.col("m"), F.lit(0))
+            != F.coalesce(F.col("cnt"), F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
