@@ -377,3 +377,55 @@ def comm_locality(
             F.try_divide(F.col("local_volume"), F.col("total_volume")), 6
         ).alias("locality"),
     )
+
+
+def late_senders(events: DataFrame, matched: DataFrame) -> DataFrame:
+    """Scalasca-style late-sender wait states (Geimer et al., "The
+    Scalasca performance toolset architecture", 2010 — public
+    methodology; the reference has no wait-state analysis) over the
+    FIFO-matched messages: a receiver that ENTERED its recv operation
+    before the matching send was posted sat blocked for
+    ``send_ts − recv_enter_ts``. Per channel: matched count, late
+    count + integer-ppm share, total and max blocked ns.
+
+    ``recv_enter_ts`` comes generically from the matching pass — the
+    recv Instant's ``parent_event_id`` is its enclosing operation's
+    Enter (stack top at the instant), so the operator works on any
+    ingested format, not just brackets the fixture happens to emit.
+
+    Plan: the matched-message frame (ids + channel only) joins the
+    matched events twice by event id (instant → parent → parent's
+    Enter timestamp), then one hash aggregation on the channel.
+    Shuffle volume is matched-message-sized; event bodies never move.
+    All-BIGINT waits, no mean column (PLANS.md §14 — emit sums and
+    counts, divide at read time)."""
+    msgs = match_messages(events)
+    inst = matched.select(
+        F.col(S.EVENT_ID).alias("recv_event_id"),
+        F.col("parent_event_id").alias("__pe"),
+    )
+    par = matched.select(
+        F.col(S.EVENT_ID).alias("__pe"),
+        F.col(S.TIMESTAMP).alias("recv_enter_ts"),
+    )
+    j = (
+        msgs.select("src", "dst", "recv_event_id", "send_ts")
+        .join(inst, "recv_event_id")
+        .join(par, "__pe")
+    )
+    wait = F.greatest(
+        (F.col("send_ts") - F.col("recv_enter_ts")).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        j.groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(
+                (F.col("send_ts") > F.col("recv_enter_ts")).cast("long")
+            ).alias("n_late"),
+            F.sum(wait).alias("total_wait_ns"),
+            F.max(wait).alias("max_wait_ns"),
+        )
+        .withColumn("late_ppm", F.expr("n_late * 1000000 div n_matched"))
+    )

@@ -3976,6 +3976,51 @@ def q_doc_cms_tokens(spark, sf_dir):
     return SK.cms_estimate(cms, probes, width=1024, depth=4)
 
 
+def q_trace_late_senders(spark, sf_dir):
+    """Scalasca-style late-sender wait states per channel
+    (operators/comm.py:late_senders): blocked-receive ns where the
+    send was posted after the receiver entered its recv op. The recv
+    enter comes generically from the matching pass's parent links; the
+    oracle reads it directly off the fixture's leaf brackets."""
+    t = derived_trace(spark, sf_dir)
+    return t.late_senders()
+
+
+ORACLE_TRACE_LATE_SENDERS = ORACLE_TRACE_CTE + """
+, sends AS (
+    SELECT process AS src, k % 16 AS dst,
+           ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS send_ts,
+           rn * 4 + 2 AS sq
+    FROM leaf WHERE etype IN ('click', 'purchase')
+),
+recvs AS (
+    SELECT k % 16 AS src, process AS dst,
+           ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS recv_ts,
+           ts_ns AS recv_enter_ts, rn * 4 + 2 AS sq
+    FROM leaf WHERE etype IN ('view', 'signup')
+),
+s AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst
+                                   ORDER BY send_ts, sq) AS n FROM sends),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst
+                                   ORDER BY recv_ts, sq) AS n FROM recvs),
+m AS (
+    SELECT s.src, s.dst, s.send_ts, r.recv_enter_ts
+    FROM s JOIN r ON s.src = r.src AND s.dst = r.dst AND s.n = r.n
+)
+SELECT src, dst,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN send_ts > recv_enter_ts
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(GREATEST(send_ts - recv_enter_ts, 0)) AS BIGINT)
+           AS total_wait_ns,
+       CAST(MAX(GREATEST(send_ts - recv_enter_ts, 0)) AS BIGINT)
+           AS max_wait_ns,
+       SUM(CASE WHEN send_ts > recv_enter_ts THEN 1 ELSE 0 END)
+           * 1000000 // COUNT(*) AS late_ppm
+FROM m GROUP BY src, dst
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -4200,6 +4245,7 @@ def queries():
         "doc_source_jaccard": q_doc_source_jaccard,
         "doc_snapshot_overlap": q_doc_snapshot_overlap,
         "doc_cms_tokens": q_doc_cms_tokens,
+        "trace_late_senders": q_trace_late_senders,
     }
 
 
@@ -4450,4 +4496,5 @@ def oracle_sql():
         "doc_cms_tokens": __import__(
             "pipit_spark.llm.sketches", fromlist=["x"]
         ).oracle_cms_estimates(_CMS_PROBES, width=1024, depth=4),
+        "trace_late_senders": ORACLE_TRACE_LATE_SENDERS,
     }

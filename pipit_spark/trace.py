@@ -468,6 +468,16 @@ class Trace:
 
         return message_latency(self._comm_source())
 
+    def late_senders(self) -> DataFrame:
+        """Scalasca-style late-sender wait states per channel — blocked
+        receive time where the matching send was posted after the
+        receiver entered its recv operation
+        (operators/comm.py:late_senders; recv enters come from the
+        matching pass's parent links)."""
+        from .operators.comm import late_senders
+
+        return late_senders(self._comm_source(), self.matched)
+
     def comm_matrix_over_time(
         self, bins: int = 10, output: str = "size"
     ) -> DataFrame:

@@ -933,3 +933,20 @@ def test_cms_never_underestimates_and_merges(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_late_senders_ping_pong_goldens(ping_pong_trace):
+    """Hand-computed waits on the golden ping-pong trace: rank0 posts
+    each send 10 ns after rank1 entered its recv (late by 10); rank1's
+    reply leaves 360 ns after rank0 entered its recv (late by 360)."""
+    out = {
+        (r["src"], r["dst"]): r
+        for r in ping_pong_trace.late_senders().collect()
+    }
+    a = out[(0, 1)]
+    assert (a["n_matched"], a["n_late"]) == (8, 8)
+    assert a["total_wait_ns"] == 80 and a["max_wait_ns"] == 10
+    assert a["late_ppm"] == 1_000_000
+    b = out[(1, 0)]
+    assert (b["n_matched"], b["n_late"]) == (8, 8)
+    assert b["total_wait_ns"] == 8 * 360 and b["max_wait_ns"] == 360
