@@ -429,3 +429,45 @@ def late_senders(events: DataFrame, matched: DataFrame) -> DataFrame:
         )
         .withColumn("late_ppm", F.expr("n_late * 1000000 div n_matched"))
     )
+
+
+def late_receivers(events: DataFrame, matched: DataFrame) -> DataFrame:
+    """The mirror wait state (Scalasca "late receiver"): in rendezvous
+    transfers the SENDER blocks until the receiver posts — here
+    approximated per message as ``recv_enter_ts − send_ts`` when
+    positive (the receiver arrived after the send was posted; eager
+    transfers never block, so this is the upper bound a synchronous
+    protocol pays). Same plan shape and column conventions as
+    :func:`late_senders` — the two read the identical joined frame, so
+    a combined dashboard costs one extra aggregation, not a new
+    scan."""
+    msgs = match_messages(events)
+    inst = matched.select(
+        F.col(S.EVENT_ID).alias("recv_event_id"),
+        F.col("parent_event_id").alias("__pe"),
+    )
+    par = matched.select(
+        F.col(S.EVENT_ID).alias("__pe"),
+        F.col(S.TIMESTAMP).alias("recv_enter_ts"),
+    )
+    j = (
+        msgs.select("src", "dst", "recv_event_id", "send_ts")
+        .join(inst, "recv_event_id")
+        .join(par, "__pe")
+    )
+    wait = F.greatest(
+        (F.col("recv_enter_ts") - F.col("send_ts")).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        j.groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(
+                (F.col("recv_enter_ts") > F.col("send_ts")).cast("long")
+            ).alias("n_late"),
+            F.sum(wait).alias("total_wait_ns"),
+            F.max(wait).alias("max_wait_ns"),
+        )
+        .withColumn("late_ppm", F.expr("n_late * 1000000 div n_matched"))
+    )

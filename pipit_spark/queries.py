@@ -4021,6 +4021,48 @@ FROM m GROUP BY src, dst
 """
 
 
+def q_trace_late_receivers(spark, sf_dir):
+    """Mirror wait state (sender-side blocking under rendezvous
+    semantics) — operators/comm.py:late_receivers."""
+    t = derived_trace(spark, sf_dir)
+    return t.late_receivers()
+
+
+ORACLE_TRACE_LATE_RECEIVERS = ORACLE_TRACE_CTE + """
+, sends AS (
+    SELECT process AS src, k % 16 AS dst,
+           ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS send_ts,
+           rn * 4 + 2 AS sq
+    FROM leaf WHERE etype IN ('click', 'purchase')
+),
+recvs AS (
+    SELECT k % 16 AS src, process AS dst,
+           ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS recv_ts,
+           ts_ns AS recv_enter_ts, rn * 4 + 2 AS sq
+    FROM leaf WHERE etype IN ('view', 'signup')
+),
+s AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst
+                                   ORDER BY send_ts, sq) AS n FROM sends),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst
+                                   ORDER BY recv_ts, sq) AS n FROM recvs),
+m AS (
+    SELECT s.src, s.dst, s.send_ts, r.recv_enter_ts
+    FROM s JOIN r ON s.src = r.src AND s.dst = r.dst AND s.n = r.n
+)
+SELECT src, dst,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN recv_enter_ts > send_ts
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(GREATEST(recv_enter_ts - send_ts, 0)) AS BIGINT)
+           AS total_wait_ns,
+       CAST(MAX(GREATEST(recv_enter_ts - send_ts, 0)) AS BIGINT)
+           AS max_wait_ns,
+       SUM(CASE WHEN recv_enter_ts > send_ts THEN 1 ELSE 0 END)
+           * 1000000 // COUNT(*) AS late_ppm
+FROM m GROUP BY src, dst
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -4246,6 +4288,7 @@ def queries():
         "doc_snapshot_overlap": q_doc_snapshot_overlap,
         "doc_cms_tokens": q_doc_cms_tokens,
         "trace_late_senders": q_trace_late_senders,
+        "trace_late_receivers": q_trace_late_receivers,
     }
 
 
@@ -4497,4 +4540,5 @@ def oracle_sql():
             "pipit_spark.llm.sketches", fromlist=["x"]
         ).oracle_cms_estimates(_CMS_PROBES, width=1024, depth=4),
         "trace_late_senders": ORACLE_TRACE_LATE_SENDERS,
+        "trace_late_receivers": ORACLE_TRACE_LATE_RECEIVERS,
     }

@@ -478,6 +478,13 @@ class Trace:
 
         return late_senders(self._comm_source(), self.matched)
 
+    def late_receivers(self) -> DataFrame:
+        """Mirror wait state: sender-side blocking where the receiver
+        posted after the send (operators/comm.py:late_receivers)."""
+        from .operators.comm import late_receivers
+
+        return late_receivers(self._comm_source(), self.matched)
+
     def comm_matrix_over_time(
         self, bins: int = 10, output: str = "size"
     ) -> DataFrame:

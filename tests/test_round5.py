@@ -950,3 +950,12 @@ def test_late_senders_ping_pong_goldens(ping_pong_trace):
     b = out[(1, 0)]
     assert (b["n_matched"], b["n_late"]) == (8, 8)
     assert b["total_wait_ns"] == 8 * 360 and b["max_wait_ns"] == 360
+
+
+def test_late_receivers_ping_pong_all_zero(ping_pong_trace):
+    """Ping-pong receivers always pre-post: no sender-side blocking on
+    either channel."""
+    for r in ping_pong_trace.late_receivers().collect():
+        assert r["n_late"] == 0
+        assert r["total_wait_ns"] == 0 and r["late_ppm"] == 0
+        assert r["n_matched"] == 8
