@@ -96,6 +96,30 @@ def audit_round3(sf: str = "/root/testdata/sf0.01") -> None:
     cap(t.folded_stacks(), "folded_stacks (node-table broadcast)")
 
 
+def audit_round5(sf: str = "/root/testdata/sf0.01") -> None:
+    """Round-5 session-4 additions (run after main(), same session)."""
+    from pipit_spark.session import get_spark
+    from pipit_spark import queries as Q
+    from pipit_spark.llm import dedup as D
+    from pipit_spark.llm import quality as QL
+    from pipit_spark.llm import sketches as SK
+
+    spark = get_spark(app_name="explain-audit")
+    docs = Q.load(spark, sf, "documents")
+    cap(QL.license_filter(docs), "license_filter (single scan)")
+    cap(
+        D.kmv_source_similarity(docs, k=64),
+        "kmv_source_similarity (two-phase k-min, broadcast pair stage)",
+    )
+    cap(
+        SK.cms_build(docs, width=1024, depth=4),
+        "cms_build (one scan, map-side combine)",
+    )
+    t = Q.derived_trace(spark, sf)
+    cap(t.late_senders(), "late_senders (id joins + channel agg)")
+
+
 if __name__ == "__main__":
     main()
+    audit_round5()
     audit_round3(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
