@@ -2226,11 +2226,29 @@ def kmv_source_similarity(
 
     Everything after the sketch is k-sized: group sketches collapse to
     one array row each, and the pair stage is a broadcast self-join of
-    |groups| rows — document bodies never meet."""
+    |groups| rows — document bodies never meet.
+
+    Up to ``max_local_groups`` groups the collapsed sketches are
+    materialized once to the driver (bounded: groups × k digests) and
+    the pair stage self-joins the LOCAL frame — without this, the
+    self-join duplicates the whole sketch lineage and the corpus is
+    scanned twice (caught by explain_audit). Past the bound the
+    distributed frame persists for the self-join instead — same
+    values, one materialization either way."""
     sk = kmv_sketch(docs, k=k, ngram=ngram, group_col=group_col)
     arrs = sk.groupBy("grp").agg(
         F.sort_array(F.collect_list("h")).alias("sk")
     )
+    max_local_groups = 10_000
+    local = arrs.limit(max_local_groups + 1).collect()
+    if len(local) <= max_local_groups:
+        arrs = docs.sparkSession.createDataFrame(
+            [(r["grp"], list(r["sk"])) for r in local],
+            "grp string, sk array<string>",
+        )
+    else:
+        arrs = arrs.persist()
+        arrs.count()
     a = arrs.select(
         F.col("grp").alias("source_a"), F.col("sk").alias("ska")
     )
