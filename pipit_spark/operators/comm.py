@@ -471,3 +471,52 @@ def late_receivers(events: DataFrame, matched: DataFrame) -> DataFrame:
         )
         .withColumn("late_ppm", F.expr("n_late * 1000000 div n_matched"))
     )
+
+
+def wait_attribution(events: DataFrame, matched: DataFrame) -> DataFrame:
+    """Root-cause view of the late-sender waits (the delay-attribution
+    idea of Böhme et al., "Identifying the root causes of wait states",
+    2010 — one-hop attribution, not full propagation): every blocked
+    receive charges its wait to the SENDER process that posted late.
+    Per process: ``inflicted_ns`` (waits this process caused others,
+    as sender) and ``suffered_ns`` (waits this process sat in, as
+    receiver) — the two rankings that tell an engineer which rank to
+    fix versus which rank merely looks slow.
+
+    One extra pair of hash aggregations over the same joined frame as
+    :func:`late_senders`; a process with traffic in neither direction
+    simply doesn't appear."""
+    msgs = match_messages(events)
+    inst = matched.select(
+        F.col(S.EVENT_ID).alias("recv_event_id"),
+        F.col("parent_event_id").alias("__pe"),
+    )
+    par = matched.select(
+        F.col(S.EVENT_ID).alias("__pe"),
+        F.col(S.TIMESTAMP).alias("recv_enter_ts"),
+    )
+    j = (
+        msgs.select("src", "dst", "recv_event_id", "send_ts")
+        .join(inst, "recv_event_id")
+        .join(par, "__pe")
+    )
+    wait = F.greatest(
+        (F.col("send_ts") - F.col("recv_enter_ts")).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    w = j.select("src", "dst", wait.alias("w"))
+    inflicted = w.groupBy(F.col("src").alias("process")).agg(
+        F.sum("w").alias("inflicted_ns"),
+        F.sum((F.col("w") > 0).cast("long")).alias("n_inflicted"),
+    )
+    suffered = w.groupBy(F.col("dst").alias("process")).agg(
+        F.sum("w").alias("suffered_ns"),
+        F.sum((F.col("w") > 0).cast("long")).alias("n_suffered"),
+    )
+    return inflicted.join(suffered, "process", "full").select(
+        "process",
+        F.coalesce(F.col("inflicted_ns"), F.lit(0)).alias("inflicted_ns"),
+        F.coalesce(F.col("n_inflicted"), F.lit(0)).alias("n_inflicted"),
+        F.coalesce(F.col("suffered_ns"), F.lit(0)).alias("suffered_ns"),
+        F.coalesce(F.col("n_suffered"), F.lit(0)).alias("n_suffered"),
+    )

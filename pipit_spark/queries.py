@@ -4063,6 +4063,57 @@ FROM m GROUP BY src, dst
 """
 
 
+def q_trace_wait_attribution(spark, sf_dir):
+    """Per-process inflicted vs suffered blocked-receive time — the
+    one-hop root-cause ranking over the late-sender waits
+    (operators/comm.py:wait_attribution)."""
+    t = derived_trace(spark, sf_dir)
+    return t.wait_attribution()
+
+
+ORACLE_TRACE_WAIT_ATTRIBUTION = ORACLE_TRACE_CTE + """
+, sends AS (
+    SELECT process AS src, k % 16 AS dst,
+           ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS send_ts,
+           rn * 4 + 2 AS sq
+    FROM leaf WHERE etype IN ('click', 'purchase')
+),
+recvs AS (
+    SELECT k % 16 AS src, process AS dst,
+           ts_ns + CAST(FLOOR(dur / 2) AS BIGINT) AS recv_ts,
+           ts_ns AS recv_enter_ts, rn * 4 + 2 AS sq
+    FROM leaf WHERE etype IN ('view', 'signup')
+),
+s AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst
+                                   ORDER BY send_ts, sq) AS n FROM sends),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst
+                                   ORDER BY recv_ts, sq) AS n FROM recvs),
+m AS (
+    SELECT s.src, s.dst,
+           GREATEST(s.send_ts - r.recv_enter_ts, 0) AS w
+    FROM s JOIN r ON s.src = r.src AND s.dst = r.dst AND s.n = r.n
+),
+infl AS (
+    SELECT src AS process, CAST(SUM(w) AS BIGINT) AS inflicted_ns,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inflicted
+    FROM m GROUP BY src
+),
+suff AS (
+    SELECT dst AS process, CAST(SUM(w) AS BIGINT) AS suffered_ns,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suffered
+    FROM m GROUP BY dst
+)
+SELECT COALESCE(infl.process, suff.process) AS process,
+       COALESCE(inflicted_ns, 0) AS inflicted_ns,
+       COALESCE(n_inflicted, 0) AS n_inflicted,
+       COALESCE(suffered_ns, 0) AS suffered_ns,
+       COALESCE(n_suffered, 0) AS n_suffered
+FROM infl FULL OUTER JOIN suff ON infl.process = suff.process
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -4289,6 +4340,7 @@ def queries():
         "doc_cms_tokens": q_doc_cms_tokens,
         "trace_late_senders": q_trace_late_senders,
         "trace_late_receivers": q_trace_late_receivers,
+        "trace_wait_attribution": q_trace_wait_attribution,
     }
 
 
@@ -4541,4 +4593,5 @@ def oracle_sql():
         ).oracle_cms_estimates(_CMS_PROBES, width=1024, depth=4),
         "trace_late_senders": ORACLE_TRACE_LATE_SENDERS,
         "trace_late_receivers": ORACLE_TRACE_LATE_RECEIVERS,
+        "trace_wait_attribution": ORACLE_TRACE_WAIT_ATTRIBUTION,
     }

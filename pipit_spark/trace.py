@@ -485,6 +485,14 @@ class Trace:
 
         return late_receivers(self._comm_source(), self.matched)
 
+    def wait_attribution(self) -> DataFrame:
+        """Per-process inflicted vs suffered blocked-receive time —
+        which rank to fix versus which rank merely looks slow
+        (operators/comm.py:wait_attribution)."""
+        from .operators.comm import wait_attribution
+
+        return wait_attribution(self._comm_source(), self.matched)
+
     def comm_matrix_over_time(
         self, bins: int = 10, output: str = "size"
     ) -> DataFrame:

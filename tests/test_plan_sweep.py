@@ -27,7 +27,7 @@ PYTHON_STAGE_OK = {
     "trace_time_profile", "trace_multirun", "trace_detect_pattern",
     "trace_slow_calls", "trace_folded_stacks", "trace_comm_by_function",
     "trace_diff", "trace_caller_callee", "trace_late_senders",
-    "trace_late_receivers",
+    "trace_late_receivers", "trace_wait_attribution",
     # similarity / media kernels
     "emb_topk_pandas", "emb_ivf_topk", "emb_ivf_topk_exact",
     "emb_pq_topk", "emb_pq_topk_exact",

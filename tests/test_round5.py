@@ -959,3 +959,16 @@ def test_late_receivers_ping_pong_all_zero(ping_pong_trace):
         assert r["n_late"] == 0
         assert r["total_wait_ns"] == 0 and r["late_ppm"] == 0
         assert r["n_matched"] == 8
+
+
+def test_wait_attribution_ping_pong_goldens(ping_pong_trace):
+    """Rank0 inflicts 10 ns x 8 on rank1; rank1 inflicts 360 ns x 8 on
+    rank0 — inflicted/suffered mirror exactly."""
+    out = {
+        r["process"]: r
+        for r in ping_pong_trace.wait_attribution().collect()
+    }
+    assert out[0]["inflicted_ns"] == 80 and out[0]["n_inflicted"] == 8
+    assert out[0]["suffered_ns"] == 8 * 360 and out[0]["n_suffered"] == 8
+    assert out[1]["inflicted_ns"] == 8 * 360
+    assert out[1]["suffered_ns"] == 80
