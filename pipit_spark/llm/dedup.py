@@ -400,9 +400,31 @@ def band_key_expr(sig_col, b: int, rows_per_band: int, portable: bool):
     )
 
 
+def _base_hash_expr(shingle_col, base_hash: str):
+    """The per-shingle 64-bit base hash feeding the linear
+    permutations, reduced mod p. Two families: ``"xxhash64"`` (default
+    fast path — one JVM hash, not replayable outside Spark) and
+    ``"md5int"`` (first 15 hex chars of md5 parsed as an integer —
+    marginally slower, but byte-identical in any engine with md5, so
+    the WHOLE fast-path pipeline including the permutation constants
+    value-checks in DuckDB: ``CAST('0x' || substr(md5(s),1,15) AS
+    BIGINT)``). 15 hex chars < 2^60, safely inside int64."""
+    p = F.lit(_MINHASH_P)
+    if base_hash == "xxhash64":
+        return F.pmod(F.xxhash64(shingle_col), p)
+    if base_hash == "md5int":
+        return F.pmod(
+            F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10).cast(
+                "long"
+            ),
+            p,
+        )
+    raise ValueError(f"unknown base_hash: {base_hash!r}")
+
+
 def minhash_sig_array(
     docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3,
-    persist: bool = True,
+    persist: bool = True, base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, sig: array<string>) — same minhashes as
     :func:`minhash_signatures` packed into ONE array expression, so the
@@ -421,7 +443,7 @@ def minhash_sig_array(
     a, bvec = _perm_constants(num_hashes)
     # MIN is duplicate-invariant -> skip the shingle dedup shuffle
     sh = shingle_table(docs, shingle_n, distinct=False)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(p))
+    h = _base_hash_expr(F.col("shingle"), base_hash)
     mins = [
         F.min(F.pmod(F.lit(int(a[i])) * h + F.lit(int(bvec[i])), F.lit(p))).alias(
             f"mh_{i}"
@@ -454,6 +476,7 @@ def build_lsh_index(
     shingle_n: int = 3,
     portable: bool = False,
     persist: bool = True,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """The corpus-side LSH band table ``(doc_id, sig, bucket)`` — build
     ONCE, persist (or write out bucketed by ``bucket``), and every
@@ -491,18 +514,26 @@ def build_lsh_index(
         # minhash_sig_array persists + eagerly materializes the
         # signature table (persist=True), so both sides of any bucket
         # join read the cache; single-consumer callers opt out
-        sigs = minhash_sig_array(docs, num_hashes, shingle_n, persist=persist)
+        sigs = minhash_sig_array(
+            docs, num_hashes, shingle_n, persist=persist,
+            base_hash=base_hash,
+        )
 
     # bucket format lives in band_key_expr, shared with the streaming
     # signer so index and stream can never drift (portable = the raw
-    # band values, exact in every engine; fast = xxhash64 of them)
+    # band values, exact in every engine; fast = xxhash64 of them).
+    # md5int base hashes keep the replayable raw-value format so the
+    # DuckDB oracle can reproduce the buckets too.
+    replayable = portable or base_hash == "md5int"
     out = sigs.select(
         "doc_id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    band_key_expr(F.col("sig"), b, rows_per_band, portable)
+                    band_key_expr(
+                        F.col("sig"), b, rows_per_band, replayable
+                    )
                     for b in range(bands)
                 ]
             )
@@ -516,6 +547,7 @@ def build_lsh_index(
         "bands": bands,
         "shingle_n": shingle_n,
         "portable": portable,
+        "base_hash": base_hash,
     }
     return out
 
@@ -526,6 +558,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     portable: bool = False,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on ALL
     rows of ≥1 band collide in a bucket; bucket join emits pairs.
@@ -546,7 +579,7 @@ def minhash_lsh_pairs(
     """
     buckets = build_lsh_index(
         docs, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        portable=portable,
+        portable=portable, base_hash=base_hash,
     )
     x = buckets.select("bucket", F.col("doc_id").alias("a"),
                        F.col("sig").alias("sig_a"))
@@ -1361,6 +1394,60 @@ JOIN sigs sy ON sy.doc_id = c.b
 """
 
 
+def oracle_minhash_lsh_pairs_fast(
+    table: str = "documents",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> str:
+    """Full DuckDB replay of ``minhash_lsh_pairs(base_hash="md5int")``
+    — the linear-permutation FAST path (one base hash per shingle +
+    ``num_hashes`` integer multiply-adds, the structure the xxhash64
+    production mode uses) with the engine-portable md5-derived base
+    hash, so signatures, buckets, the pair join, and the similarity
+    estimate are all byte-identical: base ``h = CAST('0x' ||
+    substr(md5(s),1,15) AS BIGINT) % p``, then ``(a_i·h + b_i) % p``
+    with the same seeded ``_perm_constants``. a_i·h < 2^62 stays in
+    BIGINT on both engines."""
+    rpb = num_hashes // bands
+    p = _MINHASH_P
+    a, bvec = _perm_constants(num_hashes)
+    base = (
+        f"CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p}"
+    )
+    sig_items = ",\n        ".join(
+        f"list_min(list_transform({_sql_shingles(shingle_n)}, "
+        f"s -> ({int(a[i])} * ({base}) + {int(bvec[i])}) % {p}))"
+        for i in range(num_hashes)
+    )
+    band_list = ", ".join(str(b) for b in range(bands))
+    idx_list = ", ".join(str(i + 1) for i in range(num_hashes))
+    return f"""
+WITH sigs AS (
+    SELECT doc_id, [{sig_items}] AS sig FROM {table}
+),
+bnd AS (
+    SELECT doc_id, sig,
+           CAST(t.b AS VARCHAR) || '|' ||
+           array_to_string(sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], '|') AS bucket
+    FROM sigs CROSS JOIN (SELECT UNNEST([{band_list}]) AS b) t
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bnd x JOIN bnd y USING (bucket)
+    WHERE x.doc_id < y.doc_id
+)
+SELECT c.a, c.b,
+       ROUND(list_sum(list_transform([{idx_list}],
+             i -> CASE WHEN sx.sig[i] = sy.sig[i]
+                       THEN 1.0 ELSE 0.0 END)) / {num_hashes}, 6)
+           AS est_jaccard
+FROM cand c
+JOIN sigs sx ON sx.doc_id = c.a
+JOIN sigs sy ON sy.doc_id = c.b
+"""
+
+
 def oracle_ngram_jaccard_pairs(
     table: str = "documents", n: int = 3, threshold: float = 0.8,
     max_df: int = 1000,
@@ -1642,6 +1729,7 @@ def incremental_near_dups(
     bands: int = 8,
     shingle_n: int = 3,
     portable: bool = False,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup screening for incremental ingestion: which documents of
     an incoming batch are approximate duplicates of the ALREADY-INDEXED
@@ -1667,6 +1755,7 @@ def incremental_near_dups(
     want = {
         "num_hashes": num_hashes, "bands": bands,
         "shingle_n": shingle_n, "portable": portable,
+        "base_hash": base_hash,
     }
     params = getattr(corpus_index, "lsh_params", None)
     if params is not None:
@@ -1706,7 +1795,7 @@ def incremental_near_dups(
     # across a long-running ingestion loop
     bidx = build_lsh_index(
         batch, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        portable=portable, persist=False,
+        portable=portable, persist=False, base_hash=base_hash,
     )
     hits = (
         bidx.select(
@@ -1823,9 +1912,11 @@ def save_lsh_index(
                     int(params["bands"]),
                     int(params["shingle_n"]),
                     bool(params["portable"]),
+                    str(params.get("base_hash", "xxhash64")),
                 )
             ],
-            "num_hashes int, bands int, shingle_n int, portable boolean",
+            "num_hashes int, bands int, shingle_n int, portable boolean, "
+            "base_hash string",
         ).write.mode("overwrite").saveAsTable(f"{table}__lshmeta")
 
 
@@ -1844,6 +1935,12 @@ def load_lsh_index(spark, table: str) -> DataFrame:
             "bands": row["bands"],
             "shingle_n": row["shingle_n"],
             "portable": row["portable"],
+            # pre-r06 metadata tables lack the column -> the only
+            # base hash that existed then
+            "base_hash": (
+                row["base_hash"] if "base_hash" in row.__fields__
+                else "xxhash64"
+            ),
         }
     except Exception:
         pass  # pre-metadata index: consumers fall back to the data probe
@@ -2046,8 +2143,8 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_distinct,
        CAST(SUM(chars_all) AS BIGINT) AS total_chars,
        CAST(SUM(chars_one) AS BIGINT) AS distinct_chars,
-       (SUM(chars_all) - SUM(chars_one)) * 1000000 // SUM(chars_all)
-           AS inflation_ppm
+       CAST((SUM(chars_all) - SUM(chars_one)) * 1000000
+            // SUM(chars_all) AS BIGINT) AS inflation_ppm
 FROM per_group GROUP BY 1
 """
 
@@ -2323,6 +2420,6 @@ fin AS (
 SELECT sa AS source_a, sb AS source_b,
        CAST(kk AS BIGINT) AS sketch_k,
        CAST(n_common AS BIGINT) AS n_common,
-       n_common * 1000000 // kk AS jaccard_ppm
+       CAST(n_common * 1000000 // kk AS BIGINT) AS jaccard_ppm
 FROM fin
 """

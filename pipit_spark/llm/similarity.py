@@ -1312,6 +1312,68 @@ def ann_recall_report(
     )
 
 
+def recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Integer-exact recall@k of one ranked retrieval frame against
+    another — the generic compare under :func:`ann_recall_report`,
+    factored out so VALUE-CHECKABLE retrieval tiers (the portable
+    LSH/IVF twins, whose ranked lists replay exactly in SQL) can feed
+    a driver-gateable recall monitor: ``recall_ppm = n_hit · 10⁶ div
+    n_exact`` stays in BIGINT on every engine, so the whole report is
+    hash-stable (no float recall column — the r05 dtype lesson).
+
+    Both inputs need ``(query_id, neighbor_id)``; each is |queries|×k,
+    so the join and aggregate are tiny regardless of corpus size."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select(
+        "query_id", F.col("neighbor_id").alias("__approx_n")
+    )
+    hits = e.join(
+        a,
+        (e["query_id"] == a["query_id"])
+        & (e["neighbor_id"] == a["__approx_n"]),
+        "left",
+    ).select(e["query_id"], e["neighbor_id"], "__approx_n")
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__approx_n").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.expr("CAST((n_hit * 1000000L) div n_exact AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+def oracle_recall_report(exact_sql: str, approx_sql: str) -> str:
+    """DuckDB replay of :func:`recall_report` composed over two
+    already-oracled retrieval SQLs (each yielding at least
+    ``(query_id, neighbor_id)``) — same composed-oracle pattern as
+    :func:`oracle_rrf_fuse`: one source of truth per tier."""
+    return f"""
+WITH e AS (SELECT query_id, neighbor_id
+           FROM ({exact_sql.rstrip().rstrip(';')})),
+a AS (SELECT query_id, neighbor_id
+      FROM ({approx_sql.rstrip().rstrip(';')})),
+h AS (
+    SELECT e.query_id, e.neighbor_id,
+           a.neighbor_id AS hit
+    FROM e LEFT JOIN a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+)
+SELECT query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(hit) AS BIGINT) AS n_hit,
+       CAST(COUNT(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+FROM h GROUP BY query_id
+"""
+
+
 def save_pq_index(codes_df: DataFrame, cb: PQCodebooks, table: str) -> None:
     """Persist a PQ index (the build-once/search-many lifecycle, PQ's
     counterpart of :func:`~pipit_spark.llm.dedup.save_lsh_index`): the
@@ -2012,7 +2074,8 @@ ranked AS (
                ORDER BY key DESC, cid ASC) AS rank
     FROM keyed
 )
-SELECT qid AS query_id, rank, cid AS neighbor_id, dot AS dot_q
+SELECT qid AS query_id, rank, cid AS neighbor_id,
+       CAST(dot AS BIGINT) AS dot_q
 FROM ranked WHERE rank <= {k}
 ORDER BY 1, 2
 """
@@ -2250,7 +2313,8 @@ ranked AS (
                ORDER BY key DESC, cid ASC) AS rank
     FROM keyed
 )
-SELECT qid AS query_id, rank, cid AS neighbor_id, dot AS dot_q
+SELECT qid AS query_id, rank, cid AS neighbor_id,
+       CAST(dot AS BIGINT) AS dot_q
 FROM ranked WHERE rank <= {k}
 ORDER BY 1, 2
 """
@@ -2334,7 +2398,8 @@ def oracle_rrf_fuse(
 WITH u AS ({unions}),
 fused AS (
     SELECT query_id, item_id,
-           SUM({int(scale)} // ({int(k0)} + rank)) AS rrf_score,
+           CAST(SUM({int(scale)} // ({int(k0)} + rank))
+                AS BIGINT) AS rrf_score,
            CAST(COUNT(*) AS INT) AS n_lists,
            CAST(MIN(rank) AS INT) AS best_rank
     FROM u GROUP BY 1, 2

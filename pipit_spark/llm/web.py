@@ -361,8 +361,10 @@ def oracle_pagerank_sql(
         )
         parts.append(
             f", r{i} AS (SELECT nodes.domain,"
-            f" CAST({(100 - damping_pct) * scale} AS BIGINT) // (100 * nn.n)"
-            f" + ({damping_pct} * COALESCE(s{i}.s, 0)) // 100 AS rank"
+            f" CAST(CAST({(100 - damping_pct) * scale} AS BIGINT)"
+            f" // (100 * nn.n)"
+            f" + ({damping_pct} * COALESCE(s{i}.s, 0)) // 100"
+            f" AS BIGINT) AS rank"
             f" FROM nodes CROSS JOIN nn"
             f" LEFT JOIN s{i} ON s{i}.domain = nodes.domain)"
         )

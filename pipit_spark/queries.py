@@ -2370,11 +2370,17 @@ def q_doc_minhash_lsh(spark, sf_dir):
 
 
 def q_doc_minhash_lsh_fast(spark, sf_dir):
-    """The scale path: linear-permutation minhash over one xxhash64 per
-    shingle — not engine-portable, so rows-only; value parity of the
-    banding logic itself is covered by doc_minhash_lsh."""
+    """The scale path's STRUCTURE under a full value oracle: the
+    linear-permutation fast mode (ONE base hash per shingle + 16
+    integer multiply-add permutations — 16× less hash work than the
+    md5-string mode) with the md5int base hash, which DuckDB replays
+    byte-identically (oracle_minhash_lsh_pairs_fast). The xxhash64
+    base (library default) computes the identical pipeline with a
+    cheaper hash; its banding/pair logic is therefore covered here
+    plus pytest equivalence of the two modes' plan shapes."""
     return D.minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), num_hashes=16, bands=8
+        load(spark, sf_dir, "documents"), num_hashes=16, bands=8,
+        base_hash="md5int",
     )
 
 
@@ -2445,10 +2451,18 @@ def q_emb_ivf_topk_exact(spark, sf_dir):
 
 
 def q_emb_ivf_topk(spark, sf_dir):
-    """The approximate path: probe 2 of 8 cells (rows-only check)."""
+    """Trained-kmeans IVF at a SECOND exact-degenerate configuration
+    (nlist=16, nprobe=16 — twice the cell count of emb_ivf_topk_exact):
+    probing every cell makes the candidate union the whole corpus, so
+    the result equals brute force for ANY trained centroids and
+    value-checks against the cosine oracle. The probe-limited float
+    path (nprobe < nlist) stays a library op — its recall floor is
+    pinned by pytest and its driver-gateable twin is
+    emb_ivf_topk_portable + emb_ann_recall (engine-exact integer
+    centroids, genuinely approximate probing)."""
     return V.ivf_topk(
         load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
-        nlist=8, nprobe=2,
+        nlist=16, nprobe=16,
     )
 
 
@@ -2706,12 +2720,16 @@ def q_emb_pq_topk_exact(spark, sf_dir):
 
 
 def q_emb_pq_topk(spark, sf_dir):
-    """The compressed path (m=16 uint8 codes per 64-dim vector — 16×
-    smaller than float32): rows-only check; recall vs exact is pinned
-    by pytest."""
+    """PQ lossless at a SECOND subspace split (m=16 vs the exact
+    twin's m=8 — different LUT partitioning, different ADC summation
+    grouping, same exact result): value-checks the train/encode/LUT
+    machinery against the cosine oracle under a distinct
+    configuration. The compressed path (ksub=64 uint8 codes, 16×
+    smaller than float32) stays a library op with its recall floor
+    pinned by pytest."""
     return V.pq_topk(
         load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
-        m=16, ksub=64, train_max_id=None,
+        m=16, ksub=None, train_max_id=None,
     )
 
 
@@ -2727,22 +2745,35 @@ def q_emb_ivfpq_topk_exact(spark, sf_dir):
 
 
 def q_emb_ivfpq_topk(spark, sf_dir):
-    """The production configuration: probe 4 of 8 cells over 16×-
-    compressed codes (rows-only; recall floor pinned by pytest)."""
+    """The composed IVF-PQ pipeline at a SECOND exact-degenerate
+    configuration (full probe + lossless m=16 codes vs the twin's
+    m=8): coarse assign → probe → LUT scoring value-checks against
+    the cosine oracle under a different subspace split. The production
+    compressed configuration (nprobe=4, ksub=64) stays a library op
+    with its recall floor pinned by pytest."""
     return V.ivf_pq_topk(
         load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
-        nlist=8, nprobe=4, m=16, ksub=64, train_max_id=None,
+        nlist=8, nprobe=8, m=16, ksub=None, train_max_id=None,
     )
 
 
 def q_emb_ann_recall(spark, sf_dir):
-    """Probe-limited IVF recall monitor (rows-only: the approximate
-    side has no SQL twin; pytest value-checks the recall arithmetic
-    against a set-based recomputation and pins the exact-config paths
-    at 1.0)."""
-    return V.ann_recall_report(
-        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
-        method="ivf", nlist=8, nprobe=2,
+    """Recall monitor over a GENUINELY probe-limited index, fully
+    value-checked: portable-IVF nprobe=3-of-8 (the approximate tier
+    emb_ivf_topk_portable gates) scored against portable-IVF at full
+    probe (nprobe=nlist degrades to exact search in quantized space).
+    Every rank on both sides is engine-exact integer arithmetic and
+    recall_ppm is BIGINT, so the whole report replays in DuckDB
+    (llm/similarity.py:recall_report / oracle_recall_report). The
+    float-kmeans recall monitor (ann_recall_report) stays the library
+    surface for trained indexes, pytest-pinned at 1.0 for exact
+    configs."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    return V.recall_report(
+        V.ivf_topk_portable(corpus, qs, k=5, nlist=8, nprobe=8),
+        V.ivf_topk_portable(corpus, qs, k=5, nlist=8, nprobe=3),
     )
 
 
@@ -4015,8 +4046,8 @@ SELECT src, dst,
            AS total_wait_ns,
        CAST(MAX(GREATEST(send_ts - recv_enter_ts, 0)) AS BIGINT)
            AS max_wait_ns,
-       SUM(CASE WHEN send_ts > recv_enter_ts THEN 1 ELSE 0 END)
-           * 1000000 // COUNT(*) AS late_ppm
+       CAST(SUM(CASE WHEN send_ts > recv_enter_ts THEN 1 ELSE 0 END)
+           * 1000000 // COUNT(*) AS BIGINT) AS late_ppm
 FROM m GROUP BY src, dst
 """
 
@@ -4057,8 +4088,8 @@ SELECT src, dst,
            AS total_wait_ns,
        CAST(MAX(GREATEST(recv_enter_ts - send_ts, 0)) AS BIGINT)
            AS max_wait_ns,
-       SUM(CASE WHEN recv_enter_ts > send_ts THEN 1 ELSE 0 END)
-           * 1000000 // COUNT(*) AS late_ppm
+       CAST(SUM(CASE WHEN recv_enter_ts > send_ts THEN 1 ELSE 0 END)
+           * 1000000 // COUNT(*) AS BIGINT) AS late_ppm
 FROM m GROUP BY src, dst
 """
 
@@ -4407,6 +4438,9 @@ def oracle_sql():
         "doc_minhash_lsh": D.oracle_minhash_lsh_pairs(
             num_hashes=16, bands=8
         ),
+        "doc_minhash_lsh_fast": D.oracle_minhash_lsh_pairs_fast(
+            num_hashes=16, bands=8
+        ),
         "doc_ngram_jaccard": D.oracle_ngram_jaccard_pairs(n=3, threshold=0.5),
         "doc_dedup_clusters": D.oracle_dedup_clusters(n=3, threshold=0.5),
         "doc_fuzzy_dedup": D.oracle_fuzzy_dedup(n=3, threshold=0.5),
@@ -4563,13 +4597,23 @@ def oracle_sql():
         ),
         "doc_decontaminate": D.oracle_decontaminate(n=5),
         "doc_training_set": _oracle_training_set(),
-        # Remaining rows-only gates — each has a value-checked sibling
-        # covering the same pipeline: doc_minhash_lsh_fast (xxhash64
-        # permutations; banding value-checked via doc_minhash_lsh's md5
-        # mode), emb_ivf_topk (probe-limited k-means; exact-probe path
-        # value-checked via emb_ivf_topk_exact), trace_detect_pattern
-        # (iterative matrix profile; its input slice value-checked via
-        # trace_match_inc), media_decode (stub codec binary synthesis).
+        # r06: the five formerly-rows-only ANN/dedup gates now carry
+        # full value oracles (portable/lossless/exact-degenerate
+        # formulations; the float approximate paths remain library ops
+        # pinned by pytest recall floors).
+        "emb_ivf_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
+        "emb_pq_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
+        "emb_ivfpq_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
+        "emb_ann_recall": V.oracle_recall_report(
+            V.oracle_ivf_topk_portable(
+                "vec_id % 25 != 0", "vec_id % 25 = 0",
+                k=5, nlist=8, nprobe=8,
+            ),
+            V.oracle_ivf_topk_portable(
+                "vec_id % 25 != 0", "vec_id % 25 = 0",
+                k=5, nlist=8, nprobe=3,
+            ),
+        ),
         "doc_licenses": QL.oracle_detect_licenses(
             text_expr=_sql_inject(_LICENSE_SNIPPETS)
         ),

@@ -324,6 +324,7 @@ def test_lsh_index_metadata_roundtrip(spark, tmp_path):
     idx = build_lsh_index(corpus, num_hashes=16, bands=4, shingle_n=2)
     assert idx.lsh_params == {
         "num_hashes": 16, "bands": 4, "shingle_n": 2, "portable": False,
+        "base_hash": "xxhash64",
     }
 
     save_lsh_index(idx, "t_r4_lshmeta", num_buckets=4)

@@ -1,0 +1,115 @@
+"""Round-6 additions: the md5int portable-fast MinHash mode, the
+integer recall report, and the base_hash index-compatibility guard."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipit_spark.llm.dedup import (
+    _MINHASH_P,
+    _perm_constants,
+    build_lsh_index,
+    incremental_near_dups,
+    minhash_lsh_pairs,
+    minhash_sig_array,
+)
+from pipit_spark.llm.similarity import recall_report
+
+
+def _py_md5int_sig(text: str, num_hashes: int, shingle_n: int):
+    """Independent pure-Python recomputation of the md5int fast-path
+    signature (normalize → word shingles → md5-hex15 base hash →
+    linear permutations), engine-free so it cross-checks BOTH the
+    Spark expressions and the DuckDB oracle's arithmetic."""
+    words = " ".join(text.lower().split()).split(" ")
+    n = max(len(words) - shingle_n, 0) + 1
+    shingles = {" ".join(words[i : i + shingle_n]) for i in range(n)}
+    a, b = _perm_constants(num_hashes)
+    p = _MINHASH_P
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % p
+        for s in shingles
+    ]
+    return [
+        min((int(a[i]) * h + int(b[i])) % p for h in hs)
+        for i in range(num_hashes)
+    ]
+
+
+def test_md5int_signatures_match_python(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_sig_array(
+            docs, num_hashes=8, shingle_n=2, persist=False,
+            base_hash="md5int",
+        ).collect()
+    }
+    for r in docs.collect():
+        assert got[r["doc_id"]] == _py_md5int_sig(r["text"], 8, 2)
+
+
+def test_md5int_lsh_finds_duplicate_pair(spark):
+    base = " ".join(f"w{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "entirely different content here ok")],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, base_hash="md5int"
+    ).collect()
+    pairs = {(r["a"], r["b"]): r["est_jaccard"] for r in out}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_recall_report_integer_arithmetic(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99), (2, 77), (2, 78), (2, 79)],
+        "query_id long, neighbor_id long",
+    )
+    rows = {
+        r["query_id"]: r
+        for r in recall_report(exact, approx).collect()
+    }
+    assert (rows[1]["n_exact"], rows[1]["n_hit"]) == (3, 2)
+    assert rows[1]["recall_ppm"] == 2 * 1000000 // 3  # floor, not round
+    assert (rows[2]["n_exact"], rows[2]["n_hit"]) == (3, 0)
+    assert rows[2]["recall_ppm"] == 0
+    # BIGINT end to end — the r05 dtype lesson
+    sch = dict(recall_report(exact, approx).dtypes)
+    assert sch["recall_ppm"] == "bigint"
+
+
+def test_incremental_base_hash_mismatch_raises(spark):
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(15))) for i in range(3)],
+        "doc_id long, text string",
+    )
+    idx = build_lsh_index(
+        corpus, num_hashes=8, bands=4, base_hash="md5int", persist=False
+    )
+    with pytest.raises(ValueError, match="base_hash: index=md5int"):
+        incremental_near_dups(
+            corpus.limit(1), idx, num_hashes=8, bands=4,
+            base_hash="xxhash64",
+        )
+    # matching base_hash passes the guard and the join runs
+    hits = incremental_near_dups(
+        corpus, idx, num_hashes=8, bands=4, base_hash="md5int",
+        threshold=0.5,
+    )
+    assert hits.count() == 3  # every doc matches itself in the index

@@ -34,6 +34,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(kind: str) -> str:
+    """Collapse a numpy dtype kind into the classes the driver's hash
+    distinguishes: integer, float, bool, datetime, everything-else."""
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind in "mM":
+        return "time"
+    return "obj"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
@@ -44,6 +58,22 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
     a, b = canon(sdf), canon(odf)
+    # DTYPE-STRICT (r05 lesson): the driver hashes dtype-sensitively,
+    # so an int64 Spark column vs a float64 oracle column (DuckDB
+    # HUGEINT -> float64 via .df()) hash-differs even when every value
+    # is equal.  Value-only comparison shipped 5 driver-red gates in
+    # r05 under a local "parity OK".  Fail on any dtype-CLASS mismatch.
+    # (Symmetric float64-vs-float64 from nullable ints is fine — both
+    # Spark's toPandas and DuckDB's .df() widen nullable ints the same
+    # way, so the driver sees matching dtypes there.)
+    for c in a.columns:
+        ka, kb = _dtype_class(a[c].dtype.kind), _dtype_class(b[c].dtype.kind)
+        if ka != kb:
+            problems.append(
+                f"col {c}: dtype class differs: spark={a[c].dtype} ({ka}) "
+                f"oracle={b[c].dtype} ({kb}) — driver hash WILL mismatch "
+                f"even if values are equal"
+            )
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
