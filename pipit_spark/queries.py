@@ -3230,6 +3230,54 @@ def q_emb_rrf_fusion(spark, sf_dir):
     )
 
 
+def ensure_portable_ann_indexes(spark, sf_dir) -> str:
+    """Build-if-missing the persisted portable ANN indexes (LSH bands
+    + IVF cells) over the sf_dir corpus split — the index-build half
+    of the build-once/search-many deployment. Returns the table
+    prefix. Idempotent: keyed by the sf tag, so correctness runs at
+    any SF build their own index once and every later search (the
+    emb_rrf_fusion_indexed gate, repeated bench iterations) reuses
+    it."""
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    prefix = f"ann_idx_{tag}"
+    if not spark.catalog.tableExists(f"{prefix}_lsh__annmeta"):
+        # the session catalog is in-memory: a previous session's table
+        # METADATA is gone but its warehouse files survive, and
+        # saveAsTable refuses a fresh managed table over a leftover
+        # location — clear stale dirs first
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (
+            f"{prefix}_lsh_vecs", f"{prefix}_lsh_bands",
+            f"{prefix}_lsh__annmeta", f"{prefix}_ivf_cells",
+            f"{prefix}_ivf__annmeta",
+        ):
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        emb = load(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % 25 != 0)
+        V.save_lsh_topk_index(corpus, f"{prefix}_lsh")
+        V.save_ivf_topk_index(corpus, f"{prefix}_ivf", nlist=8)
+    return prefix
+
+
+def q_emb_rrf_fusion_indexed(spark, sf_dir):
+    """The build-once/search-many shape of emb_rrf_fusion: both ANN
+    tiers search PERSISTED indexes (bucketed LSH band table,
+    cell-partitioned IVF table) instead of re-signing and re-assigning
+    the corpus inline — at 100 TB the corpus-side work happens once
+    per revision, and this gate is what every query batch pays. Same
+    configuration and same oracle as emb_rrf_fusion: the indexed path
+    must return bit-identical results."""
+    prefix = ensure_portable_ann_indexes(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    return V.rrf_ann_indexed(
+        spark, f"{prefix}_lsh", f"{prefix}_ivf", qs, k=5, nprobe=3
+    )
+
+
 def _oracle_clean_corpus() -> str:
     from .llm.pipeline import oracle_clean_corpus
 
@@ -4233,6 +4281,7 @@ def queries():
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk_portable": q_emb_ivf_topk_portable,
         "emb_rrf_fusion": q_emb_rrf_fusion,
+        "emb_rrf_fusion_indexed": q_emb_rrf_fusion_indexed,
         # round-5 real-codec proof gate (displaces the q8 stale
         # reconfirmation to the tail — q8 has r01+r02 green rows)
         "media_decode_real": q_media_decode_real,
@@ -4569,6 +4618,20 @@ def oracle_sql():
             "vec_id % 25 != 0", "vec_id % 25 = 0", k=5, nlist=8, nprobe=3
         ),
         "emb_rrf_fusion": V.oracle_rrf_fuse(
+            [
+                V.oracle_lsh_topk_portable(
+                    "vec_id % 25 != 0", "vec_id % 25 = 0", k=5
+                ),
+                V.oracle_ivf_topk_portable(
+                    "vec_id % 25 != 0", "vec_id % 25 = 0",
+                    k=5, nlist=8, nprobe=3,
+                ),
+            ],
+            k=5,
+        ),
+        # the indexed twin must be bit-identical to the inline plan,
+        # so it shares the same composed oracle
+        "emb_rrf_fusion_indexed": V.oracle_rrf_fuse(
             [
                 V.oracle_lsh_topk_portable(
                     "vec_id % 25 != 0", "vec_id % 25 = 0", k=5

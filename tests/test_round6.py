@@ -113,3 +113,19 @@ def test_incremental_base_hash_mismatch_raises(spark):
         threshold=0.5,
     )
     assert hits.count() == 3  # every doc matches itself in the index
+
+
+def test_dedup_clusters_chain_graph_checkpoints(spark):
+    """A 13-vertex path graph has diameter 12 — min-label propagation
+    needs >5 rounds, crossing the every-5th-round localCheckpoint
+    lineage truncation, and must still converge to component 0 for
+    every vertex (the r05 advisor's pathological-chain case)."""
+    from pipit_spark.llm.dedup import dedup_clusters
+
+    n = 13
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    labels = dedup_clusters(pairs, max_iter=25).collect()
+    assert len(labels) == n
+    assert all(r["component"] == 0 for r in labels)
