@@ -4196,6 +4196,43 @@ FROM infl FULL OUTER JOIN suff ON infl.process = suff.process
 # ===================================================================== #
 # registry
 # ===================================================================== #
+# r06 driver window (slots 1-50): 11 never-driver-checked gates (the
+# r05-session-4/round-6 tail), the 5 r05 hash-FAILs repaired by the
+# HUGEINT->BIGINT oracle casts, the 5 ex-`err: no_oracle` gates
+# reformulated with full value oracles, 13 stalest gates (last
+# driver-green r02), and 16 r03-stale core-engine gates (the fused
+# matching pass, CCT, comm family, the flagship TPC-H and LLM
+# pipelines — doc_minhash_lsh also re-confirms the refactored
+# build_lsh_index under its original md5 mode).
+_R06_WINDOW = [
+    # never driver-checked
+    "emb_rrf_fusion_indexed",
+    "doc_licenses", "doc_license_mix", "doc_structure_stats",
+    "doc_licensed_pack", "doc_source_jaccard", "doc_snapshot_overlap",
+    "doc_cms_tokens", "trace_late_senders", "trace_late_receivers",
+    "trace_wait_attribution",
+    # r05 hash-FAIL, repaired (oracle dtype casts)
+    "web_pagerank", "emb_lsh_topk", "emb_ivf_topk_portable",
+    "emb_rrf_fusion", "doc_dup_inflation",
+    # ex-no-oracle, reformulated with value oracles
+    "emb_ann_recall", "emb_ivf_topk", "emb_pq_topk", "emb_ivfpq_topk",
+    "doc_minhash_lsh_fast",
+    # stalest: last driver-green r02
+    "q8_market_share", "q18_large_volume", "q13_customer_distribution",
+    "q4_order_priority", "q10_returned_items", "q12_priority_lines",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity",
+    "q19_disjunctive_revenue", "q22_idle_customers",
+    "events_props_stats", "events_outliers",
+    # r03-stale core engine re-confirmations
+    "trace_match_inc", "trace_cct", "trace_time_profile",
+    "q1_pricing_summary", "doc_minhash_lsh", "doc_training_set",
+    "emb_cosine_topk", "doc_clean_corpus", "doc_dedup_clusters",
+    "trace_session_stats", "trace_idle_time", "trace_comm_matrix",
+    "trace_comm_count", "trace_comm_by_process",
+    "trace_message_histogram", "trace_comm_over_time",
+]
+
+
 def queries():
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 entries per round.
@@ -4229,13 +4266,25 @@ def queries():
     doc_structure_stats, doc_licensed_pack — bringing the registry to
     163) sit at the tail end with NO driver row yet (local parity
     only); they are the first candidates for the r06 window rotation.
+
+    r06 (this round): the window is `_R06_WINDOW` above — after the
+    r05 run, 159/169 gates had a driver row (149 green; the 5 FAILs
+    were the HUGEINT oracle dtype bug, repaired this round). The
+    window now holds all 11 never-checked gates, the 5 repaired
+    FAILs, the 5 reformulated ex-`err: no_oracle` gates, and the 29
+    stalest re-confirmations (every r02-stale gate + 16 r03-stale
+    core-engine gates). After this round's run, every one of the 170
+    registry gates will have at least one driver row across r01-r06,
+    with nothing last-checked earlier than r03.
+
     Every oracle-bearing gate — window or tail — is additionally
-    value-checked locally by tools/parity_check.py (EXACT float
-    compare, predicting the driver's hash) and column-checked by
-    tests/test_oracle_parity.
+    value-checked locally by tools/parity_check.py (dtype-STRICT +
+    EXACT float compare since r06, predicting the driver's hash) and
+    column-checked by tests/test_oracle_parity.
     """
-    return {
-        # ---- r05 window (slots 1-50) -------------------------------
+    reg = {
+        # ---- registry body (r05 order; the r06 window is applied by
+        # the _R06_WINDOW reorder at the end of this function) -------
         # never-driver-checked before this round (media_decode's r04
         # row was an ERR: list-typed feat_bytes; now string-serialized)
         "media_decode": q_media_decode,
@@ -4422,6 +4471,10 @@ def queries():
         "trace_late_receivers": q_trace_late_receivers,
         "trace_wait_attribution": q_trace_wait_attribution,
     }
+    out = {k: reg[k] for k in _R06_WINDOW}
+    out.update(reg)  # tail keeps its r05 relative order
+    assert len(out) == len(reg)
+    return out
 
 
 def oracle_sql():
