@@ -427,3 +427,69 @@ def test_licensed_pack_filter_below_window(spark):
     # exactly the pack shuffles: shard hash exchange (+ the final agg
     # exchange); the filter itself must not add one
     assert tree.count("Exchange") <= 2, tree
+
+
+def test_indexed_ann_candidate_joins_broadcast_query_side(spark):
+    """Build-once/search-many contract (r06): in the indexed portable
+    ANN searchers the CORPUS side (persisted band/cell tables) must
+    never ride an Exchange to reach the candidate join — the bounded
+    query batch re-enters as broadcast local frames. The scoring join
+    on cid is left to AQE (broadcast at bounded candidate counts,
+    shuffle at corpus-scale batches), but candidate GENERATION must be
+    broadcast-shaped unconditionally."""
+    from pipit_spark import queries as Q
+    from pipit_spark.llm import similarity as V
+    from pyspark.sql import functions as F
+
+    prefix = Q.ensure_portable_ann_indexes(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+
+    for df, table in [
+        (
+            V.lsh_topk_portable_indexed(spark, f"{prefix}_lsh", qs, k=5),
+            f"{prefix}_lsh_bands",
+        ),
+        (
+            V.ivf_topk_portable_indexed(
+                spark, f"{prefix}_ivf", qs, k=5, nprobe=3
+            ),
+            f"{prefix}_ivf_cells",
+        ),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert table in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        # the index scan feeds the candidate join directly: no
+        # Exchange may sit between the FileScan of the index table
+        # and its join (the broadcast side is the query frame)
+        scan_at = plan.index(table)
+        join_at = plan.rindex("BroadcastHashJoin", 0, scan_at)
+        between = plan[join_at:scan_at]
+        assert "Exchange hashpartitioning" not in between, between
+
+
+def test_rrf_ann_indexed_single_vecs_scan(spark):
+    """The one-pass fused searcher reads ONE vectors table for both
+    tiers (same quantization) and fuses in-plan: exactly one _vecs
+    scan, both index tables present, no cartesian."""
+    from pipit_spark import queries as Q
+    from pyspark.sql import functions as F
+    from pipit_spark.llm import similarity as V
+
+    prefix = Q.ensure_portable_ann_indexes(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    df = V.rrf_ann_indexed(
+        spark, f"{prefix}_lsh", f"{prefix}_ivf", qs, k=5, nprobe=3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # count FileScan nodes (the bare name also appears in each scan's
+    # Location path, so match the catalog-qualified identifier)
+    assert plan.count(
+        f"spark_catalog.default.{prefix}_lsh_vecs["
+    ) == 1, plan
+    assert f"{prefix}_lsh_bands" in plan, plan
+    assert f"{prefix}_ivf_cells" in plan, plan
+    assert "CartesianProduct" not in plan, plan
