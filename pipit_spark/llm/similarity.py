@@ -2009,10 +2009,19 @@ def lsh_topk_portable(
     ).withColumn("na2", _pair_dot_int_udf(F.col("cq"), F.col("cq")))
     # consumed by the signature bucket join AND the ranking tail —
     # persist so the corpus signature pass (Arrow matmul) runs once
+    # (at gate scale this is noise; at a real corpus it halves the
+    # expensive pass — PLANS.md §17 multi-reference trap)
     corp = corp.persist()
     qry = _lsh_sig_frame(
         queries, "qid", "qq", num_tables, num_planes, quant, vec_col, dim
     )
+    # NOTE r06: the indexed searchers collect the bounded query batch
+    # into local frames (it replaces repeated catalog+UDF stages
+    # there); measured HERE that trade LOSES — the inline query
+    # subtree is cheap and pipelines inside the one big job, while a
+    # driver collect serializes two extra job round-trips per tier
+    # (+2 s on the fused gate at sf0.1). Keep the inline tiers fully
+    # distributed.
     # bucket join + dedup over ids ONLY — vectors never ride the
     # (t, sig) shuffle or the distinct
     ce = corp.select("cid", F.posexplode("sigs").alias("t", "sig"))
@@ -2191,27 +2200,6 @@ def _ivf_portable_corpus(
     )
 
 
-def _ivf_portable_probes(
-    qbase: DataFrame, nlist: int, nprobe: int, quant: int, dim: int
-) -> DataFrame:
-    """``(qid, cell)`` probe rows — ids only ride the cell join."""
-    cents = _portable_centroids(nlist, dim, quant)
-    na2s = [sum(c * c for c in cj) for cj in cents]
-    return (
-        _ivf_cell_keys(qbase, "qq", cents, na2s)
-        .withColumn(
-            "__probes",
-            F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
-        )
-        .select(
-            "qid",
-            F.explode(
-                F.transform(F.col("__probes"), lambda s: -s["nj"])
-            ).alias("cell"),
-        )
-    )
-
-
 def ivf_topk_portable(
     emb: DataFrame,
     queries: DataFrame,
@@ -2257,7 +2245,24 @@ def ivf_topk_portable(
         F.col("vec_id").alias("qid"),
         _quantize_vec(F.col(vec_col), quant).alias("qq"),
     )
-    qprobe = _ivf_portable_probes(qbase, nlist, nprobe, quant, dim)
+    # probe list per query (ids only ride the cell join); see the
+    # r06 NOTE in lsh_topk_portable for why the inline tiers stay
+    # fully distributed while the INDEXED searchers collect the batch
+    cents = _portable_centroids(nlist, dim, quant)
+    na2s = [sum(c * c for c in cj) for cj in cents]
+    qprobe = (
+        _ivf_cell_keys(qbase, "qq", cents, na2s)
+        .withColumn(
+            "__probes",
+            F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
+        )
+        .select(
+            "qid",
+            F.explode(
+                F.transform(F.col("__probes"), lambda x: -x["nj"])
+            ).alias("cell"),
+        )
+    )
     pairs = (
         qprobe.join(corp.select("cid", "cell"), "cell")
         .filter(F.col("qid") != F.col("cid"))
