@@ -2670,6 +2670,97 @@ def rrf_ann_indexed(
     )
 
 
+def cell_balance(
+    emb: DataFrame,
+    nlist: int = 8,
+    quant: int = 1000,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space balance monitor: one row per portable-IVF cell
+    with its vector count and integer-ppm share of the corpus — the
+    cluster-balance report a curation pipeline watches before trusting
+    cell-partitioned work (SemDeDup per-cell dedup, IVF probe cost,
+    skewed semantic regions of a crawl). A hot cell here predicts a
+    hot partition everywhere downstream that keys on the cell.
+
+    Same md5-derived centroids and exact-integer assignment as
+    :func:`ivf_topk_portable` (shared `_ivf_portable_corpus`), so the
+    whole report replays in DuckDB. One narrow assignment pass + one
+    cell-keyed aggregate; the 1-row total broadcasts back."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    corp = _ivf_portable_corpus(emb, nlist, quant, vec_col, dim)
+    cells = corp.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    total = cells.agg(F.sum("n_vectors").alias("__t"))
+    return (
+        cells.join(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vectors",
+            F.expr(
+                "CAST((n_vectors * CAST(1000000 AS BIGINT)) div __t"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+def oracle_cell_balance(
+    nlist: int = 8,
+    quant: int = 1000,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replay of :func:`cell_balance` — same md5-derived
+    centroid literals and HUGEINT assignment surrogate as
+    :func:`oracle_ivf_topk_portable` (constants from the shared
+    `_portable_centroids`, so the two oracles cannot drift)."""
+    cents = _portable_centroids(nlist, dim, quant)
+    cent_rows = ", ".join(
+        f"({j}, [{', '.join(str(x) for x in cj)}], "
+        f"{sum(x * x for x in cj)})"
+        for j, cj in enumerate(cents)
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS qv
+    FROM {table}
+),
+cents(j, c, cna2) AS (VALUES {cent_rows}),
+akeys AS (
+    SELECT q.vec_id, ct.j,
+           list_sum(list_transform(range(1, {dim} + 1),
+               i -> q.qv[i] * ct.c[i])) AS dot,
+           ct.cna2
+    FROM q CROSS JOIN cents ct
+),
+akeyed AS (
+    SELECT vec_id, j,
+           CASE WHEN dot >= 0
+                THEN (CAST(dot AS HUGEINT) * dot * 1000000) // cna2
+                ELSE -((CAST(dot AS HUGEINT) * dot * 1000000) // cna2)
+           END AS key
+    FROM akeys
+),
+aranked AS (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY key DESC, j ASC) AS r
+    FROM akeyed
+),
+assigned AS (SELECT vec_id, j AS cell FROM aranked WHERE r = 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM assigned)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) * 1000000 // MAX(t) AS BIGINT) AS share_ppm
+FROM assigned CROSS JOIN tot GROUP BY cell
+"""
+
+
 def oracle_ivf_topk_portable(
     corpus_pred: str,
     query_pred: str,

@@ -3278,6 +3278,17 @@ def q_emb_rrf_fusion_indexed(spark, sf_dir):
     )
 
 
+def q_emb_cell_balance(spark, sf_dir):
+    """Embedding cluster-balance monitor: per-cell vector counts and
+    integer-ppm corpus shares over the portable md5 centroids
+    (llm/similarity.py:cell_balance) — the skew report every
+    cell-partitioned downstream (SemDeDup, IVF probing, per-cell
+    dedup) should be gated on."""
+    return V.cell_balance(
+        load(spark, sf_dir, "embeddings"), nlist=8
+    )
+
+
 def _oracle_clean_corpus() -> str:
     from .llm.pipeline import oracle_clean_corpus
 
@@ -4229,7 +4240,9 @@ _R06_WINDOW = [
     "emb_cosine_topk", "doc_clean_corpus", "doc_dedup_clusters",
     "trace_session_stats", "trace_idle_time", "trace_comm_matrix",
     "trace_comm_count", "trace_comm_by_process",
-    "trace_message_histogram", "trace_comm_over_time",
+    "trace_message_histogram",
+    # round-6 in-round addition (never driver-checked)
+    "emb_cell_balance",
 ]
 
 
@@ -4331,6 +4344,7 @@ def queries():
         "emb_ivf_topk_portable": q_emb_ivf_topk_portable,
         "emb_rrf_fusion": q_emb_rrf_fusion,
         "emb_rrf_fusion_indexed": q_emb_rrf_fusion_indexed,
+        "emb_cell_balance": q_emb_cell_balance,
         # round-5 real-codec proof gate (displaces the q8 stale
         # reconfirmation to the tail — q8 has r01+r02 green rows)
         "media_decode_real": q_media_decode_real,
@@ -4720,6 +4734,7 @@ def oracle_sql():
         "emb_ivf_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_pq_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_ivfpq_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
+        "emb_cell_balance": V.oracle_cell_balance(nlist=8),
         "emb_ann_recall": V.oracle_recall_report(
             V.oracle_ivf_topk_portable(
                 "vec_id % 25 != 0", "vec_id % 25 = 0",

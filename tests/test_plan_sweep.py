@@ -37,6 +37,7 @@ PYTHON_STAGE_OK = {
     # (_int_dots_udf / _pair_dot_int_udf) by design
     "emb_lsh_topk", "emb_ivf_topk_portable", "emb_rrf_fusion",
     "emb_rrf_fusion_indexed",  # shared exact-int dot kernel, by design
+    "emb_cell_balance",  # portable centroid-assignment Arrow kernel
     "media_near_dups",  # decode step is the codec Arrow stage
     "media_decode_real",  # synth + real-codec decode, both Arrow stages
     # bloom probe is a vectorized Arrow bit-test by design

@@ -129,3 +129,18 @@ def test_dedup_clusters_chain_graph_checkpoints(spark):
     labels = dedup_clusters(pairs, max_iter=25).collect()
     assert len(labels) == n
     assert all(r["component"] == 0 for r in labels)
+
+
+def test_cell_balance_invariants(spark):
+    """Cluster-balance report: counts partition the corpus exactly,
+    shares are floor-ppm of the total, all integer dtypes."""
+    from pipit_spark.llm.similarity import cell_balance
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    rows = cell_balance(emb, nlist=8).collect()
+    assert sum(r["n_vectors"] for r in rows) == n
+    for r in rows:
+        assert r["share_ppm"] == r["n_vectors"] * 1000000 // n
+    got = dict(cell_balance(emb, nlist=8).dtypes)
+    assert got["n_vectors"] == "bigint" and got["share_ppm"] == "bigint"
