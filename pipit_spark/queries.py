@@ -3289,6 +3289,70 @@ def q_emb_cell_balance(spark, sf_dir):
     )
 
 
+_HYBRID_ANCHORS = {"q1": 0, "q2": 25}  # query text ↔ query embedding
+
+
+def q_doc_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval capstone: the SAME two queries run through the
+    lexical tier (BM25 rational mode over documents) AND the vector
+    tier (portable LSH ANN over the aligned embeddings table — doc_id
+    and vec_id share the id space), fused with reciprocal-rank fusion.
+    This is the claim in rrf_fuse's docstring made executable: ranks
+    are the only thing fused, so the incomparable raw scores (BIGINT
+    micro-unit BM25 vs quantized cosine surrogate) never meet. A doc
+    surfaced by both tiers accumulates both contributions — the
+    standard hybrid-search shape (Cormack 2009; every production RAG
+    retrieval stack)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = sorted(_HYBRID_ANCHORS.values())
+    lex = X.bm25_topk(
+        docs, _BM25_QUERIES, k=5, mode="rational"
+    ).withColumnRenamed("doc_id", "neighbor_id")
+    vec = V.lsh_topk_portable(
+        emb.filter(~F.col("vec_id").isin(anchors)),
+        emb.filter(F.col("vec_id").isin(anchors)),
+        k=5,
+    )
+    qid_map = F.create_map(
+        *[
+            x
+            for name, vid in sorted(_HYBRID_ANCHORS.items())
+            for x in (F.lit(vid), F.lit(name))
+        ]
+    )
+    vec = vec.select(
+        qid_map[F.col("query_id")].alias("query_id"),
+        "rank",
+        "neighbor_id",
+    )
+    return V.rrf_fuse([lex, vec], k=5)
+
+
+def _build_oracle_hybrid_retrieval() -> str:
+    lex = (
+        "SELECT query_id, rank, doc_id AS neighbor_id FROM ("
+        + X.oracle_bm25_topk(_BM25_QUERIES, k=5).rstrip().rstrip(";")
+        + ")"
+    )
+    ids = sorted(_HYBRID_ANCHORS.values())
+    cases = " ".join(
+        f"WHEN {vid} THEN '{name}'"
+        for name, vid in sorted(_HYBRID_ANCHORS.items())
+    )
+    vec = (
+        f"SELECT CASE query_id {cases} END AS query_id, rank,"
+        " neighbor_id FROM ("
+        + V.oracle_lsh_topk_portable(
+            f"vec_id NOT IN ({', '.join(map(str, ids))})",
+            f"vec_id IN ({', '.join(map(str, ids))})",
+            k=5,
+        ).rstrip().rstrip(";")
+        + ")"
+    )
+    return V.oracle_rrf_fuse([lex, vec], k=5)
+
+
 def _oracle_clean_corpus() -> str:
     from .llm.pipeline import oracle_clean_corpus
 
@@ -4240,9 +4304,8 @@ _R06_WINDOW = [
     "emb_cosine_topk", "doc_clean_corpus", "doc_dedup_clusters",
     "trace_session_stats", "trace_idle_time", "trace_comm_matrix",
     "trace_comm_count", "trace_comm_by_process",
-    "trace_message_histogram",
-    # round-6 in-round addition (never driver-checked)
-    "emb_cell_balance",
+    # round-6 in-round additions (never driver-checked)
+    "emb_cell_balance", "doc_hybrid_retrieval",
 ]
 
 
@@ -4345,6 +4408,7 @@ def queries():
         "emb_rrf_fusion": q_emb_rrf_fusion,
         "emb_rrf_fusion_indexed": q_emb_rrf_fusion_indexed,
         "emb_cell_balance": q_emb_cell_balance,
+        "doc_hybrid_retrieval": q_doc_hybrid_retrieval,
         # round-5 real-codec proof gate (displaces the q8 stale
         # reconfirmation to the tail — q8 has r01+r02 green rows)
         "media_decode_real": q_media_decode_real,
@@ -4735,6 +4799,7 @@ def oracle_sql():
         "emb_pq_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_ivfpq_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_cell_balance": V.oracle_cell_balance(nlist=8),
+        "doc_hybrid_retrieval": _build_oracle_hybrid_retrieval(),
         "emb_ann_recall": V.oracle_recall_report(
             V.oracle_ivf_topk_portable(
                 "vec_id % 25 != 0", "vec_id % 25 = 0",

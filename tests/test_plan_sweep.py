@@ -38,6 +38,7 @@ PYTHON_STAGE_OK = {
     "emb_lsh_topk", "emb_ivf_topk_portable", "emb_rrf_fusion",
     "emb_rrf_fusion_indexed",  # shared exact-int dot kernel, by design
     "emb_cell_balance",  # portable centroid-assignment Arrow kernel
+    "doc_hybrid_retrieval",  # vector tier rides the LSH Arrow kernel
     "media_near_dups",  # decode step is the codec Arrow stage
     "media_decode_real",  # synth + real-codec decode, both Arrow stages
     # bloom probe is a vectorized Arrow bit-test by design

@@ -144,3 +144,25 @@ def test_cell_balance_invariants(spark):
         assert r["share_ppm"] == r["n_vectors"] * 1000000 // n
     got = dict(cell_balance(emb, nlist=8).dtypes)
     assert got["n_vectors"] == "bigint" and got["share_ppm"] == "bigint"
+
+
+def test_hybrid_retrieval_fuses_both_tiers(spark):
+    """The hybrid gate must actually MIX tiers: every query returns
+    k fused rows, at least one row carries a lexical-only contribution
+    and the ranked order follows rrf_score desc with item-id
+    tie-break."""
+    from pipit_spark.queries import q_doc_hybrid_retrieval
+
+    rows = q_doc_hybrid_retrieval(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"q1", "q2"}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r["rrf_score"], r["item_id"]) for r in rs]
+        assert keys == sorted(keys)
+        assert all(r["n_lists"] in (1, 2) for r in rs)
