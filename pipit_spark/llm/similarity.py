@@ -2176,6 +2176,82 @@ def _ivf_cell_keys(df, vq_col, cents, na2s):
     return df.withColumn("__keys", F.array(*structs)).drop(*tmp)
 
 
+def _ivf_assign_kernel(cents, na2s, nprobe: int = 1):
+    """Arrow kernel computing the portable-IVF cell assignment (or the
+    ``nprobe`` best cells) entirely inside one pandas UDF — the scale
+    path past the unrolled-column form: `_ivf_cell_keys` materializes
+    one column pair PER centroid (whole-stage-codegen-friendly, but
+    plan width grows O(nlist)), so above ~64 cells the plan itself
+    becomes the bottleneck. Here the centroid dots are one exact-int64
+    numpy matmul and the >64-bit surrogate keys
+    ``sign(dot)·(dot²·10⁶ div |c_j|²)`` are arbitrary-precision Python
+    ints (object-dtype numpy) — bit-identical to the column form and
+    to the DuckDB HUGEINT oracle, including the smaller-cell-index
+    tie-break (np.argmax returns the FIRST maximum).
+
+    Returns a pandas_udf: array<long> → int (nprobe=1) or
+    array<int> (nprobe>1, best cells in probe order)."""
+    C = np.asarray(cents, dtype=np.int64)
+    na2 = np.asarray([int(x) for x in na2s], dtype=object)
+
+    def keys_for(vbatch: pd.Series) -> np.ndarray:
+        M = np.asarray(vbatch.tolist(), dtype=np.int64)
+        dots = M @ C.T  # exact: |dot| ≤ quant²·dim ≪ 2^63
+        D = dots.astype(object)
+        mag = (D * D * 1000000) // na2
+        return np.where(dots >= 0, mag, -mag)
+
+    if nprobe == 1:
+
+        @F.pandas_udf("int")
+        def assign(v: pd.Series) -> pd.Series:
+            if v.empty:
+                return pd.Series([], dtype="int32")
+            K = keys_for(v)
+            return pd.Series(np.argmax(K, axis=1).astype("int32"))
+
+        return assign
+
+    @F.pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        K = keys_for(v)
+        nlist = K.shape[1]
+        out = [
+            sorted(range(nlist), key=lambda j: (-row[j], j))[:nprobe]
+            for row in K
+        ]
+        return pd.Series(out)
+
+    return probes
+
+
+def _ivf_probe_frame(qbase, cents, na2s, nprobe: int):
+    """Adds ``cells`` (the per-query probe list, best-first) to the
+    frame, preserving every input column — via the unrolled column
+    form (≤64 cells, whole-stage codegen) or the Arrow kernel (above
+    that, where plan width would dominate); shared by the inline tier
+    and both indexed searchers."""
+    if len(cents) > 64:
+        return qbase.withColumn(
+            "cells",
+            _ivf_assign_kernel(cents, na2s, nprobe=nprobe)(F.col("qq")),
+        )
+    return (
+        _ivf_cell_keys(qbase, "qq", cents, na2s)
+        .withColumn(
+            "__probes",
+            F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
+        )
+        .withColumn(
+            "cells",
+            F.transform(F.col("__probes"), lambda x: -x["nj"]),
+        )
+        .drop("__probes", "__keys")
+    )
+
+
 def _ivf_portable_corpus(
     emb: DataFrame, nlist: int, quant: int, vec_col: str, dim: int
 ) -> DataFrame:
@@ -2183,20 +2259,26 @@ def _ivf_portable_corpus(
     :func:`ivf_topk_portable` and :func:`save_ivf_topk_index`."""
     cents = _portable_centroids(nlist, dim, quant)
     na2s = [sum(c * c for c in cj) for cj in cents]
-    return (
-        _ivf_cell_keys(
-            emb.select(
-                F.col("vec_id").alias("cid"),
-                _quantize_vec(F.col(vec_col), quant).alias("cq"),
-            ),
-            "cq",
-            cents,
-            na2s,
+    base = emb.select(
+        F.col("vec_id").alias("cid"),
+        _quantize_vec(F.col(vec_col), quant).alias("cq"),
+    )
+    if nlist > 64:
+        # plan width of the unrolled-column form grows O(nlist);
+        # above ~64 cells assignment moves into the Arrow kernel
+        # (bit-identical — see _ivf_assign_kernel)
+        assigned = base.withColumn(
+            "cell", _ivf_assign_kernel(cents, na2s)(F.col("cq"))
         )
-        .withColumn("__best", F.array_max(F.col("__keys")))
-        .withColumn("cell", -F.col("__best.nj"))
-        .drop("__best", "__keys")
-        .withColumn("na2", _pair_dot_int_udf(F.col("cq"), F.col("cq")))
+    else:
+        assigned = (
+            _ivf_cell_keys(base, "cq", cents, na2s)
+            .withColumn("__best", F.array_max(F.col("__keys")))
+            .withColumn("cell", -F.col("__best.nj"))
+            .drop("__best", "__keys")
+        )
+    return assigned.withColumn(
+        "na2", _pair_dot_int_udf(F.col("cq"), F.col("cq"))
     )
 
 
@@ -2250,18 +2332,8 @@ def ivf_topk_portable(
     # fully distributed while the INDEXED searchers collect the batch
     cents = _portable_centroids(nlist, dim, quant)
     na2s = [sum(c * c for c in cj) for cj in cents]
-    qprobe = (
-        _ivf_cell_keys(qbase, "qq", cents, na2s)
-        .withColumn(
-            "__probes",
-            F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
-        )
-        .select(
-            "qid",
-            F.explode(
-                F.transform(F.col("__probes"), lambda x: -x["nj"])
-            ).alias("cell"),
-        )
+    qprobe = _ivf_probe_frame(qbase, cents, na2s, nprobe).select(
+        "qid", F.explode("cells").alias("cell")
     )
     pairs = (
         qprobe.join(corp.select("cid", "cell"), "cell")
@@ -2465,20 +2537,7 @@ def ivf_topk_portable_indexed(
     # ranking tail
     cents = _portable_centroids(meta["nlist"], meta["dim"], meta["quant"])
     na2s = [sum(c * c for c in cj) for cj in cents]
-    qp = (
-        _ivf_cell_keys(qbase, "qq", cents, na2s)
-        .withColumn(
-            "__probes",
-            F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
-        )
-        .select(
-            "qid",
-            "qq",
-            F.transform(F.col("__probes"), lambda x: -x["nj"]).alias(
-                "cells"
-            ),
-        )
-    )
+    qp = _ivf_probe_frame(qbase, cents, na2s, nprobe)
     qrows = qp.limit(10_001).collect()
     if len(qrows) <= 10_000:
         qbase = spark.createDataFrame(
@@ -2546,27 +2605,15 @@ def rrf_ann_indexed(
     num_planes = lm["num_planes"]
     cents = _portable_centroids(im["nlist"], im["dim"], im["quant"])
     na2s = [sum(c * c for c in cj) for cj in cents]
-    qfull = (
-        _ivf_cell_keys(
-            _lsh_sig_frame(
-                queries, "qid", "qq", lm["num_tables"], num_planes,
-                lm["quant"], vec_col, lm["dim"],
-            ),
-            "qq",
-            cents,
-            na2s,
-        )
-        .withColumn(
-            "__probes",
-            F.slice(F.reverse(F.array_sort(F.col("__keys"))), 1, nprobe),
-        )
-        .select(
-            "qid", "qq", "sigs",
-            F.transform(F.col("__probes"), lambda x: -x["nj"]).alias(
-                "cells"
-            ),
-        )
-    )
+    qfull = _ivf_probe_frame(
+        _lsh_sig_frame(
+            queries, "qid", "qq", lm["num_tables"], num_planes,
+            lm["quant"], vec_col, lm["dim"],
+        ),
+        cents,
+        na2s,
+        nprobe,
+    ).select("qid", "qq", "sigs", "cells")
     qrows = qfull.limit(10_001).collect()
     if len(qrows) > 10_000:
         return rrf_fuse(

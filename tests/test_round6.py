@@ -166,3 +166,72 @@ def test_hybrid_retrieval_fuses_both_tiers(spark):
         keys = [(-r["rrf_score"], r["item_id"]) for r in rs]
         assert keys == sorted(keys)
         assert all(r["n_lists"] in (1, 2) for r in rs)
+
+
+def test_ivf_assign_kernel_matches_column_form(spark):
+    """The Arrow assignment kernel (the >64-cell scale path) must be
+    bit-identical to the unrolled-column form: same cells, same probe
+    lists including the smaller-cell-index tie-break."""
+    from pyspark.sql import functions as F
+    from pipit_spark.llm.similarity import (
+        _ivf_assign_kernel,
+        _ivf_portable_corpus,
+        _portable_centroids,
+        _quantize_vec,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    nlist, dim, quant = 8, 64, 1000
+    cents = _portable_centroids(nlist, dim, quant)
+    na2s = [sum(c * c for c in cj) for cj in cents]
+    cols = {
+        r["cid"]: r["cell"]
+        for r in _ivf_portable_corpus(emb, nlist, quant, "embedding", dim)
+        .select("cid", "cell")
+        .collect()
+    }
+    base = emb.select(
+        F.col("vec_id").alias("cid"),
+        _quantize_vec(F.col("embedding"), quant).alias("cq"),
+    )
+    kern = {
+        r["cid"]: r["cell"]
+        for r in base.withColumn(
+            "cell", _ivf_assign_kernel(cents, na2s)(F.col("cq"))
+        ).collect()
+    }
+    assert cols == kern
+    # probe lists agree too (order matters)
+    from pipit_spark.llm.similarity import _ivf_probe_frame
+
+    qb = base.withColumnRenamed("cid", "qid").withColumnRenamed(
+        "cq", "qq"
+    ).limit(50)
+    col_probes = {
+        r["qid"]: list(r["cells"])
+        for r in _ivf_probe_frame(qb, cents, na2s, 3).collect()
+    }
+    kern_probes = {
+        r["qid"]: list(r["cells"])
+        for r in qb.withColumn(
+            "cells", _ivf_assign_kernel(cents, na2s, nprobe=3)(F.col("qq"))
+        ).collect()
+    }
+    assert col_probes == kern_probes
+
+
+def test_ivf_portable_large_nlist_kernel_path(spark):
+    """nlist=128 routes assignment through the kernel (plan width
+    would be 256 columns in the unrolled form) and the search still
+    returns a full top-k per query."""
+    from pyspark.sql import functions as F
+    from pipit_spark.llm.similarity import ivf_topk_portable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    out = ivf_topk_portable(
+        corpus, qs, k=5, nlist=128, nprobe=32
+    ).collect()
+    assert len(out) == 15
+    assert {r["query_id"] for r in out} == {0, 1, 2}
