@@ -2409,8 +2409,9 @@ def save_lsh_topk_index(
     corp.unpersist()
     spark = emb.sparkSession
     spark.createDataFrame(
-        [(num_tables, num_planes, quant, dim)],
-        "num_tables int, num_planes int, quant int, dim int",
+        [(num_tables, num_planes, quant, dim, num_buckets)],
+        "num_tables int, num_planes int, quant int, dim int, "
+        "num_buckets int",
     ).write.mode("overwrite").saveAsTable(f"{table}__annmeta")
     _ANNMETA_CACHE.pop(
         (spark.sparkContext.applicationId, table), None
@@ -2509,6 +2510,69 @@ def save_ivf_topk_index(
     ).write.mode("overwrite").saveAsTable(f"{table}__annmeta")
     _ANNMETA_CACHE.pop(
         (spark.sparkContext.applicationId, table), None
+    )
+
+
+def append_lsh_topk_index(emb: DataFrame, table: str) -> None:
+    """Incremental corpus growth for a :func:`save_lsh_topk_index`
+    index — tonight's new vectors are signed with the INDEX'S OWN
+    parameters (read from the metadata table, so batch and index can
+    never drift) and appended to both catalog tables with the matching
+    bucket spec; searches immediately see the union. The whole corpus
+    is never re-signed: this is the ingestion half of
+    build-once/search-many (same role as llm/dedup.py's
+    incremental_near_dups plays for the dedup index)."""
+    from ..sinks.bucketed import write_bucketed
+
+    spark = emb.sparkSession
+    meta = _annmeta(spark, f"{table}")
+    corp = _lsh_sig_frame(
+        emb, "cid", "cq", meta["num_tables"], meta["num_planes"],
+        meta["quant"], "embedding", meta["dim"],
+    ).withColumn("na2", _pair_dot_int_udf(F.col("cq"), F.col("cq")))
+    corp = corp.persist()
+    nb = int(meta["num_buckets"])
+    (
+        corp.select("cid", "cq", "na2")
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(nb, "cid")
+        .saveAsTable(f"{table}_vecs")
+    )
+    bands = corp.select(
+        "cid", F.posexplode("sigs").alias("t", "sig")
+    ).select(
+        (
+            F.col("t").cast("long") * (1 << meta["num_planes"])
+            + F.col("sig")
+        ).alias("bsig"),
+        "cid",
+    )
+    (
+        bands.write.mode("append")
+        .format("parquet")
+        .bucketBy(nb, "bsig")
+        .saveAsTable(f"{table}_bands")
+    )
+    corp.unpersist()
+
+
+def append_ivf_topk_index(emb: DataFrame, table: str) -> None:
+    """Incremental corpus growth for a :func:`save_ivf_topk_index`
+    index: new vectors are assigned with the index's own centroids
+    (metadata-driven) and appended into the cell partitions — only the
+    touched cell directories gain files, searches see the union
+    immediately. The portable counterpart of :func:`ivf_append`."""
+    spark = emb.sparkSession
+    meta = _annmeta(spark, table)
+    corp = _ivf_portable_corpus(
+        emb, int(meta["nlist"]), int(meta["quant"]), "embedding",
+        int(meta["dim"]),
+    )
+    (
+        corp.write.mode("append")
+        .partitionBy("cell")
+        .saveAsTable(f"{table}_cells")
     )
 
 

@@ -235,3 +235,46 @@ def test_ivf_portable_large_nlist_kernel_path(spark):
     ).collect()
     assert len(out) == 15
     assert {r["query_id"] for r in out} == {0, 1, 2}
+
+
+def test_append_portable_indexes_equals_full_build(spark, tmp_path):
+    """Build the portable indexes on half the corpus, append the other
+    half, and the indexed searches must be bit-identical to indexes
+    built on the full corpus in one shot — the continuous-ingestion
+    contract."""
+    from pyspark.sql import functions as F
+    from pipit_spark.llm.similarity import (
+        append_ivf_topk_index,
+        append_lsh_topk_index,
+        ivf_topk_portable_indexed,
+        lsh_topk_portable_indexed,
+        save_ivf_topk_index,
+        save_lsh_topk_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+
+    for t in ("t_r6_lsh_inc", "t_r6_ivf_inc", "t_r6_lsh_full",
+              "t_r6_ivf_full"):
+        for suffix in ("_vecs", "_bands", "_cells", "__annmeta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+    save_lsh_topk_index(half_a, "t_r6_lsh_inc", num_buckets=4)
+    append_lsh_topk_index(half_b, "t_r6_lsh_inc")
+    save_lsh_topk_index(corpus, "t_r6_lsh_full", num_buckets=4)
+
+    save_ivf_topk_index(half_a, "t_r6_ivf_inc", nlist=4)
+    append_ivf_topk_index(half_b, "t_r6_ivf_inc")
+    save_ivf_topk_index(corpus, "t_r6_ivf_full", nlist=4)
+
+    a = lsh_topk_portable_indexed(spark, "t_r6_lsh_inc", qs, k=5)
+    b = lsh_topk_portable_indexed(spark, "t_r6_lsh_full", qs, k=5)
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+    a = ivf_topk_portable_indexed(spark, "t_r6_ivf_inc", qs, k=5, nprobe=2)
+    b = ivf_topk_portable_indexed(spark, "t_r6_ivf_full", qs, k=5, nprobe=2)
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
