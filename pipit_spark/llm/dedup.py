@@ -339,7 +339,7 @@ def _perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
 
 def minhash_sig_expr(
     text_col, num_hashes: int = 16, shingle_n: int = 3,
-    portable: bool = False,
+    portable: bool = False, base_hash: str = "xxhash64",
 ):
     """ROW-LOCAL minhash signature column: the same signatures as
     :func:`minhash_sig_array` / :func:`build_lsh_index` (same permuted
@@ -367,7 +367,7 @@ def minhash_sig_expr(
         return F.array(*[_md5_min(i) for i in range(num_hashes)])
     p = _MINHASH_P
     a, bvec = _perm_constants(num_hashes)
-    hs = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
+    hs = F.transform(sh, lambda s: _base_hash_expr(s, base_hash))
 
     def _perm_min(ai: int, bi: int):
         return F.array_min(

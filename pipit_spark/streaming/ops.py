@@ -287,6 +287,7 @@ def streaming_near_dup_screen(
     bands: int = 8,
     shingle_n: int = 3,
     portable: bool = False,
+    base_hash: str = "xxhash64",
     time_col: str = "ingest_time",
     watermark: str = "30 seconds",
     text_col: str = "text",
@@ -325,6 +326,10 @@ def streaming_near_dup_screen(
     want = {
         "num_hashes": num_hashes, "bands": bands,
         "shingle_n": shingle_n, "portable": portable,
+        # r06: an md5int-built index has portable-FORMAT buckets and a
+        # different base hash — without this key the guard would pass
+        # and the stream-static join would silently match NOTHING
+        "base_hash": base_hash,
     }
     if params is not None:
         bad = {k: (params.get(k), v) for k, v in want.items()
@@ -341,8 +346,9 @@ def streaming_near_dup_screen(
 
     sig = minhash_sig_expr(
         F.col(text_col), num_hashes=num_hashes, shingle_n=shingle_n,
-        portable=portable,
+        portable=portable, base_hash=base_hash,
     )
+    replayable = portable or base_hash == "md5int"
     signed = docs.select(
         "doc_id", time_col, sig.alias("__sb")
     ).withColumn(
@@ -350,7 +356,9 @@ def streaming_near_dup_screen(
         F.explode(
             F.array(
                 *[
-                    band_key_expr(F.col("__sb"), b, rows_per_band, portable)
+                    band_key_expr(
+                        F.col("__sb"), b, rows_per_band, replayable
+                    )
                     for b in range(bands)
                 ]
             )
