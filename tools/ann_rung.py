@@ -61,9 +61,10 @@ def main() -> None:
                 F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__r"),
             )
             .select(
-                (F.col("vec_id") + F.col("__r") * 10_000_000).alias(
-                    "vec_id"
-                ),
+                (
+                    F.col("vec_id")
+                    + F.col("__r").cast("long") * 10_000_000
+                ).alias("vec_id"),
                 F.transform(
                     "embedding",
                     lambda x, i: F.when(
