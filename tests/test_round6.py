@@ -258,10 +258,18 @@ def test_append_portable_indexes_equals_full_build(spark, tmp_path):
     half_a = corpus.filter(F.col("vec_id") % 2 == 0)
     half_b = corpus.filter(F.col("vec_id") % 2 == 1)
 
+    # the session catalog is in-memory: a previous test SESSION's table
+    # metadata is gone (DROP is a no-op) but its warehouse directory
+    # survives and saveAsTable refuses the location — clear both
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for t in ("t_r6_lsh_inc", "t_r6_ivf_inc", "t_r6_lsh_full",
               "t_r6_ivf_full"):
         for suffix in ("_vecs", "_bands", "_cells", "__annmeta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+            shutil.rmtree(f"{wh}/{t}{suffix}", ignore_errors=True)
 
     save_lsh_topk_index(half_a, "t_r6_lsh_inc", num_buckets=4)
     append_lsh_topk_index(half_b, "t_r6_lsh_inc")
