@@ -3353,6 +3353,20 @@ def _build_oracle_hybrid_retrieval() -> str:
     return V.oracle_rrf_fuse([lex, vec], k=5)
 
 
+def q_doc_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile summary: per-source token-length quantiles
+    read off the deterministic md5-sampled sketch (20%), completing
+    the sketch family — KMV (distinct), CMS (frequency), this
+    (distribution). Merge≡whole is pytest-pinned; the gate
+    value-checks the sample membership + rank selection end to end
+    (llm/sketches.py:quantile_sketch/sketch_quantiles)."""
+    from .llm.sketches import quantile_sketch, sketch_quantiles
+
+    return sketch_quantiles(
+        quantile_sketch(load(spark, sf_dir, "documents"), pct=20)
+    )
+
+
 def _oracle_clean_corpus() -> str:
     from .llm.pipeline import oracle_clean_corpus
 
@@ -4303,9 +4317,9 @@ _R06_WINDOW = [
     "q1_pricing_summary", "doc_minhash_lsh", "doc_training_set",
     "emb_cosine_topk", "doc_clean_corpus", "doc_dedup_clusters",
     "trace_session_stats", "trace_idle_time", "trace_comm_matrix",
-    "trace_comm_count", "trace_comm_by_process",
+    "trace_comm_count",
     # round-6 in-round additions (never driver-checked)
-    "emb_cell_balance", "doc_hybrid_retrieval",
+    "emb_cell_balance", "doc_hybrid_retrieval", "doc_quantile_sketch",
 ]
 
 
@@ -4409,6 +4423,7 @@ def queries():
         "emb_rrf_fusion_indexed": q_emb_rrf_fusion_indexed,
         "emb_cell_balance": q_emb_cell_balance,
         "doc_hybrid_retrieval": q_doc_hybrid_retrieval,
+        "doc_quantile_sketch": q_doc_quantile_sketch,
         # round-5 real-codec proof gate (displaces the q8 stale
         # reconfirmation to the tail — q8 has r01+r02 green rows)
         "media_decode_real": q_media_decode_real,
@@ -4800,6 +4815,9 @@ def oracle_sql():
         "emb_ivfpq_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
         "emb_cell_balance": V.oracle_cell_balance(nlist=8),
         "doc_hybrid_retrieval": _build_oracle_hybrid_retrieval(),
+        "doc_quantile_sketch": __import__(
+            "pipit_spark.llm.sketches", fromlist=["x"]
+        ).oracle_sketch_quantiles(pct=20),
         "emb_ann_recall": V.oracle_recall_report(
             V.oracle_ivf_topk_portable(
                 "vec_id % 25 != 0", "vec_id % 25 = 0",

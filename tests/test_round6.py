@@ -334,3 +334,33 @@ def test_streaming_screen_rejects_base_hash_mismatch(spark):
         streaming_near_dup_screen(
             corpus, idx, num_hashes=8, bands=4, base_hash="xxhash64"
         )
+
+
+def test_quantile_sketch_merge_equals_whole(spark):
+    """Sharded quantile sketches union-merged must equal the
+    whole-corpus sketch — md5 membership is per-doc, so merge≡whole is
+    exact, and quantiles read off either agree bit-for-bit."""
+    from pyspark.sql import functions as F
+    from pipit_spark.llm.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    whole = sketch_quantiles(quantile_sketch(docs, pct=30))
+    merged = sketch_quantiles(
+        merge_quantile_sketches(
+            quantile_sketch(docs.filter(F.col("doc_id") % 2 == 0), pct=30),
+            quantile_sketch(docs.filter(F.col("doc_id") % 2 == 1), pct=30),
+        )
+    )
+    assert (
+        whole.exceptAll(merged).count()
+        + merged.exceptAll(whole).count()
+        == 0
+    )
+    # the sketch actually sampled (not empty, not everything)
+    n = docs.count()
+    ns = quantile_sketch(docs, pct=30).count()
+    assert 0 < ns < n
