@@ -1861,8 +1861,8 @@ def _rank_portable_candidates(
         # with different column pruning, which defeats Catalyst's
         # exchange reuse — persist so the upstream bucket/cell join
         # runs once; pairs are id-only rows, orders smaller than the
-        # corpus they came from
-        pairs = pairs.persist()
+        # corpus they came from (released by release_portable_caches)
+        pairs = _persist_tracked(pairs)
         qmat = [list(r.qq) for r in qrows]
         qdots = _int_dots_udf(qmat)
         idx = spark.createDataFrame(
@@ -2010,8 +2010,9 @@ def lsh_topk_portable(
     # consumed by the signature bucket join AND the ranking tail —
     # persist so the corpus signature pass (Arrow matmul) runs once
     # (at gate scale this is noise; at a real corpus it halves the
-    # expensive pass — PLANS.md §17 multi-reference trap)
-    corp = corp.persist()
+    # expensive pass — PLANS.md §17 multi-reference trap); released
+    # by release_portable_caches between batches
+    corp = _persist_tracked(corp)
     qry = _lsh_sig_frame(
         queries, "qid", "qq", num_tables, num_planes, quant, vec_col, dim
     )
@@ -2321,8 +2322,9 @@ def ivf_topk_portable(
         dim = len(emb.select(vec_col).first()[0])
     corp = _ivf_portable_corpus(emb, nlist, quant, vec_col, dim)
     # consumed by the cell join AND the ranking tail — persist so the
-    # corpus assignment pass (Arrow matmul) runs once
-    corp = corp.persist()
+    # corpus assignment pass (Arrow matmul) runs once (released by
+    # release_portable_caches between batches)
+    corp = _persist_tracked(corp)
     qbase = queries.select(
         F.col("vec_id").alias("qid"),
         _quantize_vec(F.col(vec_col), quant).alias("qq"),
@@ -2347,15 +2349,78 @@ def ivf_topk_portable(
 
 _ANNMETA_CACHE: dict = {}
 
+# un-unpersisted .persist() sites in the inline portable tiers are
+# registered here so a long-running session can release them without
+# restarting (queries.clear_state calls release_portable_caches) —
+# repeated per-batch searches otherwise accumulate cached blocks until
+# executor storage evicts them, and eviction re-triggers the full
+# lineage
+_PORTABLE_PERSISTED: list = []
 
-def _annmeta(spark, table: str):
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PORTABLE_PERSISTED.append(df)
+    return df
+
+
+def release_portable_caches() -> None:
+    """Unpersist every frame the inline portable ANN tiers cached
+    (corpus signatures, candidate-pair frames). Call between query
+    batches in a long-running session — bench/queries wire this into
+    ``clear_state``."""
+    for df in _PORTABLE_PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PORTABLE_PERSISTED.clear()
+
+
+def _annmeta(spark, table: str) -> dict:
     """One driver-side read of ``{table}__annmeta`` per session — the
     searchers run per query batch, and a catalog collect per call is
-    pure scheduler latency. The builders invalidate on rebuild."""
+    pure scheduler latency.
+
+    SINGLE-WRITER-PER-SESSION contract: the cache is invalidated by
+    THIS process's builders/appenders only. If another process rebuilds
+    the same table on a shared warehouse, call :func:`refresh_annmeta`
+    (or the fingerprint check in :func:`rrf_ann_indexed` will surface
+    the drift as an error rather than silent wrong matches)."""
     key = (spark.sparkContext.applicationId, table)
     if key not in _ANNMETA_CACHE:
-        _ANNMETA_CACHE[key] = spark.table(f"{table}__annmeta").collect()[0]
+        _ANNMETA_CACHE[key] = (
+            spark.table(f"{table}__annmeta").collect()[0].asDict()
+        )
     return _ANNMETA_CACHE[key]
+
+
+def refresh_annmeta(spark, table: str) -> dict:
+    """Drop the session's cached ``__annmeta`` row for ``table`` and
+    re-read it — the escape hatch for multi-writer warehouses where
+    another process rebuilt the index (see :func:`_annmeta`)."""
+    _ANNMETA_CACHE.pop(
+        (spark.sparkContext.applicationId, table), None
+    )
+    return _annmeta(spark, table)
+
+
+def _write_annmeta(spark, table: str, fields: dict) -> None:
+    """Persist the index build parameters + corpus fingerprint as the
+    one-row ``{table}__annmeta`` companion table. ``n_vecs``/``max_cid``
+    fingerprint the corpus so multi-index consumers (rrf_ann_indexed)
+    can refuse drifted index pairs instead of silently dropping
+    candidates; ``vec_col`` makes appends self-describing."""
+    schema = ", ".join(
+        f"{k} {'string' if isinstance(v, str) else 'long' if k in ('n_vecs', 'max_cid') else 'int'}"
+        for k, v in fields.items()
+    )
+    spark.createDataFrame([tuple(fields.values())], schema).write.mode(
+        "overwrite"
+    ).saveAsTable(f"{table}__annmeta")
+    _ANNMETA_CACHE.pop(
+        (spark.sparkContext.applicationId, table), None
+    )
 
 
 def save_lsh_topk_index(
@@ -2406,15 +2471,24 @@ def save_lsh_topk_index(
         bands, f"{table}_bands", bucket_keys="bsig",
         num_buckets=num_buckets,
     )
+    stats = corp.agg(
+        F.count(F.lit(1)).alias("n"), F.max("cid").alias("m")
+    ).first()
     corp.unpersist()
     spark = emb.sparkSession
-    spark.createDataFrame(
-        [(num_tables, num_planes, quant, dim, num_buckets)],
-        "num_tables int, num_planes int, quant int, dim int, "
-        "num_buckets int",
-    ).write.mode("overwrite").saveAsTable(f"{table}__annmeta")
-    _ANNMETA_CACHE.pop(
-        (spark.sparkContext.applicationId, table), None
+    _write_annmeta(
+        spark,
+        table,
+        {
+            "num_tables": num_tables,
+            "num_planes": num_planes,
+            "quant": quant,
+            "dim": dim,
+            "num_buckets": num_buckets,
+            "vec_col": vec_col,
+            "n_vecs": int(stats["n"]),
+            "max_cid": int(stats["m"]),
+        },
     )
 
 
@@ -2423,7 +2497,7 @@ def lsh_topk_portable_indexed(
     table: str,
     queries: DataFrame,
     k: int = 5,
-    vec_col: str = "embedding",
+    vec_col: str | None = None,
 ) -> DataFrame:
     """Search a :func:`save_lsh_topk_index` index: identical results
     to :func:`lsh_topk_portable` (same signature helper, same rank
@@ -2432,6 +2506,7 @@ def lsh_topk_portable_indexed(
     pre-bucketed on ``bsig``. Per query batch the cost is the batch's
     own signatures + a bucket join + the candidate ranking."""
     meta = _annmeta(spark, table)
+    vec_col = vec_col or meta.get("vec_col") or "embedding"
     num_tables, num_planes = meta["num_tables"], meta["num_planes"]
     qry = _lsh_sig_frame(
         queries, "qid", "qq", num_tables, num_planes,
@@ -2505,11 +2580,20 @@ def save_ivf_topk_index(
         .saveAsTable(f"{table}_cells")
     )
     spark = emb.sparkSession
-    spark.createDataFrame(
-        [(nlist, quant, dim)], "nlist int, quant int, dim int"
-    ).write.mode("overwrite").saveAsTable(f"{table}__annmeta")
-    _ANNMETA_CACHE.pop(
-        (spark.sparkContext.applicationId, table), None
+    stats = spark.table(f"{table}_cells").agg(
+        F.count(F.lit(1)).alias("n"), F.max("cid").alias("m")
+    ).first()
+    _write_annmeta(
+        spark,
+        table,
+        {
+            "nlist": nlist,
+            "quant": quant,
+            "dim": dim,
+            "vec_col": vec_col,
+            "n_vecs": int(stats["n"]),
+            "max_cid": int(stats["m"]),
+        },
     )
 
 
@@ -2528,7 +2612,7 @@ def append_lsh_topk_index(emb: DataFrame, table: str) -> None:
     meta = _annmeta(spark, f"{table}")
     corp = _lsh_sig_frame(
         emb, "cid", "cq", meta["num_tables"], meta["num_planes"],
-        meta["quant"], "embedding", meta["dim"],
+        meta["quant"], meta.get("vec_col") or "embedding", meta["dim"],
     ).withColumn("na2", _pair_dot_int_udf(F.col("cq"), F.col("cq")))
     corp = corp.persist()
     nb = int(meta["num_buckets"])
@@ -2555,6 +2639,7 @@ def append_lsh_topk_index(emb: DataFrame, table: str) -> None:
         .saveAsTable(f"{table}_bands")
     )
     corp.unpersist()
+    _refresh_fingerprint(spark, table, meta, f"{table}_vecs")
 
 
 def append_ivf_topk_index(emb: DataFrame, table: str) -> None:
@@ -2566,14 +2651,29 @@ def append_ivf_topk_index(emb: DataFrame, table: str) -> None:
     spark = emb.sparkSession
     meta = _annmeta(spark, table)
     corp = _ivf_portable_corpus(
-        emb, int(meta["nlist"]), int(meta["quant"]), "embedding",
-        int(meta["dim"]),
+        emb, int(meta["nlist"]), int(meta["quant"]),
+        meta.get("vec_col") or "embedding", int(meta["dim"]),
     )
     (
         corp.write.mode("append")
         .partitionBy("cell")
         .saveAsTable(f"{table}_cells")
     )
+    _refresh_fingerprint(spark, table, meta, f"{table}_cells")
+
+
+def _refresh_fingerprint(spark, table: str, meta: dict, vec_table: str):
+    """After an append, rewrite ``__annmeta`` with the grown corpus
+    fingerprint so rrf_ann_indexed's drift check tracks reality (and
+    so another session reading the meta row sees the new count)."""
+    stats = spark.table(vec_table).agg(
+        F.count(F.lit(1)).alias("n"), F.max("cid").alias("m")
+    ).first()
+    fields = dict(meta)
+    fields.setdefault("vec_col", "embedding")
+    fields["n_vecs"] = int(stats["n"])
+    fields["max_cid"] = int(stats["m"])
+    _write_annmeta(spark, table, fields)
 
 
 def ivf_topk_portable_indexed(
@@ -2582,7 +2682,7 @@ def ivf_topk_portable_indexed(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 3,
-    vec_col: str = "embedding",
+    vec_col: str | None = None,
 ) -> DataFrame:
     """Search a :func:`save_ivf_topk_index` index: identical results
     to :func:`ivf_topk_portable` at the same (nlist, nprobe), but
@@ -2590,6 +2690,7 @@ def ivf_topk_portable_indexed(
     batch pays its own probe ranking, a broadcast cell join that
     prunes the cell partitions, and the candidate ranking."""
     meta = _annmeta(spark, table)
+    vec_col = vec_col or meta.get("vec_col") or "embedding"
     qbase = queries.select(
         F.col("vec_id").alias("qid"),
         _quantize_vec(F.col(vec_col), meta["quant"]).alias("qq"),
@@ -2638,7 +2739,7 @@ def rrf_ann_indexed(
     nprobe: int = 3,
     k0: int = 60,
     scale: int = 10**9,
-    vec_col: str = "embedding",
+    vec_col: str | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion over BOTH persisted portable indexes in
     ONE fused plan — the per-batch search shape a deployed hybrid
@@ -2666,6 +2767,23 @@ def rrf_ann_indexed(
             f"{im['quant']}/{im['dim']}) — their scores would not be "
             "comparable"
         )
+    # corpus-drift guard: the fused plan scores BOTH tiers' candidates
+    # against {lsh_table}_vecs, so the two indexes must cover the SAME
+    # corpus — e.g. an append run against only one of them would
+    # otherwise silently drop the other tier's new candidates and
+    # break the documented bit-identity with the two-searcher
+    # composition. Indexes written before fingerprints existed skip
+    # the check (refresh by rebuilding or appending once).
+    lfp = (lm.get("n_vecs"), lm.get("max_cid"))
+    ifp = (im.get("n_vecs"), im.get("max_cid"))
+    if None not in lfp and None not in ifp and lfp != ifp:
+        raise ValueError(
+            "rrf_ann_indexed: corpus fingerprints differ — LSH index "
+            f"has (n_vecs, max_cid)={lfp} but IVF index has {ifp}. "
+            "Append the missing batch to the lagging index (append_"
+            "lsh_topk_index / append_ivf_topk_index) before fusing."
+        )
+    vec_col = vec_col or lm.get("vec_col") or "embedding"
     num_planes = lm["num_planes"]
     cents = _portable_centroids(im["nlist"], im["dim"], im["quant"])
     na2s = [sum(c * c for c in cj) for cj in cents]

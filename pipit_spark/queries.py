@@ -369,6 +369,7 @@ def clear_state(spark: SparkSession) -> None:
     for t in _trace_memo.values():
         t.unpersist()
     _trace_memo.clear()
+    V.release_portable_caches()
     spark.catalog.clearCache()
 
 
@@ -4289,7 +4290,7 @@ FROM infl FULL OUTER JOIN suff ON infl.process = suff.process
 # r05-session-4/round-6 tail), the 5 r05 hash-FAILs repaired by the
 # HUGEINT->BIGINT oracle casts, the 5 ex-`err: no_oracle` gates
 # reformulated with full value oracles, 13 stalest gates (last
-# driver-green r02), and 16 r03-stale core-engine gates (the fused
+# driver-green r02), and 13 r03-stale core-engine gates (the fused
 # matching pass, CCT, comm family, the flagship TPC-H and LLM
 # pipelines — doc_minhash_lsh also re-confirms the refactored
 # build_lsh_index under its original md5 mode).
@@ -4362,7 +4363,7 @@ def queries():
     were the HUGEINT oracle dtype bug, repaired this round). The
     window now holds all 11 never-checked gates, the 5 repaired
     FAILs, the 5 reformulated ex-`err: no_oracle` gates, and the 29
-    stalest re-confirmations (every r02-stale gate + 16 r03-stale
+    stalest re-confirmations (every r02-stale gate + 13 r03-stale
     core-engine gates). After this round's run, every one of the 170
     registry gates will have at least one driver row across r01-r06,
     with nothing last-checked earlier than r03.
