@@ -618,6 +618,139 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def pq_gate_codebook(m: int = 16, ksub: int = 64, dsub: int = 4):
+    """Deterministic integer codewords for the compressed-PQ
+    verification gates: per subspace, ``ksub`` distinct signed
+    permutations of ``(20, 10, 10, 5)``. Every codeword has squared
+    norm 625, so ANY concatenation of one codeword per subspace has
+    full squared norm ``m·625 = 10000`` → L2 norm exactly 100.0 (an
+    exact float), every pairwise cosine is an exact multiple of 1e-4,
+    and the whole construction replays digit-for-digit in DuckDB."""
+    import itertools
+
+    perms = sorted(set(itertools.permutations((20, 10, 10, 5))))  # 12
+    nsign = 1 << dsub
+    cw = []
+    for j in range(m):
+        sub = []
+        for c in range(ksub):
+            # injective for c < len(perms)*nsign = 192 per subspace;
+            # the 7j offset just de-correlates subspaces
+            idx = (c + 7 * j) % (len(perms) * nsign)
+            base = perms[idx % len(perms)]
+            signs = idx // len(perms)
+            sub.append(
+                [
+                    -base[t] if (signs >> t) & 1 else base[t]
+                    for t in range(dsub)
+                ]
+            )
+        cw.append(sub)
+    return cw
+
+
+def _pq_gate_assign(j: int, intdiv: str) -> str:
+    """Subspace-j cluster id of vec_id: affine in (vec_id, vec_id/64)
+    with odd coefficients — a bijection on vec_id ∈ [0, 64) (so a
+    train_max_id=64 sample covers every cluster of every subspace
+    exactly once) and high-bit mixing beyond it (so corpus vectors
+    don't simply repeat with period 64). ``intdiv`` is the dialect's
+    integer-division operator (Spark ``div``, DuckDB ``//``)."""
+    return (
+        f"(vec_id * {2 * j + 1} + (vec_id {intdiv} 64) * {2 * j + 3})"
+        " % 64"
+    )
+
+
+def synth_pq_embeddings(
+    emb: DataFrame, m: int = 16, ksub: int = 64, dsub: int = 4
+) -> DataFrame:
+    """Replace ``embedding`` with the cluster-structured integer
+    vectors of :func:`pq_gate_codebook`, keyed on ``vec_id``: subspace
+    ``j`` of vector ``i`` is codeword ``g_j(i)`` verbatim. A ksub-sized
+    codebook trained on the first 64 vectors recovers every codeword
+    EXACTLY (each cluster is a point mass, and strided init at
+    ksub=len(train) seeds all of them), so compressed ADC scoring
+    equals exact cosine — the driver's hash lands on the production
+    16×-compressed code path instead of a lossless |corpus|-LUT
+    degenerate (the r06 verdict's scale-hostile gate finding).
+
+    Pure JVM expressions, built as ONE generated Spark-SQL string
+    (per subspace an ``element_at`` into the sub-codebook's nested
+    array literal, then one ``flatten``) parsed in a single
+    ``selectExpr`` call: the same tree assembled through the Python
+    Column API costs thousands of py4j round-trips (~4 s of driver
+    time per invocation — measured; ``F.lit(list)`` expands to
+    per-element lits), while the parser builds it JVM-side in ~50 ms
+    and constant-folding collapses the codebook to literals. No UDF,
+    no shuffle, and an exact DuckDB twin
+    (:func:`oracle_synth_pq_topk`)."""
+    cw = pq_gate_codebook(m, ksub, dsub)
+    parts = []
+    for j in range(m):
+        arr = "array(" + ",".join(
+            "array(" + ",".join(map(str, c)) + ")" for c in cw[j]
+        ) + ")"
+        g = f"({_pq_gate_assign(j, 'div')})"
+        parts.append(f"element_at({arr}, cast({g} as int) + 1)")
+    synth = "flatten(array(" + ",".join(parts) + ")) AS embedding"
+    return emb.selectExpr("vec_id", synth)
+
+
+def oracle_synth_pq_topk(
+    k: int = 5,
+    query_max_id: int = 10,
+    m: int = 16,
+    ksub: int = 64,
+    dsub: int = 4,
+) -> str:
+    """DuckDB twin of brute-force cosine top-k over
+    :func:`synth_pq_embeddings` — the shared oracle of the compressed
+    PQ and IVF-PQ gates (full probe + exact-by-construction codes
+    degrade both to brute force). Ranks on ROUND(cos, 4): the
+    construction makes every cosine an exact 4-decimal rational, so
+    the rounded value is engine-exact where raw-float order is not."""
+    cw = pq_gate_codebook(m, ksub, dsub)
+    comps = []
+    for j in range(m):
+        g = f"({_pq_gate_assign(j, '//')})"
+        for t in range(dsub):
+            lst = "[" + ",".join(
+                str(cw[j][c][t]) for c in range(ksub)
+            ) + "]"
+            comps.append(f"({lst})[{g} + 1]")
+    synth = (
+        "SELECT vec_id, ["
+        + ", ".join(comps)
+        + "] AS embedding FROM embeddings"
+    )
+    cos = """
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * sqrt(list_sum(list_transform(c.embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+    """
+    return f"""
+WITH synth AS ({synth}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({cos}, 4) AS cosine
+    FROM synth q JOIN synth c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {query_max_id}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-vector int8 affine quantization (the 4× memory lever for
     ANN indexes at 100 TB): ``q = round((x − min) / scale)`` with
@@ -1047,13 +1180,27 @@ def _pq_lut(qm: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     return np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), mm, dsub), codebooks)
 
 
-def _topk_tail(partial: DataFrame, k: int) -> DataFrame:
+def _topk_tail(
+    partial: DataFrame, k: int, rounded_order: bool = False
+) -> DataFrame:
     """Global top-k over per-partition partials: one window on the tiny
-    candidate set, deterministic (cosine DESC, neighbor ASC) order."""
+    candidate set, deterministic (cosine DESC, neighbor ASC) order.
+
+    ``rounded_order=True`` ranks on ``round(cosine, 4)`` — the value
+    the result exposes — instead of the raw float. On data engineered
+    so cosines are exact multiples of 1e-4 (the compressed-PQ
+    verification gates), this makes the ordering engine-exact: equal
+    rationals round to the identical double in numpy, Spark, and
+    DuckDB, and the neighbor_id tie-break resolves them identically,
+    where raw-float ordering would depend on each engine's summation
+    order."""
     from pyspark.sql import Window
 
+    key = (
+        F.round(F.col("cosine"), 4) if rounded_order else F.col("cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+        key.desc(), F.asc("neighbor_id")
     )
     return (
         partial.withColumn("__rk", F.row_number().over(w))
@@ -1073,6 +1220,7 @@ def pq_search(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rounded_order: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance top-k: queries stay exact, the corpus is its
     codes. Per query a (m × ksub) lookup table of sub-dot-products is
@@ -1104,11 +1252,29 @@ def pq_search(
             scores = np.zeros((len(ids_q), len(cids)))
             for j in range(codes.shape[1]):
                 scores += table[:, j, codes[:, j]]
+            if rounded_order:
+                # rank on the exposed (4-decimal) value — see
+                # _topk_tail: on 1e-4-grid data this makes the
+                # partial selection engine-exact under score ties
+                scores = np.round(scores, 4)
             nk = min(k + 1, scores.shape[1])
             part = np.argpartition(-scores, nk - 1, axis=1)[:, :nk]
             rows = []
             for qi in range(len(ids_q)):
-                for cj in part[qi]:
+                sel = part[qi]
+                if rounded_order:
+                    # tie-exact local top-nk under (score DESC,
+                    # neighbor ASC): argpartition picks an arbitrary
+                    # subset of a tie group straddling the boundary,
+                    # which would drop winners the global window (and
+                    # the oracle) keeps — re-select by threshold
+                    srow = scores[qi]
+                    thr = srow[sel].min()
+                    gt = np.flatnonzero(srow > thr)
+                    eq = np.flatnonzero(srow == thr)
+                    eq = eq[np.argsort(cids[eq])][: nk - len(gt)]
+                    sel = np.concatenate([gt, eq])
+                for cj in sel:
                     if cids[cj] != ids_q[qi]:
                         rows.append(
                             (ids_q[qi], cids[cj], float(scores[qi, cj]))
@@ -1117,7 +1283,10 @@ def pq_search(
                 rows, columns=["query_id", "neighbor_id", "cosine"]
             )
 
-    return _topk_tail(codes_df.mapInPandas(gen, out_schema), k)
+    return _topk_tail(
+        codes_df.mapInPandas(gen, out_schema), k,
+        rounded_order=rounded_order,
+    )
 
 
 def pq_topk(
@@ -1129,6 +1298,7 @@ def pq_topk(
     train_max_id: int | None = 256,
     kmeans_iters: int = 10,
     vec_col: str = "embedding",
+    rounded_order: bool = False,
 ) -> DataFrame:
     """One-call PQ approximate top-k: train → encode → ADC search with
     the query set drawn from the corpus (``vec_id < query_max_id``)."""
@@ -1139,7 +1309,7 @@ def pq_topk(
     codes = pq_encode(emb, cb, vec_col=vec_col)
     return pq_search(
         emb.filter(F.col("vec_id") < query_max_id), codes, cb, k=k,
-        vec_col=vec_col,
+        vec_col=vec_col, rounded_order=rounded_order,
     )
 
 
@@ -1154,6 +1324,7 @@ def ivf_pq_topk(
     train_max_id: int | None = 256,
     kmeans_iters: int = 5,
     vec_col: str = "embedding",
+    rounded_order: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition — the coarse quantizer
     prunes candidates to ``nprobe/nlist`` of the corpus, and PQ codes
@@ -1185,7 +1356,7 @@ def ivf_pq_topk(
     queries = emb.filter(F.col("vec_id") < query_max_id)
     return ivfpq_search(
         queries, coded, index.centroids, cb, k=k, nprobe=nprobe,
-        vec_col=vec_col,
+        vec_col=vec_col, rounded_order=rounded_order,
     )
 
 
@@ -1197,6 +1368,7 @@ def ivfpq_search(
     k: int = 5,
     nprobe: int = 4,
     vec_col: str = "embedding",
+    rounded_order: bool = False,
 ) -> DataFrame:
     """Search an IVF-PQ index frame (``(neighbor_id, __cell, codes)`` —
     built inline by :func:`ivf_pq_topk` or loaded from the catalog by
@@ -1253,6 +1425,7 @@ def ivfpq_search(
             score, out_schema
         ),
         k,
+        rounded_order=rounded_order,
     )
 
 

@@ -2721,16 +2721,20 @@ def q_emb_pq_topk_exact(spark, sf_dir):
 
 
 def q_emb_pq_topk(spark, sf_dir):
-    """PQ lossless at a SECOND subspace split (m=16 vs the exact
-    twin's m=8 — different LUT partitioning, different ADC summation
-    grouping, same exact result): value-checks the train/encode/LUT
-    machinery against the cosine oracle under a distinct
-    configuration. The compressed path (ksub=64 uint8 codes, 16×
-    smaller than float32) stays a library op with its recall floor
-    pinned by pytest."""
+    """PQ on the COMPRESSED path (m=16, ksub=64: 16× smaller than
+    float32, the configuration a 100 TB corpus actually ships), made
+    exact-by-construction: the gate corpus is synth_pq_embeddings —
+    cluster-structured subvectors with at most ksub distinct values
+    per subspace — so the trained ksub=64 codebook reproduces every
+    subvector verbatim and compressed ADC scoring IS brute-force
+    cosine, hashed by the same DuckDB oracle. Replaces the r06
+    lossless ksub=None config whose |corpus|×m LUT was scale-hostile
+    by construction (9.1 s at sf0.1 over 2,000 vectors); that
+    degenerate mode stays covered by emb_pq_topk_exact."""
+    synth = V.synth_pq_embeddings(load(spark, sf_dir, "embeddings"))
     return V.pq_topk(
-        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
-        m=16, ksub=None, train_max_id=None,
+        synth, k=5, query_max_id=10,
+        m=16, ksub=64, train_max_id=64, rounded_order=True,
     )
 
 
@@ -2746,15 +2750,20 @@ def q_emb_ivfpq_topk_exact(spark, sf_dir):
 
 
 def q_emb_ivfpq_topk(spark, sf_dir):
-    """The composed IVF-PQ pipeline at a SECOND exact-degenerate
-    configuration (full probe + lossless m=16 codes vs the twin's
-    m=8): coarse assign → probe → LUT scoring value-checks against
-    the cosine oracle under a different subspace split. The production
-    compressed configuration (nprobe=4, ksub=64) stays a library op
-    with its recall floor pinned by pytest."""
+    """The composed IVF-PQ pipeline with COMPRESSED codes (m=16,
+    ksub=64) on the cluster-structured synth corpus: coarse assign →
+    full probe (no pruning error) → compressed-LUT scoring, where the
+    exact-by-construction codebook makes ADC equal brute-force cosine
+    — the driver's hash lands on the 16×-compressed code path the
+    production config runs (the r06 lossless |corpus|-LUT config,
+    10.1 s at sf0.1, retired to emb_ivfpq_topk_exact). Probe-limited
+    recall stays pinned by pytest floors and the emb_ann_recall
+    gate."""
+    synth = V.synth_pq_embeddings(load(spark, sf_dir, "embeddings"))
     return V.ivf_pq_topk(
-        load(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
-        nlist=8, nprobe=8, m=16, ksub=None, train_max_id=None,
+        synth, k=5, query_max_id=10,
+        nlist=8, nprobe=8, m=16, ksub=64, train_max_id=64,
+        rounded_order=True,
     )
 
 
@@ -4812,8 +4821,8 @@ def oracle_sql():
         # formulations; the float approximate paths remain library ops
         # pinned by pytest recall floors).
         "emb_ivf_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
-        "emb_pq_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
-        "emb_ivfpq_topk": V.oracle_cosine_topk(k=5, query_max_id=10),
+        "emb_pq_topk": V.oracle_synth_pq_topk(k=5, query_max_id=10),
+        "emb_ivfpq_topk": V.oracle_synth_pq_topk(k=5, query_max_id=10),
         "emb_cell_balance": V.oracle_cell_balance(nlist=8),
         "doc_hybrid_retrieval": _build_oracle_hybrid_retrieval(),
         "doc_quantile_sketch": __import__(

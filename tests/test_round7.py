@@ -103,3 +103,51 @@ def test_release_portable_caches(spark):
     V.release_portable_caches()
     assert V._PORTABLE_PERSISTED == []
     assert all(not df.is_cached for df in cached)
+
+
+def test_compressed_pq_exact_by_construction(spark):
+    """The compressed-PQ gate's exactness claim, pinned directly: on
+    the cluster-structured synth corpus a ksub=64 codebook (16x
+    compressed vs float32) must encode with ZERO reconstruction error
+    -- pq_train recovers every subvector verbatim (each cluster is a
+    point mass covered by strided init at ksub=len(train)), which is
+    what makes compressed ADC scoring equal brute-force cosine and
+    lets the driver's value hash sit on the production code path."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    synth = V.synth_pq_embeddings(emb)
+    cb = V.pq_train(synth, m=16, ksub=64, train_max_id=64)
+    assert cb.ksub == 64  # genuinely compressed, not |train| codewords
+    codes = {
+        r["neighbor_id"]: r["codes"]
+        for r in V.pq_encode(synth, cb).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in synth.collect()
+    }
+    for vid, code in codes.items():
+        v = vecs[vid]
+        v = v / np.linalg.norm(v)
+        recon = np.concatenate(
+            [cb.codebooks[j, code[j]] for j in range(cb.m)]
+        )
+        assert np.array_equal(recon, v), f"vec {vid} not bit-exact"
+
+
+def test_synth_pq_norms_and_grid(spark):
+    """Construction invariants the oracle's exactness rests on: every
+    synth vector has L2 norm exactly 100.0 (so normalization is an
+    exact float op) and every pairwise dot is an integer (so cosines
+    sit exactly on the 1e-4 grid that rounded-order ranking needs)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = V.synth_pq_embeddings(emb).limit(100).collect()
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    assert np.array_equal(
+        np.sqrt((mat * mat).sum(axis=1)), np.full(len(mat), 100.0)
+    )
+    dots = mat @ mat.T
+    assert np.array_equal(dots, np.round(dots))
