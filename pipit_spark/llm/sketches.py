@@ -256,3 +256,77 @@ ranked AS (
 SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_sampled, {cols}
 FROM ranked GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------- #
+# KLL quantile sketch — the sublinear tier beside the exact sample
+# --------------------------------------------------------------------- #
+def kll_token_sketch(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group KLL sketch of the per-document token-length
+    distribution (Karnin, Lang & Liberty, "Optimal Quantile
+    Approximation in Streams", FOCS 2016) — the KB-sized mergeable
+    answer to what :func:`quantile_sketch` does with an exact sample:
+    the sample's state is pct% of corpus ROWS (~50 GB at 10^11 docs by
+    its own accounting), while a KLL sketch at k=200 is a few KB per
+    group REGARDLESS of corpus size, with ~1.65% one-sided rank error.
+
+    Built on Spark's native DataSketches aggregate
+    (``kll_sketch_agg_bigint`` — same route as vocab_sketches' HLL
+    tier, llm/text.py): one scan, map-side partial sketches, one
+    group-key exchange carrying KB blobs. Shard/day sketches roll up
+    with :func:`kll_merge` and read out with :func:`kll_quantiles`.
+
+    Not DuckDB-replayable (the binary sketch format is
+    library-internal), so this tier is pytest-verified (merge ≡
+    whole-corpus within rank error) while the exact sample tier keeps
+    the driver's value-hash gate — the same split the HLL vocab
+    sketches use."""
+    n_tokens = F.size(
+        F.filter(
+            _tokens(F.coalesce(F.col(text_col), F.lit(""))),
+            lambda t: F.length(t) > 0,
+        )
+    ).cast("long")
+    return docs.select(
+        F.col(group_col).alias("grp"), n_tokens.alias("n_tokens")
+    ).groupBy("grp").agg(
+        F.kll_sketch_agg_bigint("n_tokens", F.lit(k)).alias("sketch")
+    )
+
+
+def kll_merge(*sketches: DataFrame, k: int = 200) -> DataFrame:
+    """Merge per-group KLL sketches from shards/snapshots: union the
+    (grp, sketch) frames and reduce per group with the library's
+    binary-merge aggregate. Associative and commutative — daily
+    sketches roll into monthly ones without touching the corpus."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("grp").agg(
+        F.kll_merge_agg_bigint("sketch", F.lit(k)).alias("sketch")
+    )
+
+
+def kll_quantiles(
+    sketch: DataFrame,
+    quantiles: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Read quantile estimates out of a (grp, sketch) frame:
+    ``(grp, n, p25, p50, p75, p95)`` — same report shape as
+    :func:`sketch_quantiles` so dashboards can swap tiers."""
+    cols = [
+        F.kll_sketch_get_quantile_bigint("sketch", F.lit(float(p)))
+        .cast("long")
+        .alias(f"p{int(p * 100)}")
+        for p in quantiles
+    ]
+    return sketch.select(
+        "grp",
+        F.kll_sketch_get_n_bigint("sketch").cast("long").alias("n"),
+        *cols,
+    )

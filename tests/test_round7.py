@@ -151,3 +151,58 @@ def test_synth_pq_norms_and_grid(spark):
     )
     dots = mat @ mat.T
     assert np.array_equal(dots, np.round(dots))
+
+
+def test_kll_merge_equals_whole_within_rank_error(spark):
+    """The KLL tier's contract: sketching two disjoint shards and
+    merging must estimate the same quantiles as sketching the whole
+    corpus, within KLL rank error (~1.65% one-sided at k=200; assert
+    a generous 5% of true rank). Verifies the sublinear tier is
+    actually mergeable -- the property that lets daily shard sketches
+    roll up without re-scanning the corpus."""
+    import numpy as np
+    from pipit_spark.llm.sketches import (
+        kll_merge,
+        kll_quantiles,
+        kll_token_sketch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    whole = kll_quantiles(kll_token_sketch(docs)).collect()
+    a = kll_token_sketch(docs.filter(F.col("doc_id") % 2 == 0))
+    b = kll_token_sketch(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = kll_quantiles(kll_merge(a, b)).collect()
+
+    # true per-group token-length distributions for rank checking
+    from pipit_spark.llm.text import _tokens
+
+    truth = {}
+    for r in docs.select(
+        F.col("source").alias("grp"),
+        F.size(
+            F.filter(
+                _tokens(F.coalesce(F.col("text"), F.lit(""))),
+                lambda t: F.length(t) > 0,
+            )
+        ).cast("long").alias("n_tokens"),
+    ).collect():
+        truth.setdefault(r["grp"], []).append(r["n_tokens"])
+
+    wq = {r["grp"]: r for r in whole}
+    assert set(wq) == set(truth)
+    for row in merged:
+        grp = row["grp"]
+        vals = np.sort(np.array(truth[grp]))
+        n = len(vals)
+        assert row["n"] == n == wq[grp]["n"]
+        for p in (25, 50, 75, 95):
+            est = row[f"p{p}"]
+            # with ties, the estimate occupies a rank INTERVAL in the
+            # true distribution; the target rank must fall inside it
+            # (plus the sketch's rank-error tolerance)
+            lo = np.searchsorted(vals, est, side="left") / n
+            hi = np.searchsorted(vals, est, side="right") / n
+            tol = 0.05 + 1.0 / n
+            assert lo - tol <= p / 100 <= hi + tol, (
+                grp, p, est, lo, hi
+            )
