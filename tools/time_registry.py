@@ -6,6 +6,12 @@ The 34-query bench is the round-over-round headline; this is the
 full-breadth per-operator profile — the artifact that shows no gate
 hides a pathological plan behind the bench's selection.
 
+A per-gate TIME BUDGET tripwire guards the sweep as the registry
+grows: any single gate above BUDGET_SEC (steady-state, sf0.1) fails
+the run loudly — a future quadratic gate cannot hide inside a growing
+total. Known-slow gates with an audited reason carry an explicit
+allowance in BUDGET_EXCEPTIONS rather than a raised global budget.
+
 Usage: PYTHONPATH=. python tools/time_registry.py [sf_dir] [out.json]
 """
 
@@ -14,6 +20,25 @@ from __future__ import annotations
 import json
 import sys
 import time
+
+# steady-state per-gate ceiling at sf0.1 (seconds). The registry's
+# p99 sits near 5 s on an idle box; 8 s holds headroom for noise
+# without letting a new O(n^2) gate pass unnoticed.
+BUDGET_SEC = 8.0
+BUDGET_EXCEPTIONS = {
+    # pigeonhole banding has inherent intra-bucket pair volume on the
+    # near-duplicate-rich fixture; audited in PLANS.md (r05/r06) —
+    # the plan is the one we want, the pairs are real
+    "doc_simhash_pairs": 14.0,
+    # exact count_distinct per column to match the value oracle; the
+    # approx=True HLL path is the 100 TB configuration
+    "profile_lineitem": 12.0,
+    # lossless |corpus|-LUT degenerate configs kept as exact twins of
+    # the compressed-path gates (emb_pq_topk/emb_ivfpq_topk are the
+    # production-shape gates since r07)
+    "emb_pq_topk_exact": 12.0,
+    "emb_ivfpq_topk_exact": 12.0,
+}
 
 
 def main() -> None:
@@ -41,17 +66,32 @@ def main() -> None:
                 file=sys.stderr,
             )
     total = round(sum(timings.values()), 3)
+    over = {
+        name: t
+        for name, t in timings.items()
+        if t > BUDGET_EXCEPTIONS.get(name, BUDGET_SEC)
+    }
     doc = {
         "sf_dir": sf_dir,
         "gates": len(timings),
         "total_sec": total,
+        "budget_sec": BUDGET_SEC,
+        "over_budget": dict(sorted(over.items(), key=lambda kv: -kv[1])),
         "timings": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])
         ),
     }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
-    print(json.dumps({"gates": len(timings), "total_sec": total}))
+    print(json.dumps({"gates": len(timings), "total_sec": total,
+                      "over_budget": sorted(over)}))
+    if over:
+        print(
+            f"BUDGET EXCEEDED: {over} — audit the plan or add an "
+            "explicit exception with its reason",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
