@@ -4295,41 +4295,48 @@ FROM infl FULL OUTER JOIN suff ON infl.process = suff.process
 # ===================================================================== #
 # registry
 # ===================================================================== #
-# r06 driver window (slots 1-50): 11 never-driver-checked gates (the
-# r05-session-4/round-6 tail), the 5 r05 hash-FAILs repaired by the
-# HUGEINT->BIGINT oracle casts, the 5 ex-`err: no_oracle` gates
-# reformulated with full value oracles, 13 stalest gates (last
-# driver-green r02), and 13 r03-stale core-engine gates (the fused
-# matching pass, CCT, comm family, the flagship TPC-H and LLM
-# pipelines — doc_minhash_lsh also re-confirms the refactored
-# build_lsh_index under its original md5 mode).
-_R06_WINDOW = [
-    # never driver-checked
-    "emb_rrf_fusion_indexed",
-    "doc_licenses", "doc_license_mix", "doc_structure_stats",
-    "doc_licensed_pack", "doc_source_jaccard", "doc_snapshot_overlap",
-    "doc_cms_tokens", "trace_late_senders", "trace_late_receivers",
-    "trace_wait_attribution",
-    # r05 hash-FAIL, repaired (oracle dtype casts)
-    "web_pagerank", "emb_lsh_topk", "emb_ivf_topk_portable",
-    "emb_rrf_fusion", "doc_dup_inflation",
-    # ex-no-oracle, reformulated with value oracles
-    "emb_ann_recall", "emb_ivf_topk", "emb_pq_topk", "emb_ivfpq_topk",
-    "doc_minhash_lsh_fast",
-    # stalest: last driver-green r02
-    "q8_market_share", "q18_large_volume", "q13_customer_distribution",
-    "q4_order_priority", "q10_returned_items", "q12_priority_lines",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity",
-    "q19_disjunctive_revenue", "q22_idle_customers",
-    "events_props_stats", "events_outliers",
-    # r03-stale core engine re-confirmations
-    "trace_match_inc", "trace_cct", "trace_time_profile",
-    "q1_pricing_summary", "doc_minhash_lsh", "doc_training_set",
-    "emb_cosine_topk", "doc_clean_corpus", "doc_dedup_clusters",
-    "trace_session_stats", "trace_idle_time", "trace_comm_matrix",
-    "trace_comm_count",
-    # round-6 in-round additions (never driver-checked)
-    "emb_cell_balance", "doc_hybrid_retrieval", "doc_quantile_sketch",
+# r07 driver window (slots 1-50) — freshness rotation (r06 verdict
+# item 1: "no gate's latest driver row predates the last commit
+# touching its implementing module"). After r06, every one of the 173
+# gates has a hash-green latest row; what remains is evidence AGE.
+# The window holds, in priority order:
+#   A. all 34 gates whose latest driver row is r03 (the oldest
+#      evidence in the registry);
+#   B. the 7 llm/similarity.py-backed gates whose code changed after
+#      their last row — 5 last-checked r04 that predate the r06
+#      +933-line rewrite, plus emb_pq_topk / emb_ivfpq_topk whose
+#      gate configs moved onto the compressed-codebook path in r07;
+#   C. the 9 llm/dedup.py- / llm/quality.py-backed gates last checked
+#      r04 (both modules changed in r05/r06: shingle-scan
+#      repartition drop, survivor_broadcast pair index, license ops).
+# Left for the r08 rotation (no slots): doc_winnow, doc_winnow_pairs,
+# doc_boilerplate (llm/text.py's r05 winnow/boilerplate changes
+# postdate their r04 rows; local parity covers them), then the r04
+# remainder oldest-first.
+_R07_WINDOW = [
+    # A. r03-stale (34)
+    "trace_comm_by_process", "trace_message_histogram",
+    "trace_comm_over_time",
+    "q6_forecast_revenue", "window_topk_orders", "sessionize_events",
+    "asof_attribution", "events_funnel", "events_retention",
+    "profile_lineitem",
+    "doc_text_stats", "doc_token_frequencies", "doc_token_counts",
+    "doc_lang_id", "doc_fingerprint", "doc_vocab", "doc_repetition",
+    "doc_heuristic_filter", "doc_pii_redact", "doc_corpus_summary",
+    "doc_exact_dedup", "doc_minhash", "doc_ngram_jaccard",
+    "doc_incremental", "doc_simhash", "doc_embedding_dedup",
+    "doc_sample_stratified", "doc_pack_sequences", "doc_mix_sources",
+    "doc_token_budget", "doc_decontaminate",
+    "emb_cosine_pairs", "emb_norm_stats", "emb_quantize",
+    # B. similarity.py-backed, code newer than last driver row (7)
+    "emb_semantic_dedup", "emb_lsh_ann", "emb_ivf_topk_exact",
+    "emb_pq_topk_exact", "emb_ivfpq_topk_exact",
+    "emb_pq_topk", "emb_ivfpq_topk",
+    # C. dedup.py/quality.py-backed r04-stale (9)
+    "doc_fuzzy_dedup", "doc_containment", "doc_edit_pairs",
+    "doc_simhash_pairs", "doc_dedup_quality", "doc_incremental_bloom",
+    "doc_incremental_neardup", "doc_dedup_lines",
+    "doc_dedup_lines_within",
 ]
 
 
@@ -4367,7 +4374,17 @@ def queries():
     163) sit at the tail end with NO driver row yet (local parity
     only); they are the first candidates for the r06 window rotation.
 
-    r06 (this round): the window is `_R06_WINDOW` above — after the
+    r07 (this round): the window is `_R07_WINDOW` above — a pure
+    FRESHNESS rotation. The r06 run closed every deficit class (all
+    173 gates have a hash-green latest row, zero fail/err/unchecked),
+    so r07 re-verifies the oldest evidence: all 34 r03-stale gates,
+    plus every gate whose implementing module changed after its last
+    driver row (the llm/similarity.py r06 rewrite and the r07
+    compressed-PQ gate reform; the llm/dedup.py / llm/quality.py
+    r05-r06 changes). See the _R07_WINDOW comment for the slot
+    accounting and the r08 carry-overs.
+
+    r06: the window was `_R06_WINDOW` — after the
     r05 run, 159/169 gates had a driver row (149 green; the 5 FAILs
     were the HUGEINT oracle dtype bug, repaired this round). The
     window now holds all 11 never-checked gates, the 5 repaired
@@ -4574,8 +4591,8 @@ def queries():
         "trace_late_receivers": q_trace_late_receivers,
         "trace_wait_attribution": q_trace_wait_attribution,
     }
-    out = {k: reg[k] for k in _R06_WINDOW}
-    out.update(reg)  # tail keeps its r05 relative order
+    out = {k: reg[k] for k in _R07_WINDOW}
+    out.update(reg)  # tail keeps its prior relative order
     assert len(out) == len(reg)
     return out
 
