@@ -112,9 +112,16 @@ def _entry_name(meta: dict, entry_id: int) -> str:
     return ent[0]
 
 
-def _parse_pe_lines(pe: int, lines: list[str], meta: dict) -> pd.DataFrame:
+def _parse_pe_lines(
+    pe: int, lines: list[str], meta: dict, fixup: bool = True
+) -> pd.DataFrame:
     """Line-tag dispatch for one PE's log (semantics of
-    projections_reader.py:352-795; µs→ns ×1000)."""
+    projections_reader.py:352-795; µs→ns ×1000).
+
+    ``fixup=False`` skips the trailing-Computation repair — used when
+    the caller parses a file in CHUNKS and applies the repair itself
+    at true end-of-file (read_projections), since mid-file chunks
+    must not invent Leave events."""
     names: list[str] = []
     types: list[str] = []
     times: list[int] = []
@@ -198,19 +205,28 @@ def _parse_pe_lines(pe: int, lines: list[str], meta: dict) -> pd.DataFrame:
                  {"memory_usage": arr[1]})
 
     # trailing Computation Leave if missing (projections_reader.py:792-795)
-    if names and names[-1] != "Computation":
+    if fixup and names and names[-1] != "Computation":
         emit("Computation", "Leave", times[-1] if times else 0, None)
 
+    # explicit dtypes: an EMPTY (or eventless) chunk must not let
+    # pandas infer float64 columns — Arrow can't convert float64 to
+    # string/map and the mapInPandas serializer would throw
     return pd.DataFrame(
         {
-            S.NAME: names,
-            S.EVENT_TYPE: types,
+            S.NAME: pd.Series(names, dtype=object),
+            S.EVENT_TYPE: pd.Series(types, dtype=object),
             S.TIMESTAMP: pd.array(times, dtype="int64"),
             S.PROCESS: pd.array([pe] * len(names), dtype="int32"),
-            S.ATTRIBUTES: attrs,
+            S.ATTRIBUTES: pd.Series(attrs, dtype=object),
         }
     )
 
+
+# Max buffered raw lines per parse chunk (~30 MB of Python strings).
+# Bounds task memory independent of PE-log size; measured at the 120M
+# ladder rung: whole-file buffering (8M lines/task) cost 2.7x parse
+# rate in GC pressure alone.
+_CHUNK_LINES = 262_144
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -226,7 +242,31 @@ _OUT_SCHEMA = T.StructType(
 
 
 def read_projections(spark: SparkSession, dirname: str) -> DataFrame:
-    """Distributed read of a Projections log directory."""
+    """Distributed read of a Projections log directory — SHUFFLE-FREE.
+
+    Gzip logs are non-splittable, so ``spark.read.text`` already
+    delivers each PE file's lines, in file order, inside one input
+    partition (several small files may share a partition, still
+    contiguous and ordered). The per-PE parse therefore runs as
+    ``mapInPandas`` directly over those partitions, parsing in BOUNDED
+    CHUNKS (``_CHUNK_LINES``) with per-file carried state — the line
+    dispatch is stateless, so only the sequence offset and the last
+    emitted (name, time) cross a chunk boundary, the latter feeding
+    the trailing-Computation repair applied exactly once at true
+    end-of-file. Peak task memory is therefore ~chunk-sized however
+    large one PE's log grows (a multi-GB PE log at real scale), not
+    file-sized: the 120M-event ladder rung measured the whole-file
+    formulation at 2.7x lower per-core parse rate purely from
+    list/GC pressure at ~8M buffered lines per task (SCALING.md
+    ingestion rung).
+
+    The previous ``groupBy(file).applyInPandas`` formulation shuffled
+    EVERY RAW LINE across the cluster just to regroup what the scan
+    had already grouped — at the 12M-event ladder rung that exchange
+    was the measured constraint (throughput dropped 2x; SCALING.md
+    ingestion rung). Parallelism is unchanged: one task per PE file,
+    the reference's own fan-out axis (its mp.Pool over PEs,
+    projections_reader.py:285-341) spread across executors."""
     sts_files = glob.glob(os.path.join(dirname, "*.sts"))
     if not sts_files:
         raise FileNotFoundError(f"no .sts file in {dirname}")
@@ -236,19 +276,59 @@ def read_projections(spark: SparkSession, dirname: str) -> DataFrame:
     logs = spark.read.text(os.path.join(dirname, "*.log.gz")).select(
         F.col("value"),
         F.input_file_name().alias("__file"),
-        F.monotonically_increasing_id().alias("__line"),
     )
 
-    def apply_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        fname = os.path.basename(key[0])
-        m = re.search(r"\.(\d+)\.log", fname)
-        pe = int(m.group(1)) if m else 0
-        pdf = pdf.sort_values("__line")
-        out = _parse_pe_lines(pe, pdf["value"].tolist(), bmeta.value)
-        n = len(out)
-        base = pe * 10_000_000
-        out[S.SEQ] = pd.array(range(base, base + n), dtype="int64")
-        out[S.EVENT_ID] = out[S.SEQ]
-        return out[[f.name for f in _OUT_SCHEMA.fields]]
+    def parse_partition(batches):
+        cur_file: str | None = None
+        pe = 0
+        lines: list[str] = []
+        n_emitted = 0  # events emitted so far for cur_file
+        last_name: str | None = None
+        last_time = 0
 
-    return logs.groupBy("__file").applyInPandas(apply_fn, schema=_OUT_SCHEMA)
+        def flush(final: bool) -> pd.DataFrame:
+            nonlocal n_emitted, last_name, last_time
+            out = _parse_pe_lines(pe, lines, bmeta.value, fixup=False)
+            lines.clear()
+            if len(out):
+                last_name = out[S.NAME].iloc[-1]
+                last_time = int(out[S.TIMESTAMP].iloc[-1])
+            if (
+                final
+                and (n_emitted or len(out))
+                and last_name != "Computation"
+            ):
+                # trailing repair, once per FILE (reference
+                # projections_reader.py:792-795)
+                out = pd.concat(
+                    [out, pd.DataFrame({
+                        S.NAME: ["Computation"],
+                        S.EVENT_TYPE: ["Leave"],
+                        S.TIMESTAMP: pd.array([last_time], dtype="int64"),
+                        S.PROCESS: pd.array([pe], dtype="int32"),
+                        S.ATTRIBUTES: [None],
+                    })],
+                    ignore_index=True,
+                )
+            n = len(out)
+            base = pe * 10_000_000 + n_emitted
+            out[S.SEQ] = pd.array(range(base, base + n), dtype="int64")
+            out[S.EVENT_ID] = out[S.SEQ]
+            n_emitted += n
+            return out[[f.name for f in _OUT_SCHEMA.fields]]
+
+        for pdf in batches:
+            for fname, grp in pdf.groupby("__file", sort=False):
+                if fname != cur_file:
+                    if cur_file is not None:
+                        yield flush(final=True)
+                    m = re.search(r"\.(\d+)\.log", os.path.basename(fname))
+                    cur_file, pe = fname, (int(m.group(1)) if m else 0)
+                    n_emitted, last_name, last_time = 0, None, 0
+                lines.extend(grp["value"].tolist())
+                if len(lines) >= _CHUNK_LINES:
+                    yield flush(final=False)
+        if cur_file is not None:
+            yield flush(final=True)
+
+    return logs.mapInPandas(parse_partition, schema=_OUT_SCHEMA)

@@ -234,3 +234,67 @@ def test_stumpy_matches_numpy_fallback():
     # motif (starts at multiples of 3 within the repeated prefix)
     assert stumpy_pair <= {0, 3, 6, 9}
     assert set(fallback[:2]) <= {0, 3, 6, 9}
+
+
+def test_minhash_lsh_max_bucket_drops_boilerplate(spark):
+    """The LSH band join's boilerplate escape hatch: identical docs
+    collide in one bucket per band and emit B^2/2 pairs; with
+    max_bucket set, oversized buckets are counted first and dropped
+    before the self-join, and pairs among DISTINCT near-dup docs are
+    unaffected (they live in small buckets)."""
+    from pipit_spark.llm.dedup import minhash_lsh_pairs
+
+    base = [
+        (i, f"unique document number {i} with its own words w{i}a w{i}b "
+             f"w{i}c w{i}d w{i}e w{i}f")
+        for i in range(20)
+    ]
+    near = [(100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "the quick brown fox jumps over the lazy dog tonight")]
+    boiler = [(200 + i, "all rights reserved terms of service apply "
+                        "subscribe now") for i in range(30)]
+    docs = spark.createDataFrame(
+        base + near + boiler, "doc_id long, text string"
+    )
+    uncapped = minhash_lsh_pairs(docs).collect()
+    capped = minhash_lsh_pairs(docs, max_bucket=8).collect()
+    boiler_pairs = {(r["a"], r["b"]) for r in uncapped
+                    if r["a"] >= 200 and r["b"] >= 200}
+    assert len(boiler_pairs) == 30 * 29 // 2  # quadratic blast exists
+    capped_set = {(r["a"], r["b"]) for r in capped}
+    assert not (capped_set & boiler_pairs)  # hatch removed it
+    # the genuine near-dup pair survives the cap in both modes
+    assert (100, 101) in {(r["a"], r["b"]) for r in uncapped}
+    assert (100, 101) in capped_set
+
+
+def test_projections_chunked_parse_bit_identical(spark, monkeypatch):
+    """The shuffle-free reader parses PE logs in bounded chunks with
+    carried state (seq offset + trailing-Computation repair at true
+    EOF). Forcing a pathologically small chunk must reproduce the
+    whole-file parse bit-for-bit on the reference's golden trace —
+    every chunk boundary inside every PE file is exercised."""
+    import os
+
+    import pipit_spark.sources.projections as P
+
+    ref = "/root/reference/pipit/tests/data/ping-pong-projections"
+    if not os.path.isdir(ref):
+        import pytest
+
+        pytest.skip("reference golden traces unavailable")
+
+    whole = P.read_projections(spark, ref).toPandas()
+    monkeypatch.setattr(P, "_CHUNK_LINES", 7)
+    chunked = P.read_projections(spark, ref).toPandas()
+
+    key = ["process", "seq"]
+    whole = whole.sort_values(key).reset_index(drop=True)
+    chunked = chunked.sort_values(key).reset_index(drop=True)
+    assert whole.drop(columns="attributes").equals(
+        chunked.drop(columns="attributes")
+    )
+    assert [dict(a) if a is not None else None
+            for a in whole.attributes] == [
+        dict(a) if a is not None else None for a in chunked.attributes
+    ]

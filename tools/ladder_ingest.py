@@ -1,0 +1,91 @@
+"""Ingestion scale ladder: synthesize N-PE Projections fixtures at
+10x-1000x the golden ping-pong volume and measure the binary-reader
+fan-out (sources/projections.py:read_projections — spark.read.text
+over per-PE .log.gz + one applyInPandas parse per file).
+
+Reference behavior to beat: the reference parses PE logs with a
+multiprocessing pool on one node (pipit/readers/otf2_reader.py:436-452
+is the same pattern for OTF2); our axis of parallelism is the same
+(one task per PE file — gzip is non-splittable) but spread across
+executors, so throughput scales with min(PE count, cluster cores).
+
+Each rung: generate (cached), then time TWO full read->count passes
+and report the second (steady-state; pass 1 pays codegen). Emits one
+JSON line per rung with events/s, then a linearity summary.
+
+Usage: PYTHONPATH=. python tools/ladder_ingest.py [--keep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.synth_projections import synthesize  # noqa: E402
+
+# (tag, num_pes, frames_per_pe) — events ~= frames*4.4 + idle pairs
+RUNGS = [
+    ("x10", 4, 70),
+    ("x100", 8, 350),
+    ("x1k", 16, 1_700),
+    ("x10k", 32, 8_500),
+    ("x100k", 32, 85_000),
+    ("x1m", 64, 425_000),
+]
+
+
+def main() -> None:
+    keep = "--keep" in sys.argv
+    from pipit_spark.session import get_spark
+    from pipit_spark.sources.projections import read_projections
+
+    spark = get_spark(app_name="ladder-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results = []
+    for tag, pes, frames in RUNGS:
+        outdir = f"/tmp/synth_proj_{tag}"
+        t0 = time.perf_counter()
+        if not os.path.exists(os.path.join(outdir, "synth.prj.sts")):
+            synthesize(outdir, pes, frames)
+        gen_s = time.perf_counter() - t0
+        n = read_sec = None
+        for _ in (1, 2):
+            t0 = time.perf_counter()
+            n = read_projections(spark, outdir).count()
+            read_sec = time.perf_counter() - t0
+        rate = n / read_sec
+        results.append((tag, pes, n, read_sec, rate))
+        print(
+            json.dumps(
+                {
+                    "rung": tag,
+                    "pes": pes,
+                    "events": n,
+                    "gen_sec": round(gen_s, 2),
+                    "read_sec": round(read_sec, 3),
+                    "events_per_sec": round(rate),
+                }
+            )
+        )
+        if not keep:
+            shutil.rmtree(outdir, ignore_errors=True)
+
+    base = results[0]
+    print("# linearity vs first rung (events x, time x):", file=sys.stderr)
+    for tag, pes, n, sec, rate in results[1:]:
+        print(
+            f"#   {tag}: events x{n / base[2]:.0f}, time x"
+            f"{sec / base[3]:.1f}, rate {rate / base[4]:.1f}x",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()
