@@ -559,6 +559,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     portable: bool = False,
     base_hash: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on ALL
     rows of ≥1 band collide in a bucket; bucket join emits pairs.
@@ -576,11 +577,30 @@ def minhash_lsh_pairs(
     without the cache barrier Catalyst inlines (and re-executes) the
     hash-over-shingles subtree into every branch. At scale the sig
     table is ~`num_hashes`·33 bytes/doc — orders smaller than the text.
-    """
+
+    ``max_bucket`` is the boilerplate-corpus escape hatch (the
+    simhash_pairs pattern): a corpus that hasn't been exact-deduped
+    first puts every copy of a dominant template in the SAME bucket of
+    every band — B identical docs emit B²/2 join rows per band, the
+    quadratic blow-up AQE's skew splitting can only re-balance, not
+    shrink (measured: tools/skew_rung.py, SCALING.md). With it set,
+    bucket sizes are counted FIRST (hash aggregate, map-side combine)
+    and oversized buckets dropped before the self-join; recall loss
+    touches only groups exact dedup should have collapsed anyway.
+    Default None preserves exact semantics (the oracle gate's
+    configuration)."""
     buckets = build_lsh_index(
         docs, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         portable=portable, base_hash=base_hash,
     )
+    if max_bucket is not None:
+        surviving = (
+            buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n").between(2, max_bucket))
+            .select("bucket")
+        )
+        buckets = buckets.join(surviving, "bucket")
     x = buckets.select("bucket", F.col("doc_id").alias("a"),
                        F.col("sig").alias("sig_a"))
     y = buckets.select("bucket", F.col("doc_id").alias("b"),
