@@ -29,9 +29,15 @@ from __future__ import annotations
 import glob
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import schema as S
+
+# max parsed events buffered per Arrow chunk in the executor parse
+# (same bound as the projections reader's _CHUNK_LINES — keeps task
+# memory ~chunk-sized however large one location's .evt file grows)
+_CHUNK_EVENTS = 262_144
 
 # global definition record ids (OTF2_GlobalDefinitions.h public ids),
 # named as the otf2 python bindings name them (pipit's def_type values)
@@ -206,7 +212,7 @@ def parse_global_defs(path: str) -> dict:
     }
 
 
-def read_location_events(
+def _iter_location_rows(
     evt_path: str,
     process: int,
     thread: int,
@@ -216,8 +222,12 @@ def read_location_events(
     metric_members: list[int] | None = None,
     metric_class_members: dict[int, list[int]] | None = None,
 ):
-    """One location's .evt file → canonical event tuples (driver- or
-    executor-side; pure function of the file bytes + broadcast defs).
+    """One location's .evt file → canonical event tuples, YIELDED one
+    at a time (driver- or executor-side; pure function of the file
+    bytes + broadcast defs) so callers can batch into bounded chunks
+    instead of materializing a whole location's list (the projections
+    ladder measured 2.7x per-core parse loss from exactly that
+    buffering at 8M events/task — SCALING.md ingestion rung).
 
     Synchronous Metric records (0x1f) are merged onto their equal-
     timestamp Enter/Leave row as one float column per MetricMember —
@@ -244,7 +254,6 @@ def read_location_events(
     def to_ns(ticks: int) -> int:
         return (ticks - offset) * 1_000_000_000 // resolution
 
-    rows = []
     seq = 0
     pending_ts: int | None = None
     pending_vals: list[float | None] = [None] * n_metrics
@@ -301,28 +310,31 @@ def read_location_events(
                 f"location ({process},{thread}) exceeds 2^32 events — "
                 "packed event ids would collide; widen the id scheme"
             )
-        rows.append(
-            (
-                (process << 40) | (thread << 32) | seq,
-                to_ns(ts),
-                seq,
-                etype,
-                name,
-                process,
-                thread,
-                attrs,
-            )
-            + mvals
-        )
+        yield (
+            (process << 40) | (thread << 32) | seq,
+            to_ns(ts),
+            seq,
+            etype,
+            name,
+            process,
+            thread,
+            attrs,
+        ) + mvals
         seq += 1
-    return rows
+
+
+def read_location_events(*args, **kwargs) -> list:
+    """List form of :func:`_iter_location_rows` (same signature) —
+    kept for callers that want one location materialized (tests, the
+    driver-side single-file path)."""
+    return list(_iter_location_rows(*args, **kwargs))
 
 
 def read_otf2_native(
     spark: SparkSession, dirname: str
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed OTF2 archive read → (events DF, definitions DF)."""
-    import pandas as pd
+
 
     defs = parse_global_defs(os.path.join(dirname, "traces.def"))
     res = defs["clock"]["resolution"]
@@ -346,17 +358,8 @@ def read_otf2_native(
 
     b_defs = spark.sparkContext.broadcast(
         (defs["region_name"], defs["metric_members"],
-         defs["metric_class_members"])
+         defs["metric_class_members"], defs["metric_names"])
     )
-    rdd = spark.sparkContext.parallelize(loc_map, max(1, len(loc_map)))
-
-    def emit(rec):
-        path, process, thread = rec
-        regions, members, class_members = b_defs.value
-        return read_location_events(
-            path, process, thread, regions, res, off,
-            metric_members=members, metric_class_members=class_members,
-        )
 
     from pyspark.sql import types as T
 
@@ -367,7 +370,57 @@ def read_otf2_native(
             for nm in defs["metric_names"]
         ]
     )
-    events = spark.createDataFrame(rdd.flatMap(emit), schema).orderBy(
+    loc_schema = T.StructType([
+        T.StructField("path", T.StringType(), False),
+        T.StructField("process", T.IntegerType(), False),
+        T.StructField("thread", T.IntegerType(), False),
+    ])
+    # one input partition per location file: the fan-out axis is the
+    # archive's own (reference otf2_reader.py:436-452 fans an mp.Pool
+    # over the same files), spread across executors
+    loc_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(loc_map, max(1, len(loc_map))),
+        loc_schema,
+    )
+
+    def _chunk_pdf(rows: list, metric_names: list) -> pd.DataFrame:
+        cols = list(zip(*rows))
+        pdf = pd.DataFrame({
+            S.EVENT_ID: pd.array(cols[0], dtype="int64"),
+            S.TIMESTAMP: pd.array(cols[1], dtype="int64"),
+            S.SEQ: pd.array(cols[2], dtype="int64"),
+            S.EVENT_TYPE: pd.Series(cols[3], dtype=object),
+            S.NAME: pd.Series(cols[4], dtype=object),
+            S.PROCESS: pd.array(cols[5], dtype="int32"),
+            S.THREAD: pd.array(cols[6], dtype="int32"),
+            S.ATTRIBUTES: pd.Series(cols[7], dtype=object),
+        })
+        for i, nm in enumerate(metric_names):
+            pdf[nm] = pd.array(cols[8 + i], dtype="float64")
+        return pdf
+
+    def parse(batches):
+        # Arrow-batched executor parse, bounded chunks per location
+        # (never a whole location's row list in memory) — replaces
+        # the previous row-at-a-time pickled-RDD flatMap, which paid
+        # Pyrolite serialization per event
+        regions, members, class_members, metric_names = b_defs.value
+        for pdf_in in batches:
+            for path, process, thread in pdf_in.itertuples(index=False):
+                rows: list = []
+                for row in _iter_location_rows(
+                    path, int(process), int(thread), regions, res, off,
+                    metric_members=members,
+                    metric_class_members=class_members,
+                ):
+                    rows.append(row)
+                    if len(rows) >= _CHUNK_EVENTS:
+                        yield _chunk_pdf(rows, metric_names)
+                        rows = []
+                if rows:
+                    yield _chunk_pdf(rows, metric_names)
+
+    events = loc_df.mapInPandas(parse, schema=schema).orderBy(
         S.TIMESTAMP, S.SEQ
     )
     definitions = spark.createDataFrame(

@@ -298,3 +298,33 @@ def test_projections_chunked_parse_bit_identical(spark, monkeypatch):
             for a in whole.attributes] == [
         dict(a) if a is not None else None for a in chunked.attributes
     ]
+
+
+def test_otf2_chunked_parse_bit_identical(spark, monkeypatch):
+    """The Arrow-batched OTF2 reader flushes bounded event chunks per
+    location; a pathologically small chunk must reproduce the
+    default-chunk read bit-for-bit on the golden trace."""
+    import os
+
+    import pipit_spark.sources.otf2_native as O
+
+    ref = "/root/reference/pipit/tests/data/ping-pong-otf2"
+    if not os.path.isdir(ref):
+        import pytest
+
+        pytest.skip("reference golden traces unavailable")
+
+    whole = O.read_otf2_native(spark, ref)[0].toPandas()
+    monkeypatch.setattr(O, "_CHUNK_EVENTS", 7)
+    chunked = O.read_otf2_native(spark, ref)[0].toPandas()
+
+    key = ["process", "seq"]
+    whole = whole.sort_values(key).reset_index(drop=True)
+    chunked = chunked.sort_values(key).reset_index(drop=True)
+    assert whole.drop(columns="attributes").equals(
+        chunked.drop(columns="attributes")
+    )
+    assert [dict(a) if a is not None else None
+            for a in whole.attributes] == [
+        dict(a) if a is not None else None for a in chunked.attributes
+    ]

@@ -13,7 +13,9 @@ Each rung: generate (cached), then time TWO full read->count passes
 and report the second (steady-state; pass 1 pays codegen). Emits one
 JSON line per rung with events/s, then a linearity summary.
 
-Usage: PYTHONPATH=. python tools/ladder_ingest.py [--keep]
+Usage: PYTHONPATH=. python tools/ladder_ingest.py [--keep] [--otf2]
+(--otf2 runs the same ladder over synthetic OTF2 archives through
+sources/otf2_native.py instead — the Arrow-batched mapInPandas twin.)
 """
 
 from __future__ import annotations
@@ -26,9 +28,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.synth_otf2 import synthesize as synthesize_otf2  # noqa: E402
 from tools.synth_projections import synthesize  # noqa: E402
 
 # (tag, num_pes, frames_per_pe) — events ~= frames*4.4 + idle pairs
+# (projections); frames*3 (otf2: send + enter + leave per frame)
 RUNGS = [
     ("x10", 4, 70),
     ("x100", 8, 350),
@@ -41,7 +45,9 @@ RUNGS = [
 
 def main() -> None:
     keep = "--keep" in sys.argv
+    otf2 = "--otf2" in sys.argv
     from pipit_spark.session import get_spark
+    from pipit_spark.sources.otf2_native import read_otf2_native
     from pipit_spark.sources.projections import read_projections
 
     spark = get_spark(app_name="ladder-ingest")
@@ -50,15 +56,27 @@ def main() -> None:
 
     results = []
     for tag, pes, frames in RUNGS:
-        outdir = f"/tmp/synth_proj_{tag}"
-        t0 = time.perf_counter()
-        if not os.path.exists(os.path.join(outdir, "synth.prj.sts")):
-            synthesize(outdir, pes, frames)
-        gen_s = time.perf_counter() - t0
+        if otf2:
+            outdir = f"/tmp/synth_otf2_{tag}"
+            t0 = time.perf_counter()
+            if not os.path.exists(os.path.join(outdir, "traces.def")):
+                # scale frames so event counts match the projections
+                # ladder's rungs (~4.6 events/frame there vs 3 here)
+                synthesize_otf2(outdir, pes, frames * 31 // 20)
+            gen_s = time.perf_counter() - t0
+        else:
+            outdir = f"/tmp/synth_proj_{tag}"
+            t0 = time.perf_counter()
+            if not os.path.exists(os.path.join(outdir, "synth.prj.sts")):
+                synthesize(outdir, pes, frames)
+            gen_s = time.perf_counter() - t0
         n = read_sec = None
         for _ in (1, 2):
             t0 = time.perf_counter()
-            n = read_projections(spark, outdir).count()
+            if otf2:
+                n = read_otf2_native(spark, outdir)[0].count()
+            else:
+                n = read_projections(spark, outdir).count()
             read_sec = time.perf_counter() - t0
         rate = n / read_sec
         results.append((tag, pes, n, read_sec, rate))
