@@ -33,6 +33,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -323,31 +324,72 @@ def read_hpctoolkit(spark: SparkSession, dirname: str) -> DataFrame:
         (meta["resolve"], meta["parent"], meta["name"], meta["is_loop"], profiles)
     )
 
-    # one task per trace line: each reads only its own byte range
-    hdr_rdd = spark.sparkContext.parallelize(
-        list(enumerate(headers)), max(1, len(headers))
+    # one task per trace line: each reads only its own byte range.
+    # Arrow-batched mapInPandas with bounded chunk flushes (same shape
+    # as sources/projections.py / otf2_native.py — never a whole
+    # line's row list in task memory, no per-row Pyrolite pickling)
+    hdr_schema = T.StructType([
+        T.StructField("hdr_idx", T.LongType(), False),
+        T.StructField("prof_index", T.LongType(), False),
+        T.StructField("p_start", T.LongType(), False),
+        T.StructField("p_end", T.LongType(), False),
+    ])
+    hdr_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, int(pi), int(s), int(e))
+             for i, (pi, s, e) in enumerate(headers)],
+            max(1, len(headers)),
+        ),
+        hdr_schema,
     )
 
-    def emit(rec):
-        hdr_idx, (prof_index, p_start, p_end) = rec
-        resolve, parent, name, is_loop, profs = b.value
-        hit = profs.get(prof_index, {})
-        process = int(hit.get("RANK", 0))
-        thread = int(hit.get("THREAD", 0))
-        core = hit.get("CORE")
-        host = hit.get("NODE")
-        # reproduce the reference's global append order for equal
-        # timestamps: lines are appended header-by-header
-        base = hdr_idx * 100_000_000
-        for t, etype, nm, node, idx in _reconstruct_line(
-            trace_path, p_start, p_end, min_ts, max_ts,
-            resolve, parent, name, is_loop,
-        ):
-            seq = base + idx
-            yield (seq, int(t), seq, etype, nm, process, thread, None,
-                   core, host, node)
+    _CHUNK = 262_144
 
-    events = spark.createDataFrame(hdr_rdd.flatMap(emit), _HPCT_SCHEMA)
+    def _chunk_pdf(rows: list) -> pd.DataFrame:
+        cols = list(zip(*rows))
+        return pd.DataFrame({
+            S.EVENT_ID: pd.array(cols[0], dtype="int64"),
+            S.TIMESTAMP: pd.array(cols[1], dtype="int64"),
+            S.SEQ: pd.array(cols[2], dtype="int64"),
+            S.EVENT_TYPE: pd.Series(cols[3], dtype=object),
+            S.NAME: pd.Series(cols[4], dtype=object),
+            S.PROCESS: pd.array(cols[5], dtype="int32"),
+            S.THREAD: pd.array(cols[6], dtype="int32"),
+            S.ATTRIBUTES: pd.Series(cols[7], dtype=object),
+            "core": pd.array(cols[8], dtype="Int64"),
+            "host": pd.array(cols[9], dtype="Int64"),
+            S.NODE_ID: pd.array(cols[10], dtype="Int64"),
+        })
+
+    def parse(batches):
+        resolve, parent, name, is_loop, profs = b.value
+        for pdf_in in batches:
+            for hdr_idx, prof_index, p_start, p_end in pdf_in.itertuples(
+                index=False
+            ):
+                hit = profs.get(int(prof_index), {})
+                process = int(hit.get("RANK", 0))
+                thread = int(hit.get("THREAD", 0))
+                core = hit.get("CORE")
+                host = hit.get("NODE")
+                # reproduce the reference's global append order for
+                # equal timestamps: lines append header-by-header
+                base = int(hdr_idx) * 100_000_000
+                rows: list = []
+                for t, etype, nm, node, idx in _reconstruct_line(
+                    trace_path, int(p_start), int(p_end), min_ts, max_ts,
+                    resolve, parent, name, is_loop,
+                ):
+                    seq = base + idx
+                    rows.append((seq, int(t), seq, etype, nm, process,
+                                 thread, None, core, host, node))
+                    if len(rows) >= _CHUNK:
+                        yield _chunk_pdf(rows)
+                        rows = []
+                if rows:
+                    yield _chunk_pdf(rows)
+
+    events = hdr_df.mapInPandas(parse, schema=_HPCT_SCHEMA)
     # reference sorts globally by (timestamp, emission index)
     # (hpctoolkit_reader.py:1353-1363); within-location order is what the
     # matching pass consumes, so sortWithinPartitions would suffice — the
