@@ -277,6 +277,15 @@ def read_projections(spark: SparkSession, dirname: str) -> DataFrame:
         F.col("value"),
         F.input_file_name().alias("__file"),
     )
+    return logs.mapInPandas(_make_parse_partition(bmeta), schema=_OUT_SCHEMA)
+
+
+def _make_parse_partition(bmeta):
+    """The per-partition chunked parse, shared verbatim by the batch
+    reader above and the streaming reader below (a micro-batch's scan
+    partitions have the same per-file contiguity guarantee — the
+    stream source is file-granular, so a .log.gz never splits across
+    triggers)."""
 
     def parse_partition(batches):
         cur_file: str | None = None
@@ -331,4 +340,47 @@ def read_projections(spark: SparkSession, dirname: str) -> DataFrame:
         if cur_file is not None:
             yield flush(final=True)
 
-    return logs.mapInPandas(parse_partition, schema=_OUT_SCHEMA)
+    return parse_partition
+
+
+def stream_projections(
+    spark: SparkSession,
+    dirname: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING ingest of a growing Projections log directory — the
+    live-run twin of :func:`read_projections` for a Charm++ job that
+    is still writing PE logs (or an object store receiving them).
+
+    ``spark.readStream.text`` discovers complete ``*.log.gz`` files as
+    they land; each micro-batch runs the SAME chunked per-file parse
+    as the batch reader (file-granular source: a log never splits
+    across triggers, so per-file carried state stays within one
+    micro-batch). Downstream, write to the canonical parquet table
+    with ``.writeStream.trigger(availableNow=True)`` for incremental
+    catch-up runs or a processing-time trigger for continuous tail —
+    the sink's checkpoint gives exactly-once file-level ingest, which
+    is the property a 100 TB backfill actually needs (re-running the
+    job ingests only new PE files).
+
+    ``max_files_per_trigger`` bounds micro-batch size (files, i.e. PE
+    logs) so a backfill over thousands of PEs paces itself instead of
+    one giant first batch. The ``.sts`` metadata must already exist
+    (it is written at job start, before any log data)."""
+    sts_files = glob.glob(os.path.join(dirname, "*.sts"))
+    if not sts_files:
+        raise FileNotFoundError(f"no .sts file in {dirname}")
+    meta = parse_sts(sts_files[0])
+    bmeta = spark.sparkContext.broadcast(meta)
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    logs = (
+        reader.text(os.path.join(dirname, "*.log.gz"))
+        .select(
+            F.col("value"),
+            F.input_file_name().alias("__file"),
+        )
+    )
+    return logs.mapInPandas(_make_parse_partition(bmeta), schema=_OUT_SCHEMA)

@@ -4,6 +4,7 @@ release hook."""
 
 from __future__ import annotations
 
+import os
 import shutil
 from urllib.parse import urlparse
 
@@ -327,4 +328,60 @@ def test_otf2_chunked_parse_bit_identical(spark, monkeypatch):
     assert [dict(a) if a is not None else None
             for a in whole.attributes] == [
         dict(a) if a is not None else None for a in chunked.attributes
+    ]
+
+
+def test_stream_projections_incremental_matches_batch(spark, tmp_path):
+    """Streaming ingest twin: PE logs landing across TWO availableNow
+    catch-up runs (one file, then the second) produce exactly the
+    batch reader's frame, and the sink checkpoint makes the second
+    run ingest ONLY the new file (file-level exactly-once)."""
+    import shutil
+
+    from pipit_spark.sources.projections import (
+        read_projections,
+        stream_projections,
+    )
+
+    golden = "/root/reference/pipit/tests/data/ping-pong-projections"
+    if not os.path.isdir(golden):
+        pytest.skip("reference golden traces unavailable")
+
+    live = tmp_path / "live"
+    out = tmp_path / "events_parquet"
+    ck = tmp_path / "ck"
+    live.mkdir()
+    shutil.copy(f"{golden}/pingpong.prj.sts", live)
+
+    def catch_up():
+        q = (
+            stream_projections(spark, str(live))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    shutil.copy(f"{golden}/pingpong.prj.0.log.gz", live)
+    catch_up()
+    n_first = spark.read.parquet(str(out)).count()
+
+    shutil.copy(f"{golden}/pingpong.prj.1.log.gz", live)
+    catch_up()
+
+    streamed = spark.read.parquet(str(out)).toPandas()
+    batch = read_projections(spark, golden).toPandas()
+
+    assert n_first == (batch.process == 0).sum()  # only PE0 in run 1
+    key = ["process", "seq"]
+    streamed = streamed.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert streamed.drop(columns="attributes").equals(
+        batch.drop(columns="attributes")
+    )
+    assert [dict(a) if a is not None else None
+            for a in streamed.attributes] == [
+        dict(a) if a is not None else None for a in batch.attributes
     ]
