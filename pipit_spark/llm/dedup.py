@@ -1419,6 +1419,7 @@ def oracle_minhash_lsh_pairs_fast(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> str:
     """Full DuckDB replay of ``minhash_lsh_pairs(base_hash="md5int")``
     — the linear-permutation FAST path (one base hash per shingle +
@@ -1428,7 +1429,10 @@ def oracle_minhash_lsh_pairs_fast(
     estimate are all byte-identical: base ``h = CAST('0x' ||
     substr(md5(s),1,15) AS BIGINT) % p``, then ``(a_i·h + b_i) % p``
     with the same seeded ``_perm_constants``. a_i·h < 2^62 stays in
-    BIGINT on both engines."""
+    BIGINT on both engines.
+
+    ``max_bucket`` replays the boilerplate escape hatch: bucket sizes
+    counted first, only buckets of size 2..max_bucket join."""
     rpb = num_hashes // bands
     p = _MINHASH_P
     a, bvec = _perm_constants(num_hashes)
@@ -1442,6 +1446,15 @@ def oracle_minhash_lsh_pairs_fast(
     )
     band_list = ", ".join(str(b) for b in range(bands))
     idx_list = ", ".join(str(i + 1) for i in range(num_hashes))
+    cap_cte = ""
+    cap_join = ""
+    if max_bucket is not None:
+        cap_cte = f"""surv AS (
+    SELECT bucket FROM bnd
+    GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+),
+"""
+        cap_join = "JOIN surv USING (bucket) "
     return f"""
 WITH sigs AS (
     SELECT doc_id, [{sig_items}] AS sig FROM {table}
@@ -1452,9 +1465,9 @@ bnd AS (
            array_to_string(sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], '|') AS bucket
     FROM sigs CROSS JOIN (SELECT UNNEST([{band_list}]) AS b) t
 ),
-cand AS (
+{cap_cte}cand AS (
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-    FROM bnd x JOIN bnd y USING (bucket)
+    FROM bnd x {cap_join}JOIN bnd y USING (bucket)
     WHERE x.doc_id < y.doc_id
 )
 SELECT c.a, c.b,

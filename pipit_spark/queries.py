@@ -2385,6 +2385,19 @@ def q_doc_minhash_lsh_fast(spark, sf_dir):
     )
 
 
+def q_doc_minhash_lsh_capped(spark, sf_dir):
+    """The boilerplate escape hatch (max_bucket, SCALING.md round-7
+    skew rung) under the SAME full value oracle as the fast gate:
+    bucket sizes counted first, buckets above the cap dropped before
+    the self-join. max_bucket=2 binds on the sf0.01 documents table
+    (drops its nine 3-doc buckets), so the driver's hash verifies the
+    count-then-filter logic, not just the uncapped join."""
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=16, bands=8,
+        base_hash="md5int", max_bucket=2,
+    )
+
+
 def q_doc_simhash(spark, sf_dir):
     return D.simhash(load(spark, sf_dir, "documents"))
 
@@ -4332,11 +4345,15 @@ _R07_WINDOW = [
     "emb_semantic_dedup", "emb_lsh_ann", "emb_ivf_topk_exact",
     "emb_pq_topk_exact", "emb_ivfpq_topk_exact",
     "emb_pq_topk", "emb_ivfpq_topk",
-    # C. dedup.py/quality.py-backed r04-stale (9)
+    # C. dedup.py/quality.py-backed r04-stale (8) + the r07 in-round
+    # addition (1): the band-join skew hatch under a full value oracle.
+    # doc_dedup_lines_within yields its slot (its r04 row is green,
+    # doc_dedup_lines stays and exercises the same line-dedup path,
+    # which no r05-r07 commit touched).
     "doc_fuzzy_dedup", "doc_containment", "doc_edit_pairs",
     "doc_simhash_pairs", "doc_dedup_quality", "doc_incremental_bloom",
     "doc_incremental_neardup", "doc_dedup_lines",
-    "doc_dedup_lines_within",
+    "doc_minhash_lsh_capped",
 ]
 
 
@@ -4412,6 +4429,7 @@ def queries():
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "doc_minhash_lsh_fast": q_doc_minhash_lsh_fast,
+        "doc_minhash_lsh_capped": q_doc_minhash_lsh_capped,
         "doc_shuffle": q_doc_shuffle,
         "doc_split": q_doc_split,
         "doc_length_buckets": q_doc_length_buckets,
@@ -4662,6 +4680,9 @@ def oracle_sql():
         ),
         "doc_minhash_lsh_fast": D.oracle_minhash_lsh_pairs_fast(
             num_hashes=16, bands=8
+        ),
+        "doc_minhash_lsh_capped": D.oracle_minhash_lsh_pairs_fast(
+            num_hashes=16, bands=8, max_bucket=2
         ),
         "doc_ngram_jaccard": D.oracle_ngram_jaccard_pairs(n=3, threshold=0.5),
         "doc_dedup_clusters": D.oracle_dedup_clusters(n=3, threshold=0.5),
