@@ -14,8 +14,19 @@ Stages:
                 matched frame, NO re-match) → flat_profile +
                 load_imbalance, timed warm
 
-Usage: PYTHONPATH=. SPARK_GRAFT_MATCH_PARTITIONS=128 \
+Usage: PYTHONPATH=. SPARK_GRAFT_MATCH_PARTITIONS=256 \
+         SPARK_GRAFT_DRIVER_MEM=48g \
          python tools/pipeline_rung.py [fixture_dir]
+
+Sizing (the r04 rung's guidance, re-confirmed here): match partitions
+~500k rows/task, and the local-mode JVM needs headroom beyond the 8g
+default because ingest + matching run in ONE JVM whose Arrow direct
+buffers accumulate across stages — at 120M events the default heap
+aborts the match stage with Arrow OutOfMemoryException (task retries
+then job failure), while a clean JVM running ONLY match+write passes
+at 8g. On a real cluster each executor has its own direct pool, so
+the binding constraint is per-task batch size (the partitions knob),
+not this single-JVM artifact.
 """
 
 from __future__ import annotations
