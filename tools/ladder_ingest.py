@@ -13,9 +13,9 @@ Each rung: generate (cached), then time TWO full read->count passes
 and report the second (steady-state; pass 1 pays codegen). Emits one
 JSON line per rung with events/s, then a linearity summary.
 
-Usage: PYTHONPATH=. python tools/ladder_ingest.py [--keep] [--otf2]
-(--otf2 runs the same ladder over synthetic OTF2 archives through
-sources/otf2_native.py instead — the Arrow-batched mapInPandas twin.)
+Usage: PYTHONPATH=. python tools/ladder_ingest.py [--keep] [--otf2|--hpct]
+(--otf2 / --hpct run the same ladder over synthetic OTF2 archives /
+HPCToolkit v4.0 databases through their Arrow-batched readers.)
 """
 
 from __future__ import annotations
@@ -28,6 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.synth_hpctoolkit import synthesize as synthesize_hpct  # noqa: E402
 from tools.synth_otf2 import synthesize as synthesize_otf2  # noqa: E402
 from tools.synth_projections import synthesize  # noqa: E402
 
@@ -46,7 +47,9 @@ RUNGS = [
 def main() -> None:
     keep = "--keep" in sys.argv
     otf2 = "--otf2" in sys.argv
+    hpct = "--hpct" in sys.argv
     from pipit_spark.session import get_spark
+    from pipit_spark.sources.hpctoolkit import read_hpctoolkit
     from pipit_spark.sources.otf2_native import read_otf2_native
     from pipit_spark.sources.projections import read_projections
 
@@ -56,7 +59,14 @@ def main() -> None:
 
     results = []
     for tag, pes, frames in RUNGS:
-        if otf2:
+        if hpct:
+            outdir = f"/tmp/synth_hpct_{tag}"
+            t0 = time.perf_counter()
+            if not os.path.exists(os.path.join(outdir, "trace.db")):
+                # ~1 event per 2 samples (4-sample dwell, depth-2 tree)
+                synthesize_hpct(outdir, pes, frames * 9)
+            gen_s = time.perf_counter() - t0
+        elif otf2:
             outdir = f"/tmp/synth_otf2_{tag}"
             t0 = time.perf_counter()
             if not os.path.exists(os.path.join(outdir, "traces.def")):
@@ -73,7 +83,9 @@ def main() -> None:
         n = read_sec = None
         for _ in (1, 2):
             t0 = time.perf_counter()
-            if otf2:
+            if hpct:
+                n = read_hpctoolkit(spark, outdir).count()
+            elif otf2:
                 n = read_otf2_native(spark, outdir)[0].count()
             else:
                 n = read_projections(spark, outdir).count()
