@@ -385,3 +385,129 @@ def test_stream_projections_incremental_matches_batch(spark, tmp_path):
             for a in streamed.attributes] == [
         dict(a) if a is not None else None for a in batch.attributes
     ]
+
+
+# ---- chunked-parse property test (Spark-free: drives the shared
+# parse closure directly with a faked broadcast) -----------------------
+
+def _proj_meta():
+    return {
+        "chares": {0: "Main"},
+        "entries": {i: (f"work_{i}(Msg* m)", 0) for i in range(4)},
+        "user_events": {7: "mark"},
+        "user_stats": {},
+        "num_perf_counts": 0,
+        "num_pes": 4,
+    }
+
+
+def _whole_parse(files, meta):
+    """Reference result: per-file whole parse with fixup + seq bases."""
+    import pandas as pd
+
+    from pipit_spark.sources import projections as P
+
+    outs = []
+    for fname, lines in files:
+        m = __import__("re").search(r"\.(\d+)\.log", fname)
+        pe = int(m.group(1)) if m else 0
+        out = P._parse_pe_lines(pe, lines, meta, fixup=True)
+        base = pe * 10_000_000
+        out[P.S.SEQ] = pd.array(range(base, base + len(out)), dtype="int64")
+        out[P.S.EVENT_ID] = out[P.S.SEQ]
+        outs.append(out[[f.name for f in P._OUT_SCHEMA.fields]])
+    return pd.concat(outs, ignore_index=True) if outs else None
+
+
+_REC_LINES = [
+    "6 {t}",                      # BEGIN_COMPUTATION
+    "7 {t}",                      # END_COMPUTATION
+    "1 0 {ep} {t} 5 1 64 {t}",    # CREATION
+    "2 0 {ep} {t} 5 1 64 0 0",    # BEGIN_PROCESSING
+    "3 0 {ep} {t} 5 1 64 0 0",    # END_PROCESSING
+    "10 0 {t} 5 1 64",            # MESSAGE_RECV
+    "14 {t} 0",                   # BEGIN_IDLE
+    "15 {t} 0",                   # END_IDLE
+    "13 7 {t} 9",                 # USER_EVENT
+    "garbage line",               # junk the dispatch must skip
+    "PROJECTIONS-RECORD 99",      # header-ish junk
+]
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _proj_corpus(draw):
+    n_files = draw(st.integers(1, 3))
+    files = []
+    for pe in range(n_files):
+        n_lines = draw(st.integers(0, 40))
+        lines = [
+            _REC_LINES[draw(st.integers(0, len(_REC_LINES) - 1))].format(
+                t=1000 + 3 * i, ep=draw(st.integers(0, 3))
+            )
+            for i in range(n_lines)
+        ]
+        files.append((f"synth.prj.{pe}.log.gz", lines))
+    chunk = draw(st.integers(1, 50))
+    # batch segmentation: cut the concatenated (file, line) stream at
+    # arbitrary points, like Arrow batches would
+    total = sum(len(ls) for _, ls in files)
+    n_cuts = draw(st.integers(0, min(5, max(0, total - 1))))
+    cuts = sorted(draw(
+        st.lists(st.integers(1, max(1, total - 1)), min_size=n_cuts,
+                 max_size=n_cuts, unique=True)
+    )) if total > 1 else []
+    return files, chunk, cuts
+
+
+@settings(max_examples=120, deadline=None)
+@given(_proj_corpus())
+def test_chunked_parse_property(case):
+    """For ANY record mix, ANY chunk size, and ANY Arrow-batch
+    segmentation, the chunked streaming parse equals the whole-file
+    parse (trailing repair included, seq bases per PE)."""
+    import types
+
+    import pandas as pd
+
+    from pipit_spark.sources import projections as P
+
+    files, chunk, cuts = case
+    meta = _proj_meta()
+
+    # fake broadcast + forced chunk size
+    bmeta = types.SimpleNamespace(value=meta)
+    orig = P._CHUNK_LINES
+    P._CHUNK_LINES = chunk
+    try:
+        parse = P._make_parse_partition(bmeta)
+        stream = [
+            (fname, line) for fname, lines in files for line in lines
+        ]
+        bounds = [0] + cuts + [len(stream)]
+        batches = []
+        for s, e in zip(bounds, bounds[1:]):
+            if e > s:
+                seg = stream[s:e]
+                batches.append(pd.DataFrame({
+                    "value": [l for _, l in seg],
+                    "__file": [f for f, _ in seg],
+                }))
+        got = list(parse(iter(batches)))
+    finally:
+        P._CHUNK_LINES = orig
+
+    want = _whole_parse([(f, ls) for f, ls in files if ls], meta)
+    if want is None or not len(want):
+        assert not got or sum(len(g) for g in got) == 0
+        return
+    got_df = pd.concat(got, ignore_index=True)
+    key = ["process", "seq"]
+    got_df = got_df.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got_df.drop(columns="attributes").equals(
+        want.drop(columns="attributes")
+    )
+    assert [a for a in got_df.attributes] == [a for a in want.attributes]
