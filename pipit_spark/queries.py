@@ -4355,6 +4355,16 @@ _R07_WINDOW = [
     "doc_incremental_neardup", "doc_dedup_lines",
     "doc_minhash_lsh_capped",
 ]
+# r08 carry-overs (first candidates for the next rotation): gates
+# whose implementing module changed in r07 but that did NOT fit this
+# window — llm/dedup.py-backed (max_bucket landed r07):
+# doc_minhash_lsh, doc_minhash_lsh_fast, doc_dedup_clusters,
+# doc_neardup_cluster_summary, doc_dedup_lines_within, doc_despan;
+# llm/similarity.py-backed (index-lifecycle hardening + PQ reform
+# landed r07, last driver rows r05/r06): emb_rrf_fusion_indexed,
+# emb_lsh_topk, emb_ivf_topk_portable, emb_cell_balance,
+# emb_ann_recall, emb_hamming_topk, emb_rrf_fusion; then the
+# r04-stale remainder by age.
 
 
 def queries():
