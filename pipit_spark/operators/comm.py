@@ -226,6 +226,11 @@ def _fixed_width_histogram(
     lo, hi = src.agg(
         F.min(value_col).cast("double"), F.max(value_col).cast("double")
     ).collect()[0]
+    if lo is None or hi is None:
+        # no (non-null) values at all — np.histogram([]) semantics:
+        # bins over [0, 1], every count 0 (a message-free trace must
+        # produce an empty histogram, not a crash)
+        lo, hi = 0.0, 1.0
     lo = float(lo)
     hi = float(hi)
     width = (hi - lo) / bins if hi > lo else 1.0

@@ -572,3 +572,30 @@ def test_live_trace_pipeline_stream_ingest_plus_match(spark, tmp_path):
                   int(r.timestamp_ns),
                   int(leaves.loc[lid, "timestamp_ns"])))
     assert got == want and len(want) > 0
+
+
+def test_histograms_on_message_free_trace(spark):
+    """A trace with zero MPI messages must produce all-zero histograms
+    (np.histogram([]) semantics: bins over [0,1]), not a float(None)
+    crash — found running the comm ops on the synthetic Projections
+    fixture, whose CREATION sends are not MPI messages."""
+    import pandas as pd
+
+    from pipit_spark.operators.comm import (
+        comm_over_time,
+        message_histogram,
+    )
+    from pipit_spark.schema import EVENT_SCHEMA
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, 100, 0, "Enter", "main", 0, 0, None),
+             (1, 900, 1, "Leave", "main", 0, 0, None)],
+            columns=[f.name for f in EVENT_SCHEMA.fields],
+        ),
+        schema=EVENT_SCHEMA,
+    )
+    h = message_histogram(ev, bins=5).toPandas()
+    assert len(h) == 5 and (h["count"] == 0).all()
+    c = comm_over_time(ev, bins=4).toPandas()
+    assert len(c) == 4 and (c["count"] == 0).all()
