@@ -330,3 +330,123 @@ def kll_quantiles(
         F.kll_sketch_get_n_bigint("sketch").cast("long").alias("n"),
         *cols,
     )
+
+
+def kll_rank_check(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 200,
+    quantiles: tuple = (0.25, 0.5, 0.75, 0.95),
+    eps_pct: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic accuracy contract for the KLL tier: for every
+    group and quantile ``p``, assert the sketch's estimate lies
+    between the EXACT corpus values at ranks ``(p − ε)·n`` and
+    ``(p + ε)·n`` — the value-bracket form of KLL's normalized rank
+    error guarantee (Karnin/Lang/Liberty 2016: ~1.65 % at k=200;
+    ``eps_pct=5`` is a 3× safety factor so the check never flakes on
+    compaction randomness).
+
+    Output ``(grp, q_pct, n, within_bound)``: ``n`` is the sketch's
+    exact stream length (== group row count) and ``within_bound`` the
+    bracket verdict — both deterministic even though the raw estimate
+    is not (KLL compaction draws random offsets once a group outgrows
+    exact mode). All rank arithmetic is INTEGER (``floor``/``ceil``
+    on ``q·n/100`` with q, ε in whole percent) — no float rank ever
+    compares across engines.
+
+    Scale shape: the exact bracket values come from one window rank
+    over ``(grp, n_tokens)`` joined to the per-group sketch reads on
+    the group key — one shuffle each, both keyed by ``grp``. This is
+    a VERIFICATION operator (run on samples/QA slices); the
+    production read path is :func:`kll_quantiles` alone, whose state
+    is KB per group.
+    """
+    n_tokens = F.size(
+        F.filter(
+            _tokens(F.coalesce(F.col(text_col), F.lit(""))),
+            lambda t: F.length(t) > 0,
+        )
+    ).cast("long")
+    vals = docs.select(
+        F.col(group_col).alias("grp"), n_tokens.alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("n_tokens")
+    ranked = vals.withColumn("rk", F.row_number().over(w))
+
+    est = kll_quantiles(
+        kll_token_sketch(docs, group_col=group_col, k=k, text_col=text_col),
+        quantiles=quantiles,
+    )
+    # long form: (grp, q_pct, n, est)
+    pairs = est.select(
+        "grp",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(p * 100)).alias("q_pct"),
+                        F.col(f"p{int(p * 100)}").alias("est"),
+                    )
+                    for p in quantiles
+                ]
+            )
+        ).alias("qe"),
+    ).select("grp", "n", F.col("qe.q_pct").alias("q_pct"), F.col("qe.est").alias("est"))
+    lo = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((F.col("q_pct") - F.lit(eps_pct)) * F.col("n") / 100),
+    )
+    hi = F.least(
+        F.col("n"),
+        F.ceil((F.col("q_pct") + F.lit(eps_pct)) * F.col("n") / 100) + 1,
+    )
+    bounded = pairs.withColumn("rk_lo", lo).withColumn("rk_hi", hi)
+    j = bounded.join(
+        ranked,
+        (bounded.grp == ranked.grp)
+        & ((ranked.rk == bounded.rk_lo) | (ranked.rk == bounded.rk_hi)),
+    ).select(
+        bounded.grp, "q_pct", "n", "est", "rk", "rk_lo", "n_tokens"
+    )
+    return (
+        j.groupBy("grp", "q_pct", "n", "est")
+        .agg(
+            F.min(F.when(F.col("rk") == F.col("rk_lo"), F.col("n_tokens")))
+            .alias("v_lo"),
+            F.max(F.col("n_tokens")).alias("v_hi"),
+        )
+        .select(
+            "grp",
+            F.col("q_pct").cast("int").alias("q_pct"),
+            F.col("n").cast("long").alias("n"),
+            (
+                (F.col("v_lo") <= F.col("est"))
+                & (F.col("est") <= F.col("v_hi"))
+            ).alias("within_bound"),
+        )
+    )
+
+
+def oracle_kll_rank_check(
+    table: str = "documents",
+    group_col: str = "source",
+    quantiles: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> str:
+    """DuckDB twin of :func:`kll_rank_check`'s CONTRACT: the exact
+    per-group stream length and an all-TRUE bound column. The sketch
+    bytes are library-internal (not SQL-replayable); what the driver
+    hash pins is (a) n per group — exact SQL — and (b) that every
+    bracket verdict is TRUE: a KLL regression past 3× its documented
+    rank error flips a boolean and breaks the hash."""
+    vals = ", ".join(f"({int(p * 100)})" for p in quantiles)
+    return f"""
+SELECT {group_col} AS grp, CAST(q.q_pct AS INTEGER) AS q_pct,
+       CAST(COUNT(*) AS BIGINT) AS n, TRUE AS within_bound
+FROM {table}, (VALUES {vals}) AS q(q_pct)
+GROUP BY 1, 2
+"""

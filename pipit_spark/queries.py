@@ -2103,15 +2103,26 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 _LINEITEM_NUMERIC = [
-    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_discount", "l_tax",
 ]
 _LINEITEM_OTHER = ["l_returnflag", "l_linestatus", "l_shipdate"]
 
 
 def q_profile_lineitem(spark, sf_dir):
     """ANALYZE-style column profile of the biggest fact table — all
-    metrics for all columns in one aggregation pass."""
+    metrics for all columns in one aggregation pass.
+
+    The gate profiles a BOUNDED column subset (r07 verdict item 2):
+    exact ``count_distinct`` on every column of a wide fact table
+    multiplies the pre-shuffle row count by the number of distinct
+    aggregates (Catalyst's Expand), and the two key/price columns
+    (l_orderkey, l_extendedprice) carry ~90 % of that cost for zero
+    verification value — their distinct counts are ~|table|. Dropping
+    them took the gate from 11.7 s to <3 s at sf0.1 with no budget
+    exception. Full-width profiling at real scale is
+    ``profile_table(df, approx=True)`` — per-column HyperLogLog in
+    one non-expanding pass (operators/relational.py:profile_table)."""
     from .operators.relational import profile_table
 
     return profile_table(
@@ -3390,6 +3401,21 @@ def q_doc_quantile_sketch(spark, sf_dir):
     )
 
 
+def q_doc_kll_quantiles(spark, sf_dir):
+    """KLL-tier driver exposure (r07 verdict item 8): the sketch BYTES
+    are library-internal and its raw estimates go nondeterministic
+    once compaction starts, so the gate hashes what IS deterministic —
+    the sketch's exact per-group stream length and the value-bracket
+    verdict that every estimate sits between the exact corpus values
+    at ranks (p±ε)·n, all-integer rank arithmetic
+    (llm/sketches.py:kll_rank_check). A KLL regression past 3× its
+    documented k=200 rank error flips a boolean and breaks the hash;
+    the tight 1× merge≡whole bound stays pytest-pinned."""
+    from .llm.sketches import kll_rank_check
+
+    return kll_rank_check(load(spark, sf_dir, "documents"))
+
+
 def _oracle_clean_corpus() -> str:
     from .llm.pipeline import oracle_clean_corpus
 
@@ -4366,6 +4392,73 @@ _R07_WINDOW = [
 # emb_ann_recall, emb_hamming_topk, emb_rrf_fusion; then the
 # r04-stale remainder by age.
 
+# r08 driver window (slots 1-50) — the r07 verdict item 1 burn-down,
+# recomputed this round at METHOD granularity (gate body → Trace
+# method → delegating operator module, tools-free audit in the r08
+# session): modules that changed during r07 are llm/dedup.py
+# (max_bucket hatch), llm/similarity.py (index-lifecycle + PQ
+# reform), llm/sketches.py (KLL tier), operators/comm.py
+# (empty-trace histograms). EVERY gate backed by one of those whose
+# latest driver row predates r07 is in this window — 39 gates, a
+# superset of the 13 pre-declared r08 carry-overs (the method-level
+# map also catches emb_topk_pandas/emb_cosine_topk/emb_ivf_topk/
+# doc_hybrid_retrieval and the ten comm.py trace gates the alias-
+# level list missed). doc_dedup_lines_within (pre-declared) is
+# quality.py-backed on the method map — quality.py did NOT change in
+# r07 — but it keeps its promised slot anyway. NOTE the round-8
+# freshness discipline this window assumes: r08 code changes are
+# CONFINED to modules whose driver-gated surface is fully inside
+# this window (queries.py gate configs, llm/sketches.py) or that
+# back no driver gate at all (sources/*, session.py); in particular
+# llm/similarity.py's low-severity _write_annmeta advice is DEFERRED
+# to r09 because touching it would restale its ten r07-green gates
+# (emb_semantic_dedup, emb_lsh_ann, the four _exact twins,
+# emb_pq_topk, emb_ivfpq_topk, emb_quantize, emb_norm_stats,
+# emb_cosine_pairs) — 10 slots this window cannot hold.
+_R08_WINDOW = [
+    # A. llm/dedup.py-backed, row < r07 (13)
+    "doc_minhash_lsh", "doc_minhash_lsh_fast", "doc_dedup_clusters",
+    "doc_neardup_cluster_summary", "doc_despan",
+    "doc_contamination_report", "doc_cluster_summary",
+    "doc_decontaminate_spans", "doc_dup_degree", "doc_exact_dups",
+    "doc_dup_inflation", "doc_snapshot_overlap", "doc_source_jaccard",
+    # B. llm/similarity.py-backed, row < r07 (14)
+    "emb_rrf_fusion_indexed", "emb_lsh_topk", "emb_ivf_topk_portable",
+    "emb_cell_balance", "emb_ann_recall", "emb_hamming_topk",
+    "emb_rrf_fusion", "emb_decontaminate", "emb_hard_negatives",
+    "emb_isolation", "emb_topk_pandas", "emb_cosine_topk",
+    "emb_ivf_topk", "doc_hybrid_retrieval",
+    # C. llm/sketches.py-backed, row < r07 (2)
+    "doc_cms_tokens", "doc_quantile_sketch",
+    # D. operators/comm.py-backed, row < r07 (10)
+    "trace_latency_histogram", "trace_message_latency",
+    "trace_comm_matrix_over_time", "trace_comm_by_function",
+    "trace_comm_locality", "trace_comm_count", "trace_comm_matrix",
+    "trace_late_senders", "trace_late_receivers",
+    "trace_wait_attribution",
+    # E. r08 in-round changes (2): the reformed bounded-subset
+    # profile gate (r07 verdict item 2) and the new KLL contract
+    # gate (item 8; sketches.py grew kll_rank_check this round)
+    "profile_lineitem", "doc_kll_quantiles",
+    # F. the r07 comment's promised slots (4)
+    "doc_dedup_lines_within", "doc_winnow", "doc_winnow_pairs",
+    "doc_boilerplate",
+    # G. r04-stale burn-down, oldest evidence first (5)
+    "trace_flat_profile", "trace_load_imbalance", "trace_multirun",
+    "trace_detect_pattern", "doc_bpe",
+]
+# r09 carry-overs (stale remainder, oldest first): r04-stale —
+# trace_diff, trace_slow_calls, trace_folded_stacks,
+# q2_min_cost_supplier, q9_product_profit, q11_important_stock,
+# q16_parts_supplier_count, q20_excess_stock, q21_waiting_orders,
+# doc_line_fluency, doc_fluency, doc_pretokenize, doc_novelty,
+# doc_pattern_stats, doc_vocab_coverage, doc_corpus_card,
+# doc_corpus_diff, doc_model_score, doc_dsir, doc_select_dsir,
+# doc_chunk, doc_chunked_training_set, doc_sample_exact_k; then the
+# r05-stale remainder; plus, if r09 touches llm/similarity.py (the
+# deferred _write_annmeta fix), its ten r07-green gates listed in
+# the _R08_WINDOW note above.
+
 
 def queries():
     """Registry order is load-bearing: the driver's correctness gate
@@ -4401,10 +4494,21 @@ def queries():
     163) sit at the tail end with NO driver row yet (local parity
     only); they are the first candidates for the r06 window rotation.
 
-    r07 (this round): the window is `_R07_WINDOW` above — a pure
+    r08 (this round): the window is `_R08_WINDOW` above — the r07
+    verdict's item-1 burn-down. All 39 gates whose implementing
+    module changed during r07 after their last driver row (method-
+    granularity audit; see the _R08_WINDOW comment), the two r08
+    in-round changes (reformed profile_lineitem, new
+    doc_kll_quantiles), the four slots the r07 comment promised, and
+    five r04-stale re-confirmations. After this run, no gate's
+    latest driver row predates the last commit touching its
+    implementing module, and the registry's oldest evidence moves
+    toward r05 (r04-stale remainder listed in the r09 comment).
+
+    r07: the window was `_R07_WINDOW` above — a pure
     FRESHNESS rotation. The r06 run closed every deficit class (all
     173 gates have a hash-green latest row, zero fail/err/unchecked),
-    so r07 re-verifies the oldest evidence: all 34 r03-stale gates,
+    so r07 re-verified the oldest evidence: all 34 r03-stale gates,
     plus every gate whose implementing module changed after its last
     driver row (the llm/similarity.py r06 rewrite and the r07
     compressed-PQ gate reform; the llm/dedup.py / llm/quality.py
@@ -4618,8 +4722,10 @@ def queries():
         "trace_late_senders": q_trace_late_senders,
         "trace_late_receivers": q_trace_late_receivers,
         "trace_wait_attribution": q_trace_wait_attribution,
+        # round-8 addition: the KLL tier's deterministic driver gate
+        "doc_kll_quantiles": q_doc_kll_quantiles,
     }
-    out = {k: reg[k] for k in _R07_WINDOW}
+    out = {k: reg[k] for k in _R08_WINDOW}
     out.update(reg)  # tail keeps its prior relative order
     assert len(out) == len(reg)
     return out
@@ -4876,6 +4982,9 @@ def oracle_sql():
         "doc_quantile_sketch": __import__(
             "pipit_spark.llm.sketches", fromlist=["x"]
         ).oracle_sketch_quantiles(pct=20),
+        "doc_kll_quantiles": __import__(
+            "pipit_spark.llm.sketches", fromlist=["x"]
+        ).oracle_kll_rank_check(),
         "emb_ann_recall": V.oracle_recall_report(
             V.oracle_ivf_topk_portable(
                 "vec_id % 25 != 0", "vec_id % 25 = 0",

@@ -46,6 +46,21 @@ def get_spark(
         # read TIMESTAMP(NANOS) parquet (driver testdata) as long ns
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Arrow transfers (mapInPandas/applyInPandas) allocate from the
+        # JVM's DIRECT pool, whose default cap follows -Xmx. A
+        # multi-stage local run (ingest → match in one JVM) can exhaust
+        # that implicit cap even though each stage passes alone —
+        # diagnosed as PLANS.md §21 Trap 1, previously mitigated by
+        # raising SPARK_GRAFT_DRIVER_MEM by hand. Cap direct memory
+        # EXPLICITLY and decoupled from heap so the headroom is a code
+        # guarantee: direct buffers are lazily allocated, so a generous
+        # cap costs nothing when unused. On a real cluster per-executor
+        # pools make this a non-issue (callers pass their own session).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:MaxDirectMemorySize="
+            + os.environ.get("SPARK_GRAFT_DIRECT_MEM", "16g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

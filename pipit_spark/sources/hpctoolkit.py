@@ -380,6 +380,15 @@ def read_hpctoolkit(spark: SparkSession, dirname: str) -> DataFrame:
                     trace_path, int(p_start), int(p_end), min_ts, max_ts,
                     resolve, parent, name, is_loop,
                 ):
+                    if idx >= 100_000_000:
+                        # mirror the OTF2 reader's 2^32 guard: a
+                        # silent roll into the next header's id space
+                        # would corrupt ordering and matching
+                        raise ValueError(
+                            f"trace line {hdr_idx} exceeds 1e8 "
+                            "reconstructed events — packed event ids "
+                            "would collide; widen the id scheme"
+                        )
                     seq = base + idx
                     rows.append((seq, int(t), seq, etype, nm, process,
                                  thread, None, core, host, node))

@@ -320,7 +320,17 @@ def _make_parse_partition(bmeta):
                     ignore_index=True,
                 )
             n = len(out)
-            base = pe * 10_000_000 + n_emitted
+            # per-PE id space: pe << 40 (same scheme as the OTF2
+            # reader's (process << 40) | seq) — a multi-GB PE log can
+            # exceed any decimal base chosen by eye, and a silent
+            # collision into the next PE's ids corrupts the matching
+            # join. 2^40 events per PE is the loud, guarded limit.
+            if n_emitted + n > (1 << 40):
+                raise ValueError(
+                    f"PE {pe} exceeds 2^40 events — packed event ids "
+                    "would collide; widen the id scheme"
+                )
+            base = (pe << 40) + n_emitted
             out[S.SEQ] = pd.array(range(base, base + n), dtype="int64")
             out[S.EVENT_ID] = out[S.SEQ]
             n_emitted += n

@@ -412,7 +412,7 @@ def _whole_parse(files, meta):
         m = __import__("re").search(r"\.(\d+)\.log", fname)
         pe = int(m.group(1)) if m else 0
         out = P._parse_pe_lines(pe, lines, meta, fixup=True)
-        base = pe * 10_000_000
+        base = pe << 40
         out[P.S.SEQ] = pd.array(range(base, base + len(out)), dtype="int64")
         out[P.S.EVENT_ID] = out[P.S.SEQ]
         outs.append(out[[f.name for f in P._OUT_SCHEMA.fields]])

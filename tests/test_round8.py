@@ -1,0 +1,163 @@
+"""Round-8 additions: the KLL accuracy-contract gate, the
+direct-memory code guarantee (PLANS.md §21 Trap 1 → session.py), the
+widened per-PE id space in the Projections reader, and a Lloyd-update
+pin for PQ codebook training (r07 ADVICE item 3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------- #
+# KLL rank-check contract (verdict item 8)
+# --------------------------------------------------------------------- #
+def test_kll_rank_check_all_within_bound_exact_mode(spark):
+    """At fixture scale every group is in KLL exact mode — the bracket
+    verdict must be TRUE for every (group, quantile), and n must equal
+    the group row count (what the driver's oracle hashes)."""
+    from pipit_spark.llm.sketches import kll_rank_check
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = kll_rank_check(docs).collect()
+    assert len(out) == 20 * 4  # 20 sources x 4 quantiles
+    assert all(r["within_bound"] for r in out)
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert all(r["n"] == counts[r["grp"]] for r in out)
+
+
+def test_kll_rank_check_holds_past_exact_mode(spark):
+    """Force compaction (one 6000-row group at k=200, far beyond exact
+    mode, where estimates go nondeterministic) — the 3x-rank-error
+    value bracket must STILL hold on every quantile: the gate's
+    verdict is deterministic even when the raw estimates are not."""
+    from pipit_spark.llm.sketches import kll_rank_check
+
+    docs = spark.range(6000).select(
+        F.lit("big").alias("source"),
+        F.col("id").alias("doc_id"),
+        # token counts 1..200, heavy ties — the duplicate-mass case
+        # a count-below check would misjudge and the bracket handles
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.col("id") % 200 + 1).cast("int"))
+        ).alias("text"),
+    )
+    out = kll_rank_check(docs).collect()
+    assert len(out) == 4
+    assert all(r["within_bound"] for r in out), [tuple(r) for r in out]
+    assert all(r["n"] == 6000 for r in out)
+
+
+# --------------------------------------------------------------------- #
+# Direct-memory headroom is a code guarantee (verdict item 3)
+# --------------------------------------------------------------------- #
+def test_stock_session_caps_direct_memory_explicitly(spark):
+    """get_spark must set -XX:MaxDirectMemorySize without any env var:
+    the multi-stage Arrow OOM (PLANS.md §21 Trap 1) was previously
+    escaped via SPARK_GRAFT_DRIVER_MEM by hand; the session builder
+    now decouples the direct-buffer cap from the heap."""
+    opts = spark.conf.get("spark.driver.extraJavaOptions", "")
+    assert "-XX:MaxDirectMemorySize=" in opts
+    assert "SPARK_GRAFT_DIRECT_MEM" not in os.environ  # stock run
+
+
+def test_ingest_then_match_one_session(spark, tmp_path):
+    """Smoke for the multi-stage shape the trap bit: binary-trace
+    ingest and the Arrow-laned matching pass in the SAME session (the
+    120M-scale proof is the pipeline rung, SCALING.md; this pins the
+    composition at fixture scale in the default test JVM)."""
+    from pipit_spark import Trace
+    from pipit_spark.sources.projections import read_projections
+
+    golden = "/root/reference/pipit/tests/data/ping-pong-projections"
+    if not os.path.isdir(golden):
+        pytest.skip("reference golden traces unavailable")
+
+    events = read_projections(spark, golden)
+    path = str(tmp_path / "ingested")
+    events.write.parquet(path)
+    t = Trace(spark.read.parquet(path))
+    prof = t.flat_profile().collect()
+    assert len(prof) > 0
+
+
+# --------------------------------------------------------------------- #
+# Widened per-PE id space (r07 ADVICE, medium)
+# --------------------------------------------------------------------- #
+def test_projections_pe_id_spaces_disjoint_at_2_40():
+    """The chunked reader's per-PE base is now pe << 40 (the OTF2
+    reader's scheme): PE id ranges cannot collide below 2^40 events
+    per PE, and the parse raises loudly past that instead of silently
+    corrupting the matching join."""
+    import pandas as pd
+
+    from pipit_spark.sources import projections as P
+
+    meta = {
+        "chares": {0: "Main"},
+        "entries": {i: (f"work_{i}(Msg* m)", 0) for i in range(4)},
+        "user_events": {},
+        "user_stats": {},
+        "num_perf_counts": 0,
+        "num_pes": 8,
+    }
+
+    class _B:  # fake broadcast
+        def __init__(self, v):
+            self.value = v
+
+    parse = P._make_parse_partition(_B(meta))
+    lines = ["6 1000", "2 0 1 1010 5 1 64 0 0", "3 0 1 1020 5 1 64 0 0",
+             "7 1030"]
+    pdf = pd.DataFrame({
+        "__file": ["synth.prj.5.log"] * len(lines),
+        "value": lines,
+    })
+    out = pd.concat(list(parse([pdf])), ignore_index=True)
+    assert (out["seq"] >= (5 << 40)).all()
+    assert (out["seq"] < (6 << 40)).all()
+
+
+# --------------------------------------------------------------------- #
+# PQ codebook training really iterates (r07 ADVICE item 3)
+# --------------------------------------------------------------------- #
+def test_pq_kmeans_iterations_reduce_quantization_error(spark):
+    """On REAL (non-degenerate) fixture embeddings at the production
+    m=16/ksub=64 config, ten Lloyd iterations must strictly reduce
+    total quantization error vs the 0-iteration strided init — an
+    identity centroid update (the regression the driver's
+    cluster-structured gates can no longer see) keeps them equal and
+    fails here."""
+    import numpy as np
+
+    from pipit_spark.llm.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def total_err(cb):
+        codes = {r["neighbor_id"]: r["codes"]
+                 for r in pq_encode(emb, cb).collect()}
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in emb.select("vec_id", "embedding").collect()}
+        err = 0.0
+        m = cb.codebooks.shape[0]
+        for vid, v in vecs.items():
+            v = v / np.linalg.norm(v)
+            dsub = len(v) // m
+            rec = np.concatenate([
+                cb.codebooks[j][codes[vid][j]] for j in range(m)
+            ])
+            err += float(((v.reshape(m, dsub).ravel() - rec) ** 2).sum())
+        return err
+
+    cb0 = pq_train(emb, m=16, ksub=64, train_max_id=None, kmeans_iters=0)
+    cb10 = pq_train(emb, m=16, ksub=64, train_max_id=None, kmeans_iters=10)
+    e0, e10 = total_err(cb0), total_err(cb10)
+    assert e10 < e0, (e10, e0)

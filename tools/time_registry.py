@@ -30,9 +30,9 @@ BUDGET_EXCEPTIONS = {
     # near-duplicate-rich fixture; audited in PLANS.md (r05/r06) —
     # the plan is the one we want, the pairs are real
     "doc_simhash_pairs": 14.0,
-    # exact count_distinct per column to match the value oracle; the
-    # approx=True HLL path is the 100 TB configuration
-    "profile_lineitem": 12.0,
+    # (profile_lineitem's 12 s exception removed in r08: the gate now
+    # profiles a bounded column subset — the two ~|table|-cardinality
+    # columns left exact count_distinct — and runs <3 s at sf0.1)
     # lossless |corpus|-LUT degenerate configs kept as exact twins of
     # the compressed-path gates (emb_pq_topk/emb_ivfpq_topk are the
     # production-shape gates since r07)
