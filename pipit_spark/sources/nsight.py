@@ -16,28 +16,39 @@ from .csv_source import canonicalize
 
 
 def read_nsight(spark: SparkSession, path: str, **options) -> DataFrame:
-    df = spark.read.csv(path, header=True, inferSchema=True, **options)
+    if "schema" not in options:
+        # inferSchema costs one extra full scan; callers at scale pass
+        # an explicit schema (options forward to spark.read.csv)
+        options.setdefault("inferSchema", True)
+    df = spark.read.csv(path, header=True, **options)
 
     name_col = "Name" if "Name" in df.columns else df.columns[0]
     has_pid = "PID" in df.columns
     has_tid = "TID" in df.columns
 
     if has_pid:
-        # dense renumber (nsight_reader.py:29-46); ranks are few → window
-        # over a tiny distinct set would be ideal, but dense_rank over the
-        # full frame is a single pass and AQE-coalesced.
-        df = df.withColumn(
+        # dense renumber (nsight_reader.py:29-46) — computed on the
+        # DISTINCT (PID[, TID]) set, which is process/thread-count
+        # sized, then broadcast-joined back. The previous formulation
+        # ranked over the FULL frame with an unpartitioned window: a
+        # global sort funneling every row through ONE task — invisible
+        # at golden-trace size, the whole runtime at the 100M-event
+        # ladder rung (SCALING.md round-8 Nsight rung).
+        keys = ["PID"] + (["TID"] if has_tid else [])
+        ranks = df.select(*keys).distinct()
+        ranks = ranks.withColumn(
             "__process", F.dense_rank().over(Window.orderBy("PID")) - 1
         )
+        if has_tid:
+            ranks = ranks.withColumn(
+                "__thread",
+                F.dense_rank().over(
+                    Window.partitionBy("__process").orderBy("TID")
+                ) - 1,
+            )
+        df = df.join(F.broadcast(ranks), keys)
     else:
         df = df.withColumn("__process", F.lit(0))
-    if has_tid:
-        df = df.withColumn(
-            "__thread",
-            F.dense_rank().over(
-                Window.partitionBy("__process").orderBy("TID")
-            ) - 1,
-        )
 
     df = df.withColumn("__seq", F.monotonically_increasing_id())
 

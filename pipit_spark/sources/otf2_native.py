@@ -238,14 +238,34 @@ def _iter_location_rows(
     # of per-location sequence. Out-of-range inputs would silently
     # collide ids across locations — fail loudly instead (seq is
     # guarded in the append loop).
+    with open(evt_path, "rb") as f:
+        buf = f.read()
+    yield from _iter_buf_rows(
+        buf, process, thread, region_names, resolution, offset,
+        metric_members=metric_members,
+        metric_class_members=metric_class_members,
+    )
+
+
+def _iter_buf_rows(
+    buf: bytes,
+    process: int,
+    thread: int,
+    region_names: dict[int, str],
+    resolution: int,
+    offset: int,
+    metric_members: list[int] | None = None,
+    metric_class_members: dict[int, list[int]] | None = None,
+):
+    """The byte-buffer core of :func:`_iter_location_rows`, shared
+    with the streaming twin (whose ``binaryFile`` source hands the
+    .evt content as bytes rather than a path)."""
     if not 0 <= process < (1 << 23):
         raise ValueError(
             f"process {process} out of packed-id range [0, 2^23)"
         )
     if not 0 <= thread < (1 << 8):
         raise ValueError(f"thread {thread} out of packed-id range [0, 256)")
-    with open(evt_path, "rb") as f:
-        buf = f.read()
     metric_members = metric_members or []
     metric_class_members = metric_class_members or {}
     n_metrics = len(metric_members)
@@ -330,6 +350,56 @@ def read_location_events(*args, **kwargs) -> list:
     return list(_iter_location_rows(*args, **kwargs))
 
 
+def _chunk_pdf(rows: list, metric_names: list) -> pd.DataFrame:
+    """Bounded chunk of parsed event tuples → one Arrow-bound frame
+    (shared by the batch reader and the streaming twin)."""
+    cols = list(zip(*rows))
+    pdf = pd.DataFrame({
+        S.EVENT_ID: pd.array(cols[0], dtype="int64"),
+        S.TIMESTAMP: pd.array(cols[1], dtype="int64"),
+        S.SEQ: pd.array(cols[2], dtype="int64"),
+        S.EVENT_TYPE: pd.Series(cols[3], dtype=object),
+        S.NAME: pd.Series(cols[4], dtype=object),
+        S.PROCESS: pd.array(cols[5], dtype="int32"),
+        S.THREAD: pd.array(cols[6], dtype="int32"),
+        S.ATTRIBUTES: pd.Series(cols[7], dtype=object),
+    })
+    for i, nm in enumerate(metric_names):
+        pdf[nm] = pd.array(cols[8 + i], dtype="float64")
+    return pdf
+
+
+def _location_map(defs: dict, dirname: str | None = None) -> list:
+    """(path-or-basename, process, thread) per location, in location
+    order — process = location-group ref (MPI rank), thread = per-group
+    renumber (otf2_reader.py:357-407). With ``dirname`` the first
+    element is the full .evt path filtered to files that exist (batch
+    read); without, it is the bare ``{ref}.evt`` basename (streaming
+    lookup, where files land over time)."""
+    per_group: dict[int, int] = {}
+    out = []
+    for ref, _n, group in sorted(defs["locations"]):
+        thread = per_group.get(group, 0)
+        per_group[group] = thread + 1
+        fname = f"{ref}.evt"
+        if dirname is None:
+            out.append((fname, group, thread))
+        else:
+            path = os.path.join(dirname, "traces", fname)
+            if os.path.exists(path):
+                out.append((path, group, thread))
+    return out
+
+
+def _event_schema_with_metrics(metric_names: list):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(S.EVENT_SCHEMA.fields)
+        + [T.StructField(nm, T.DoubleType(), True) for nm in metric_names]
+    )
+
+
 def read_otf2_native(
     spark: SparkSession, dirname: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -342,14 +412,7 @@ def read_otf2_native(
 
     # process = location-group ref (MPI rank); thread = per-group
     # renumber in location order (otf2_reader.py:357-407)
-    per_group: dict[int, int] = {}
-    loc_map = []
-    for ref, _n, group in sorted(defs["locations"]):
-        thread = per_group.get(group, 0)
-        per_group[group] = thread + 1
-        path = os.path.join(dirname, "traces", f"{ref}.evt")
-        if os.path.exists(path):
-            loc_map.append((path, group, thread))
+    loc_map = _location_map(defs, dirname)
     if not loc_map:  # fall back to whatever evt files exist
         for i, path in enumerate(
             sorted(glob.glob(os.path.join(dirname, "traces", "*.evt")))
@@ -363,13 +426,7 @@ def read_otf2_native(
 
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        list(S.EVENT_SCHEMA.fields)
-        + [
-            T.StructField(nm, T.DoubleType(), True)
-            for nm in defs["metric_names"]
-        ]
-    )
+    schema = _event_schema_with_metrics(defs["metric_names"])
     loc_schema = T.StructType([
         T.StructField("path", T.StringType(), False),
         T.StructField("process", T.IntegerType(), False),
@@ -382,22 +439,6 @@ def read_otf2_native(
         spark.sparkContext.parallelize(loc_map, max(1, len(loc_map))),
         loc_schema,
     )
-
-    def _chunk_pdf(rows: list, metric_names: list) -> pd.DataFrame:
-        cols = list(zip(*rows))
-        pdf = pd.DataFrame({
-            S.EVENT_ID: pd.array(cols[0], dtype="int64"),
-            S.TIMESTAMP: pd.array(cols[1], dtype="int64"),
-            S.SEQ: pd.array(cols[2], dtype="int64"),
-            S.EVENT_TYPE: pd.Series(cols[3], dtype=object),
-            S.NAME: pd.Series(cols[4], dtype=object),
-            S.PROCESS: pd.array(cols[5], dtype="int32"),
-            S.THREAD: pd.array(cols[6], dtype="int32"),
-            S.ATTRIBUTES: pd.Series(cols[7], dtype=object),
-        })
-        for i, nm in enumerate(metric_names):
-            pdf[nm] = pd.array(cols[8 + i], dtype="float64")
-        return pdf
 
     def parse(batches):
         # Arrow-batched executor parse, bounded chunks per location
@@ -428,3 +469,92 @@ def read_otf2_native(
         schema=S.DEFINITIONS_SCHEMA,
     )
     return events, definitions
+
+
+def stream_otf2_native(
+    spark: SparkSession,
+    dirname: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING ingest of an OTF2 archive whose location files are
+    still landing — the availableNow/catch-up twin of
+    :func:`read_otf2_native`, mirroring ``stream_projections``
+    (sources/projections.py): an object store receiving per-location
+    ``.evt`` files (or a backfill re-run) ingests ONLY new files via
+    the sink checkpoint's file-level exactly-once.
+
+    ``readStream.format("binaryFile")`` discovers complete ``.evt``
+    files per micro-batch; each parses through the SAME byte-buffer
+    core as the batch reader (:func:`_iter_buf_rows`), emitting
+    bounded ``_CHUNK_EVENTS`` Arrow chunks. File-granular source →
+    per-location state (seq counter, pending metric row) never spans
+    a trigger, exactly like the Projections twin.
+
+    ``traces.def`` must already exist (OTF2 writes global definitions
+    at archive creation for the location/clock tables this needs; an
+    archive still being FINALIZED may rewrite it — this twin targets
+    the land-then-ingest pattern, not tailing a live writer). A
+    landed ``.evt`` whose location ref is absent from the def file
+    fails loudly — silently improvised (process, thread) ids would
+    collide with later locations.
+
+    Events arrive UNSORTED across locations (a stream cannot global-
+    sort); the canonical parquet sink plus ``Trace.from_parquet``
+    applies the same (timestamp, seq) order the batch path does.
+    """
+    defs = parse_global_defs(os.path.join(dirname, "traces.def"))
+    res = defs["clock"]["resolution"]
+    off = defs["clock"]["offset"]
+    lookup = {
+        fname: (proc, thr)
+        for fname, proc, thr in _location_map(defs, dirname=None)
+    }
+    b = spark.sparkContext.broadcast(
+        (lookup, defs["region_name"], defs["metric_members"],
+         defs["metric_class_members"], defs["metric_names"])
+    )
+    schema = _event_schema_with_metrics(defs["metric_names"])
+
+    from pyspark.sql import types as T
+
+    # binaryFile's fixed schema, required explicitly for streaming
+    bin_schema = T.StructType([
+        T.StructField("path", T.StringType(), False),
+        T.StructField("modificationTime", T.TimestampType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ])
+    reader = spark.readStream.format("binaryFile").schema(
+        bin_schema
+    ).option("pathGlobFilter", "*.evt")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(os.path.join(dirname, "traces")).select(
+        "path", "content"
+    )
+
+    def parse(batches):
+        lkp, regions, members, class_members, metric_names = b.value
+        for pdf_in in batches:
+            for path, content in pdf_in.itertuples(index=False):
+                fname = os.path.basename(path)
+                if fname not in lkp:
+                    raise ValueError(
+                        f"{fname} has no location entry in traces.def — "
+                        "cannot assign (process, thread) ids"
+                    )
+                process, thread = lkp[fname]
+                rows: list = []
+                for row in _iter_buf_rows(
+                    bytes(content), process, thread, regions, res, off,
+                    metric_members=members,
+                    metric_class_members=class_members,
+                ):
+                    rows.append(row)
+                    if len(rows) >= _CHUNK_EVENTS:
+                        yield _chunk_pdf(rows, metric_names)
+                        rows = []
+                if rows:
+                    yield _chunk_pdf(rows, metric_names)
+
+    return files.mapInPandas(parse, schema=schema)

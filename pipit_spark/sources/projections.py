@@ -290,6 +290,8 @@ def _make_parse_partition(bmeta):
     def parse_partition(batches):
         cur_file: str | None = None
         pe = 0
+        shard_k: int | None = None  # 1-based shard index, None=whole file
+        shard_n = 1
         lines: list[str] = []
         n_emitted = 0  # events emitted so far for cur_file
         last_name: str | None = None
@@ -304,11 +306,15 @@ def _make_parse_partition(bmeta):
                 last_time = int(out[S.TIMESTAMP].iloc[-1])
             if (
                 final
+                and (shard_k is None or shard_k == shard_n)
                 and (n_emitted or len(out))
                 and last_name != "Computation"
             ):
-                # trailing repair, once per FILE (reference
-                # projections_reader.py:792-795)
+                # trailing repair, once per PE LOG (reference
+                # projections_reader.py:792-795) — for pre-split
+                # shards (.{k}of{n}.log.gz) that means the LAST
+                # shard only: a mid-shard ends mid-stream by
+                # construction, not at the PE's true end-of-trace
                 out = pd.concat(
                     [out, pd.DataFrame({
                         S.NAME: ["Computation"],
@@ -325,12 +331,25 @@ def _make_parse_partition(bmeta):
             # exceed any decimal base chosen by eye, and a silent
             # collision into the next PE's ids corrupts the matching
             # join. 2^40 events per PE is the loud, guarded limit.
-            if n_emitted + n > (1 << 40):
-                raise ValueError(
-                    f"PE {pe} exceeds 2^40 events — packed event ids "
-                    "would collide; widen the id scheme"
-                )
-            base = (pe << 40) + n_emitted
+            # Pre-split shards subdivide it as (pe<<40)+((k-1)<<28)+i:
+            # per-PE order is preserved across shards (shards are
+            # line-order slices) and each shard is bounded at 2^28
+            # events, 4096 shards per PE.
+            if shard_k is None:
+                if n_emitted + n > (1 << 40):
+                    raise ValueError(
+                        f"PE {pe} exceeds 2^40 events — packed event "
+                        "ids would collide; widen the id scheme"
+                    )
+                base = (pe << 40) + n_emitted
+            else:
+                if n_emitted + n > (1 << 28):
+                    raise ValueError(
+                        f"PE {pe} shard {shard_k} exceeds 2^28 events "
+                        "— packed event ids would collide; re-split "
+                        "into more shards"
+                    )
+                base = (pe << 40) + ((shard_k - 1) << 28) + n_emitted
             out[S.SEQ] = pd.array(range(base, base + n), dtype="int64")
             out[S.EVENT_ID] = out[S.SEQ]
             n_emitted += n
@@ -341,8 +360,21 @@ def _make_parse_partition(bmeta):
                 if fname != cur_file:
                     if cur_file is not None:
                         yield flush(final=True)
-                    m = re.search(r"\.(\d+)\.log", os.path.basename(fname))
-                    cur_file, pe = fname, (int(m.group(1)) if m else 0)
+                    base_name = os.path.basename(fname)
+                    ms = re.search(r"\.(\d+)\.(\d+)of(\d+)\.log", base_name)
+                    if ms:  # pre-split shard (tools/split_pe_log.py)
+                        pe = int(ms.group(1))
+                        shard_k, shard_n = int(ms.group(2)), int(ms.group(3))
+                        if shard_n > 4096 or not 1 <= shard_k <= shard_n:
+                            raise ValueError(
+                                f"bad shard name {base_name}: need "
+                                "1 <= k <= n <= 4096"
+                            )
+                    else:
+                        m = re.search(r"\.(\d+)\.log", base_name)
+                        pe = int(m.group(1)) if m else 0
+                        shard_k, shard_n = None, 1
+                    cur_file = fname
                     n_emitted, last_name, last_time = 0, None, 0
                 lines.extend(grp["value"].tolist())
                 if len(lines) >= _CHUNK_LINES:

@@ -91,13 +91,31 @@ def write_pe_log(args) -> int:
     return n_lines + 2
 
 
-def synthesize(outdir: str, num_pes: int, frames_per_pe: int) -> int:
-    """Write the fixture; returns total log lines (≈ parsed events)."""
+def synthesize(
+    outdir: str,
+    num_pes: int,
+    frames_per_pe: int,
+    hot_frac: float | None = None,
+) -> int:
+    """Write the fixture; returns total log lines (≈ parsed events).
+
+    ``hot_frac`` makes PE 0 a HOT PE holding that fraction of the
+    TOTAL frame budget (num_pes · frames_per_pe), the rest split
+    evenly — the adversarial shape for gzip-bound ingestion, where
+    one unsplittable log bounds the parse tail (skew rung,
+    SCALING.md)."""
     os.makedirs(outdir, exist_ok=True)
     write_sts(outdir, num_pes)
     from concurrent.futures import ProcessPoolExecutor
 
-    jobs = [(outdir, pe, frames_per_pe) for pe in range(num_pes)]
+    if hot_frac is None:
+        frames = [frames_per_pe] * num_pes
+    else:
+        total = num_pes * frames_per_pe
+        hot = int(total * hot_frac)
+        rest = (total - hot) // max(1, num_pes - 1)
+        frames = [hot] + [rest] * (num_pes - 1)
+    jobs = [(outdir, pe, frames[pe]) for pe in range(num_pes)]
     if num_pes <= 2:
         return sum(write_pe_log(j) for j in jobs)
     with ProcessPoolExecutor(max_workers=min(16, num_pes)) as ex:
@@ -108,5 +126,7 @@ if __name__ == "__main__":
     outdir, num_pes, frames = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     )
-    n = synthesize(outdir, num_pes, frames)
-    print(f"{outdir}: {num_pes} PEs, ~{n} log lines")
+    hot = float(sys.argv[4]) if len(sys.argv) > 4 else None
+    n = synthesize(outdir, num_pes, frames, hot_frac=hot)
+    print(f"{outdir}: {num_pes} PEs, ~{n} log lines"
+          + (f" (hot PE 0: {hot:.0%} of frames)" if hot else ""))
