@@ -15,18 +15,18 @@ Stages:
                 load_imbalance, timed warm
 
 Usage: PYTHONPATH=. SPARK_GRAFT_MATCH_PARTITIONS=256 \
-         SPARK_GRAFT_DRIVER_MEM=48g \
          python tools/pipeline_rung.py [fixture_dir]
 
 Sizing (the r04 rung's guidance, re-confirmed here): match partitions
-~500k rows/task, and the local-mode JVM needs headroom beyond the 8g
-default because ingest + matching run in ONE JVM whose Arrow direct
-buffers accumulate across stages — at 120M events the default heap
-aborts the match stage with Arrow OutOfMemoryException (task retries
-then job failure), while a clean JVM running ONLY match+write passes
-at 8g. On a real cluster each executor has its own direct pool, so
-the binding constraint is per-task batch size (the partitions knob),
-not this single-JVM artifact.
+~500k rows/task. The r07 runs additionally needed
+SPARK_GRAFT_DRIVER_MEM raised by hand because ingest + matching run
+in ONE local JVM whose Arrow direct buffers accumulate across stages
+(PLANS.md §21 Trap 1); since r08 the session builder caps direct
+memory explicitly (-XX:MaxDirectMemorySize, decoupled from heap), so
+the STOCK session runs this rung end-to-end — measured at 120M:
+ingest 54.1 s / match 163.6 s / profile 5.1 s + 1.6 s, no env vars.
+On a real cluster each executor has its own direct pool, so the
+binding constraint is per-task batch size (the partitions knob).
 """
 
 from __future__ import annotations

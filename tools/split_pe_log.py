@@ -47,22 +47,28 @@ def split_pe_log(path: str, n_shards: int) -> list[str]:
         raise ValueError(f"{base}: expected <stem>.<pe>.log[.gz]")
     stem, pe = m.group(1), m.group(2)
     opener = gzip.open if path.endswith(".gz") else open
+    # two streaming passes — NEVER the whole file in memory (a 50%-hot
+    # 120M-event log is ~264M lines ≈ 20 GB as a Python list; the
+    # first formulation did exactly that and the x1m rung measured it)
+    n_lines = 0
     with opener(path, "rt") as f:
-        lines = f.readlines()
-    if len(lines) < n_shards:
-        raise ValueError(f"{len(lines)} lines < {n_shards} shards")
-    per = len(lines) // n_shards
+        for _ in f:
+            n_lines += 1
+    if n_lines < n_shards:
+        raise ValueError(f"{n_lines} lines < {n_shards} shards")
+    per = n_lines // n_shards
     outdir = os.path.dirname(path) or "."
     out_paths = []
-    for k in range(1, n_shards + 1):
-        lo = (k - 1) * per
-        hi = k * per if k < n_shards else len(lines)  # tail folds in
-        shard = os.path.join(
-            outdir, f"{stem}.{pe}.{k}of{n_shards}.log.gz"
-        )
-        with gzip.open(shard, "wt") as f:
-            f.writelines(lines[lo:hi])
-        out_paths.append(shard)
+    with opener(path, "rt") as f:
+        for k in range(1, n_shards + 1):
+            take = per if k < n_shards else n_lines - per * (n_shards - 1)
+            shard = os.path.join(
+                outdir, f"{stem}.{pe}.{k}of{n_shards}.log.gz"
+            )
+            with gzip.open(shard, "wt") as out:
+                for _ in range(take):
+                    out.write(f.readline())
+            out_paths.append(shard)
     return out_paths
 
 
