@@ -323,3 +323,58 @@ def test_matrix_profile_fallback_matches_definition():
 
     picked = _motifs_numpy(series, m, max_motifs=1)
     assert sorted(picked[:2]) == [20, 120]
+
+
+# --------------------------------------------------------------------- #
+# Nsight streaming ingest twin
+# --------------------------------------------------------------------- #
+def test_stream_nsight_incremental_matches_batch(spark, tmp_path):
+    """CSV reports landing across TWO availableNow runs produce the
+    batch reader's exact event multiset (ids are batch-relative by
+    construction); the static rank table keeps the renumber identical
+    to batch, and the checkpoint ingests each file once."""
+    import shutil
+
+    from pipit_spark.sources.nsight import read_nsight, stream_nsight
+    from tools.synth_nsight import synthesize
+
+    src = tmp_path / "src"
+    synthesize(str(src), 4000, 2)  # two report files
+
+    schema = (
+        "`Name` STRING, `Start (ns)` BIGINT, `End (ns)` BIGINT, "
+        "`PID` BIGINT, `TID` BIGINT"
+    )
+    live = tmp_path / "live"
+    out = tmp_path / "events"
+    ck = tmp_path / "ck"
+    live.mkdir()
+    # rank table from the FULL report set (topology known upfront)
+    rank_source = spark.read.csv(str(src), header=True, schema=schema)
+
+    def catch_up():
+        q = (
+            stream_nsight(spark, str(live), schema, rank_source=rank_source)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    shutil.copy(src / "report_000.csv", live)
+    catch_up()
+    n_first = spark.read.parquet(str(out)).count()
+    assert n_first == 2 * 2000  # Enter+Leave per interval of file 1
+
+    shutil.copy(src / "report_001.csv", live)
+    catch_up()
+
+    streamed = spark.read.parquet(str(out)).toPandas()
+    batch = read_nsight(spark, str(src), schema=schema).toPandas()
+    assert len(streamed) == len(batch) == 2 * 4000
+    key = ["process", "thread", "timestamp_ns", "name", "event_type"]
+    s = streamed[key].sort_values(key).reset_index(drop=True)
+    b = batch[key].sort_values(key).reset_index(drop=True)
+    assert s.equals(b)
