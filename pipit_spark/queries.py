@@ -2948,12 +2948,16 @@ def q_doc_winnow_pairs(spark, sf_dir):
     """MOSS clone-detection pairs over winnowing fingerprints (gate
     pins a clone-like bar -- >= 20 shared fingerprints -- so the pair
     set stays a report, not a near-cartesian of the templated fixture;
-    max_df=256 because a fingerprint in >5% of a 5k-doc corpus is
-    boilerplate, and every df-surviving fingerprint costs df^2/2
-    exploded pairs -- the df=1000 default made this gate a 63 s
-    outlier at sf0.1, 15x the median gate)."""
+    every df-surviving fingerprint costs df^2/2 exploded pairs, so the
+    df cap IS the gate's cost knob: the df=1000 default was a 63 s
+    outlier at sf0.1, max_df=256 (r05-r07) sat at 6-11 s with high
+    variance -- the 2.6%-df fingerprints each exploding 32k pairs of
+    templated-fixture boilerplate -- and r08's max_df=128 (>2.5% of a
+    5k-doc corpus is boilerplate by the same argument) holds ~4 s
+    steady with a still-meaningful pair report (119 pairs at the
+    driver's sf0.01)."""
     return X.winnow_pairs(
-        load(spark, sf_dir, "documents"), min_shared=20, max_df=256
+        load(spark, sf_dir, "documents"), min_shared=20, max_df=128
     )
 
 
@@ -4826,7 +4830,7 @@ def oracle_sql():
         "doc_split": "SELECT doc_id, split FROM (" + _SP.oracle_split_corpus() + ") s",
         "doc_length_buckets": _SP.oracle_length_buckets(),
         "doc_winnow_pairs": X.oracle_winnow_pairs(
-            min_shared=20, max_df=256
+            min_shared=20, max_df=128
         ),
         "doc_line_fluency": QL.oracle_filter_lines_by_fluency(
             min_fluency=-3.4016
