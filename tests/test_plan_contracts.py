@@ -493,3 +493,67 @@ def test_rrf_ann_indexed_single_vecs_scan(spark):
     assert f"{prefix}_lsh_bands" in plan, plan
     assert f"{prefix}_ivf_cells" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_profile_lineitem_expand_excludes_key_columns(spark):
+    """The reformed gate (r08): the multi-distinct aggregation still
+    uses one Expand pass, but the ~|table|-cardinality columns
+    (l_orderkey, l_extendedprice) are OUT of the distinct set — their
+    re-inclusion would silently re-inflate the Expand factor and the
+    shuffle by the two widest columns (11.7 s -> <4 s at sf0.1)."""
+    df = Q.load(spark, SF_DIR, "lineitem")
+    from pipit_spark.queries import _LINEITEM_NUMERIC, _LINEITEM_OTHER
+
+    assert "l_orderkey" not in _LINEITEM_NUMERIC
+    assert "l_extendedprice" not in _LINEITEM_NUMERIC
+    from pipit_spark.operators.relational import profile_table
+
+    # the aggregation's one-row result plan: count_distinct only over
+    # the bounded subset (plan mentions each distinct column once)
+    out = profile_table(df, _LINEITEM_NUMERIC + _LINEITEM_OTHER)
+    assert out.count() == 9  # 6 numeric + 3 other
+
+
+def test_kll_rank_check_shuffles_on_group_key_only(spark):
+    """The KLL contract gate's plan: sketch aggregation + window rank +
+    bracket join are ALL keyed by the group column — no nested-loop
+    join, no cartesian, no corpus-wide collect."""
+    from pipit_spark.llm.sketches import kll_rank_check
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = tree_of(kll_rank_check(docs))
+    assert "CartesianProduct" not in t
+    assert "BroadcastNestedLoopJoin" not in t
+
+
+def test_nsight_renumber_broadcast_not_global_window(spark, tmp_path):
+    """The r08 Nsight fix: the PID/TID dense renumber must reach the
+    full frame via a BROADCAST join of the distinct-set rank table —
+    never a window over the unpartitioned full frame (a one-task
+    global sort at the 120M-event rung). The only window in the plan
+    sits above the distinct aggregation (key-set-sized input)."""
+    import pandas as pd
+
+    from pipit_spark.sources.nsight import read_nsight
+
+    csv = tmp_path / "r.csv"
+    pd.DataFrame({
+        "Name": ["k0", "k1"],
+        "Start (ns)": [10, 20],
+        "End (ns)": [15, 25],
+        "PID": [1000, 1007],
+        "TID": [1000, 1008],
+    }).to_csv(csv, index=False)
+    t = tree_of(read_nsight(spark, str(csv)))
+    assert "BroadcastHashJoin" in t or "BroadcastExchange" in t
+    # the unpivot side must not sort: any Sort belongs to the
+    # distinct-ranks subtree, which sits under the broadcast exchange
+    tree_lines = t.splitlines()
+    bcast_idx = next(
+        i for i, ln in enumerate(tree_lines) if "BroadcastExchange" in ln
+    )
+    sorts_outside = [
+        ln for i, ln in enumerate(tree_lines)
+        if "Sort" in ln and i < bcast_idx
+    ]
+    assert not sorts_outside, sorts_outside
