@@ -43,7 +43,10 @@ def main() -> None:
             "doc_id", "text",
             F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__r"),
         ).select(
-            (F.col("doc_id") + F.col("__r") * 1_000_000).alias("doc_id"),
+            (
+                F.col("doc_id").cast("long")
+                + F.col("__r").cast("long") * 1_000_000
+            ).alias("doc_id"),
             F.regexp_replace(
                 F.col("text"),
                 F.lit(r"(\S+)"),
