@@ -313,8 +313,20 @@ _EXTRA_FIELDS = [
 _HPCT_SCHEMA = T.StructType(list(S.CORE_FIELDS) + _EXTRA_FIELDS)
 
 
-def read_hpctoolkit(spark: SparkSession, dirname: str) -> DataFrame:
-    """Distributed HPCToolkit read: canonical events DataFrame."""
+def read_hpctoolkit(
+    spark: SparkSession, dirname: str, order: str = "trace"
+) -> DataFrame:
+    """Distributed HPCToolkit read: canonical events DataFrame.
+
+    order="trace" (default) reproduces the reference's global
+    (timestamp, seq) frame order (hpctoolkit_reader.py:1353-1363) —
+    one range shuffle. order="process" skips it: each output
+    partition is one trace line's events in timestamp order (the LCA
+    reconstruction emits them that way), which is all the engine's
+    own operators need — their windows partition by (process, thread)
+    and sort internally. At cluster scale "process" removes the
+    single shuffle on the ingest path.
+    """
     meta = parse_meta(f"{dirname}/meta.db")
     profiles = parse_profiles(f"{dirname}/profile.db", meta["kind_names"])
     headers, min_ts, max_ts = parse_trace_headers(f"{dirname}/trace.db")
@@ -398,9 +410,13 @@ def read_hpctoolkit(spark: SparkSession, dirname: str) -> DataFrame:
                 if rows:
                     yield _chunk_pdf(rows)
 
+    if order not in ("trace", "process"):
+        raise ValueError(f"order must be 'trace' or 'process', got {order!r}")
     events = hdr_df.mapInPandas(parse, schema=_HPCT_SCHEMA)
     # reference sorts globally by (timestamp, emission index)
     # (hpctoolkit_reader.py:1353-1363); within-location order is what the
-    # matching pass consumes, so sortWithinPartitions would suffice — the
-    # global sort is kept for exact frame parity and is one range shuffle
-    return events.orderBy(S.TIMESTAMP, S.SEQ)
+    # matching pass consumes — order="process" returns the per-line
+    # partitions as parsed, order="trace" pays the parity range shuffle
+    if order == "trace":
+        events = events.orderBy(S.TIMESTAMP, S.SEQ)
+    return events

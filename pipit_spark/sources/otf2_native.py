@@ -401,9 +401,20 @@ def _event_schema_with_metrics(metric_names: list):
 
 
 def read_otf2_native(
-    spark: SparkSession, dirname: str
+    spark: SparkSession, dirname: str, order: str = "trace"
 ) -> tuple[DataFrame, DataFrame]:
-    """Distributed OTF2 archive read → (events DF, definitions DF)."""
+    """Distributed OTF2 archive read → (events DF, definitions DF).
+
+    order="trace" (default) reproduces the reference's global
+    (timestamp, seq) frame order — one range shuffle. order="process"
+    skips it: each output partition is one location's events in
+    timestamp order (the parse emits them that way), which is the
+    only ordering the engine's own operators consume (matching /
+    metrics sort inside their own (process, thread) windows). At
+    cluster scale "process" removes the single shuffle on the ingest
+    path; choose it whenever downstream is this engine rather than a
+    frame-order-sensitive external consumer.
+    """
 
 
     defs = parse_global_defs(os.path.join(dirname, "traces.def"))
@@ -461,9 +472,11 @@ def read_otf2_native(
                 if rows:
                     yield _chunk_pdf(rows, metric_names)
 
-    events = loc_df.mapInPandas(parse, schema=schema).orderBy(
-        S.TIMESTAMP, S.SEQ
-    )
+    if order not in ("trace", "process"):
+        raise ValueError(f"order must be 'trace' or 'process', got {order!r}")
+    events = loc_df.mapInPandas(parse, schema=schema)
+    if order == "trace":
+        events = events.orderBy(S.TIMESTAMP, S.SEQ)
     definitions = spark.createDataFrame(
         pd.DataFrame(defs["def_rows"], columns=["def_type", "id", "attributes"]),
         schema=S.DEFINITIONS_SCHEMA,

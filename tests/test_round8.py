@@ -378,3 +378,69 @@ def test_stream_nsight_incremental_matches_batch(spark, tmp_path):
     s = streamed[key].sort_values(key).reset_index(drop=True)
     b = batch[key].sort_values(key).reset_index(drop=True)
     assert s.equals(b)
+
+
+# --------------------------------------------------------------------- #
+# order="process" reader mode (skip the parity range shuffle at ingest)
+# --------------------------------------------------------------------- #
+def test_otf2_order_process_same_rows_no_sort(spark):
+    """order='process' must return the same event multiset as the
+    default global frame order, with per-(process, thread) timestamps
+    already monotone in seq — the only ordering the engine's own
+    operators consume."""
+    import os
+
+    import pytest
+
+    from pipit_spark.sources.otf2_native import read_otf2_native
+
+    golden = "/root/reference/pipit/tests/data/ping-pong-otf2"
+    if not os.path.isdir(golden):
+        pytest.skip("reference golden traces unavailable")
+
+    key = ["process", "thread", "seq"]
+    trace_order = read_otf2_native(spark, golden)[0].toPandas()
+    proc_order = read_otf2_native(spark, golden, order="process")[0].toPandas()
+    a = trace_order.sort_values(key).reset_index(drop=True)
+    b = proc_order.sort_values(key).reset_index(drop=True)
+    assert a.drop(columns="attributes").equals(b.drop(columns="attributes"))
+    for _g, grp in b.groupby(["process", "thread"]):
+        assert grp.timestamp_ns.is_monotonic_increasing
+
+    with pytest.raises(ValueError, match="order"):
+        read_otf2_native(spark, golden, order="frame")
+
+
+def test_hpctoolkit_order_process_same_rows_no_sort(spark, tmp_path):
+    """Same contract for the HPCToolkit reader, on a synthesized v4.0
+    database; also pins that 'process' really removes the exchange
+    from the plan while 'trace' keeps it under an order-sensitive
+    consumer (parquet write plans both; count() would eliminate the
+    sort either way — SCALING.md round-8 correction)."""
+    import pytest
+
+    from pipit_spark.sources.hpctoolkit import read_hpctoolkit
+    from tools.synth_hpctoolkit import synthesize
+
+    db = str(tmp_path / "db")
+    synthesize(db, 4, 900)
+
+    key = ["process", "thread", "seq"]
+    trace_order = read_hpctoolkit(spark, db).toPandas()
+    proc_order = read_hpctoolkit(spark, db, order="process").toPandas()
+    a = trace_order.sort_values(key).reset_index(drop=True)
+    b = proc_order.sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    assert a.drop(columns="attributes").equals(b.drop(columns="attributes"))
+    for _g, grp in b.groupby(["process", "thread"]):
+        assert grp.timestamp_ns.is_monotonic_increasing
+
+    plan_trace = (read_hpctoolkit(spark, db)
+                  ._jdf.queryExecution().executedPlan().toString())
+    plan_proc = (read_hpctoolkit(spark, db, order="process")
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "rangepartitioning" in plan_trace.lower()
+    assert "rangepartitioning" not in plan_proc.lower()
+
+    with pytest.raises(ValueError, match="order"):
+        read_hpctoolkit(spark, db, order="frame")
