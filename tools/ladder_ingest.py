@@ -13,9 +13,11 @@ Each rung: generate (cached), then time TWO full read->count passes
 and report the second (steady-state; pass 1 pays codegen). Emits one
 JSON line per rung with events/s, then a linearity summary.
 
-Usage: PYTHONPATH=. python tools/ladder_ingest.py [--keep] [--otf2|--hpct]
+Usage: PYTHONPATH=. python tools/ladder_ingest.py [--keep]
+       [--otf2|--hpct] [--x10m]
 (--otf2 / --hpct run the same ladder over synthetic OTF2 archives /
-HPCToolkit v4.0 databases through their Arrow-batched readers.)
+HPCToolkit v4.0 databases through their Arrow-batched readers;
+--x10m appends the billion-event rung from SCALING.md round 8.)
 """
 
 from __future__ import annotations
@@ -43,11 +45,19 @@ RUNGS = [
     ("x1m", 64, 425_000),
 ]
 
+# --x10m appends the billion-event rung recorded in SCALING.md round 8
+# (~1.2B projections / ~1.26B otf2 / ~1.07B hpctoolkit events). Heavy:
+# 8-30 GB fixture per reader, ~5 min synth + ~5 min per read pass on a
+# 32-core box — kept opt-in so the default ladder stays CI-sized.
+X10M_RUNG = ("x10m", 128, 2_125_000)
+
 
 def main() -> None:
     keep = "--keep" in sys.argv
     otf2 = "--otf2" in sys.argv
     hpct = "--hpct" in sys.argv
+    if "--x10m" in sys.argv:
+        RUNGS.append(X10M_RUNG)
     from pipit_spark.session import get_spark
     from pipit_spark.sources.hpctoolkit import read_hpctoolkit
     from pipit_spark.sources.otf2_native import read_otf2_native
