@@ -66,3 +66,58 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+def cluster_conf(
+    executor_cores: int = 8,
+    executor_mem_gb: int = 32,
+    target_partition_mb: int = 256,
+    dataset_tb: float | None = None,
+) -> dict[str, str]:
+    """Recommended spark-submit conf for running this engine on a real
+    cluster — the local defaults above, re-expressed per-executor, plus
+    the sizing rules the SCALING.md/PLANS.md rungs measured.
+
+    Returns a plain ``{conf key: value}`` dict (pass to spark-submit
+    ``--conf`` flags or ``SparkSession.builder.config``); callers own
+    the session on a cluster, so this is guidance-as-data, not a
+    session factory.
+
+    Sizing rules encoded (each traces to a measured rung):
+
+    * ``shuffle.partitions`` — sized so one post-shuffle partition is
+      ~``target_partition_mb`` of the dataset (when ``dataset_tb`` is
+      given), floored at 2× total cores. AQE coalescing makes
+      over-partitioning cheap and under-partitioning is the spill
+      mode, so round up (PLANS.md §5 shuffle audit).
+    * ``files.maxPartitionBytes`` = ``target_partition_mb`` — scan
+      tasks sized like shuffle tasks keep Arrow batch memory flat
+      (the binary readers' bounded-chunk design assumes this).
+    * executor direct-memory headroom — the Arrow lanes
+      (mapInPandas/applyInPandas) allocate from the DIRECT pool; cap
+      it explicitly like the local builder does (PLANS.md §21 Trap 1:
+      the implicit cap follows heap and a multi-stage job can exhaust
+      it). 1/2 of heap is generous and lazily allocated.
+    * matching-pass partition size — ~500k events/task cleared every
+      rung from 18M to 120M events (SCALING.md round-4/round-7);
+      plumb via ``Trace(match_partitions=...)``, not session conf.
+    """
+    if executor_cores < 1 or executor_mem_gb < 1 or target_partition_mb < 1:
+        raise ValueError("executor sizing must be positive")
+    conf = {
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.memoryOverhead": f"{max(2, executor_mem_gb // 8)}g",
+        "spark.executor.extraJavaOptions":
+            f"-XX:MaxDirectMemorySize={max(4, executor_mem_gb // 2)}g",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+    }
+    if dataset_tb is not None:
+        n = max(1, int(dataset_tb * 1024 * 1024 // target_partition_mb))
+        conf["spark.sql.shuffle.partitions"] = str(n)
+    return conf

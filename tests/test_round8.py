@@ -444,3 +444,27 @@ def test_hpctoolkit_order_process_same_rows_no_sort(spark, tmp_path):
 
     with pytest.raises(ValueError, match="order"):
         read_hpctoolkit(spark, db, order="frame")
+
+
+def test_cluster_conf_sizing_rules():
+    """cluster_conf encodes the measured sizing rules: partition-count
+    follows dataset size at the target partition bytes, direct-memory
+    headroom is explicit (PLANS.md §21 Trap 1 as a cluster-side
+    guarantee), AQE/Arrow always on, and bad sizing raises."""
+    import pytest
+
+    from pipit_spark.session import cluster_conf
+
+    c = cluster_conf(executor_cores=8, executor_mem_gb=32, dataset_tb=100)
+    # 100 TB / 256 MB = 409,600 post-shuffle partitions
+    assert c["spark.sql.shuffle.partitions"] == "409600"
+    assert c["spark.executor.extraJavaOptions"] == "-XX:MaxDirectMemorySize=16g"
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    assert c["spark.sql.execution.arrow.pyspark.enabled"] == "true"
+    assert c["spark.sql.files.maxPartitionBytes"] == str(256 * 1024 * 1024)
+
+    # no dataset size -> leave shuffle.partitions to the deployment
+    assert "spark.sql.shuffle.partitions" not in cluster_conf()
+
+    with pytest.raises(ValueError):
+        cluster_conf(executor_cores=0)
