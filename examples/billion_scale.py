@@ -1,0 +1,74 @@
+"""Billion-event analysis, staged for bounded disk/RAM — the runnable
+form of SCALING.md's round-8 capstone (1.2B events: ingest 2.08M ev/s,
+fused match + flat_profile 0.72M ev/s on one 32-core box).
+
+    PYTHONPATH=. python examples/billion_scale.py TRACE_DIR [ingest|match]
+
+Stage each step in its OWN process (the capstone's measurement and
+memory lessons both came from keeping stages isolated):
+
+  ingest  raw trace -> canonical zstd parquet, partitioned by process.
+          Reader-side: pass order="process" to read_hpctoolkit /
+          read_otf2_native when downstream is this engine — it skips
+          the reference-frame-parity global sort, which costs a full
+          EXTRA parse pass (range-boundary sampling) plus the
+          exchange (~3.5x on the OTF2 lane at 126M events).
+  match   canonical parquet -> flat profile in ONE pass: with
+          cache=False the fused matching kernel streams straight into
+          the aggregate — no matched-frame materialization, which is
+          the shape that fits a single box at 10^9 events (the
+          checkpointed form needs a cluster's aggregate disk).
+
+Sizing (the constraint the capstone hit): each matching task holds one
+COMPLETE location as a pandas frame, so
+    concurrent tasks x max-location-frame + JVM heap  <  box RAM.
+Locations with ~10M events need ~5 GB/task: run SPARK_GRAFT_CPUS=8 on
+a 128 GB box, or size executors with
+pipit_spark.session.cluster_conf() on a real cluster (same rule,
+spelled as executor_cores/executor_mem_gb).
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main() -> None:
+    from pipit_spark.session import get_spark
+    from pipit_spark.trace import Trace
+
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    trace_dir = sys.argv[1]
+    stage = sys.argv[2] if len(sys.argv) > 2 else "ingest"
+    events_path = "/tmp/billion_events.parquet"
+
+    spark = get_spark(
+        app_name=f"billion-{stage}",
+        extra_conf={
+            "spark.sql.parquet.compression.codec": "zstd",
+            "spark.io.compression.codec": "zstd",
+        },
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if stage == "ingest":
+        t = Trace.from_projections(spark, trace_dir)
+        # from_otf2/from_hpctoolkit traces: build the Trace from
+        # read_otf2_native(..., order="process") /
+        # read_hpctoolkit(..., order="process") to skip the parity sort.
+        t.to_parquet(events_path)
+        print(f"canonical events at {events_path}; "
+              "delete the raw trace before the match stage if disk-bound")
+    elif stage == "match":
+        t = Trace.from_parquet(spark, events_path)
+        t._cache = False  # single consumer: match streams into the agg
+        t.flat_profile(metrics=["time_inc", "time_exc"]).orderBy(
+            "time_exc", ascending=False
+        ).show(truncate=False)
+    else:
+        sys.exit(f"unknown stage {stage!r} (ingest|match)")
+
+
+if __name__ == "__main__":
+    main()
