@@ -4451,17 +4451,69 @@ _R08_WINDOW = [
     "trace_flat_profile", "trace_load_imbalance", "trace_multirun",
     "trace_detect_pattern", "doc_bpe",
 ]
-# r09 carry-overs (stale remainder, oldest first): r04-stale —
-# trace_diff, trace_slow_calls, trace_folded_stacks,
-# q2_min_cost_supplier, q9_product_profit, q11_important_stock,
-# q16_parts_supplier_count, q20_excess_stock, q21_waiting_orders,
-# doc_line_fluency, doc_fluency, doc_pretokenize, doc_novelty,
-# doc_pattern_stats, doc_vocab_coverage, doc_corpus_card,
-# doc_corpus_diff, doc_model_score, doc_dsir, doc_select_dsir,
-# doc_chunk, doc_chunked_training_set, doc_sample_exact_k; then the
-# r05-stale remainder; plus, if r09 touches llm/similarity.py (the
-# deferred _write_annmeta fix), its ten r07-green gates listed in
-# the _R08_WINDOW note above.
+# r09 slot accounting (the r08 comment's carry-over plan, resolved
+# against the hard freshness criterion "no gate's latest driver row
+# may predate the last commit touching its implementing module"):
+#
+#   * llm/similarity.py changes this round (the deferred
+#     _write_annmeta fix, r08 verdict item 2) — at module
+#     granularity that restales ALL 24 similarity-backed gates: the
+#     ten r07-green ones the r08 comment named AND the 14 that got
+#     r08 rows (their rows predate an r09 commit just the same).
+#     All 24 take window slots — restales are mandatory, recency
+#     burn-down is not.
+#   * operators/matching.py changes this round (the chunked
+#     carried-stack kernel, r08 verdict item 1) — restales its three
+#     gates: trace_match_inc, trace_cct, trace_caller_callee.
+#   * 24 + 3 = 27 mandatory slots; the remaining 23 are exactly the
+#     r04-stale list below — the full burn-down the r08 comment
+#     promised. The r05-stale remainder (26 gates, modules unchanged
+#     since r05 so the freshness criterion holds for them on their
+#     existing rows) rotates in r10.
+#
+# Freshness discipline for r09 code changes: confined to
+# operators/matching.py + llm/similarity.py (fully window-covered
+# above), modules backing no driver gate (session.py, sources/*,
+# tools/, tests/, examples/, docs), and this window comment.
+# DELIBERATE DEFERRAL: the low ADVICE item asking for **kw
+# passthrough on Trace.from_hpctoolkit and a cache/order kwarg on
+# Trace.from_parquet is NOT done this round — trace.py is the
+# implementing module of trace_session_stats (r06 row) and
+# trace_flat_profile (r08 row), neither of which fits this window
+# (50/50 slots are spoken for by the mandatory restales + the
+# promised r04 burn-down). It is first in line for r10, windowed
+# with those two gates — the same justified-deferral pattern r08
+# used for _write_annmeta itself.
+_R09_WINDOW = [
+    # A. operators/matching.py-backed — restaled by the chunked
+    # carried-stack kernel (3)
+    "trace_match_inc", "trace_cct", "trace_caller_callee",
+    # B. llm/similarity.py-backed — restaled by the _write_annmeta
+    # type fix (24). B1: the ten whose latest row is r07
+    "emb_quantize", "emb_cosine_pairs", "emb_norm_stats",
+    "emb_ivf_topk_exact", "emb_pq_topk_exact", "emb_pq_topk",
+    "emb_ivfpq_topk_exact", "emb_ivfpq_topk", "emb_lsh_ann",
+    "emb_semantic_dedup",
+    # B2: the 14 whose latest row is r08
+    "emb_rrf_fusion_indexed", "emb_lsh_topk", "emb_ivf_topk_portable",
+    "emb_cell_balance", "emb_ann_recall", "emb_hamming_topk",
+    "emb_rrf_fusion", "emb_decontaminate", "emb_hard_negatives",
+    "emb_isolation", "emb_topk_pandas", "emb_cosine_topk",
+    "emb_ivf_topk", "doc_hybrid_retrieval",
+    # C. r04-stale burn-down, the full remainder (23)
+    "trace_diff", "trace_slow_calls", "trace_folded_stacks",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q16_parts_supplier_count", "q20_excess_stock",
+    "q21_waiting_orders", "doc_line_fluency", "doc_fluency",
+    "doc_pretokenize", "doc_novelty", "doc_pattern_stats",
+    "doc_vocab_coverage", "doc_corpus_card", "doc_corpus_diff",
+    "doc_model_score", "doc_dsir", "doc_select_dsir", "doc_chunk",
+    "doc_chunked_training_set", "doc_sample_exact_k",
+]
+# r10 carry-overs: the r05-stale remainder (26 gates, oldest
+# evidence after this round), plus trace_session_stats +
+# trace_flat_profile alongside the deferred trace.py API advice
+# (see the deferral note above).
 
 
 def queries():
@@ -4498,7 +4550,15 @@ def queries():
     163) sit at the tail end with NO driver row yet (local parity
     only); they are the first candidates for the r06 window rotation.
 
-    r08 (this round): the window is `_R08_WINDOW` above — the r07
+    r09 (this round): the window is `_R09_WINDOW` above — the 27
+    mandatory restales (all 24 llm/similarity.py gates for the
+    _write_annmeta fix; the three operators/matching.py gates for
+    the chunked carried-stack kernel) plus the full 23-gate
+    r04-stale burn-down the r08 comment promised. See the
+    _R09_WINDOW comment for the slot accounting and the one
+    deliberate deferral (trace.py API advice → r10).
+
+    r08: the window was `_R08_WINDOW` above — the r07
     verdict's item-1 burn-down. All 39 gates whose implementing
     module changed during r07 after their last driver row (method-
     granularity audit; see the _R08_WINDOW comment), the two r08
@@ -4729,7 +4789,7 @@ def queries():
         # round-8 addition: the KLL tier's deterministic driver gate
         "doc_kll_quantiles": q_doc_kll_quantiles,
     }
-    out = {k: reg[k] for k in _R08_WINDOW}
+    out = {k: reg[k] for k in _R09_WINDOW}
     out.update(reg)  # tail keeps its prior relative order
     assert len(out) == len(reg)
     return out
