@@ -2584,10 +2584,22 @@ def _write_annmeta(spark, table: str, fields: dict) -> None:
     fingerprint the corpus so multi-index consumers (rrf_ann_indexed)
     can refuse drifted index pairs instead of silently dropping
     candidates; ``vec_col`` makes appends self-describing."""
-    schema = ", ".join(
-        f"{k} {'string' if isinstance(v, str) else 'long' if k in ('n_vecs', 'max_cid') else 'int'}"
-        for k, v in fields.items()
-    )
+    def _sql_type(k: str, v) -> str:
+        # type follows the VALUE, not the field name: a new caller
+        # adding a large int field (or renaming n_vecs) must not
+        # silently truncate to int32. bool before int — it subclasses.
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise TypeError(
+                f"annmeta field {k!r}: unsupported type {type(v).__name__}"
+                " (expected str, int, or float)"
+            )
+        if isinstance(v, float):
+            return "double"
+        return "long"
+
+    schema = ", ".join(f"{k} {_sql_type(k, v)}" for k, v in fields.items())
     spark.createDataFrame([tuple(fields.values())], schema).write.mode(
         "overwrite"
     ).saveAsTable(f"{table}__annmeta")

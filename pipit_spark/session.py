@@ -72,6 +72,7 @@ def cluster_conf(
     executor_mem_gb: int = 32,
     target_partition_mb: int = 256,
     dataset_tb: float | None = None,
+    num_executors: int | None = None,
 ) -> dict[str, str]:
     """Recommended spark-submit conf for running this engine on a real
     cluster — the local defaults above, re-expressed per-executor, plus
@@ -86,9 +87,22 @@ def cluster_conf(
 
     * ``shuffle.partitions`` — sized so one post-shuffle partition is
       ~``target_partition_mb`` of the dataset (when ``dataset_tb`` is
-      given), floored at 2× total cores. AQE coalescing makes
+      given); when ``num_executors`` is also given, floored at
+      2× total cluster cores so a small dataset on a big cluster
+      still fans out past its parallelism. AQE coalescing makes
       over-partitioning cheap and under-partitioning is the spill
       mode, so round up (PLANS.md §5 shuffle audit).
+    * straggler/wedge self-healing — ``spark.speculation`` plus the
+      task reaper. Rationale: the round-8 1.2 B capstone recorded one
+      non-reproducing ingest wedge (a half-closed PythonRunner
+      handshake: JVM task thread blocked in read, Python worker in
+      recv, writer gone — SCALING.md round-8 capstone item 3) whose
+      identical retry ran clean. On a cluster, speculation re-launches
+      the hung straggler instead of stalling the stage, and the
+      reaper guarantees the superseded task actually dies rather
+      than leaking its Python worker. Not settable in get_spark:
+      speculation requires a cluster scheduler, and local[*] retries
+      share the one JVM the wedge lives in.
     * ``files.maxPartitionBytes`` = ``target_partition_mb`` — scan
       tasks sized like shuffle tasks keep Arrow batch memory flat
       (the binary readers' bounded-chunk design assumes this).
@@ -116,8 +130,19 @@ def cluster_conf(
         "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
+        # wedge self-healing (see docstring): speculatively re-launch
+        # far-behind stragglers, and hard-kill superseded/hung tasks
+        "spark.speculation": "true",
+        "spark.speculation.multiplier": "4",
+        "spark.speculation.quantile": "0.9",
+        "spark.task.reaper.enabled": "true",
+        "spark.task.reaper.killTimeout": "120s",
     }
+    if num_executors is not None and num_executors >= 1:
+        conf["spark.executor.instances"] = str(num_executors)
     if dataset_tb is not None:
         n = max(1, int(dataset_tb * 1024 * 1024 // target_partition_mb))
+        if num_executors is not None and num_executors >= 1:
+            n = max(2 * executor_cores * num_executors, n)
         conf["spark.sql.shuffle.partitions"] = str(n)
     return conf

@@ -327,6 +327,11 @@ def read_hpctoolkit(
     and sort internally. At cluster scale "process" removes the
     single shuffle on the ingest path.
     """
+    # validate BEFORE any file I/O: parse_meta/parse_profiles read the
+    # database eagerly on the driver, and a typo'd order value should
+    # fail in milliseconds, not after minutes of parsing a large db
+    if order not in ("trace", "process"):
+        raise ValueError(f"order must be 'trace' or 'process', got {order!r}")
     meta = parse_meta(f"{dirname}/meta.db")
     profiles = parse_profiles(f"{dirname}/profile.db", meta["kind_names"])
     headers, min_ts, max_ts = parse_trace_headers(f"{dirname}/trace.db")
@@ -410,8 +415,6 @@ def read_hpctoolkit(
                 if rows:
                     yield _chunk_pdf(rows)
 
-    if order not in ("trace", "process"):
-        raise ValueError(f"order must be 'trace' or 'process', got {order!r}")
     events = hdr_df.mapInPandas(parse, schema=_HPCT_SCHEMA)
     # reference sorts globally by (timestamp, emission index)
     # (hpctoolkit_reader.py:1353-1363); within-location order is what the

@@ -415,7 +415,11 @@ def read_otf2_native(
     path; choose it whenever downstream is this engine rather than a
     frame-order-sensitive external consumer.
     """
-
+    # validate BEFORE any file I/O (parse_global_defs reads the
+    # archive eagerly on the driver) — a typo'd order value should
+    # fail in milliseconds, not after the whole definition parse
+    if order not in ("trace", "process"):
+        raise ValueError(f"order must be 'trace' or 'process', got {order!r}")
 
     defs = parse_global_defs(os.path.join(dirname, "traces.def"))
     res = defs["clock"]["resolution"]
@@ -472,8 +476,6 @@ def read_otf2_native(
                 if rows:
                     yield _chunk_pdf(rows, metric_names)
 
-    if order not in ("trace", "process"):
-        raise ValueError(f"order must be 'trace' or 'process', got {order!r}")
     events = loc_df.mapInPandas(parse, schema=schema)
     if order == "trace":
         events = events.orderBy(S.TIMESTAMP, S.SEQ)
