@@ -22,8 +22,31 @@ resets its stacks at location boundaries:
 Scale design: events are shuffled once, by (process, thread); each location
 is processed independently (Arrow-batched), so the pass parallelizes over
 locations exactly like the reference's multiprocessing pool but across
-executors. A per-location partition must fit in executor memory — same
-envelope the reference needs per worker.
+executors.
+
+Two kernels share those semantics bit-for-bit:
+
+* ``kernel="location"`` (default) — the whole shuffle partition (several
+  complete locations) becomes one pandas frame; per-location fixed costs
+  are amortized across the partition. Envelope: a partition must fit in
+  executor memory — same per-worker envelope the reference needs. The
+  round-8 1.2 B capstone measured this as the analysis path's binding RAM
+  constraint on adversarially deep locations (9.35 M events/PE forced
+  32→8 concurrent tasks on a 125 GB box).
+* ``kernel="chunked"`` — deletes that envelope. Events stream through a
+  JVM-side (spillable) sort into bounded Arrow batches; the kernel
+  carries the open-call stack across batches, buffering ONLY the open
+  matched Enter rows, so resident state is ∝ stack depth, not location
+  length — the same carried-state shape the binary readers use for
+  bounded-chunk parsing. The reference's depth/parent semantics are
+  anti-causal (pipit/trace.py:215-219 walks MATCHED rows only, so an
+  Enter's depth depends on whether its open ancestors EVER close —
+  undecidable in one forward pass); the chunked kernel therefore runs a
+  narrow AUDIT pass first (stack of (name, event_id) only — emits the
+  normally-empty unmatched-Enter set), after which the emit pass is
+  fully causal and exact on any trace, balanced or not.
+  ``assume_wellformed=True`` skips the audit and instead raises loudly
+  if a location ends with an open Enter.
 
 A pure-SQL window-function fast path for well-nested traces is provided in
 :func:`well_nested_matching_sql` (used by tests and the DuckDB oracle).
@@ -32,6 +55,7 @@ A pure-SQL window-function fast path for well-nested traces is provided in
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -214,10 +238,370 @@ def _stack_match_multi(
     return out
 
 
+def _group_codes(pdf: pd.DataFrame, group_cols: list[str]) -> np.ndarray:
+    """Boundary mask helper: per-row location change flags (row 0 is NOT
+    flagged — the caller compares it against carried state)."""
+    n = len(pdf)
+    chg = np.zeros(n, dtype=bool)
+    for c in group_cols:
+        codes, _ = pd.factorize(pdf[c], use_na_sentinel=True)
+        chg[1:] |= codes[1:] != codes[:-1]
+    return chg
+
+
+def _row_group_key(pdf: pd.DataFrame, i: int, group_cols: list[str]) -> tuple:
+    return tuple(
+        None if pd.isna(v) else v for v in (pdf[c].iloc[i] for c in group_cols)
+    )
+
+
+def _audit_unmatched_enters(
+    events: DataFrame, group_cols: list[str], num_partitions: int | None
+) -> set[int]:
+    """Chunked-kernel pass 1 of 2: replay the nearest-same-name stack
+    matching (pipit/trace.py:154-186) over a NARROW projection (group
+    cols + order keys + name/type/event_id — filters and pruning reach
+    the scan) and return the event_ids of Enter rows that never close.
+    Carried state is a stack of (name, event_id) per open call — ∝ stack
+    depth — so this pass has no memory envelope at any location length.
+    The result is normally EMPTY; it is what makes the emit pass's
+    depth/parent decisions causal (see module docstring)."""
+    narrow = events.select(
+        *group_cols, S.TIMESTAMP, S.SEQ, S.EVENT_TYPE, S.NAME, S.EVENT_ID
+    ).filter(F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES, *S.LEAVE_TYPES))
+    if num_partitions is not None:
+        narrow = narrow.repartition(num_partitions, *group_cols)
+    srt = narrow.sortWithinPartitions(*group_cols, S.TIMESTAMP, S.SEQ)
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key: tuple | None = None
+        stack: list[tuple[str, int]] = []
+        out: list[int] = []
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            chg = _group_codes(pdf, group_cols)
+            if cur_key is not None and _row_group_key(pdf, 0, group_cols) != cur_key:
+                chg[0] = True
+            evt = pdf[S.EVENT_TYPE].to_numpy()
+            names = pdf[S.NAME].to_numpy()
+            ids = pdf[S.EVENT_ID].to_numpy()
+            is_enter = np.isin(evt, S.ENTER_TYPES)
+            for i in range(n):
+                if chg[i]:
+                    out.extend(eid for _, eid in stack)
+                    stack.clear()
+                if is_enter[i]:
+                    stack.append((names[i], int(ids[i])))
+                else:
+                    for k in range(len(stack) - 1, -1, -1):
+                        if stack[k][0] == names[i]:
+                            del stack[k]
+                            break
+            cur_key = _row_group_key(pdf, n - 1, group_cols)
+        out.extend(eid for _, eid in stack)
+        if out:
+            yield pd.DataFrame({"__unmatched_id": pd.array(out, dtype="int64")})
+
+    res = srt.mapInPandas(
+        audit, schema=T.StructType([T.StructField("__unmatched_id", T.LongType())])
+    )
+    rows = res.collect()
+    if len(rows) > 2_000_000:
+        raise ValueError(
+            f"chunked matching audit found {len(rows):,} unmatched Enter "
+            "events — this trace is pathologically truncated; use "
+            "kernel='location' (whole-location pass) instead"
+        )
+    return {r["__unmatched_id"] for r in rows}
+
+
+class _ChunkedState:
+    """Carried state of the chunked emit pass for ONE location.
+
+    ``stack1`` replays pass-1 matching (ALL open Enters, matched or
+    not); ``call_stack`` replays pass-2 (open Enters KNOWN matched via
+    the audit). Entries are shared mutable lists
+    ``[name, ref_kind, ref, depth, parent_id, parent_name, node,
+    parent_node, enter_known_matched]`` where ``ref`` is an in-batch
+    row position (``ref_kind='b'``) until the batch ends, then a
+    pending-store token (``'p'``). Only known-matched open Enters are
+    ever buffered — resident rows ∝ stack depth."""
+
+    __slots__ = ("stack1", "call_stack")
+
+    def __init__(self) -> None:
+        self.stack1: list[list] = []
+        self.call_stack: list[list] = []
+
+
+def _chunked_emit_plan(
+    enc: DataFrame,
+    out_schema: T.StructType,
+    group_cols: list[str],
+    metric_cols: list[str],
+    unmatched: frozenset[int],
+    num_partitions: int | None,
+) -> DataFrame:
+    """Build the chunked emit pass: shuffle + JVM-side (spillable) sort
+    into bounded Arrow batches, then ONE causal carried-state kernel.
+    Pass ``num_partitions=None`` to skip the repartition (input already
+    partitioned by location, :func:`match_events_iter` style).
+
+    Stack entries are shared mutable lists
+    ``[0 name, 1 ref_kind ('b' this batch / 'p' pending / 'x' emitted-
+    unmatched), 2 ref, 3 depth, 4 parent_id, 5 parent_name, 6 node,
+    7 parent_node, 8 known_matched, 9 event_id, 10 enter_ts]`` living on
+    both replay stacks; only KNOWN-MATCHED open Enters ever buffer their
+    full row, so resident state is ∝ stack depth (module docstring)."""
+    srt = enc if num_partitions is None else enc.repartition(
+        num_partitions, *group_cols
+    )
+    srt = srt.sortWithinPartitions(*group_cols, S.TIMESTAMP, S.SEQ)
+    in_cols = list(enc.columns)
+    out_cols = [f.name for f in out_schema.fields]
+    derived_cols = (
+        [S.MATCHING_EVENT, S.MATCHING_TS, S.DEPTH, S.PARENT, S.PARENT_NAME,
+         S.NODE_ID, S.PARENT_NODE, S.TIME_INC]
+        + [f"{m}_inc" for m in metric_cols]
+    )
+
+    def _attach_derived(base: pd.DataFrame, d: dict[str, list]) -> pd.DataFrame:
+        out = base.reset_index(drop=True)
+        out[S.MATCHING_EVENT] = pd.array(d[S.MATCHING_EVENT], dtype="Int64")
+        out[S.MATCHING_TS] = pd.array(d[S.MATCHING_TS], dtype="Int64")
+        out[S.DEPTH] = pd.array(d[S.DEPTH], dtype="Int32")
+        out[S.PARENT] = pd.array(d[S.PARENT], dtype="Int64")
+        out[S.PARENT_NAME] = pd.Series(d[S.PARENT_NAME], dtype="object")
+        out[S.NODE_ID] = pd.array(d[S.NODE_ID], dtype="Int64")
+        out[S.PARENT_NODE] = pd.array(d[S.PARENT_NODE], dtype="Int64")
+        out[S.TIME_INC] = np.asarray(d[S.TIME_INC], dtype="float64")
+        for m in metric_cols:
+            out[f"{m}_inc"] = np.asarray(d[f"{m}_inc"], dtype="float64")
+        return out[out_cols]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stack1: list[list] = []   # pass-1 replay: ALL open Enters
+        call_stack: list[list] = []  # pass-2 replay: known-matched opens
+        cur_key: tuple | None = None
+        node_memo: dict[tuple[int, str], int] = {}
+        pending_rows: dict[int, tuple[pd.DataFrame, tuple]] = {}
+        next_token = 0
+        done_pending: list[pd.DataFrame] = []
+        done_derived: dict[str, list] = {c: [] for c in derived_cols}
+
+        def flush_location() -> None:
+            # the audit guarantees every known-matched Enter closes
+            # inside its location; anything still open here means
+            # unsorted input, an audit from different data, or (with
+            # assume_wellformed=True) a truncated trace
+            leftover = [e for e in stack1 if e[8]]
+            if leftover:
+                raise ValueError(
+                    "chunked matching kernel: location ended with "
+                    f"{len(leftover)} open Enter(s) assumed matched "
+                    f"(first name: {leftover[0][0]!r}). If this trace "
+                    "has unclosed Enters, re-run with the audit "
+                    "(assume_wellformed=False) or kernel='location'."
+                )
+            stack1.clear()
+            call_stack.clear()
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            chg = _group_codes(pdf, group_cols)
+            if cur_key is not None and _row_group_key(pdf, 0, group_cols) != cur_key:
+                chg[0] = True
+            evt = pdf[S.EVENT_TYPE].to_numpy()
+            names = pdf[S.NAME].to_numpy()
+            ts = pdf[S.TIMESTAMP].to_numpy()
+            ids = pdf[S.EVENT_ID].to_numpy()
+            is_enter = np.isin(evt, S.ENTER_TYPES)
+            is_leave = np.isin(evt, S.LEAVE_TYPES)
+            mvals = {
+                m: pdf[m].to_numpy(dtype="float64", na_value=np.nan)
+                for m in metric_cols
+            }
+
+            NA = pd.NA
+            d_match: list = [NA] * n
+            d_mts: list = [NA] * n
+            d_depth: list = [NA] * n
+            d_parent: list = [NA] * n
+            d_pname: list = [None] * n
+            d_node: list = [NA] * n
+            d_pnode: list = [NA] * n
+            d_tinc: list = [np.nan] * n
+            d_minc = {m: [np.nan] * n for m in metric_cols}
+            emit = np.ones(n, dtype=bool)
+
+            for i in range(n):
+                if chg[i]:
+                    flush_location()
+                if is_enter[i]:
+                    eid = int(ids[i])
+                    if eid not in unmatched:
+                        # causal pass 2: every ancestor on call_stack
+                        # is known matched, so depth/parent/node are
+                        # final at Enter time (pipit/trace.py:240-292)
+                        depth_i = len(call_stack)
+                        if call_stack:
+                            top = call_stack[-1]
+                            parent_id, parent_name, pid = top[9], top[0], top[6]
+                        else:
+                            parent_id, parent_name, pid = None, None, -1
+                        key = (pid, names[i])
+                        nid = node_memo.get(key)
+                        if nid is None:
+                            nid = _md5_i64(f"{pid}->{names[i]}")
+                            node_memo[key] = nid
+                        entry = [
+                            names[i], "b", i, depth_i, parent_id,
+                            parent_name, nid,
+                            (pid if pid != -1 else None), True,
+                            eid, int(ts[i]),
+                        ]
+                        stack1.append(entry)
+                        call_stack.append(entry)
+                        d_depth[i] = depth_i
+                        d_parent[i] = NA if parent_id is None else parent_id
+                        d_pname[i] = parent_name
+                        d_node[i] = nid
+                        d_pnode[i] = NA if pid == -1 else pid
+                        emit[i] = False  # match cols arrive at its Leave
+                    else:
+                        # audited unmatched Enter: all-NA derived, emit
+                        # now; stays on stack1 for exact pass-1 replay
+                        # (it can never be popped — a pop would have
+                        # matched it in the audit too)
+                        stack1.append(
+                            [names[i], "x", None, None, None, None,
+                             None, None, False, eid, int(ts[i])]
+                        )
+                elif is_leave[i]:
+                    hit = None
+                    for k in range(len(stack1) - 1, -1, -1):
+                        if stack1[k][0] == names[i]:
+                            hit = stack1.pop(k)
+                            break
+                    if hit is None:
+                        pass  # unmatched Leave: all-NA derived, emit now
+                    elif not hit[8]:
+                        raise AssertionError(
+                            "chunked matching kernel: a Leave matched an "
+                            "Enter the audit declared unmatched — input "
+                            "is not ordered the way the audit saw it"
+                        )
+                    else:
+                        try:
+                            call_stack.remove(hit)
+                        except ValueError:
+                            pass
+                        # Leave row copies the Enter's stack attrs
+                        # (pipit/trace.py:275-279 via the matching row)
+                        d_depth[i] = hit[3]
+                        d_parent[i] = NA if hit[4] is None else hit[4]
+                        d_pname[i] = hit[5]
+                        d_node[i] = hit[6]
+                        d_pnode[i] = NA if hit[7] is None else hit[7]
+                        d_match[i] = hit[9]
+                        d_mts[i] = hit[10]
+                        if hit[1] == "b":
+                            j = hit[2]
+                            d_match[j] = int(ids[i])
+                            d_mts[j] = int(ts[i])
+                            d_tinc[j] = float(ts[i] - ts[j])
+                            for m in metric_cols:
+                                d_minc[m][j] = mvals[m][i] - mvals[m][j]
+                            emit[j] = True
+                        else:
+                            row, emv = pending_rows.pop(hit[2])
+                            done_pending.append(row)
+                            done_derived[S.MATCHING_EVENT].append(int(ids[i]))
+                            done_derived[S.MATCHING_TS].append(int(ts[i]))
+                            done_derived[S.DEPTH].append(hit[3])
+                            done_derived[S.PARENT].append(
+                                NA if hit[4] is None else hit[4]
+                            )
+                            done_derived[S.PARENT_NAME].append(hit[5])
+                            done_derived[S.NODE_ID].append(hit[6])
+                            done_derived[S.PARENT_NODE].append(
+                                NA if hit[7] is None else hit[7]
+                            )
+                            done_derived[S.TIME_INC].append(
+                                float(ts[i] - hit[10])
+                            )
+                            for mi, m in enumerate(metric_cols):
+                                done_derived[f"{m}_inc"].append(
+                                    mvals[m][i] - emv[mi]
+                                )
+                else:
+                    # Instant: inherits the innermost known-matched open
+                    # call (free in the same pass — enables
+                    # comm_by_function without a join; node_id stays NA
+                    # like the reference, which skips instants entirely)
+                    if call_stack:
+                        top = call_stack[-1]
+                        d_depth[i] = top[3] + 1
+                        d_parent[i] = top[9]
+                        d_pname[i] = top[0]
+                        d_pnode[i] = top[6]
+
+            # batch flush: still-open in-batch Enters move to the
+            # pending store — the ONLY rows the kernel buffers
+            for e in stack1:
+                if e[1] == "b":
+                    j = e[2]
+                    tok = next_token
+                    next_token += 1
+                    pending_rows[tok] = (
+                        pdf.iloc[[j]][in_cols],
+                        tuple(float(mvals[m][j]) for m in metric_cols),
+                    )
+                    e[1], e[2] = "p", tok
+                elif e[1] == "x" and e[2] is not None:
+                    e[2] = None
+            cur_key = _row_group_key(pdf, n - 1, group_cols)
+
+            full = _attach_derived(
+                pdf[in_cols],
+                {
+                    S.MATCHING_EVENT: d_match, S.MATCHING_TS: d_mts,
+                    S.DEPTH: d_depth, S.PARENT: d_parent,
+                    S.PARENT_NAME: d_pname, S.NODE_ID: d_node,
+                    S.PARENT_NODE: d_pnode, S.TIME_INC: d_tinc,
+                    **{f"{m}_inc": d_minc[m] for m in metric_cols},
+                },
+            )
+            outs = [full[emit]]
+            if done_pending:
+                outs.append(_attach_derived(
+                    pd.concat(done_pending, ignore_index=True), done_derived
+                ))
+                done_pending = []
+                done_derived = {c: [] for c in derived_cols}
+            yield (
+                pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+            )
+
+        flush_location()
+        if done_pending:
+            yield _attach_derived(
+                pd.concat(done_pending, ignore_index=True), done_derived
+            )
+
+    return srt.mapInPandas(gen, schema=out_schema)
+
+
 def match_events(
     events: DataFrame,
     metric_cols: list[str] | None = None,
     num_partitions: int | None = None,
+    kernel: str | None = None,
+    assume_wellformed: bool = False,
 ) -> DataFrame:
     """Run the fused matching pass over the whole trace.
 
@@ -235,18 +619,45 @@ def match_events(
     1,500 locations at sf0.1; the gap widens with location count, which is
     exactly the axis traces grow along).
 
-    Scale envelope: a partition (several complete locations) must fit in
-    executor memory — raise ``num_partitions`` to shrink partitions toward
-    one location each; the limit is then the reference's own per-worker
-    envelope (one location's events in RAM).
+    Scale envelope of the default kernel: a partition (several complete
+    locations) must fit in executor memory — raise ``num_partitions`` to
+    shrink partitions toward one location each; the limit is then the
+    reference's own per-worker envelope (one location's events in RAM).
+    ``kernel="chunked"`` deletes that envelope entirely (resident state
+    ∝ stack depth — module docstring); it costs one extra NARROW audit
+    scan (Enter/Leave keys only, pruned at the source), which the audit
+    collects eagerly at call time. ``assume_wellformed=True`` skips the
+    audit for traces known to close every Enter; a violating location
+    then fails loudly instead of emitting wrong depths. Choose "chunked"
+    whenever events-per-location × concurrent tasks threatens executor
+    memory (the round-8 1.2 B capstone's binding constraint).
+
+    ``kernel=None`` reads ``SPARK_GRAFT_MATCH_KERNEL`` (default
+    "location") so tooling can switch kernels without plumbing the
+    parameter through every call site.
     """
     metric_cols = list(metric_cols or [])
+    if kernel is None:
+        kernel = os.environ.get("SPARK_GRAFT_MATCH_KERNEL", "location")
+    if kernel not in ("location", "chunked"):
+        raise ValueError(f"kernel must be 'location' or 'chunked', got {kernel!r}")
     enc, map_cols = _encode_map_cols(events)
     out_schema = S.matched_schema(enc.schema, metric_cols)
     group_cols = [S.PROCESS]
     if S.THREAD in events.columns:
         group_cols.append(S.THREAD)
     n_part = num_partitions or events.sparkSession.sparkContext.defaultParallelism
+
+    if kernel == "chunked":
+        unmatched = (
+            frozenset()
+            if assume_wellformed
+            else frozenset(_audit_unmatched_enters(events, group_cols, n_part))
+        )
+        out = _chunked_emit_plan(
+            enc, out_schema, group_cols, metric_cols, unmatched, n_part
+        )
+        return _decode_map_cols(out, map_cols)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = list(batches)
@@ -263,17 +674,36 @@ def match_events(
 
 
 def match_events_iter(
-    events: DataFrame, metric_cols: list[str] | None = None
+    events: DataFrame,
+    metric_cols: list[str] | None = None,
+    kernel: str | None = None,
+    assume_wellformed: bool = False,
 ) -> DataFrame:
-    """mapInPandas variant for traces already partitioned by location on
-    disk — avoids the shuffle entirely (zero-exchange plan when the
-    parquet layout matches). Same multi-location kernel as
-    :func:`match_events`, minus the repartition.
+    """Variant for traces already partitioned by location on disk —
+    avoids the shuffle entirely (zero-exchange plan when the parquet
+    layout matches). Same kernels as :func:`match_events`, minus the
+    repartition; the chunked kernel's audit likewise reuses the existing
+    partitioning (its only exchange is the tiny unmatched-id collect).
     """
     metric_cols = list(metric_cols or [])
+    if kernel is None:
+        kernel = os.environ.get("SPARK_GRAFT_MATCH_KERNEL", "location")
+    if kernel not in ("location", "chunked"):
+        raise ValueError(f"kernel must be 'location' or 'chunked', got {kernel!r}")
     enc, map_cols = _encode_map_cols(events)
     out_schema = S.matched_schema(enc.schema, metric_cols)
     group_cols = [S.PROCESS] + ([S.THREAD] if S.THREAD in events.columns else [])
+
+    if kernel == "chunked":
+        unmatched = (
+            frozenset()
+            if assume_wellformed
+            else frozenset(_audit_unmatched_enters(events, group_cols, None))
+        )
+        out = _chunked_emit_plan(
+            enc, out_schema, group_cols, metric_cols, unmatched, None
+        )
+        return _decode_map_cols(out, map_cols)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = list(batches)
