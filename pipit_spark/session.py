@@ -114,9 +114,24 @@ def cluster_conf(
     * matching-pass partition size — ~500k events/task cleared every
       rung from 18M to 120M events (SCALING.md round-4/round-7);
       plumb via ``Trace(match_partitions=...)``, not session conf.
+    * parquet writer footprint — ``parquet.block.size`` bounded so
+      concurrent row-group buffers fit the heap:
+      ``min(128 MB, executor_mem_gb*1024 // (16*executor_cores))``.
+      Rationale: the round-8 1.2 B capstone's ingest write OOMed a
+      stock 8 g / 32-writer session at the 128 MB default and needed
+      a hand-tuned 64 g heap (~16× block per concurrent writer once
+      sort/Arrow/task overheads stack); the bound makes the same
+      write fit the configured heap instead. Typical cluster shapes
+      (≥2 g heap per core) keep the full 128 MB row groups — the
+      scan-efficiency default only shrinks when the heap is actually
+      too small for it (measured: SCALING.md round-9 stock-session
+      billion-write rung).
     """
     if executor_cores < 1 or executor_mem_gb < 1 or target_partition_mb < 1:
         raise ValueError("executor sizing must be positive")
+    parquet_block_mb = min(
+        128, max(8, executor_mem_gb * 1024 // (16 * executor_cores))
+    )
     conf = {
         "spark.executor.cores": str(executor_cores),
         "spark.executor.memory": f"{executor_mem_gb}g",
@@ -129,6 +144,7 @@ def cluster_conf(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.hadoop.parquet.block.size": str(parquet_block_mb * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
         # wedge self-healing (see docstring): speculatively re-launch
         # far-behind stragglers, and hard-kill superseded/hung tasks

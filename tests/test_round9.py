@@ -221,6 +221,26 @@ def test_cluster_conf_floor_and_wedge_healing():
         assert cluster_conf()[key] == "true"
 
 
+def test_cluster_conf_parquet_writer_footprint():
+    """The round-8 capstone's billion-write OOM rule, encoded:
+    row-group size is bounded so concurrent writer buffers fit the
+    heap (~16× block per writer once sort/Arrow overheads stack).
+    Cluster shapes with ≥2 g heap per core keep the 128 MB default;
+    the local 8 g / 32-core stock shape derives 16 MB — the conf the
+    round-9 stock-session billion-write rung runs with."""
+    from pipit_spark.session import cluster_conf
+
+    # typical cluster executor: default row groups untouched
+    c = cluster_conf(executor_cores=8, executor_mem_gb=32)
+    assert c["spark.hadoop.parquet.block.size"] == str(128 * 1024 * 1024)
+    # the local box's stock shape: 8 g heap, 32 concurrent writers
+    c = cluster_conf(executor_cores=32, executor_mem_gb=8)
+    assert c["spark.hadoop.parquet.block.size"] == str(16 * 1024 * 1024)
+    # pathologically small heap still gets a workable floor
+    c = cluster_conf(executor_cores=64, executor_mem_gb=2)
+    assert c["spark.hadoop.parquet.block.size"] == str(8 * 1024 * 1024)
+
+
 def test_reader_order_validated_before_io(spark):
     """A typo'd order= fails in milliseconds, before the eager driver-
     side database parse (r09 ADVICE): proven by pointing both readers
