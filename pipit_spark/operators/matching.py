@@ -562,8 +562,8 @@ def _chunked_emit_plan(
                         tuple(float(mvals[m][j]) for m in metric_cols),
                     )
                     e[1], e[2] = "p", tok
-                elif e[1] == "x" and e[2] is not None:
-                    e[2] = None
+                # "x" entries (audited unmatched) carry no row ref —
+                # created with ref None, nothing to migrate
             cur_key = _row_group_key(pdf, n - 1, group_cols)
 
             full = _attach_derived(
@@ -594,6 +594,32 @@ def _chunked_emit_plan(
             )
 
     return srt.mapInPandas(gen, schema=out_schema)
+
+
+def _dedup_matched_schema(
+    enc_schema: T.StructType, metric_cols: list[str]
+) -> T.StructType:
+    """matched_schema with name collisions resolved: if the input
+    already carries a column named like a derived one, the fused pass's
+    column REPLACES it (both kernels assign by name in pandas, so the
+    duplicate field would otherwise make the declared schema one column
+    wider than the frame — a latent crash found by the round-9 golden
+    sweep: the HPCToolkit reader emits the meta.db context id as
+    ``node_id``, colliding with the matching pass's CCT node column).
+    The reader's raw value stays available on the pre-match ``events``
+    frame; on ``matched``, derived names mean the matching pass's
+    semantics — the same rule the derived-checkpoint split
+    (trace._DERIVED_COLS) already applies."""
+    base = S.matched_schema(enc_schema, metric_cols)
+    seen: dict[str, int] = {}
+    fields: list[T.StructField] = []
+    for f in base.fields:
+        if f.name in seen:
+            fields[seen[f.name]] = f  # derived field wins, in place
+        else:
+            seen[f.name] = len(fields)
+            fields.append(f)
+    return T.StructType(fields)
 
 
 def match_events(
@@ -642,7 +668,7 @@ def match_events(
     if kernel not in ("location", "chunked"):
         raise ValueError(f"kernel must be 'location' or 'chunked', got {kernel!r}")
     enc, map_cols = _encode_map_cols(events)
-    out_schema = S.matched_schema(enc.schema, metric_cols)
+    out_schema = _dedup_matched_schema(enc.schema, metric_cols)
     group_cols = [S.PROCESS]
     if S.THREAD in events.columns:
         group_cols.append(S.THREAD)
@@ -691,7 +717,7 @@ def match_events_iter(
     if kernel not in ("location", "chunked"):
         raise ValueError(f"kernel must be 'location' or 'chunked', got {kernel!r}")
     enc, map_cols = _encode_map_cols(events)
-    out_schema = S.matched_schema(enc.schema, metric_cols)
+    out_schema = _dedup_matched_schema(enc.schema, metric_cols)
     group_cols = [S.PROCESS] + ([S.THREAD] if S.THREAD in events.columns else [])
 
     if kernel == "chunked":

@@ -280,3 +280,35 @@ def test_pq_recall_floor_production_config(spark):
     trained, untrained = recall(10), recall(0)
     assert trained >= 0.62, trained
     assert trained > untrained, (trained, untrained)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(
+        "/root/reference/pipit/tests/data/ping-pong-projections"
+    ),
+    reason="reference golden traces unavailable",
+)
+def test_chunked_kernel_on_reference_golden_traces(tiny_batch_spark):
+    """chunked ≡ location end-to-end on the reference's OWN binary
+    golden traces — every reader lane (Projections text, OTF2 binary
+    incl. the PAPI-metric archive, HPCToolkit db), still forcing
+    64-row Arrow chunks so the carried state crosses real batch
+    boundaries."""
+    from pipit_spark import Trace
+    from pipit_spark.operators.matching import match_events
+
+    spark = tiny_batch_spark
+    ref = "/root/reference/pipit/tests/data"
+    sources = [
+        Trace.from_projections(spark, f"{ref}/ping-pong-projections"),
+        Trace.from_otf2(spark, f"{ref}/ping-pong-otf2"),
+        Trace.from_otf2(spark, f"{ref}/ping-pong-otf2-papi"),
+        Trace.from_hpctoolkit(spark, f"{ref}/ping-pong-hpctoolkit"),
+    ]
+    for t in sources:
+        metric_cols = t.numeric_cols
+        a = _sorted(match_events(t.events, metric_cols=metric_cols,
+                                 kernel="location").toPandas())
+        b = _sorted(match_events(t.events, metric_cols=metric_cols,
+                                 kernel="chunked").toPandas())
+        pd.testing.assert_frame_equal(a, b[a.columns])
