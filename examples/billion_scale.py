@@ -19,13 +19,14 @@ memory lessons both came from keeping stages isolated):
           the shape that fits a single box at 10^9 events (the
           checkpointed form needs a cluster's aggregate disk).
 
-Sizing (the constraint the capstone hit): each matching task holds one
-COMPLETE location as a pandas frame, so
-    concurrent tasks x max-location-frame + JVM heap  <  box RAM.
-Locations with ~10M events need ~5 GB/task: run SPARK_GRAFT_CPUS=8 on
-a 128 GB box, or size executors with
-pipit_spark.session.cluster_conf() on a real cluster (same rule,
-spelled as executor_cores/executor_mem_gb).
+Sizing: with kernel="chunked" (used below — the round-9 kernel) the
+old whole-location envelope is GONE — resident Python state is ∝
+stack depth and events stream through Spark's spillable sort. The
+remaining floor is the emit pass's JVM sort working memory, ~0.75 GB
+heap per concurrent task at billion-rows-per-location width
+(SCALING.md round-9 rung): 24 g heap cleared 32 tasks where the
+location kernel needed 64 g at 8 tasks. cluster_conf()'s
+2-4 g-per-core shapes satisfy it by construction.
 """
 
 from __future__ import annotations
@@ -61,8 +62,11 @@ def main() -> None:
         print(f"canonical events at {events_path}; "
               "delete the raw trace before the match stage if disk-bound")
     elif stage == "match":
-        t = Trace.from_parquet(spark, events_path)
-        t._cache = False  # single consumer: match streams into the agg
+        # cache=False: single consumer — match streams into the agg.
+        # kernel="chunked": stack-depth-resident kernel, full task
+        # concurrency at billion-row locations (SCALING.md round-9).
+        t = Trace.from_parquet(spark, events_path, cache=False,
+                               kernel="chunked")
         t.flat_profile(metrics=["time_inc", "time_exc"]).orderBy(
             "time_exc", ascending=False
         ).show(truncate=False)

@@ -42,11 +42,17 @@ Two kernels share those semantics bit-for-bit:
   anti-causal (pipit/trace.py:215-219 walks MATCHED rows only, so an
   Enter's depth depends on whether its open ancestors EVER close —
   undecidable in one forward pass); the chunked kernel therefore runs a
-  narrow AUDIT pass first (stack of (name, event_id) only — emits the
-  normally-empty unmatched-Enter set), after which the emit pass is
+  narrow AUDIT pass first — by default a pure window-function plan
+  (``audit="sql"``: per-(location, name) clamped-counter dynamics,
+  zero Python), with a Python carried-stack replay (``"kernel"``) kept
+  as the cross-validating second implementation — emitting the
+  normally-empty unmatched-Enter set, after which the emit pass is
   fully causal and exact on any trace, balanced or not.
-  ``assume_wellformed=True`` skips the audit and instead raises loudly
-  if a location ends with an open Enter.
+  ``audit="opportunistic"`` skips the audit, materializes the
+  assume-wellformed emit, and pays ONE audited retry iff the loud
+  open-Enter error fires; ``assume_wellformed=True`` skips the audit
+  unconditionally and raises loudly if a location ends with an open
+  Enter.
 
 A pure-SQL window-function fast path for well-nested traces is provided in
 :func:`well_nested_matching_sql` (used by tests and the DuckDB oracle).
@@ -63,8 +69,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from .. import schema as S
+
+#: driver-side bound on the audited unmatched-Enter set (it is pickled/
+#: broadcast to every task; a trace with more open Enters than this is
+#: pathologically truncated and should use kernel="location")
+_AUDIT_CAP = 2_000_000
 
 
 def _encode_map_cols(events: DataFrame) -> tuple[DataFrame, dict]:
@@ -255,20 +267,88 @@ def _row_group_key(pdf: pd.DataFrame, i: int, group_cols: list[str]) -> tuple:
     )
 
 
-def _audit_unmatched_enters(
-    events: DataFrame, group_cols: list[str], num_partitions: int | None
-) -> set[int]:
-    """Chunked-kernel pass 1 of 2: replay the nearest-same-name stack
-    matching (pipit/trace.py:154-186) over a NARROW projection (group
-    cols + order keys + name/type/event_id — filters and pruning reach
-    the scan) and return the event_ids of Enter rows that never close.
-    Carried state is a stack of (name, event_id) per open call — ∝ stack
-    depth — so this pass has no memory envelope at any location length.
-    The result is normally EMPTY; it is what makes the emit pass's
-    depth/parent decisions causal (see module docstring)."""
-    narrow = events.select(
+def _narrow_enter_leave(events: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The audit passes' input: a NARROW projection (group cols + order
+    keys + name/type/event_id — filters and pruning reach the scan)
+    restricted to Enter/Leave rows. Instants never participate in
+    pass-1 matching (pipit/trace.py:154-186)."""
+    return events.select(
         *group_cols, S.TIMESTAMP, S.SEQ, S.EVENT_TYPE, S.NAME, S.EVENT_ID
     ).filter(F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES, *S.LEAVE_TYPES))
+
+
+def _collect_bounded_ids(ids: DataFrame, col: str) -> frozenset[int]:
+    """Materialize an id frame with a HARD driver-memory bound: collect
+    at most ``_AUDIT_CAP + 1`` rows (the ``limit`` short-circuits the
+    job, so a pathologically truncated trace fails before the driver
+    ever holds more than the cap) and fail loudly past the cap."""
+    rows = ids.limit(_AUDIT_CAP + 1).collect()
+    if len(rows) > _AUDIT_CAP:
+        raise ValueError(
+            f"chunked matching audit found more than {_AUDIT_CAP:,} "
+            "unmatched Enter events — this trace is pathologically "
+            "truncated; use kernel='location' (whole-location pass) "
+            "instead"
+        )
+    return frozenset(r[col] for r in rows)
+
+
+def _audit_unmatched_enters_sql(
+    events: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Chunked-kernel audit, JVM-only form: the lazy frame of unmatched
+    Enter event_ids, computed with three window passes and ZERO Python.
+
+    Pass-1 matching decomposes per (location, name): a Leave pops the
+    most recently pushed OPEN same-name Enter and never inspects other
+    names (pipit/trace.py:170-186 scans the stack for name equality),
+    so each (location, name) subsequence follows clamped-counter
+    dynamics — Enter: c+=1; Leave: c=max(c-1, 0) (a clamp is an
+    unmatched Leave). With s = running Σ(±1) and m = running min(s),
+    the clamped counter is c = s − min(0, m); an Enter at post-push
+    level c is popped iff the counter ever drops below c afterwards,
+    so it is UNMATCHED iff min(c over strictly-later rows) ≥ c (empty
+    suffix ⇒ unmatched). One hash shuffle by (location, name), two
+    in-partition sorts (asc + desc), all codegen/spillable — the
+    Python-kernel audit replays the same dynamics row-at-a-time and is
+    kept as ``audit="kernel"`` for cross-validation."""
+    narrow = _narrow_enter_leave(events, group_cols)
+    keys = [*group_cols, S.NAME]
+    asc = Window.partitionBy(*keys).orderBy(S.TIMESTAMP, S.SEQ)
+    run = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    suffix = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc(S.TIMESTAMP), F.desc(S.SEQ))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_enter = F.col(S.EVENT_TYPE).isin(*S.ENTER_TYPES)
+    stepped = narrow.withColumn(
+        "__s", F.sum(F.when(is_enter, 1).otherwise(-1)).over(run)
+    )
+    counted = stepped.withColumn(
+        "__c", F.col("__s") - F.least(F.lit(0), F.min("__s").over(run))
+    )
+    with_suffix = counted.withColumn("__suf", F.min("__c").over(suffix))
+    return with_suffix.filter(
+        is_enter
+        & (F.col("__suf").isNull() | (F.col("__suf") >= F.col("__c")))
+    ).select(S.EVENT_ID)
+
+
+def _audit_unmatched_enters(
+    events: DataFrame, group_cols: list[str], num_partitions: int | None
+) -> DataFrame:
+    """Chunked-kernel audit, Python-kernel form: replay the
+    nearest-same-name stack matching (pipit/trace.py:154-186) over the
+    narrow projection and return the lazy frame of event_ids of Enter
+    rows that never close. Carried state is a stack of (name, event_id)
+    per open call — ∝ stack depth — so this pass has no memory envelope
+    at any location length. The result is normally EMPTY; it is what
+    makes the emit pass's depth/parent decisions causal (see module
+    docstring). ``audit="sql"`` (the default) computes the identical
+    set JVM-side; this kernel remains as the independent second
+    implementation the tests pin it against."""
+    narrow = _narrow_enter_leave(events, group_cols)
     if num_partitions is not None:
         narrow = narrow.repartition(num_partitions, *group_cols)
     srt = narrow.sortWithinPartitions(*group_cols, S.TIMESTAMP, S.SEQ)
@@ -304,17 +384,84 @@ def _audit_unmatched_enters(
         if out:
             yield pd.DataFrame({"__unmatched_id": pd.array(out, dtype="int64")})
 
-    res = srt.mapInPandas(
+    return srt.mapInPandas(
         audit, schema=T.StructType([T.StructField("__unmatched_id", T.LongType())])
-    )
-    rows = res.collect()
-    if len(rows) > 2_000_000:
+    ).select(F.col("__unmatched_id").alias(S.EVENT_ID))
+
+
+def _resolve_unmatched(
+    events: DataFrame,
+    group_cols: list[str],
+    num_partitions: int | None,
+    audit: str,
+) -> frozenset[int]:
+    """Run the chosen audit EAGERLY (bounded collect — see
+    :func:`_collect_bounded_ids`) and return the unmatched-Enter set."""
+    if audit == "kernel":
+        ids = _audit_unmatched_enters(events, group_cols, num_partitions)
+    elif audit in ("sql", "opportunistic"):
+        ids = _audit_unmatched_enters_sql(events, group_cols)
+    else:
         raise ValueError(
-            f"chunked matching audit found {len(rows):,} unmatched Enter "
-            "events — this trace is pathologically truncated; use "
-            "kernel='location' (whole-location pass) instead"
+            f"audit must be 'sql', 'kernel' or 'opportunistic', got {audit!r}"
         )
-    return {r["__unmatched_id"] for r in rows}
+    return _collect_bounded_ids(ids, S.EVENT_ID)
+
+
+#: substring of the loud emit-pass error (see ``flush_location``) that
+#: the opportunistic mode keys its one retry on
+_WELLFORMED_ERR_MARK = "open Enter(s) assumed matched"
+
+
+def _chunked_match(
+    events: DataFrame,
+    enc: DataFrame,
+    map_cols: dict,
+    out_schema: T.StructType,
+    group_cols: list[str],
+    metric_cols: list[str],
+    num_partitions: int | None,
+    assume_wellformed: bool,
+    audit: str,
+) -> DataFrame:
+    """Shared chunked-kernel driver for :func:`match_events` /
+    :func:`match_events_iter`: resolve the unmatched-Enter set per the
+    audit mode, broadcast it (NOT pickled into every task closure), and
+    build the emit plan.
+
+    ``audit="opportunistic"`` runs the emit pass assuming a well-formed
+    trace, persists + materializes it, and on the loud open-Enter error
+    falls back to ONE audited retry — clean traces (the overwhelming
+    case) skip the audit scan entirely with no user flag, pathological
+    ones pay one aborted pass. This mode is necessarily EAGER and the
+    returned frame is already persisted (``unpersist()`` it when done;
+    ``Trace`` manages that via ``Trace.unpersist``)."""
+    if audit not in ("sql", "kernel", "opportunistic"):
+        raise ValueError(
+            f"audit must be 'sql', 'kernel' or 'opportunistic', got {audit!r}"
+        )
+    sc = events.sparkSession.sparkContext
+
+    def build(unmatched: frozenset[int]) -> DataFrame:
+        out = _chunked_emit_plan(
+            enc, out_schema, group_cols, metric_cols,
+            sc.broadcast(unmatched), num_partitions,
+        )
+        return _decode_map_cols(out, map_cols)
+
+    if assume_wellformed:
+        return build(frozenset())
+    if audit == "opportunistic":
+        optimistic = build(frozenset()).persist()
+        try:
+            optimistic.count()
+            return optimistic
+        except Exception as e:  # noqa: BLE001 — Py4J wraps the ValueError
+            if _WELLFORMED_ERR_MARK not in str(e):
+                raise
+            optimistic.unpersist()
+            audit = "sql"
+    return build(_resolve_unmatched(events, group_cols, num_partitions, audit))
 
 
 class _ChunkedState:
@@ -341,7 +488,7 @@ def _chunked_emit_plan(
     out_schema: T.StructType,
     group_cols: list[str],
     metric_cols: list[str],
-    unmatched: frozenset[int],
+    unmatched_bc,  # Broadcast[frozenset[int]] — not pickled per task
     num_partitions: int | None,
 ) -> DataFrame:
     """Build the chunked emit pass: shuffle + JVM-side (spillable) sort
@@ -382,6 +529,7 @@ def _chunked_emit_plan(
         return out[out_cols]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        unmatched = unmatched_bc.value
         stack1: list[list] = []   # pass-1 replay: ALL open Enters
         call_stack: list[list] = []  # pass-2 replay: known-matched opens
         cur_key: tuple | None = None
@@ -628,6 +776,7 @@ def match_events(
     num_partitions: int | None = None,
     kernel: str | None = None,
     assume_wellformed: bool = False,
+    audit: str = "sql",
 ) -> DataFrame:
     """Run the fused matching pass over the whole trace.
 
@@ -651,12 +800,25 @@ def match_events(
     reference's own per-worker envelope (one location's events in RAM).
     ``kernel="chunked"`` deletes that envelope entirely (resident state
     ∝ stack depth — module docstring); it costs one extra NARROW audit
-    scan (Enter/Leave keys only, pruned at the source), which the audit
-    collects eagerly at call time. ``assume_wellformed=True`` skips the
-    audit for traces known to close every Enter; a violating location
-    then fails loudly instead of emitting wrong depths. Choose "chunked"
-    whenever events-per-location × concurrent tasks threatens executor
-    memory (the round-8 1.2 B capstone's binding constraint).
+    scan (Enter/Leave keys only, pruned at the source), which runs
+    EAGERLY at call time (a bounded-collect Spark job — the one
+    laziness exception in this module). ``audit`` picks how:
+
+    * ``"sql"`` (default) — pure window-function plan, zero Python
+      (:func:`_audit_unmatched_enters_sql`);
+    * ``"kernel"`` — the independent Python carried-stack replay, kept
+      for cross-validation;
+    * ``"opportunistic"`` — skip the audit, run the emit pass assuming
+      well-formedness, persist + materialize it, and fall back to ONE
+      audited retry on the loud open-Enter error. Clean traces (the
+      overwhelming case) never pay the audit scan; the returned frame
+      is already persisted (see :func:`_chunked_match`).
+
+    ``assume_wellformed=True`` skips the audit outright for traces
+    known to close every Enter; a violating location then fails loudly
+    instead of emitting wrong depths. Choose "chunked" whenever
+    events-per-location × concurrent tasks threatens executor memory
+    (the round-8 1.2 B capstone's binding constraint).
 
     ``kernel=None`` reads ``SPARK_GRAFT_MATCH_KERNEL`` (default
     "location") so tooling can switch kernels without plumbing the
@@ -675,15 +837,10 @@ def match_events(
     n_part = num_partitions or events.sparkSession.sparkContext.defaultParallelism
 
     if kernel == "chunked":
-        unmatched = (
-            frozenset()
-            if assume_wellformed
-            else frozenset(_audit_unmatched_enters(events, group_cols, n_part))
+        return _chunked_match(
+            events, enc, map_cols, out_schema, group_cols, metric_cols,
+            n_part, assume_wellformed, audit,
         )
-        out = _chunked_emit_plan(
-            enc, out_schema, group_cols, metric_cols, unmatched, n_part
-        )
-        return _decode_map_cols(out, map_cols)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = list(batches)
@@ -704,12 +861,16 @@ def match_events_iter(
     metric_cols: list[str] | None = None,
     kernel: str | None = None,
     assume_wellformed: bool = False,
+    audit: str = "sql",
 ) -> DataFrame:
     """Variant for traces already partitioned by location on disk —
     avoids the shuffle entirely (zero-exchange plan when the parquet
-    layout matches). Same kernels as :func:`match_events`, minus the
-    repartition; the chunked kernel's audit likewise reuses the existing
-    partitioning (its only exchange is the tiny unmatched-id collect).
+    layout matches). Same kernels and ``audit`` modes as
+    :func:`match_events`, minus the repartition. NOTE: like there, the
+    chunked kernel's audit runs EAGERLY at call time (a bounded-collect
+    Spark job); the ``audit="kernel"`` variant reuses the existing
+    partitioning, ``audit="sql"`` shuffles its narrow projection by
+    (location, name) for the window pass.
     """
     metric_cols = list(metric_cols or [])
     if kernel is None:
@@ -721,15 +882,10 @@ def match_events_iter(
     group_cols = [S.PROCESS] + ([S.THREAD] if S.THREAD in events.columns else [])
 
     if kernel == "chunked":
-        unmatched = (
-            frozenset()
-            if assume_wellformed
-            else frozenset(_audit_unmatched_enters(events, group_cols, None))
+        return _chunked_match(
+            events, enc, map_cols, out_schema, group_cols, metric_cols,
+            None, assume_wellformed, audit,
         )
-        out = _chunked_emit_plan(
-            enc, out_schema, group_cols, metric_cols, unmatched, None
-        )
-        return _decode_map_cols(out, map_cols)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = list(batches)

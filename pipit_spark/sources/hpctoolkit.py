@@ -307,7 +307,12 @@ def _reconstruct_line(
 _EXTRA_FIELDS = [
     T.StructField("core", T.LongType(), True),
     T.StructField("host", T.LongType(), True),
-    T.StructField(S.NODE_ID, T.LongType(), True),
+    # the meta.db context id of each event's CCT node — named ctx_id,
+    # NOT node_id, so it never collides with the matching pass's derived
+    # CCT column and survives on `matched` and in derived checkpoints
+    # (the reference keeps both too: reader 'Node' vs create_cct
+    # 'Graph_Node'; r09 ADVICE item 2)
+    T.StructField("ctx_id", T.LongType(), True),
 ]
 
 _HPCT_SCHEMA = T.StructType(list(S.CORE_FIELDS) + _EXTRA_FIELDS)
@@ -375,7 +380,7 @@ def read_hpctoolkit(
             S.ATTRIBUTES: pd.Series(cols[7], dtype=object),
             "core": pd.array(cols[8], dtype="Int64"),
             "host": pd.array(cols[9], dtype="Int64"),
-            S.NODE_ID: pd.array(cols[10], dtype="Int64"),
+            "ctx_id": pd.array(cols[10], dtype="Int64"),
         })
 
     def parse(batches):

@@ -45,6 +45,10 @@ def _is_derived(name: str) -> bool:
 _NON_METRIC = {
     S.EVENT_ID, S.TIMESTAMP, S.SEQ, S.PROCESS, S.THREAD,
     S.MATCHING_EVENT, S.MATCHING_TS, S.DEPTH, S.PARENT, S.NODE_ID,
+    # the HPCToolkit reader's meta.db context id (sources/hpctoolkit.py
+    # _EXTRA_FIELDS): an identity column, not a metric — Leave−Enter
+    # deltas over it would be meaningless
+    "ctx_id",
 }
 
 
@@ -67,6 +71,9 @@ class Trace:
         definitions: DataFrame | None = None,
         cache: bool = True,
         match_partitions: int | None = None,
+        kernel: str | None = None,
+        assume_wellformed: bool = False,
+        audit: str = "sql",
     ) -> None:
         missing = [c for c in self.REQUIRED_COLUMNS if c not in events.columns]
         if missing:
@@ -89,6 +96,16 @@ class Trace:
             env = os.environ.get("SPARK_GRAFT_MATCH_PARTITIONS")
             match_partitions = int(env) if env else None
         self._match_partitions = match_partitions
+        # matching-kernel choice, public since round 10 (previously only
+        # the SPARK_GRAFT_MATCH_KERNEL env var reached it from Trace
+        # level): kernel=None defers to the env var / "location";
+        # "chunked" streams with resident state ∝ stack depth — the
+        # scale path when events-per-location × concurrent tasks
+        # threatens executor memory. assume_wellformed / audit tune the
+        # chunked kernel's exactness audit (operators/matching.py).
+        self._kernel = kernel
+        self._assume_wellformed = assume_wellformed
+        self._audit = audit
         self._matched: DataFrame | None = None
         self._cct: DataFrame | None = None
 
@@ -126,15 +143,21 @@ class Trace:
         return cls(events, definitions)
 
     @classmethod
-    def from_hpctoolkit(cls, spark: SparkSession, dirname: str) -> "Trace":
-        """Reference: pipit/readers/hpctoolkit_reader.py (v4.0 binary db)."""
+    def from_hpctoolkit(cls, spark: SparkSession, dirname: str, **kw) -> "Trace":
+        """Reference: pipit/readers/hpctoolkit_reader.py (v4.0 binary db).
+        ``**kw`` reaches :func:`read_hpctoolkit` — notably
+        ``order="process"`` to skip the parity sort at ingest scale."""
         from .sources.hpctoolkit import read_hpctoolkit
 
-        return cls(read_hpctoolkit(spark, dirname))
+        return cls(read_hpctoolkit(spark, dirname, **kw))
 
     @classmethod
     def from_parquet(
-        cls, spark: SparkSession, path: str, derived: bool | None = None
+        cls,
+        spark: SparkSession,
+        path: str,
+        derived: bool | None = None,
+        **kw,
     ) -> "Trace":
         """Native canonical storage: Parquet partitioned by process.
 
@@ -147,7 +170,16 @@ class Trace:
         FULL derived column set, so an events file that merely has a
         coincidental ``*_inc`` column never gets columns stripped;
         ``derived=False`` forces a verbatim read, ``derived=True``
-        raises if the checkpoint columns are absent."""
+        raises if the checkpoint columns are absent.
+
+        ``**kw`` reaches the :class:`Trace` constructor — notably
+        ``cache=False`` for single-consumer pipelines (the match pass
+        streams straight into its one aggregate instead of persisting)
+        and ``kernel="chunked"`` for the stack-depth-resident matching
+        kernel. There is no ``order=`` here: order is an ingest-time
+        concern (the binary readers' parity sort); canonical parquet is
+        read as laid out, and the matching pass orders within
+        locations itself."""
         df = spark.read.parquet(path)
         has_all = _DERIVED_COLS <= set(df.columns)
         if derived is True and not has_all:
@@ -156,10 +188,13 @@ class Trace:
                 f"not a derived checkpoint: missing columns {missing}"
             )
         if derived is not False and has_all:
-            t = cls(df.select(*[c for c in df.columns if not _is_derived(c)]))
+            t = cls(
+                df.select(*[c for c in df.columns if not _is_derived(c)]),
+                **kw,
+            )
             t._matched = df
             return t
-        return cls(df)
+        return cls(df, **kw)
 
     def to_parquet(
         self,
@@ -232,7 +267,12 @@ class Trace:
                 self.events,
                 metric_cols=self.numeric_cols,
                 num_partitions=self._match_partitions,
+                kernel=self._kernel,
+                assume_wellformed=self._assume_wellformed,
+                audit=self._audit,
             )
+            # audit="opportunistic" returns an already-persisted frame;
+            # a second persist() at the same level is a JVM no-op
             if self._cache:
                 m = m.persist()
             self._matched = m
@@ -396,7 +436,15 @@ class Trace:
             ev = ev.filter(F.col(S.TIMESTAMP) >= t_min)
         if t_max is not None:
             ev = ev.filter(F.col(S.TIMESTAMP) < t_max)
-        return Trace(ev, definitions=self.definitions, cache=self._cache)
+        return Trace(
+            ev,
+            definitions=self.definitions,
+            cache=self._cache,
+            match_partitions=self._match_partitions,
+            kernel=self._kernel,
+            assume_wellformed=self._assume_wellformed,
+            audit=self._audit,
+        )
 
     # ------------------------------------------------------------------ #
     # communication analysis (pipit/trace.py:367-512)
