@@ -4514,6 +4514,75 @@ _R09_WINDOW = [
 # evidence after this round), plus trace_session_stats +
 # trace_flat_profile alongside the deferred trace.py API advice
 # (see the deferral note above).
+#
+# r10 slot accounting (the plan above, resolved against the hard
+# freshness criterion):
+#
+#   * trace.py changes this round (the deferred public-API batch:
+#     from_hpctoolkit **kw, from_parquet(**kw -> cache=/kernel=/...),
+#     Trace(kernel=/assume_wellformed=/audit=) plumbing) — restales
+#     its two gates per the judge's attribution table:
+#     trace_session_stats (already in the r06 burn-down group) and
+#     trace_flat_profile (r08 row -> one extra mandatory slot).
+#   * operators/matching.py changes this round (the JVM
+#     window-function audit now default, audit="opportunistic",
+#     broadcast unmatched set, bounded audit collect — r09 verdict
+#     item 3 + all three ADVICE items) — restales its three gates:
+#     trace_match_inc, trace_cct, trace_caller_callee.
+#   * burn-down pools: all 26 r05-stale gates + the 24 r06-stale
+#     gates = 50; with the 4 extra mandatory restales that is 54
+#     needs for 50 slots. Restales are mandatory, recency burn-down
+#     is not (the r09 rule): FOUR r06-stale pure-SQL TPC-H gates —
+#     q8_market_share, q13_customer_distribution, q18_large_volume,
+#     q22_idle_customers — keep their r06-green rows and rotate in
+#     r11. Their implementing surface is SQL text in this file,
+#     unchanged since r01, so the freshness criterion holds on their
+#     existing rows, and the r09 verdict's done-criterion ("after
+#     r10, no gate's latest driver row predates r06") still holds.
+#
+# doc_simhash_pairs (r09 verdict item 6) stays OUT of this window,
+# deliberately: getting it under the 8 s tripwire without weakening
+# the exact-semantics oracle needs a plan reform inside
+# llm/dedup.py (the winnow_pairs-style fix: self-join instead of
+# collect_list buckets, oracle extended alongside) — and touching
+# llm/dedup.py restales its ~15 driver gates, which this window
+# cannot hold on top of the 50 above. It keeps its audited
+# 14 s budget exception (tools/time_registry.py) this round; the
+# reform is FIRST IN LINE for r11, whose window has only the four
+# deferred TPC-H gates as carry-overs (same justified-deferral
+# pattern as r08 _write_annmeta and r09 trace.py).
+#
+# Freshness discipline for r10 code changes: confined to trace.py +
+# operators/matching.py (window-covered above), modules backing no
+# driver gate (sources/hpctoolkit.py — the ctx_id rename; session.py;
+# tools/; tests/; examples/; docs), and this window comment.
+_R10_WINDOW = [
+    # A. trace.py-backed — restaled by the public-API batch (2)
+    "trace_flat_profile", "trace_session_stats",
+    # B. operators/matching.py-backed — restaled by the SQL audit /
+    # opportunistic mode / broadcast+bounded-collect fixes (3)
+    "trace_match_inc", "trace_cct", "trace_caller_callee",
+    # C. r05-stale burn-down, the full remainder (26)
+    "doc_bigram_lm", "doc_bigram_lm_merged", "doc_bm25",
+    "doc_card_scan", "doc_clean_report", "doc_length_buckets",
+    "doc_length_percentiles", "doc_lm_score", "doc_pack_manifest",
+    "doc_perplexity_buckets", "doc_shuffle", "doc_source_tfidf",
+    "doc_split", "doc_tfidf", "events_burst_windows",
+    "events_common_paths", "media_decode", "media_decode_real",
+    "media_near_dups", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q7_nation_volume", "rollup_orders",
+    "web_dedup_urls", "web_domain_stats", "web_url_features",
+    # D. r06-stale burn-down (19 of 24: trace_session_stats rides in
+    # group A; the four deferred TPC-H gates are named in the
+    # accounting comment above)
+    "doc_clean_corpus", "doc_license_mix", "doc_licensed_pack",
+    "doc_licenses", "doc_structure_stats", "doc_training_set",
+    "events_outliers", "events_props_stats", "q10_returned_items",
+    "q12_priority_lines", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity", "q19_disjunctive_revenue",
+    "q1_pricing_summary", "q4_order_priority", "trace_idle_time",
+    "trace_time_profile", "web_pagerank",
+]
 
 
 def queries():
@@ -4550,7 +4619,15 @@ def queries():
     163) sit at the tail end with NO driver row yet (local parity
     only); they are the first candidates for the r06 window rotation.
 
-    r09 (this round): the window is `_R09_WINDOW` above — the 27
+    r10 (this round): the window is `_R10_WINDOW` above — the 5
+    mandatory restales (trace.py's two gates for the public-API
+    batch; operators/matching.py's three for the SQL audit /
+    opportunistic mode / ADVICE fixes) plus the full 26-gate
+    r05-stale burn-down and 19 of the 24 r06-stale gates. See the
+    _R10_WINDOW comment for the slot accounting, the four deferred
+    r06 TPC-H gates, and the doc_simhash_pairs re-audit rationale.
+
+    r09: the window was `_R09_WINDOW` above — the 27
     mandatory restales (all 24 llm/similarity.py gates for the
     _write_annmeta fix; the three operators/matching.py gates for
     the chunked carried-stack kernel) plus the full 23-gate
@@ -4789,7 +4866,7 @@ def queries():
         # round-8 addition: the KLL tier's deterministic driver gate
         "doc_kll_quantiles": q_doc_kll_quantiles,
     }
-    out = {k: reg[k] for k in _R09_WINDOW}
+    out = {k: reg[k] for k in _R10_WINDOW}
     out.update(reg)  # tail keeps its prior relative order
     assert len(out) == len(reg)
     return out
