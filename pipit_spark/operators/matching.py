@@ -278,19 +278,29 @@ def _narrow_enter_leave(events: DataFrame, group_cols: list[str]) -> DataFrame:
 
 
 def _collect_bounded_ids(ids: DataFrame, col: str) -> frozenset[int]:
-    """Materialize an id frame with a HARD driver-memory bound: collect
-    at most ``_AUDIT_CAP + 1`` rows (the ``limit`` short-circuits the
-    job, so a pathologically truncated trace fails before the driver
-    ever holds more than the cap) and fail loudly past the cap."""
-    rows = ids.limit(_AUDIT_CAP + 1).collect()
-    if len(rows) > _AUDIT_CAP:
-        raise ValueError(
-            f"chunked matching audit found more than {_AUDIT_CAP:,} "
-            "unmatched Enter events — this trace is pathologically "
-            "truncated; use kernel='location' (whole-location pass) "
-            "instead"
-        )
-    return frozenset(r[col] for r in rows)
+    """Materialize an id frame with a HARD driver-memory bound: count
+    FIRST, collect only under the cap — the driver never holds more
+    than ``_AUDIT_CAP`` ids. The id frame is persisted across the two
+    actions (its materialized form is tiny — normally EMPTY — while
+    its lineage is the full audit scan), so the count runs one fully
+    parallel pass and the conditional collect reads the cache instead
+    of recomputing. A ``limit(cap+1).collect()`` would bound the same
+    way but triggers CollectLimit's serialized partition-wave
+    escalation (1, 4, 20, … tasks) on the empty result — measured 25%
+    slower at the 120 M rung."""
+    ids = ids.persist()
+    try:
+        n = ids.count()
+        if n > _AUDIT_CAP:
+            raise ValueError(
+                f"chunked matching audit found {n:,} unmatched Enter "
+                f"events (cap {_AUDIT_CAP:,}) — this trace is "
+                "pathologically truncated; use kernel='location' "
+                "(whole-location pass) instead"
+            )
+        return frozenset(r[col] for r in ids.collect()) if n else frozenset()
+    finally:
+        ids.unpersist()
 
 
 def _audit_unmatched_enters_sql(
