@@ -114,6 +114,19 @@ def cluster_conf(
     * matching-pass partition size — ~500k events/task cleared every
       rung from 18M to 120M events (SCALING.md round-4/round-7);
       plumb via ``Trace(match_partitions=...)``, not session conf.
+    * emit-sort spill bound — the chunked matching kernel's emit pass
+      sorts within partitions via SortExec, whose
+      ``UnsafeExternalRowSorter`` reads
+      ``spark.shuffle.spill.maxSizeInBytesForSpillThreshold`` from the
+      session conf (a STATIC SparkEnv read — set it at session build,
+      not runtime). The round-9 rung measured the sort's working
+      memory at ~0.75 g × concurrent task at billion-rows-per-location
+      width, OOMing a stock 8 g / 32-task box before adaptive spilling
+      engaged; bounding each sorter to a quarter of per-core heap
+      (floored at 64 MB) forces the spill before the allocation that
+      OOMs, and on the recommended 2–4 g-per-core shapes the bound
+      (0.5–1 g) sits above the normal working set — a safety net, not
+      a throttle (measured: SCALING.md round-10 stock-heap probe).
     * parquet writer footprint — ``parquet.block.size`` bounded so
       concurrent row-group buffers fit the heap:
       ``min(128 MB, executor_mem_gb*1024 // (16*executor_cores))``.
@@ -132,6 +145,7 @@ def cluster_conf(
     parquet_block_mb = min(
         128, max(8, executor_mem_gb * 1024 // (16 * executor_cores))
     )
+    sorter_spill_mb = max(64, executor_mem_gb * 1024 // (4 * executor_cores))
     conf = {
         "spark.executor.cores": str(executor_cores),
         "spark.executor.memory": f"{executor_mem_gb}g",
@@ -145,6 +159,11 @@ def cluster_conf(
         "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
         "spark.hadoop.parquet.block.size": str(parquet_block_mb * 1024 * 1024),
+        # emit-sort spill bound (see docstring): each UnsafeExternal-
+        # RowSorter spills past a quarter of per-core heap instead of
+        # growing until the heap allocation fails
+        "spark.shuffle.spill.maxSizeInBytesForSpillThreshold":
+            str(sorter_spill_mb * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
         # wedge self-healing (see docstring): speculatively re-launch
         # far-behind stragglers, and hard-kill superseded/hung tasks

@@ -146,8 +146,8 @@ def test_opportunistic_fallback_on_truncated_trace(tiny_batch_spark):  # noqa: F
 
 def test_audit_collect_is_bounded(spark, monkeypatch):
     """Past the cap the audit raises BEFORE the driver materializes the
-    full id set: with the cap forced to 3, a trace with 8 truncated
-    Enters errors out of a LIMIT-4 collect."""
+    full id set: the count runs first, and with the cap forced to 3 a
+    trace with 8 truncated Enters fails without any id collect."""
     import pipit_spark.operators.matching as M
 
     rows = [(i, i, i, "Enter", f"t{i}", 0, 0, 0.0) for i in range(8)]
@@ -267,3 +267,22 @@ def test_hpctoolkit_ctx_id_survives_matched_and_checkpoint(spark, tmp_path):
     assert "ctx_id" in t2.events.columns      # survives the re-split
     assert "node_id" not in t2.events.columns  # derived stays derived
     assert "ctx_id" in t2.matched.columns and "node_id" in t2.matched.columns
+
+
+def test_cluster_conf_emit_sort_spill_bound():
+    """The round-9 emit-sort heap floor (0.75 g × concurrent task at
+    billion-row-location width OOMs stock heaps before spilling
+    engages), encoded: each UnsafeExternalRowSorter is bounded to a
+    quarter of per-core heap, floored at 64 MB, via the STATIC
+    spark.shuffle.spill.maxSizeInBytesForSpillThreshold conf."""
+    from pipit_spark.session import cluster_conf
+
+    key = "spark.shuffle.spill.maxSizeInBytesForSpillThreshold"
+    # 32 g / 8 cores -> 1 g per sorter
+    assert cluster_conf(executor_cores=8, executor_mem_gb=32)[key] == str(
+        1024 * 1024 * 1024
+    )
+    # stock-8g/32-core shape (the r09 OOM) -> the 64 MB floor binds
+    assert cluster_conf(executor_cores=32, executor_mem_gb=8)[key] == str(
+        64 * 1024 * 1024
+    )
