@@ -286,3 +286,26 @@ def test_cluster_conf_emit_sort_spill_bound():
     assert cluster_conf(executor_cores=32, executor_mem_gb=8)[key] == str(
         64 * 1024 * 1024
     )
+
+
+def test_sql_audit_plan_is_python_free(spark):
+    """The default audit's executed plan must contain window exchanges
+    and sorts but ZERO Python evaluation nodes — the whole point of
+    audit='sql' (the kernel replay shows as a mapInPandas node)."""
+    import pipit_spark.operators.matching as M
+
+    df = spark.createDataFrame(_random_trace(3))
+    plan = (
+        M._audit_unmatched_enters_sql(df, ["process", "thread"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    low = plan.lower()
+    assert "window" in low, plan
+    for marker in ("pythonudf", "mapinpandas", "arroweval", "batcheval",
+                   "flatmapsinpandas", "pythonexec"):
+        assert marker not in low, plan
+    kplan = (
+        M._audit_unmatched_enters(df, ["process", "thread"], 4)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "mapinpandas" in kplan
