@@ -304,7 +304,7 @@ def _collect_bounded_ids(ids: DataFrame, col: str) -> frozenset[int]:
 
 
 def _audit_unmatched_enters_sql(
-    events: DataFrame, group_cols: list[str]
+    events: DataFrame, group_cols: list[str], num_partitions: int | None = None
 ) -> DataFrame:
     """Chunked-kernel audit, JVM-only form: the lazy frame of unmatched
     Enter event_ids, computed with three window passes and ZERO Python.
@@ -321,9 +321,22 @@ def _audit_unmatched_enters_sql(
     suffix ⇒ unmatched). One hash shuffle by (location, name), two
     in-partition sorts (asc + desc), all codegen/spillable — the
     Python-kernel audit replays the same dynamics row-at-a-time and is
-    kept as ``audit="kernel"`` for cross-validation."""
+    kept as ``audit="kernel"`` for cross-validation.
+
+    ``num_partitions`` pre-shards the narrow frame by the window keys —
+    the window execs reuse the hash partitioning (no extra exchange) —
+    and bounds ROWS PER WINDOW SORT: the suffix-min pass re-sorts each
+    partition in DESC order, and at the 1.2 B rung the default 32
+    shuffle partitions put 37 M rows in every sort, spilling it and
+    erasing the JVM audit's 2.1× win over the Python replay (SCALING.md
+    round-10 billion rung). Callers pass ~8× task parallelism so both
+    sorts stay in memory; parallelism is still bounded below by the
+    distinct (location, name) key count — window semantics, both
+    audits share it."""
     narrow = _narrow_enter_leave(events, group_cols)
     keys = [*group_cols, S.NAME]
+    if num_partitions is not None:
+        narrow = narrow.repartition(num_partitions, *keys)
     asc = Window.partitionBy(*keys).orderBy(S.TIMESTAMP, S.SEQ)
     run = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     suffix = (
@@ -410,7 +423,13 @@ def _resolve_unmatched(
     if audit == "kernel":
         ids = _audit_unmatched_enters(events, group_cols, num_partitions)
     elif audit in ("sql", "opportunistic"):
-        ids = _audit_unmatched_enters_sql(events, group_cols)
+        # 8× oversharding keeps both window sorts in memory (see the
+        # sql audit's docstring); narrow rows make extra shards cheap
+        base = (
+            num_partitions
+            or events.sparkSession.sparkContext.defaultParallelism
+        )
+        ids = _audit_unmatched_enters_sql(events, group_cols, 8 * base)
     else:
         raise ValueError(
             f"audit must be 'sql', 'kernel' or 'opportunistic', got {audit!r}"
