@@ -124,9 +124,12 @@ def cluster_conf(
       width, OOMing a stock 8 g / 32-task box before adaptive spilling
       engaged; bounding each sorter to a quarter of per-core heap
       (floored at 64 MB) forces the spill before the allocation that
-      OOMs, and on the recommended 2–4 g-per-core shapes the bound
-      (0.5–1 g) sits above the normal working set — a safety net, not
-      a throttle (measured: SCALING.md round-10 stock-heap probe).
+      OOMs. Measured (SCALING.md round-10 probe ladder): with the
+      bound the 1.2 B exact match clears 12 g / 32 tasks (~0.375 g
+      per task — half the r09 floor); stock 8 g still fails in the
+      emit lane. On the recommended 2–4 g-per-core shapes the bound
+      (0.5–1 g) sits above the normal working set — a safety net,
+      not a throttle.
     * parquet writer footprint — ``parquet.block.size`` bounded so
       concurrent row-group buffers fit the heap:
       ``min(128 MB, executor_mem_gb*1024 // (16*executor_cores))``.
