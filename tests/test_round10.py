@@ -309,3 +309,18 @@ def test_sql_audit_plan_is_python_free(spark):
         ._jdf.queryExecution().executedPlan().toString().lower()
     )
     assert "mapinpandas" in kplan
+
+
+def test_sql_audit_oversharding_adds_no_exchange(spark):
+    """The 8× pre-repartition exists to bound rows-per-window-sort; it
+    must not cost a second shuffle — the window execs REUSE the hash
+    partitioning on their keys (one exchange total)."""
+    import pipit_spark.operators.matching as M
+
+    df = spark.createDataFrame(_random_trace(5))
+    plan = (
+        M._audit_unmatched_enters_sql(df, ["process", "thread"], 32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0].lower()
+    assert final.count("exchange hashpartitioning") == 1, plan
