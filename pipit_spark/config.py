@@ -42,6 +42,14 @@ def _word_aligned_int(key: str, value: Any) -> None:
         )
 
 
+def _choice(*allowed: str) -> Callable[[str, Any], None]:
+    def check(key: str, value: Any) -> None:
+        if value not in allowed:
+            raise ValueError(f"{key} must be one of {allowed}, got {value!r}")
+
+    return check
+
+
 def _bool(key: str, value: Any) -> None:
     if not isinstance(value, bool):
         raise ValueError(f"invalid value {value!r} for {key!r}: expected bool")
@@ -54,7 +62,13 @@ _REGISTRY: dict[str, tuple[Any, Callable[[str, Any], None]]] = {
     "notebook_url": ("http://localhost:8888", _url),
     # engine options
     "matching.max_records_per_batch": (65536, _pos_int),
+    # default matching kernel/audit when neither the call site nor the
+    # SPARK_GRAFT_MATCH_KERNEL env var picks one (operators/matching.py
+    # resolution order: explicit arg > env var > these)
+    "matching.kernel": ("location", _choice("location", "chunked")),
+    "matching.audit": ("sql", _choice("sql", "kernel", "opportunistic")),
     "shuffle.partitions_hint": (32, _pos_int),
+    # default for Trace(cache=None): persist the matched frame
     "cache.matched_frame": (True, _bool),
     # incremental-ingestion bloom pre-filter sizing (fp ≈ (1-e^-kn/m)^k);
     # bits must be word-aligned for the bitmap's bit_or aggregation

@@ -72,6 +72,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from .. import schema as S
+from ..config import get_option
 
 #: driver-side bound on the audited unmatched-Enter set (it is pickled/
 #: broadcast to every task; a trace with more open Enters than this is
@@ -805,7 +806,7 @@ def match_events(
     num_partitions: int | None = None,
     kernel: str | None = None,
     assume_wellformed: bool = False,
-    audit: str = "sql",
+    audit: str | None = None,
 ) -> DataFrame:
     """Run the fused matching pass over the whole trace.
 
@@ -849,13 +850,20 @@ def match_events(
     events-per-location × concurrent tasks threatens executor memory
     (the round-8 1.2 B capstone's binding constraint).
 
-    ``kernel=None`` reads ``SPARK_GRAFT_MATCH_KERNEL`` (default
-    "location") so tooling can switch kernels without plumbing the
-    parameter through every call site.
+    ``kernel=None`` resolves SPARK_GRAFT_MATCH_KERNEL, then the
+    ``matching.kernel`` config option (default "location") — tooling
+    can switch kernels without plumbing the parameter through every
+    call site; ``audit=None`` resolves the ``matching.audit`` option
+    (default "sql").
     """
     metric_cols = list(metric_cols or [])
     if kernel is None:
-        kernel = os.environ.get("SPARK_GRAFT_MATCH_KERNEL", "location")
+        kernel = (
+            os.environ.get("SPARK_GRAFT_MATCH_KERNEL")
+            or get_option("matching.kernel")
+        )
+    if audit is None:
+        audit = get_option("matching.audit")
     if kernel not in ("location", "chunked"):
         raise ValueError(f"kernel must be 'location' or 'chunked', got {kernel!r}")
     enc, map_cols = _encode_map_cols(events)
@@ -890,7 +898,7 @@ def match_events_iter(
     metric_cols: list[str] | None = None,
     kernel: str | None = None,
     assume_wellformed: bool = False,
-    audit: str = "sql",
+    audit: str | None = None,
 ) -> DataFrame:
     """Variant for traces already partitioned by location on disk —
     avoids the shuffle entirely (zero-exchange plan when the parquet
@@ -903,7 +911,12 @@ def match_events_iter(
     """
     metric_cols = list(metric_cols or [])
     if kernel is None:
-        kernel = os.environ.get("SPARK_GRAFT_MATCH_KERNEL", "location")
+        kernel = (
+            os.environ.get("SPARK_GRAFT_MATCH_KERNEL")
+            or get_option("matching.kernel")
+        )
+    if audit is None:
+        audit = get_option("matching.audit")
     if kernel not in ("location", "chunked"):
         raise ValueError(f"kernel must be 'location' or 'chunked', got {kernel!r}")
     enc, map_cols = _encode_map_cols(events)

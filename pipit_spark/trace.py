@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import schema as S
+from .config import get_option
 from .operators.matching import match_events
 
 # columns the fused matching pass ADDS — used to split a derived-
@@ -69,11 +70,11 @@ class Trace:
         self,
         events: DataFrame,
         definitions: DataFrame | None = None,
-        cache: bool = True,
+        cache: bool | None = None,
         match_partitions: int | None = None,
         kernel: str | None = None,
         assume_wellformed: bool = False,
-        audit: str = "sql",
+        audit: str | None = None,
     ) -> None:
         missing = [c for c in self.REQUIRED_COLUMNS if c not in events.columns]
         if missing:
@@ -85,7 +86,10 @@ class Trace:
             )
         self.events = events
         self.definitions = definitions
-        self._cache = cache
+        # cache=None defers to the config registry ("cache.matched_frame",
+        # default True) — kernel/audit likewise resolve their registry
+        # defaults inside match_events, so set_option routes every Trace
+        self._cache = get_option("cache.matched_frame") if cache is None else cache
         # partition count for the fused matching pass (the scale
         # envelope: one partition — several complete ranks — must fit a
         # task's memory, Arrow buffers included; raise this to shrink

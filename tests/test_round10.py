@@ -324,3 +324,45 @@ def test_sql_audit_oversharding_adds_no_exchange(spark):
     )
     final = plan.split("== Initial Plan ==")[0].lower()
     assert final.count("exchange hashpartitioning") == 1, plan
+
+
+def test_config_options_route_matching_defaults(spark, monkeypatch):
+    """The config registry's engine options are CONSUMED, not
+    decorative: matching.kernel / matching.audit set the defaults that
+    kernel=None / audit=None resolve (explicit arg and the env var
+    still win), and cache.matched_frame drives Trace(cache=None)."""
+    import pipit_spark as pp
+    import pipit_spark.operators.matching as M
+    from pipit_spark.trace import Trace
+
+    df = spark.createDataFrame(_random_trace(7))
+    monkeypatch.delenv("SPARK_GRAFT_MATCH_KERNEL", raising=False)
+    try:
+        pp.set_option("matching.kernel", "chunked")
+        pp.set_option("matching.audit", "kernel")
+        marker = {}
+
+        def spy(events, enc, map_cols, out_schema, group_cols,
+                metric_cols, num_partitions, assume_wellformed, audit):
+            marker["audit"] = audit
+            raise RuntimeError("chunked-route")
+
+        monkeypatch.setattr(M, "_chunked_match", spy)
+        with pytest.raises(RuntimeError, match="chunked-route"):
+            M.match_events(df)
+        assert marker["audit"] == "kernel"
+        # explicit arg still wins over the option
+        monkeypatch.undo()
+        out = M.match_events(df, kernel="location")
+        assert out.count() > 0
+
+        pp.set_option("cache.matched_frame", False)
+        t = Trace(df)
+        assert t._cache is False
+        pp.set_option("cache.matched_frame", True)
+        assert Trace(df)._cache is True
+        assert Trace(df, cache=False)._cache is False
+        with pytest.raises(ValueError, match="must be one of"):
+            pp.set_option("matching.kernel", "warp")
+    finally:
+        pp.reset_all_options()
