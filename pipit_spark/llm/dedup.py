@@ -693,25 +693,38 @@ def simhash_pairs(
     Candidate generation is the classic pigeonhole banding: split the
     16-nibble signature into ``max_hamming + 1`` blocks — any pair
     within the distance budget must agree on at least one whole block —
-    and bucket-group on (block index, block value), the same
-    posting-list shape as the LSH and Jaccard ops. Exact hamming
-    distance (16 nibble XOR popcounts, all codegen) verifies the
-    survivors. No cross join at any scale; the only quadratic work is
-    intra-bucket, and that quadratic is INHERENT to the contract —
-    identical documents agree on every block and genuinely are pairs.
+    and bucket on (block index, block value). No cross join at any
+    scale; the only quadratic work is intra-bucket, and that quadratic
+    is INHERENT to the contract — identical documents agree on every
+    block and genuinely are pairs.
+
+    Plan (the r11 reform, the winnow_pairs shape — retired the gate's
+    14 s budget exception, 10.1 s → under the 8 s registry tripwire at
+    sf0.1): bucket sizes are counted FIRST on every path (hash
+    aggregate, map-side combine — singleton buckets, the vast majority,
+    never reach the pair stage), then surviving buckets SELF-JOIN as a
+    stream — no ``collect_list`` buffer ever holds a posting list, so
+    per-task memory is bounded by the join's sort/hash machinery (which
+    spills), not by the hottest bucket. The hamming verify runs
+    INTRA-BUCKET, before the cross-block pair dedup: each signature is
+    pre-packed into 32-bit words (``conv`` once per block row, not per
+    pair) and the distance is ``bits/32`` XOR+popcounts — all codegen —
+    so candidates failing the budget (the bulk, on any corpus that has
+    been exact-deduped) are dropped before they ever shuffle into the
+    ``groupBy(a, b)`` dedup.
 
     ``max_bucket`` is the degenerate-corpus escape hatch: a corpus
     that hasn't been exact-deduped first can put millions of identical
-    docs in one bucket (one collection buffer, a quadratic pair blast).
-    With ``max_bucket`` set, oversized buckets are counted FIRST (hash
-    aggregation, map-side combine) and dropped before any posting list
-    materializes — recall loss only on groups that exact dedup should
-    have collapsed anyway. Default None preserves exact semantics
-    (the oracle gate's configuration). The capped path persists the
-    per-block frame spill-safely for the query's lifetime (both the
-    count and the probe consume it) — the vocab_coverage contract:
-    clear with ``spark.catalog.clearCache()`` in long-lived
-    sessions."""
+    docs in one bucket — a quadratic pair blast the cap refuses
+    up-front (oversized buckets drop at the count stage; recall loss
+    only on groups exact dedup should have collapsed anyway). Default
+    None preserves exact semantics (the oracle gate's configuration).
+    The per-block frame persists spill-safely for the query's lifetime
+    (the count and both self-join sides consume it) — the
+    vocab_coverage contract: clear with ``spark.catalog.clearCache()``
+    in long-lived sessions."""
+    from pyspark import StorageLevel
+
     n_blocks = max_hamming + 1
     nibbles = bits // 4
     if nibbles % n_blocks:
@@ -720,59 +733,56 @@ def simhash_pairs(
         )
     blk = nibbles // n_blocks
     sigs = simhash(docs, bits=bits)
+    # pack the hex signature into 32-bit words once per block row;
+    # the pair verify is then bits/32 XOR+popcounts instead of
+    # `nibbles` conv/substring calls per candidate
+    n_words = (nibbles + 7) // 8
+    words = [
+        F.conv(
+            F.substring("simhash", w * 8 + 1, min(8, nibbles - w * 8)), 16, 10
+        ).cast("bigint").alias(f"__w{w}")
+        for w in range(n_words)
+    ]
     blocks = sigs.select(
-        F.struct("doc_id", "simhash").alias("__m"),
+        "doc_id",
+        *words,
         F.posexplode(
             F.array(*[
                 F.substring("simhash", b * blk + 1, blk)
                 for b in range(n_blocks)
             ])
         ).alias("__b", "__blk"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    surviving = (
+        blocks.groupBy("__b", "__blk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(
+            F.col("__n").between(2, max_bucket)
+            if max_bucket is not None
+            else (F.col("__n") >= 2)
+        )
+        .select("__b", "__blk")
     )
-    if max_bucket is not None:
-        from pyspark import StorageLevel
-
-        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-        surviving = (
-            blocks.groupBy("__b", "__blk")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n").between(2, max_bucket))
-            .select("__b", "__blk")
-        )
-        buckets = (
-            blocks.join(surviving, ["__b", "__blk"])
-            .groupBy("__b", "__blk")
-            .agg(F.collect_list("__m").alias("__ms"))
-        )
-    else:
-        buckets = (
-            blocks.groupBy("__b", "__blk")
-            .agg(F.collect_list("__m").alias("__ms"))
-            .filter(F.size("__ms") >= 2)
-        )
-    cand = (
-        buckets.select(F.explode("__ms").alias("__x"), "__ms")
-        .select("__x", F.explode("__ms").alias("__y"))
-        .filter(F.col("__x.doc_id") < F.col("__y.doc_id"))
-        .select(
-            F.col("__x.doc_id").alias("a"),
-            F.col("__y.doc_id").alias("b"),
-            F.col("__x.simhash").alias("__sa"),
-            F.col("__y.simhash").alias("__sb"),
-        )
-        .dropDuplicates(["a", "b"])
+    kept = blocks.join(surviving, ["__b", "__blk"])
+    x = kept.select(
+        "__b", "__blk", F.col("doc_id").alias("a"),
+        *[F.col(f"__w{w}").alias(f"__xa{w}") for w in range(n_words)],
     )
-
-    def nib(col, j):
-        return F.conv(F.substring(col, j + 1, 1), 16, 10).cast("int")
-
+    y = kept.select(
+        "__b", "__blk", F.col("doc_id").alias("b"),
+        *[F.col(f"__w{w}").alias(f"__yb{w}") for w in range(n_words)],
+    )
     hamming = sum(
-        F.bit_count(nib("__sa", j).bitwiseXOR(nib("__sb", j)))
-        for j in range(nibbles)
+        F.bit_count(F.col(f"__xa{w}").bitwiseXOR(F.col(f"__yb{w}")))
+        for w in range(n_words)
     )
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        x.join(y, ["__b", "__blk"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
+        .groupBy("a", "b")
+        .agg(F.first("hamming").alias("hamming"))
         .select("a", "b", "hamming")
     )
 

@@ -438,8 +438,14 @@ def _resolve_unmatched(
     return _collect_bounded_ids(ids, S.EVENT_ID)
 
 
-#: substring of the loud emit-pass error (see ``flush_location``) that
-#: the opportunistic mode keys its one retry on
+#: substring of the loud emit-pass error that the opportunistic mode
+#: keys its one retry on. CONTRACT: this text is raised by
+#: ``flush_location`` inside ``_chunked_match_kernel`` — the two MUST
+#: stay in sync (a pytest pins the round-trip: test_round10.py's
+#: forced-fallback test exercises raise → catch → retry end-to-end).
+#: The catch site additionally requires the structural
+#: ``pyspark.errors.PythonException`` type, so an unrelated error that
+#: happens to contain this substring cannot trigger a silent retry.
 _WELLFORMED_ERR_MARK = "open Enter(s) assumed matched"
 
 
@@ -453,6 +459,7 @@ def _chunked_match(
     num_partitions: int | None,
     assume_wellformed: bool,
     audit: str,
+    cache: bool = True,
 ) -> DataFrame:
     """Shared chunked-kernel driver for :func:`match_events` /
     :func:`match_events_iter`: resolve the unmatched-Enter set per the
@@ -460,12 +467,23 @@ def _chunked_match(
     build the emit plan.
 
     ``audit="opportunistic"`` runs the emit pass assuming a well-formed
-    trace, persists + materializes it, and on the loud open-Enter error
-    falls back to ONE audited retry — clean traces (the overwhelming
-    case) skip the audit scan entirely with no user flag, pathological
-    ones pay one aborted pass. This mode is necessarily EAGER and the
-    returned frame is already persisted (``unpersist()`` it when done;
-    ``Trace`` manages that via ``Trace.unpersist``)."""
+    trace, materializes it, and on the loud open-Enter error falls back
+    to ONE audited retry — clean traces (the overwhelming case) skip
+    the audit scan entirely with no user flag, pathological ones pay
+    one aborted pass. This mode is necessarily EAGER. With ``cache=True``
+    (default) the returned frame is already persisted (``unpersist()``
+    it when done; ``Trace`` manages that via ``Trace.unpersist``).
+    ``cache=False`` honors a no-cache intent (``Trace(cache=False)``,
+    streaming single-consumer pipelines): nothing persists, and the
+    validation pass is pure throwaway — consumers re-execute the emit
+    plan, so prefer ``audit="sql"`` / ``assume_wellformed`` in that
+    regime (the mode's single-consumer loss is measured in SCALING.md).
+
+    Broadcast lifecycle: the unmatched-set Broadcast (up to ~100 MB at
+    the 2 M-id collect cap) is attached to the returned frame as
+    ``_unmatched_bc`` so owners can ``destroy()`` it when the frame is
+    released (``Trace.unpersist`` does); the opportunistic retry
+    destroys the discarded first attempt's broadcast immediately."""
     if audit not in ("sql", "kernel", "opportunistic"):
         raise ValueError(
             f"audit must be 'sql', 'kernel' or 'opportunistic', got {audit!r}"
@@ -473,25 +491,51 @@ def _chunked_match(
     sc = events.sparkSession.sparkContext
 
     def build(unmatched: frozenset[int]) -> DataFrame:
+        bc = sc.broadcast(unmatched)
         out = _chunked_emit_plan(
-            enc, out_schema, group_cols, metric_cols,
-            sc.broadcast(unmatched), num_partitions,
+            enc, out_schema, group_cols, metric_cols, bc, num_partitions,
         )
-        return _decode_map_cols(out, map_cols)
+        out = _decode_map_cols(out, map_cols)
+        out._unmatched_bc = bc  # lifetime handle — destroy with the frame
+        return out
 
     if assume_wellformed:
         return build(frozenset())
-    if audit == "opportunistic":
-        optimistic = build(frozenset()).persist()
+    was_opportunistic = audit == "opportunistic"
+    if was_opportunistic:
+        from pyspark.errors import PythonException
+
+        optimistic = build(frozenset())
+        if cache:
+            optimistic = optimistic.persist()
         try:
             optimistic.count()
             return optimistic
-        except Exception as e:  # noqa: BLE001 — Py4J wraps the ValueError
-            if _WELLFORMED_ERR_MARK not in str(e):
+        except Exception as e:
+            # release what the aborted attempt pinned, whatever happens
+            # next (ADVICE r10: the frame must not re-raise past while
+            # still persisted, and the discarded broadcast must not pin
+            # executors for the session lifetime)
+            if cache:
+                optimistic.unpersist()
+            optimistic._unmatched_bc.destroy()
+            # retry gate: structural type first (the kernel's ValueError
+            # surfaces as pyspark.errors.PythonException through the
+            # Arrow worker), THEN the pinned marker text — see
+            # _WELLFORMED_ERR_MARK's contract comment. A non-Python
+            # failure (executor loss, OOM, analysis error) never retries.
+            if not isinstance(e, PythonException) or (
+                _WELLFORMED_ERR_MARK not in str(e)
+            ):
                 raise
-            optimistic.unpersist()
             audit = "sql"
-    return build(_resolve_unmatched(events, group_cols, num_partitions, audit))
+    out = build(_resolve_unmatched(events, group_cols, num_partitions, audit))
+    # the opportunistic contract is "returned frame arrives persisted"
+    # (that is what makes the mode's eager probe affordable) — keep the
+    # audited-retry branch on the same contract as the clean branch
+    if was_opportunistic and cache:
+        out = out.persist()
+    return out
 
 
 class _ChunkedState:
@@ -807,6 +851,7 @@ def match_events(
     kernel: str | None = None,
     assume_wellformed: bool = False,
     audit: str | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Run the fused matching pass over the whole trace.
 
@@ -841,8 +886,12 @@ def match_events(
     * ``"opportunistic"`` — skip the audit, run the emit pass assuming
       well-formedness, persist + materialize it, and fall back to ONE
       audited retry on the loud open-Enter error. Clean traces (the
-      overwhelming case) never pay the audit scan; the returned frame
-      is already persisted (see :func:`_chunked_match`).
+      overwhelming case) never pay the audit scan; with ``cache=True``
+      the returned frame is already persisted (see
+      :func:`_chunked_match`). ``cache=False`` (the ``Trace(cache=
+      False)`` intent, plumbed through) keeps nothing persisted — the
+      opportunistic validation pass is then pure throwaway, so prefer
+      ``audit="sql"`` in that regime. ``cache`` only affects this mode.
 
     ``assume_wellformed=True`` skips the audit outright for traces
     known to close every Enter; a violating location then fails loudly
@@ -876,7 +925,7 @@ def match_events(
     if kernel == "chunked":
         return _chunked_match(
             events, enc, map_cols, out_schema, group_cols, metric_cols,
-            n_part, assume_wellformed, audit,
+            n_part, assume_wellformed, audit, cache=cache,
         )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -899,6 +948,7 @@ def match_events_iter(
     kernel: str | None = None,
     assume_wellformed: bool = False,
     audit: str | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Variant for traces already partitioned by location on disk —
     avoids the shuffle entirely (zero-exchange plan when the parquet
@@ -926,7 +976,7 @@ def match_events_iter(
     if kernel == "chunked":
         return _chunked_match(
             events, enc, map_cols, out_schema, group_cols, metric_cols,
-            None, assume_wellformed, audit,
+            None, assume_wellformed, audit, cache=cache,
         )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -129,7 +129,15 @@ def cluster_conf(
       per task — half the r09 floor); stock 8 g still fails in the
       emit lane. On the recommended 2–4 g-per-core shapes the bound
       (0.5–1 g) sits above the normal working set — a safety net,
-      not a throttle.
+      not a throttle. SCOPE: the knob is SESSION-GLOBAL — every
+      ``UnsafeExternalSorter`` in the session reads it (shuffle
+      sorts, sort-merge joins, sort-based aggregation), not just the
+      emit pass. On the recommended shapes that is invisible (the
+      bound exceeds normal sorter working sets), but on unusually
+      small heap-per-core shapes it will also force earlier spilling
+      in unrelated stages sharing the session — if another workload
+      on the same session shows new spill pressure, this is where it
+      comes from.
     * parquet writer footprint — ``parquet.block.size`` bounded so
       concurrent row-group buffers fit the heap:
       ``min(128 MB, executor_mem_gb*1024 // (16*executor_cores))``.

@@ -274,9 +274,14 @@ class Trace:
                 kernel=self._kernel,
                 assume_wellformed=self._assume_wellformed,
                 audit=self._audit,
+                cache=self._cache,
             )
-            # audit="opportunistic" returns an already-persisted frame;
-            # a second persist() at the same level is a JVM no-op
+            # audit="opportunistic" + cache=True returns an already-
+            # persisted frame; a second persist() at the same level is a
+            # JVM no-op. With cache=False nothing persists anywhere —
+            # note that opportunistic's validation pass is then pure
+            # throwaway (consumers re-execute the emit plan); prefer
+            # audit="sql" or assume_wellformed for no-cache pipelines.
             if self._cache:
                 m = m.persist()
             self._matched = m
@@ -698,6 +703,16 @@ class Trace:
     def unpersist(self) -> None:
         if self._matched is not None:
             self._matched.unpersist()
+            # the chunked kernel attaches its unmatched-set Broadcast
+            # (up to ~100 MB at the collect cap) to the frame; release
+            # it with the frame. The frame reference is dropped here, so
+            # destroy() cannot invalidate a live plan we still own —
+            # callers keeping their own reference to t.matched must not
+            # execute it after unpersist() (same contract as the
+            # DataFrame unpersist above).
+            bc = getattr(self._matched, "_unmatched_bc", None)
+            if bc is not None:
+                bc.destroy()
             self._matched = None
         if self._cct is not None:
             self._cct.unpersist()

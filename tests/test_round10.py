@@ -343,7 +343,8 @@ def test_config_options_route_matching_defaults(spark, monkeypatch):
         marker = {}
 
         def spy(events, enc, map_cols, out_schema, group_cols,
-                metric_cols, num_partitions, assume_wellformed, audit):
+                metric_cols, num_partitions, assume_wellformed, audit,
+                cache=True):
             marker["audit"] = audit
             raise RuntimeError("chunked-route")
 

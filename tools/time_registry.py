@@ -26,10 +26,10 @@ import time
 # without letting a new O(n^2) gate pass unnoticed.
 BUDGET_SEC = 8.0
 BUDGET_EXCEPTIONS = {
-    # pigeonhole banding has inherent intra-bucket pair volume on the
-    # near-duplicate-rich fixture; audited in PLANS.md (r05/r06) —
-    # the plan is the one we want, the pairs are real
-    "doc_simhash_pairs": 14.0,
+    # (doc_simhash_pairs' 14 s exception removed in r11: the winnow-
+    # style reform — count-first bucket filter, streaming self-join
+    # instead of collect_list buffers, packed-word hamming verified
+    # BEFORE the pair-dedup shuffle — runs 3-5 s steady at sf0.1)
     # (profile_lineitem's 12 s exception removed in r08: the gate now
     # profiles a bounded column subset — the two ~|table|-cardinality
     # columns left exact count_distinct — and runs <3 s at sf0.1)
