@@ -4584,6 +4584,67 @@ _R10_WINDOW = [
     "trace_time_profile", "web_pagerank",
 ]
 
+# ---- r11 window accounting -------------------------------------------
+# Slot budget: 50 (the driver hashes the FIRST 50 registry entries).
+#
+#   * llm/dedup.py changed this round (the simhash_pairs plan reform —
+#     count-first bucket filter + streaming self-join + packed-word
+#     pre-dedup hamming verify — that retired the gate's 14 s budget
+#     exception, r10 verdict item 1). Module-granularity restale of
+#     ALL 26 dedup-backed gates (the r10 comment's "~15" was an
+#     undercount; the exact attribution is the 26 gates whose query
+#     functions call into llm/dedup.py, group A below).
+#   * operators/matching.py changed this round (the r10 ADVICE batch:
+#     cache= plumbed through the opportunistic probe, aborted-probe
+#     persist+broadcast release on re-raise, structural
+#     PythonException retry gate, persisted audited-retry branch) —
+#     restales its three gates (group B).
+#   * trace.py changed this round (cache= plumbing in `matched`,
+#     broadcast destroy in `unpersist`) — restales its two gates
+#     (group C, same attribution as r10).
+#   * group D: the four r06 pure-SQL TPC-H gates q8/q13/q18/q22,
+#     deferred from the r10 window with rationale — due now.
+#   * group E: r07-stale burn-down, 15 of the 26 not already covered
+#     by group A (13 of the 39 r07-stale gates are dedup-backed and
+#     ride group A). The 11 deferred to r12 — doc_corpus_summary,
+#     doc_dedup_lines, doc_heuristic_filter, doc_incremental,
+#     doc_incremental_bloom, doc_mix_sources, doc_pack_sequences,
+#     doc_repetition, doc_sample_stratified, doc_token_budget,
+#     doc_token_frequencies — are pure recency burn-down (their
+#     implementing modules are unchanged since their r07-green rows),
+#     the r09/r10-accepted deferral pattern.
+#
+# 26 + 3 + 2 + 4 + 15 = 50. After this run, mandatory freshness holds
+# everywhere (no gate's latest row predates the last commit touching
+# its module) and the oldest pure-recency evidence is the 11 named
+# r07 gates plus the r08 cohort.
+_R11_WINDOW = [
+    # A. llm/dedup.py-backed — restaled by the simhash_pairs reform (26)
+    "doc_cluster_summary", "doc_containment", "doc_contamination_report",
+    "doc_decontaminate", "doc_decontaminate_spans", "doc_dedup_clusters",
+    "doc_dedup_quality", "doc_despan", "doc_dup_degree",
+    "doc_dup_inflation", "doc_edit_pairs", "doc_embedding_dedup",
+    "doc_exact_dedup", "doc_exact_dups", "doc_fuzzy_dedup",
+    "doc_incremental_neardup", "doc_minhash", "doc_minhash_lsh",
+    "doc_minhash_lsh_capped", "doc_minhash_lsh_fast",
+    "doc_neardup_cluster_summary", "doc_ngram_jaccard", "doc_simhash",
+    "doc_simhash_pairs", "doc_snapshot_overlap", "doc_source_jaccard",
+    # B. operators/matching.py-backed — restaled by the ADVICE batch (3)
+    "trace_match_inc", "trace_cct", "trace_caller_callee",
+    # C. trace.py-backed — restaled by the cache=/unpersist plumbing (2)
+    "trace_flat_profile", "trace_session_stats",
+    # D. the four deferred r06 TPC-H gates (4)
+    "q8_market_share", "q13_customer_distribution", "q18_large_volume",
+    "q22_idle_customers",
+    # E. r07-stale burn-down (15 of 26; the 11 deferred are named in
+    # the accounting comment above)
+    "trace_comm_by_process", "trace_comm_over_time",
+    "trace_message_histogram", "asof_attribution", "events_funnel",
+    "events_retention", "sessionize_events", "window_topk_orders",
+    "q6_forecast_revenue", "doc_text_stats", "doc_token_counts",
+    "doc_lang_id", "doc_fingerprint", "doc_vocab", "doc_pii_redact",
+]
+
 
 def queries():
     """Registry order is load-bearing: the driver's correctness gate
@@ -4619,7 +4680,15 @@ def queries():
     163) sit at the tail end with NO driver row yet (local parity
     only); they are the first candidates for the r06 window rotation.
 
-    r10 (this round): the window is `_R10_WINDOW` above — the 5
+    r11 (this round): the window is `_R11_WINDOW` above — the 31
+    mandatory restales (all 26 llm/dedup.py gates for the
+    simhash_pairs plan reform; operators/matching.py's three and
+    trace.py's two for the r10 ADVICE batch), the four r06 TPC-H
+    gates deferred from r10, and 15 of the 26 remaining r07-stale
+    gates. See the _R11_WINDOW comment for the slot accounting and
+    the 11 r07 gates deferred to r12.
+
+    r10: the window was `_R10_WINDOW` above — the 5
     mandatory restales (trace.py's two gates for the public-API
     batch; operators/matching.py's three for the SQL audit /
     opportunistic mode / ADVICE fixes) plus the full 26-gate
@@ -4866,7 +4935,7 @@ def queries():
         # round-8 addition: the KLL tier's deterministic driver gate
         "doc_kll_quantiles": q_doc_kll_quantiles,
     }
-    out = {k: reg[k] for k in _R10_WINDOW}
+    out = {k: reg[k] for k in _R11_WINDOW}
     out.update(reg)  # tail keeps its prior relative order
     assert len(out) == len(reg)
     return out
