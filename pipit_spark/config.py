@@ -61,6 +61,10 @@ _REGISTRY: dict[str, tuple[Any, Callable[[str, Any], None]]] = {
     "log_level": ("INFO", _log_level),
     "notebook_url": ("http://localhost:8888", _url),
     # engine options
+    # Arrow batch rows for pandas-UDF lanes — consumed by
+    # session.get_spark (spark.sql.execution.arrow.maxRecordsPerBatch;
+    # env SPARK_GRAFT_ARROW_BATCH overrides). Emit-lane per-task heap
+    # scales with it (SCALING.md round-11 stock-heap probe).
     "matching.max_records_per_batch": (65536, _pos_int),
     # default matching kernel/audit when neither the call site nor the
     # SPARK_GRAFT_MATCH_KERNEL env var picks one (operators/matching.py

@@ -27,11 +27,23 @@ def get_spark(
     threshold left to Spark, Arrow enabled so grouped-map pandas UDFs move
     batches in columnar form instead of pickled rows.
     """
+    from .config import get_option
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    # Arrow batch rows for every pandas-UDF lane (the matching emit
+    # pass is the big consumer): env var > config registry option
+    # (matching.max_records_per_batch, default 65536). Per-task heap in
+    # the emit lane scales with this (in-flight Arrow buffers on both
+    # sides of the Python worker) — the round-11 stock-heap probe
+    # shrinks it to fit 8 g / 32 tasks at the billion tier.
+    arrow_batch = int(
+        os.environ.get("SPARK_GRAFT_ARROW_BATCH")
+        or get_option("matching.max_records_per_batch")
+    )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -41,7 +53,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.session.timeZone", "UTC")
         # read TIMESTAMP(NANOS) parquet (driver testdata) as long ns
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
