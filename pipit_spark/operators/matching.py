@@ -873,6 +873,12 @@ def match_events(
     locations) must fit in executor memory — raise ``num_partitions`` to
     shrink partitions toward one location each; the limit is then the
     reference's own per-worker envelope (one location's events in RAM).
+    A second, harder wall (measured, SCALING.md round-11 skew rung): the
+    location kernel emits each partition as ONE Arrow batch, so a single
+    location whose output exceeds 2 GiB in any string column cannot be
+    serialized at all (pyarrow chunked-column error; ~45-60 M events for
+    the canonical schema) — past that width ``kernel="chunked"`` is the
+    correctness path, not just the memory path.
     ``kernel="chunked"`` deletes that envelope entirely (resident state
     ∝ stack depth — module docstring); it costs one extra NARROW audit
     scan (Enter/Leave keys only, pruned at the source), which runs
