@@ -22,11 +22,15 @@ memory lessons both came from keeping stages isolated):
 Sizing: with kernel="chunked" (used below — the round-9 kernel) the
 old whole-location envelope is GONE — resident Python state is ∝
 stack depth and events stream through Spark's spillable sort. The
-remaining floor is the emit pass's JVM sort working memory, ~0.75 GB
-heap per concurrent task at billion-rows-per-location width
-(SCALING.md round-9 rung): 24 g heap cleared 32 tasks where the
-location kernel needed 64 g at 8 tasks. cluster_conf()'s
-2-4 g-per-core shapes satisfy it by construction.
+one rule that remains (SCALING.md round-11 probe ladder): SIZE THE
+MATCH PARTITIONS. The pass hashes by location, and the default
+partition count (cluster parallelism) can put tens of millions of
+rows into every emit sort — 37 M-row sorts OOM a stock 8 g / 32-task
+box, while at one location per task (~9.3 M rows,
+SPARK_GRAFT_MATCH_PARTITIONS=128 below or Trace(match_partitions=))
+the SAME stock box clears 1.2 B events in 892.5 s — faster than a
+24 g run at the default. cluster_conf()'s ~500k-rows/task guidance
+is the general form; effective partitions cap at the location count.
 """
 
 from __future__ import annotations
@@ -65,8 +69,16 @@ def main() -> None:
         # cache=False: single consumer — match streams into the agg.
         # kernel="chunked": stack-depth-resident kernel, full task
         # concurrency at billion-row locations (SCALING.md round-9).
+        # match_partitions: ~500k-10M rows per task (the r11 heap-floor
+        # rule; SPARK_GRAFT_MATCH_PARTITIONS also reaches it) — the
+        # default (cluster parallelism) under-shards billion-event
+        # traces into emit sorts that OOM stock heaps.
+        import os
+
+        n_match = int(os.environ.get("SPARK_GRAFT_MATCH_PARTITIONS", "0"))
         t = Trace.from_parquet(spark, events_path, cache=False,
-                               kernel="chunked")
+                               kernel="chunked",
+                               match_partitions=n_match or 128)
         t.flat_profile(metrics=["time_inc", "time_exc"]).orderBy(
             "time_exc", ascending=False
         ).show(truncate=False)

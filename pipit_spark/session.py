@@ -126,6 +126,17 @@ def cluster_conf(
     * matching-pass partition size — ~500k events/task cleared every
       rung from 18M to 120M events (SCALING.md round-4/round-7);
       plumb via ``Trace(match_partitions=...)``, not session conf.
+      THIS RULE IS THE BILLION-TIER HEAP FLOOR (round-11 probe
+      ladder): the match pass hashes by location, so the DEFAULT
+      partition count (cluster parallelism, 32) put 37 M rows into
+      every emit sort at 1.2 B — that shape OOMs a stock 8 g /
+      32-task box (GCLocker-starved heap exhaustion in the emit
+      stage; neither a smaller Arrow batch nor the sorter bound
+      saves it). At one location per task (~9.3 M rows) the SAME
+      stock 8 g box clears the 1.2 B match in 892.5 s — faster than
+      the 24 g default-partition run (971.1 s), because smaller
+      sorts also spill less. Rows-per-partition is the floor
+      variable; effective partitions cap at the location count.
     * emit-sort spill bound — the chunked matching kernel's emit pass
       sorts within partitions via SortExec, whose
       ``UnsafeExternalRowSorter`` reads
@@ -138,8 +149,12 @@ def cluster_conf(
       (floored at 64 MB) forces the spill before the allocation that
       OOMs. Measured (SCALING.md round-10 probe ladder): with the
       bound the 1.2 B exact match clears 12 g / 32 tasks (~0.375 g
-      per task — half the r09 floor); stock 8 g still fails in the
-      emit lane. On the recommended 2–4 g-per-core shapes the bound
+      per task — half the r09 floor) at DEFAULT (32) match
+      partitions; the residual stock-8 g failure at that shape was
+      resolved by round 11 as a PARTITION-SIZING violation, not a
+      kernel floor — see the matching-pass bullet below (stock 8 g
+      clears 1.2 B at one location per task, with or without this
+      bound). On the recommended 2–4 g-per-core shapes the bound
       (0.5–1 g) sits above the normal working set — a safety net,
       not a throttle. SCOPE: the knob is SESSION-GLOBAL — every
       ``UnsafeExternalSorter`` in the session reads it (shuffle
