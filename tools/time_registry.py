@@ -25,19 +25,18 @@ import time
 # p99 sits near 5 s on an idle box; 8 s holds headroom for noise
 # without letting a new O(n^2) gate pass unnoticed.
 BUDGET_SEC = 8.0
-BUDGET_EXCEPTIONS = {
-    # (doc_simhash_pairs' 14 s exception removed in r11: the winnow-
-    # style reform — count-first bucket filter, streaming self-join
-    # instead of collect_list buffers, packed-word hamming verified
-    # BEFORE the pair-dedup shuffle — runs 3-5 s steady at sf0.1)
-    # (profile_lineitem's 12 s exception removed in r08: the gate now
-    # profiles a bounded column subset — the two ~|table|-cardinality
-    # columns left exact count_distinct — and runs <3 s at sf0.1)
-    # lossless |corpus|-LUT degenerate configs kept as exact twins of
-    # the compressed-path gates (emb_pq_topk/emb_ivfpq_topk are the
-    # production-shape gates since r07)
-    "emb_pq_topk_exact": 12.0,
-    "emb_ivfpq_topk_exact": 12.0,
+BUDGET_EXCEPTIONS: dict[str, float] = {
+    # EMPTY since r11 — every gate holds the global budget.
+    # Graveyard (so nobody re-adds these without reading why they
+    # left): doc_simhash_pairs 14 s removed r11 (winnow-style reform:
+    # count-first bucket filter, streaming self-join instead of
+    # collect_list buffers, packed-word hamming verified BEFORE the
+    # pair-dedup shuffle — 3.3 s steady at sf0.1);
+    # emb_pq_topk_exact / emb_ivfpq_topk_exact 12 s removed r11
+    # (stale headroom: both measured 3.7-4.7 s in the r10 AND r11
+    # sweeps — the lossless |corpus|-LUT configs never actually
+    # exceeded the budget after the r07 compressed-path reform);
+    # profile_lineitem 12 s removed r08 (bounded column subset).
 }
 
 
