@@ -79,6 +79,16 @@ from ..config import get_option
 #: pathologically truncated and should use kernel="location")
 _AUDIT_CAP = 2_000_000
 
+#: chunked-kernel emit-shard width: when the caller does not size
+#: ``num_partitions``, the pass shards itself at ~this many rows per
+#: task. The round-11 probe ladder measured the rule: 37 M-row shards
+#: (the old default — bare cluster parallelism) exhaust a stock
+#: 8 g / 32-task heap in the emit stage, while ~9-28 M-row shards clear
+#: it AND run faster (892.5 s vs the 971.1 s 24 g headline at 1.2 B;
+#: smaller sorts spill less). Effective shards cap at the location
+#: count (the repartition hashes by location), so oversizing is free.
+_CHUNKED_ROWS_PER_TASK = 10_000_000
+
 
 def _encode_map_cols(events: DataFrame) -> tuple[DataFrame, dict]:
     """Re-encode MapType columns as JSON strings for the worker round
@@ -860,7 +870,11 @@ def match_events(
     ``time_inc`` and ``<metric>_inc`` for each requested metric column.
 
     Physical plan: ONE hash shuffle by (process[, thread]) into
-    ``num_partitions`` tasks (default: cluster parallelism), then a single
+    ``num_partitions`` tasks (default: cluster parallelism for the
+    location kernel; the chunked kernel SELF-SIZES to
+    ``~_CHUNKED_ROWS_PER_TASK`` rows per task via one cheap count —
+    the round-11 heap-floor rule — except under ``assume_wellformed``,
+    which stays fully lazy and keeps the bare default), then a single
     ``mapInPandas`` pass per partition running the multi-location kernel —
     every location is complete within its partition, and the per-location
     pandas fixed costs are amortized across the whole partition. This
@@ -926,9 +940,22 @@ def match_events(
     group_cols = [S.PROCESS]
     if S.THREAD in events.columns:
         group_cols.append(S.THREAD)
-    n_part = num_partitions or events.sparkSession.sparkContext.defaultParallelism
+    base = events.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or base
 
     if kernel == "chunked":
+        # self-sizing (round-11 heap-floor rule): unless the caller
+        # sized the pass, shard the emit at ~_CHUNKED_ROWS_PER_TASK
+        # rows per task instead of bare cluster parallelism — at the
+        # billion tier the default under-shards into emit sorts that
+        # OOM stock heaps. The count is one narrow job (1.3-4 s on a
+        # 1.2 B parquet, metadata-dominated) on a path that is already
+        # eager (the audit); assume_wellformed=True keeps the pass
+        # fully lazy and therefore keeps the bare default — those
+        # callers size explicitly (examples/billion_scale.py does).
+        if num_partitions is None and not assume_wellformed:
+            rows = events.count()
+            n_part = max(base, -(-rows // _CHUNKED_ROWS_PER_TASK))
         return _chunked_match(
             events, enc, map_cols, out_schema, group_cols, metric_cols,
             n_part, assume_wellformed, audit, cache=cache,

@@ -203,8 +203,11 @@ def test_opportunistic_retry_gate_is_structural(
     monkeypatch.setattr(DataFrame, "count", _boom)
     monkeypatch.setattr(M, "_resolve_unmatched", _no_retry)
     with pytest.raises(RuntimeError, match="infrastructure failure"):
+        # explicit num_partitions: the self-sizing count must not trip
+        # the boobytrap — the probe's own materializing count is the
+        # target of this test
         M.match_events(df, metric_cols=["metric1"], kernel="chunked",
-                       audit="opportunistic")
+                       audit="opportunistic", num_partitions=4)
     assert released == {"unpersist": 1, "destroy": 1}
 
 
@@ -256,3 +259,37 @@ def test_arrow_batch_option_is_consumed(spark, monkeypatch):
     finally:
         pp.reset_all_options()
         spark.conf.set(key, orig)
+
+
+def test_chunked_match_self_sizes_partitions(tiny_batch_spark,  # noqa: F811
+                                             monkeypatch):
+    """The chunked pass shards itself at ~_CHUNKED_ROWS_PER_TASK rows
+    per task when the caller does not size it (the r11 heap-floor
+    rule); explicit num_partitions still wins; assume_wellformed stays
+    fully lazy (no count job) and keeps the bare default."""
+    import pipit_spark.operators.matching as M
+
+    spark = tiny_batch_spark
+    df = spark.createDataFrame(_adversarial_events())
+    rows = df.count()
+    monkeypatch.setattr(M, "_CHUNKED_ROWS_PER_TASK", 10)
+    expected = max(spark.sparkContext.defaultParallelism,
+                   -(-rows // 10))
+    out = M.match_events(df, metric_cols=["metric1"], kernel="chunked")
+    assert out.rdd.getNumPartitions() == expected
+    # explicit sizing wins over self-sizing
+    out = M.match_events(df, metric_cols=["metric1"], kernel="chunked",
+                         num_partitions=7)
+    assert out.rdd.getNumPartitions() == 7
+    # assume_wellformed: no eager job at all — a boobytrapped count
+    # proves the plan builds without one, at the bare default
+    DataFrame = type(df)
+
+    def _boom(self):
+        raise AssertionError("count ran on the lazy path")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    out = M.match_events(df, metric_cols=["metric1"], kernel="chunked",
+                         assume_wellformed=True)
+    assert out.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
