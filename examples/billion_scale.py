@@ -69,16 +69,15 @@ def main() -> None:
         # cache=False: single consumer — match streams into the agg.
         # kernel="chunked": stack-depth-resident kernel, full task
         # concurrency at billion-row locations (SCALING.md round-9).
-        # match_partitions: ~500k-10M rows per task (the r11 heap-floor
-        # rule; SPARK_GRAFT_MATCH_PARTITIONS also reaches it) — the
-        # default (cluster parallelism) under-shards billion-event
-        # traces into emit sorts that OOM stock heaps.
-        import os
-
-        n_match = int(os.environ.get("SPARK_GRAFT_MATCH_PARTITIONS", "0"))
+        # match partitions: since r11 the chunked pass SELF-SIZES at
+        # ~10M rows/task (one cheap count; the heap-floor rule), so no
+        # explicit sizing is needed here — stock 8 g clears 1.2 B on
+        # the defaults. SPARK_GRAFT_MATCH_PARTITIONS /
+        # Trace(match_partitions=) still override; with
+        # assume_wellformed=True (fully lazy, no count job) size
+        # explicitly.
         t = Trace.from_parquet(spark, events_path, cache=False,
-                               kernel="chunked",
-                               match_partitions=n_match or 128)
+                               kernel="chunked")
         t.flat_profile(metrics=["time_inc", "time_exc"]).orderBy(
             "time_exc", ascending=False
         ).show(truncate=False)

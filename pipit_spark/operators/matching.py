@@ -955,7 +955,14 @@ def match_events(
         # callers size explicitly (examples/billion_scale.py does).
         if num_partitions is None and not assume_wellformed:
             rows = events.count()
-            n_part = max(base, -(-rows // _CHUNKED_ROWS_PER_TASK))
+            # 2x spread factor: the repartition hashes by location, so
+            # at n_part ≈ location count collisions make the fattest
+            # shard 2-3 locations (measured: a 120-shard 1.2 B run's
+            # tail was ~2x the 128-shard P2 run's). Doubling the shard
+            # count halves the collision tail; shards past the
+            # location count are empty and free (the audit applies the
+            # same shard-past-parallelism rule, r10).
+            n_part = max(base, 2 * -(-rows // _CHUNKED_ROWS_PER_TASK))
         return _chunked_match(
             events, enc, map_cols, out_schema, group_cols, metric_cols,
             n_part, assume_wellformed, audit, cache=cache,

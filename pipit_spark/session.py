@@ -137,6 +137,9 @@ def cluster_conf(
       the 24 g default-partition run (971.1 s), because smaller
       sorts also spill less. Rows-per-partition is the floor
       variable; effective partitions cap at the location count.
+      Since r11 the chunked pass SELF-SIZES to this rule by default
+      (one cheap count; ``assume_wellformed`` stays lazy and keeps
+      the bare default — size those calls explicitly).
     * emit-sort spill bound — the chunked matching kernel's emit pass
       sorts within partitions via SortExec, whose
       ``UnsafeExternalRowSorter`` reads

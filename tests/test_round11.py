@@ -274,7 +274,7 @@ def test_chunked_match_self_sizes_partitions(tiny_batch_spark,  # noqa: F811
     rows = df.count()
     monkeypatch.setattr(M, "_CHUNKED_ROWS_PER_TASK", 10)
     expected = max(spark.sparkContext.defaultParallelism,
-                   -(-rows // 10))
+                   2 * -(-rows // 10))  # 2x hash-collision spread
     out = M.match_events(df, metric_cols=["metric1"], kernel="chunked")
     assert out.rdd.getNumPartitions() == expected
     # explicit sizing wins over self-sizing
