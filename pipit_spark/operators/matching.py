@@ -89,6 +89,11 @@ _AUDIT_CAP = 2_000_000
 #: count (the repartition hashes by location), so oversizing is free.
 _CHUNKED_ROWS_PER_TASK = 10_000_000
 
+#: chunked-kernel throughput target (the r04 rung's ~500k rows/task),
+#: the preferred shard width when it does not overshard past
+#: max(heap-rule shards, 8x parallelism)
+_CHUNKED_TARGET_ROWS = 500_000
+
 
 def _encode_map_cols(events: DataFrame) -> tuple[DataFrame, dict]:
     """Re-encode MapType columns as JSON strings for the worker round
@@ -954,15 +959,25 @@ def match_events(
         # fully lazy and therefore keeps the bare default — those
         # callers size explicitly (examples/billion_scale.py does).
         if num_partitions is None and not assume_wellformed:
+            # ONE cheap count (1.3-4 s on a 1.2 B parquet; no data
+            # columns read) sizes the pass by both measured rules:
+            #   * throughput (r04 rung): ~500k rows/task;
+            #   * capped at max(heap-rule shards, 8× parallelism) —
+            #     the repartition hashes by location, so shards past
+            #     the location count are empty and nearly free, but
+            #     unbounded oversharding buys nothing; 8× parallelism
+            #     matches the audit's r10 oversharding rule and the
+            #     validated 1.2 B band (128-256 shards);
+            #   * never below 2 × ceil(rows / 10 M) — the r11 heap
+            #     floor (37 M-row shards OOM a stock 8 g / 32-task
+            #     box; the 2× is hash-collision spread).
             rows = events.count()
-            # 2x spread factor: the repartition hashes by location, so
-            # at n_part ≈ location count collisions make the fattest
-            # shard 2-3 locations (measured: a 120-shard 1.2 B run's
-            # tail was ~2x the 128-shard P2 run's). Doubling the shard
-            # count halves the collision tail; shards past the
-            # location count are empty and free (the audit applies the
-            # same shard-past-parallelism rule, r10).
-            n_part = max(base, 2 * -(-rows // _CHUNKED_ROWS_PER_TASK))
+            heap_shards = 2 * -(-rows // _CHUNKED_ROWS_PER_TASK)
+            n_part = max(
+                base,
+                min(-(-rows // _CHUNKED_TARGET_ROWS),
+                    max(heap_shards, 8 * base)),
+            )
         return _chunked_match(
             events, enc, map_cols, out_schema, group_cols, metric_cols,
             n_part, assume_wellformed, audit, cache=cache,

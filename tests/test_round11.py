@@ -272,23 +272,29 @@ def test_chunked_match_self_sizes_partitions(tiny_batch_spark,  # noqa: F811
     spark = tiny_batch_spark
     df = spark.createDataFrame(_adversarial_events())
     rows = df.count()
-    monkeypatch.setattr(M, "_CHUNKED_ROWS_PER_TASK", 10)
-    expected = max(spark.sparkContext.defaultParallelism,
-                   2 * -(-rows // 10))  # 2x hash-collision spread
+    monkeypatch.setattr(M, "_CHUNKED_ROWS_PER_TASK", 40)
+    monkeypatch.setattr(M, "_CHUNKED_TARGET_ROWS", 10)
+    par = spark.sparkContext.defaultParallelism
+    # full formula: throughput shards (rows/10) capped at
+    # max(heap shards = 2*ceil(rows/40), 8x parallelism), floored at
+    # parallelism
+    expected = max(par, min(-(-rows // 10),
+                            max(2 * -(-rows // 40), 8 * par)))
     out = M.match_events(df, metric_cols=["metric1"], kernel="chunked")
     assert out.rdd.getNumPartitions() == expected
     # explicit sizing wins over self-sizing
     out = M.match_events(df, metric_cols=["metric1"], kernel="chunked",
                          num_partitions=7)
     assert out.rdd.getNumPartitions() == 7
-    # assume_wellformed: no eager job at all — a boobytrapped count
-    # proves the plan builds without one, at the bare default
+    # assume_wellformed: no eager job at all — boobytrapped actions
+    # prove the plan builds without one, at the bare default
     DataFrame = type(df)
 
-    def _boom(self):
-        raise AssertionError("count ran on the lazy path")
+    def _boom(self, *a, **k):
+        raise AssertionError("an action ran on the lazy path")
 
     monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "first", _boom)
     out = M.match_events(df, metric_cols=["metric1"], kernel="chunked",
                          assume_wellformed=True)
     assert out.rdd.getNumPartitions() == \
