@@ -788,11 +788,16 @@ def simhash_pairs(
 
 
 def oracle_simhash_pairs(
-    table: str = "documents", max_hamming: int = 3, bits: int = 64
+    table: str = "documents", max_hamming: int = 3, bits: int = 64,
+    max_bucket: int | None = None,
 ) -> str:
     """Full DuckDB replay of :func:`simhash_pairs`: signatures via the
     simhash oracle, pigeonhole block candidates, exact nibble-XOR
-    hamming verify."""
+    hamming verify. ``max_bucket`` replays the degenerate-corpus
+    escape hatch: bucket sizes counted first, only (block, value)
+    buckets of size 2..max_bucket feed the self-join — a pair can
+    still surface through any of its other, uncapped blocks, exactly
+    like the Spark plan's per-block filter."""
     n_blocks = max_hamming + 1
     nibbles = bits // 4
     blk = nibbles // n_blocks
@@ -803,6 +808,7 @@ def oracle_simhash_pairs(
         f"strpos('{_HEX}', substr(sy.simhash, {j + 1}, 1)) - 1))"
         for j in range(nibbles)
     )
+    cap_hi = max_bucket if max_bucket is not None else "1e18"
     return f"""
 WITH sigs AS ({sig_sql}),
 blocks AS (
@@ -810,9 +816,15 @@ blocks AS (
            t.b AS bi, substr(simhash, t.b * {blk} + 1, {blk}) AS blkv
     FROM sigs CROSS JOIN (SELECT UNNEST([{block_list}]) AS b) t
 ),
+keep AS (
+    SELECT bi, blkv FROM blocks
+    GROUP BY bi, blkv HAVING COUNT(*) BETWEEN 2 AND {cap_hi}
+),
 cand AS (
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-    FROM blocks x JOIN blocks y ON x.bi = y.bi AND x.blkv = y.blkv
+    FROM blocks x
+    JOIN keep k ON x.bi = k.bi AND x.blkv = k.blkv
+    JOIN blocks y ON x.bi = y.bi AND x.blkv = y.blkv
     WHERE x.doc_id < y.doc_id
 )
 SELECT c.a, c.b, CAST({ham} AS INT) AS hamming

@@ -3046,6 +3046,22 @@ def q_doc_dedup_lines(spark, sf_dir):
     return QL.dedup_lines(load(spark, sf_dir, "documents"), max_line_df=2)
 
 
+def q_doc_simhash_pairs_capped(spark, sf_dir):
+    """The degenerate-corpus escape hatch (max_bucket) under the SAME
+    full value oracle as the uncapped gate, mirroring
+    doc_minhash_lsh_capped. max_bucket=20 BINDS on the sf0.01
+    documents table (its simhash block buckets run up to 159 docs —
+    eight buckets above 20 drop at the count stage), so the driver's
+    hash verifies the count-then-filter logic and the
+    recall-via-other-blocks semantics, not just the uncapped join.
+    Added r11 with the streaming self-join reform; first candidate
+    for the r12 window rotation (no driver row yet, local parity
+    only — the r05 tail-addition pattern)."""
+    return D.simhash_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=3, max_bucket=20
+    )
+
+
 def q_doc_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: pigeonhole block candidates + exact
     nibble-XOR hamming verify, both replayed in the oracle."""
@@ -4934,6 +4950,10 @@ def queries():
         "trace_wait_attribution": q_trace_wait_attribution,
         # round-8 addition: the KLL tier's deterministic driver gate
         "doc_kll_quantiles": q_doc_kll_quantiles,
+        # round-11 addition: the simhash max_bucket hatch under the
+        # full value oracle (tail — no driver row yet; first r12
+        # rotation candidate)
+        "doc_simhash_pairs_capped": q_doc_simhash_pairs_capped,
     }
     out = {k: reg[k] for k in _R11_WINDOW}
     out.update(reg)  # tail keeps its prior relative order
@@ -5021,6 +5041,9 @@ def oracle_sql():
             context_len=512, n_shards=16
         ),
         "doc_simhash_pairs": D.oracle_simhash_pairs(max_hamming=3),
+        "doc_simhash_pairs_capped": D.oracle_simhash_pairs(
+            max_hamming=3, max_bucket=20
+        ),
         "doc_dedup_lines": QL.oracle_dedup_lines(max_line_df=2),
         "emb_lsh_ann": V.oracle_lsh_ann_pairs(
             num_planes=8, threshold=0.2
