@@ -32,6 +32,18 @@ session contention and overstated costs by up to 2x on some queries):
   poisoning the round-over-round comparison. (Monotone speed-up
   across steady passes is normal tiered-JIT behavior, not
   contamination; the median absorbs it.)
+- Cooling-box tripwire (r11 verdict: the driver bench inflated 25%/10%
+  two rounds running with ``contaminated: false`` — pass totals were
+  STILL declining at the last rep, i.e. the box was cooling down from
+  prior heavy load and every pass, median included, was inflated; the
+  median-vs-cold and last-vs-fastest checks cannot see that shape).
+  ``cooling: true`` fires when steady totals decline monotonically AND
+  the last is >5% below the first — the run has not reached steady
+  state and the median overstates the engine. The JSON also always
+  carries ``queries_min`` (per-query minimum across steady passes) and
+  ``min_total`` — the quiet-box reference number — so one artifact
+  holds both readings and a driver comparing medians across rounds can
+  cross-check against the floor.
 
 Within a pass, state flows exactly as the engine runs in production:
 the first trace query pays the fused matching pass and later trace
@@ -101,6 +113,23 @@ HEADLINE = [
 ]
 
 
+def cooling_box(steady_totals: list[float]) -> bool:
+    """True when steady pass totals are STILL falling monotonically by
+    >5% at the last rep — the cooling-box shape the r10/r11 driver
+    benches showed (25%/10% inflation with ``contaminated: false``):
+    the box has not reached steady state, so every pass, the median
+    included, overstates the engine. Needs >= 3 steady passes (two
+    points cannot distinguish cooldown from normal JIT warm-up)."""
+    return bool(
+        len(steady_totals) >= 3
+        and all(
+            steady_totals[i + 1] < steady_totals[i]
+            for i in range(len(steady_totals) - 1)
+        )
+        and steady_totals[-1] < 0.95 * steady_totals[0]
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -168,12 +197,26 @@ def main() -> None:
         total > pass_totals[0]
         or steady_totals[-1] > 1.25 * min(steady_totals)
     )
+    cooling = cooling_box(steady_totals)
+    queries_min = {
+        name: round(min(p[name] for p in steady), 3) for name in names
+    }
+    min_total = round(sum(queries_min.values()), 3)
     if contaminated:
         print(
             "# WARNING: contaminated run — steady median "
             f"{total}s vs cold {pass_totals[0]}s, steady spread "
             f"{min(steady_totals)}..{max(steady_totals)}s; the box was "
             "not idle, re-run for a trustworthy artifact",
+            file=sys.stderr,
+        )
+    if cooling:
+        print(
+            "# WARNING: cooling box — steady totals still declining "
+            f"monotonically ({'->'.join(str(t) for t in steady_totals)}s, "
+            f"last {100 * (1 - steady_totals[-1] / steady_totals[0]):.0f}% "
+            "below first); the median overstates the engine — prefer "
+            f"min_total={min_total}s or re-run on an idle box",
             file=sys.stderr,
         )
     print(
@@ -187,6 +230,9 @@ def main() -> None:
                 "reps": reps,
                 "pass_totals": pass_totals,
                 "contaminated": contaminated,
+                "cooling": cooling,
+                "queries_min": queries_min,
+                "min_total": min_total,
             }
         )
     )

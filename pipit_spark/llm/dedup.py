@@ -683,9 +683,29 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", F.concat(*nibbles).alias("simhash"))
 
 
+#: per-block frames simhash_pairs persisted this session — released by
+#: :func:`release_block_caches` (wired into queries.clear_state), the
+#: same per-call lifecycle similarity._PORTABLE_PERSISTED uses, so
+#: long-lived sessions never need a session-wide clearCache()
+_PERSISTED_BLOCKS: list[DataFrame] = []
+
+
+def release_block_caches() -> None:
+    """Unpersist every per-block frame :func:`simhash_pairs` cached.
+    Call between query batches in a long-running session (r11 ADVICE:
+    the default path persists on every call and the frames otherwise
+    accumulate until a session-wide ``spark.catalog.clearCache()``)."""
+    for df in _PERSISTED_BLOCKS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PERSISTED_BLOCKS.clear()
+
+
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, bits: int = 64,
-    max_bucket: int | None = None,
+    max_bucket: int | None = None, persist: bool = True,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: documents whose 64-bit signatures
     differ in at most ``max_hamming`` bits, with the distance.
@@ -719,10 +739,14 @@ def simhash_pairs(
     up-front (oversized buckets drop at the count stage; recall loss
     only on groups exact dedup should have collapsed anyway). Default
     None preserves exact semantics (the oracle gate's configuration).
-    The per-block frame persists spill-safely for the query's lifetime
-    (the count and both self-join sides consume it) — the
-    vocab_coverage contract: clear with ``spark.catalog.clearCache()``
-    in long-lived sessions."""
+    With ``persist=True`` (default) the per-block frame persists
+    spill-safely for the query's lifetime (the count and both
+    self-join sides consume it); the handle is attached to the result
+    as ``_blocks_cache`` and registered for
+    :func:`release_block_caches`, so callers release per-call instead
+    of a session-wide ``clearCache()``. ``persist=False`` trades the
+    block stream's recompute (one extra scan per consumer) for zero
+    cached state — the single-shot-pipeline regime."""
     from pyspark import StorageLevel
 
     n_blocks = max_hamming + 1
@@ -752,7 +776,10 @@ def simhash_pairs(
                 for b in range(n_blocks)
             ])
         ).alias("__b", "__blk"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist:
+        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_BLOCKS.append(blocks)
     surviving = (
         blocks.groupBy("__b", "__blk")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -776,7 +803,7 @@ def simhash_pairs(
         F.bit_count(F.col(f"__xa{w}").bitwiseXOR(F.col(f"__yb{w}")))
         for w in range(n_words)
     )
-    return (
+    out = (
         x.join(y, ["__b", "__blk"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("hamming", hamming.cast("int"))
@@ -785,6 +812,9 @@ def simhash_pairs(
         .agg(F.first("hamming").alias("hamming"))
         .select("a", "b", "hamming")
     )
+    if persist:
+        out._blocks_cache = blocks  # per-call release handle
+    return out
 
 
 def oracle_simhash_pairs(

@@ -95,6 +95,31 @@ _CHUNKED_ROWS_PER_TASK = 10_000_000
 _CHUNKED_TARGET_ROWS = 500_000
 
 
+def _emit_slices(
+    out: pd.DataFrame, step: int
+) -> Iterator[pd.DataFrame]:
+    """Yield ``out`` in bounded row slices so the location kernel never
+    hands pyarrow a single oversized batch.
+
+    mapInPandas converts each YIELDED frame to Arrow separately, and
+    pyarrow hard-fails when any string column of one batch exceeds
+    2 GiB (``StructArray.from_arrays`` ChunkedArray error — the
+    round-11 skew-rung finding: ~45-60 M events of the canonical trace
+    schema in one location made the location kernel unable to emit at
+    all). Slicing the emit at ``matching.max_records_per_batch`` rows
+    deletes that wall outright; the kernel's remaining envelope is
+    worker RSS ∝ partition width (the input concat + working set),
+    which is the reference's own per-worker envelope, not an Arrow
+    artifact. Cost: one extra slice-copy pass over the output frame
+    (measured in the noise at gate scale, SCALING.md round-12)."""
+    n = len(out)
+    if n <= step:
+        yield out
+        return
+    for i in range(0, n, step):
+        yield out.iloc[i : i + step]
+
+
 def _encode_map_cols(events: DataFrame) -> tuple[DataFrame, dict]:
     """Re-encode MapType columns as JSON strings for the worker round
     trip. Spark's Arrow map (de)serialization is ~27× slower than the
@@ -867,6 +892,7 @@ def match_events(
     assume_wellformed: bool = False,
     audit: str | None = None,
     cache: bool = True,
+    row_count=None,
 ) -> DataFrame:
     """Run the fused matching pass over the whole trace.
 
@@ -888,16 +914,21 @@ def match_events(
     1,500 locations at sf0.1; the gap widens with location count, which is
     exactly the axis traces grow along).
 
-    Scale envelope of the default kernel: a partition (several complete
+    Scale envelope of the location kernel: a partition (several complete
     locations) must fit in executor memory — raise ``num_partitions`` to
     shrink partitions toward one location each; the limit is then the
     reference's own per-worker envelope (one location's events in RAM).
-    A second, harder wall (measured, SCALING.md round-11 skew rung): the
-    location kernel emits each partition as ONE Arrow batch, so a single
-    location whose output exceeds 2 GiB in any string column cannot be
-    serialized at all (pyarrow chunked-column error; ~45-60 M events for
-    the canonical schema) — past that width ``kernel="chunked"`` is the
-    correctness path, not just the memory path.
+    The round-11 skew rung found a second, harder wall — the kernel
+    emitted each partition as ONE Arrow batch, so a location whose
+    output exceeded 2 GiB in any string column (~45-60 M events of the
+    canonical schema) could not be serialized at all. Round 12 deleted
+    that wall: the emit now yields bounded row slices
+    (:func:`_emit_slices`, ``matching.max_records_per_batch`` rows per
+    Arrow batch), so the location kernel is correct at any location
+    width and its envelope is purely the worker-RSS one above.
+    ``row_count`` (int or zero-arg callable) optionally supplies the
+    events row count so the chunked kernel's self-sizing skips its
+    count job — ``Trace`` memoizes the count across its derived passes.
     ``kernel="chunked"`` deletes that envelope entirely (resident state
     ∝ stack depth — module docstring); it costs one extra NARROW audit
     scan (Enter/Leave keys only, pruned at the source), which runs
@@ -959,8 +990,14 @@ def match_events(
         # fully lazy and therefore keeps the bare default — those
         # callers size explicitly (examples/billion_scale.py does).
         if num_partitions is None and not assume_wellformed:
-            # ONE cheap count (1.3-4 s on a 1.2 B parquet; no data
-            # columns read) sizes the pass by both measured rules:
+            # ONE count sizes the pass by both measured rules below.
+            # On a raw parquet scan the count is metadata-dominated
+            # (1.3-4 s on a 1.2 B parquet; no data columns read), but
+            # on a DERIVED plan (filters/joins/UDF columns upstream)
+            # it re-executes that upstream plan once per un-sized
+            # call — callers with a stable frame should pass
+            # ``row_count`` (``Trace`` memoizes its events count and
+            # plumbs it here) or size ``num_partitions`` explicitly.
             #   * throughput (r04 rung): ~500k rows/task;
             #   * capped at max(heap-rule shards, 8× parallelism) —
             #     the repartition hashes by location, so shards past
@@ -971,7 +1008,9 @@ def match_events(
             #   * never below 2 × ceil(rows / 10 M) — the r11 heap
             #     floor (37 M-row shards OOM a stock 8 g / 32-task
             #     box; the 2× is hash-collision spread).
-            rows = events.count()
+            rows = row_count() if callable(row_count) else row_count
+            if rows is None:
+                rows = events.count()
             heap_shards = 2 * -(-rows // _CHUNKED_ROWS_PER_TASK)
             n_part = max(
                 base,
@@ -983,13 +1022,17 @@ def match_events(
             n_part, assume_wellformed, audit, cache=cache,
         )
 
+    emit_step = int(get_option("matching.max_records_per_batch"))
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = list(batches)
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
         if not pdf.empty:
-            yield _stack_match_multi(pdf, group_cols, metric_cols)
+            yield from _emit_slices(
+                _stack_match_multi(pdf, group_cols, metric_cols), emit_step
+            )
 
     out = enc.repartition(n_part, *group_cols).mapInPandas(
         gen, schema=out_schema
@@ -1034,13 +1077,17 @@ def match_events_iter(
             None, assume_wellformed, audit, cache=cache,
         )
 
+    emit_step = int(get_option("matching.max_records_per_batch"))
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = list(batches)
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
         if not pdf.empty:
-            yield _stack_match_multi(pdf, group_cols, metric_cols)
+            yield from _emit_slices(
+                _stack_match_multi(pdf, group_cols, metric_cols), emit_step
+            )
 
     return _decode_map_cols(enc.mapInPandas(gen, schema=out_schema), map_cols)
 

@@ -370,6 +370,7 @@ def clear_state(spark: SparkSession) -> None:
         t.unpersist()
     _trace_memo.clear()
     V.release_portable_caches()
+    D.release_block_caches()
     spark.catalog.clearCache()
 
 

@@ -112,6 +112,11 @@ class Trace:
         self._audit = audit
         self._matched: DataFrame | None = None
         self._cct: DataFrame | None = None
+        # memoized events row count (a trace is immutable): feeds the
+        # chunked kernel's self-sizing so repeated un-sized match calls
+        # never re-count — on a derived events plan each count would
+        # re-execute the whole upstream plan (r11 ADVICE)
+        self._events_rows: int | None = None
 
     # ------------------------------------------------------------------ #
     # constructors (sources live in pipit_spark.sources)
@@ -256,6 +261,16 @@ class Trace:
             and not f.name.endswith(("_inc", "_exc"))
         ]
 
+    def num_events(self) -> int:
+        """Memoized events row count (the frame is immutable for the
+        trace's lifetime). Used by the chunked matching kernel's
+        self-sizing via the lazy ``row_count`` hint — only evaluated on
+        that path, and at most once per Trace however many un-sized
+        passes run."""
+        if self._events_rows is None:
+            self._events_rows = self.events.count()
+        return self._events_rows
+
     @property
     def matched(self) -> DataFrame:
         """Events + matching/depth/parent/node/inclusive-metric columns.
@@ -275,6 +290,7 @@ class Trace:
                 assume_wellformed=self._assume_wellformed,
                 audit=self._audit,
                 cache=self._cache,
+                row_count=self.num_events,
             )
             # audit="opportunistic" + cache=True returns an already-
             # persisted frame; a second persist() at the same level is a
