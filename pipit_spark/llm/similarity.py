@@ -2915,6 +2915,215 @@ def ivf_topk_portable_indexed(
     )
 
 
+def _rrf_fused_tail(
+    cand: DataFrame, k: int, k0: int, scale: int
+) -> DataFrame:
+    """Shared rank-and-fuse tail of the fused-plan searchers
+    (:func:`rrf_ann_indexed`, :func:`rrf_fuse_portable_inline`):
+    per-(tier, query) rank window over the scored candidates, integer
+    RRF contributions, per-query fusion aggregate + final window.
+
+    ONE repartition by ``qid`` up front: HashPartitioning(qid) is a
+    subset of every downstream clustering key — the (tier, qid) rank
+    window, the (qid, cid) fusion aggregate, the (qid) final window —
+    so Spark's EnsureRequirements accepts the single exchange for all
+    three operators (three exchanges otherwise: measured plan diff,
+    r12). Scale shape unchanged: the tail is candidate-set-sized
+    (bounded query batch × bucket slivers), and per-qid partitioning
+    splits at least as fine as the final per-query window demands.
+
+    Expects ``cand`` with columns (tier, qid, cid, __dot, na2)."""
+    from pyspark.sql import Window
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cand = (
+        cand.repartition("qid")
+        .withColumn(
+            "__num",
+            dec(F.col("__dot")) * dec(F.col("__dot"))
+            * F.lit(10**6).cast("decimal(38,0)"),
+        )
+        .withColumn("__na2", dec(F.col("na2")))
+        .withColumn(
+            "__key",
+            F.when(
+                F.col("__dot") >= 0, F.expr("__num div __na2")
+            ).otherwise(-F.expr("__num div __na2")),
+        )
+    )
+    wt = Window.partitionBy("tier", "qid").orderBy(
+        F.col("__key").desc(), F.col("cid").asc()
+    )
+    ranked = (
+        cand.withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.col("rank").cast("long").alias("rank"))
+    )
+    contrib = ranked.withColumn(
+        "__c", F.expr(f"{int(scale)} div ({int(k0)} + rank)")
+    )
+    fused = contrib.groupBy(
+        F.col("qid").alias("query_id"), F.col("cid").alias("item_id")
+    ).agg(
+        F.sum("__c").alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.min("rank").cast("int").alias("best_rank"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("item_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "item_id", "rrf_score",
+            "n_lists", "best_rank",
+        )
+    )
+
+
+def rrf_fuse_portable_inline(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_tables: int = 4,
+    num_planes: int = 4,
+    quant: int = 1000,
+    nlist: int = 8,
+    nprobe: int = 3,
+    k0: int = 60,
+    scale: int = 10**9,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """The fused single-plan form of ``rrf_fuse([lsh_topk_portable(...),
+    ivf_topk_portable(...)])`` — bit-identical results (same surrogate
+    keys, same tie-breaks, same integer RRF arithmetic; pytest-pinned),
+    built the way :func:`rrf_ann_indexed` fuses the PERSISTED indexes,
+    but inline over a corpus frame:
+
+    * ONE corpus pass computes quantized vectors, LSH signatures, IVF
+      cell, and |c|² together (one Arrow matmul for the plane dots, the
+      narrow JVM cell assignment, one dot kernel for na2) where the
+      two-tier composition ran two independent corpus pipelines — the
+      r12 plan diff is 38 Exchange / 40 ArrowEvalPython nodes down to
+      the indexed searcher's shape;
+    * the bounded query batch is signed + probed in ONE subtree and
+      collected ONCE (the two-tier composition collects it once per
+      tier inside ``_rank_portable_candidates``);
+    * both tiers' candidates feed a SINGLE shared scoring pass (one
+      per-pair exact-int dot kernel) and the shared
+      :func:`_rrf_fused_tail`.
+
+    Above 10k queries it falls back to the two-searcher composition
+    (same results, corpus-side work unchanged — the collect-and-
+    broadcast query side is the production retrieval shape for bounded
+    batches only)."""
+    spark = emb.sparkSession
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    cents = _portable_centroids(nlist, dim, quant)
+    na2s = [sum(c * c for c in cj) for cj in cents]
+
+    qfull = _ivf_probe_frame(
+        _lsh_sig_frame(
+            queries, "qid", "qq", num_tables, num_planes, quant,
+            vec_col, dim,
+        ),
+        cents,
+        na2s,
+        nprobe,
+    ).select("qid", "qq", "sigs", "cells")
+    qrows = qfull.limit(10_001).collect()
+    if len(qrows) > 10_000:
+        return rrf_fuse(
+            [
+                lsh_topk_portable(
+                    emb, queries, k=k, num_tables=num_tables,
+                    num_planes=num_planes, quant=quant, vec_col=vec_col,
+                    dim=dim,
+                ),
+                ivf_topk_portable(
+                    emb, queries, k=k, nlist=nlist, nprobe=nprobe,
+                    quant=quant, vec_col=vec_col, dim=dim,
+                ),
+            ],
+            k0=k0, k=k, scale=scale,
+        )
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            "query_id long, rank int, item_id long, rrf_score long, "
+            "n_lists int, best_rank int",
+        )
+
+    # one corpus frame: (cid, cq, sigs, cell, na2) — signatures via the
+    # shared _lsh_sig_frame, cell via the same narrow JVM assignment as
+    # _ivf_portable_corpus, na2 once (the composition computed it twice)
+    corp = _lsh_sig_frame(
+        emb, "cid", "cq", num_tables, num_planes, quant, vec_col, dim
+    )
+    if nlist > 64:
+        corp = corp.withColumn(
+            "cell", _ivf_assign_kernel(cents, na2s)(F.col("cq"))
+        )
+    else:
+        corp = (
+            _ivf_cell_keys(corp, "cq", cents, na2s)
+            .withColumn("__best", F.array_max(F.col("__keys")))
+            .withColumn("cell", -F.col("__best.nj"))
+            .drop("__best", "__keys")
+        )
+    corp = corp.withColumn(
+        "na2", _pair_dot_int_udf(F.col("cq"), F.col("cq"))
+    )
+    # consumed by both candidate joins AND the scoring join — persist
+    # so the corpus pass runs once (released by release_portable_caches)
+    corp = _persist_tracked(corp)
+
+    qe = spark.createDataFrame(
+        [
+            (t * (1 << num_planes) + int(sig), r.qid)
+            for r in qrows
+            for t, sig in enumerate(r.sigs)
+        ],
+        "bsig long, qid long",
+    )
+    qprobe = spark.createDataFrame(
+        [(r.qid, int(c)) for r in qrows for c in r.cells],
+        "qid long, cell int",
+    )
+    qry = spark.createDataFrame(
+        [(r.qid, list(r.qq)) for r in qrows], "qid long, qq array<long>"
+    )
+    ce = corp.select(
+        "cid", F.posexplode("sigs").alias("t", "sig")
+    ).select(
+        "cid",
+        (F.col("t") * (1 << num_planes) + F.col("sig")).alias("bsig"),
+    )
+    p_lsh = (
+        F.broadcast(qe)
+        .join(ce, "bsig")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(F.lit("lsh").alias("tier"), "qid", "cid")
+        .distinct()
+    )
+    p_ivf = (
+        corp.select("cid", "cell")
+        .join(F.broadcast(qprobe), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(F.lit("ivf").alias("tier"), "qid", "cid")
+    )
+    cand = (
+        p_lsh.unionByName(p_ivf)
+        .join(corp.select("cid", "cq", "na2"), "cid")
+        .join(F.broadcast(qry), "qid")
+        .withColumn("__dot", _pair_dot_int_udf(F.col("qq"), F.col("cq")))
+    )
+    return _rrf_fused_tail(cand, k, k0, scale)
+
+
 def rrf_ann_indexed(
     spark,
     lsh_table: str,
@@ -3038,50 +3247,7 @@ def rrf_ann_indexed(
         .join(F.broadcast(qry), "qid")
         .withColumn("__dot", _pair_dot_int_udf(F.col("qq"), F.col("cq")))
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    cand = (
-        cand.withColumn(
-            "__num",
-            dec(F.col("__dot")) * dec(F.col("__dot"))
-            * F.lit(10**6).cast("decimal(38,0)"),
-        )
-        .withColumn("__na2", dec(F.col("na2")))
-        .withColumn(
-            "__key",
-            F.when(
-                F.col("__dot") >= 0, F.expr("__num div __na2")
-            ).otherwise(-F.expr("__num div __na2")),
-        )
-    )
-    wt = Window.partitionBy("tier", "qid").orderBy(
-        F.col("__key").desc(), F.col("cid").asc()
-    )
-    ranked = (
-        cand.withColumn("rank", F.row_number().over(wt))
-        .filter(F.col("rank") <= k)
-        .select("qid", "cid", F.col("rank").cast("long").alias("rank"))
-    )
-    contrib = ranked.withColumn(
-        "__c", F.expr(f"{int(scale)} div ({int(k0)} + rank)")
-    )
-    fused = contrib.groupBy(
-        F.col("qid").alias("query_id"), F.col("cid").alias("item_id")
-    ).agg(
-        F.sum("__c").alias("rrf_score"),
-        F.count(F.lit(1)).cast("int").alias("n_lists"),
-        F.min("rank").cast("int").alias("best_rank"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_score").desc(), F.col("item_id").asc()
-    )
-    return (
-        fused.withColumn("rank", F.row_number().over(wq).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "rank", "item_id", "rrf_score",
-            "n_lists", "best_rank",
-        )
-    )
+    return _rrf_fused_tail(cand, k, k0, scale)
 
 
 def cell_balance(

@@ -3276,12 +3276,12 @@ def q_emb_rrf_fusion(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 25 == 0)
     corpus = emb.filter(F.col("vec_id") % 25 != 0)
-    return V.rrf_fuse(
-        [
-            V.lsh_topk_portable(corpus, qs, k=5),
-            V.ivf_topk_portable(corpus, qs, k=5, nlist=8, nprobe=3),
-        ],
-        k=5,
+    # r12: the fused single-plan form — bit-identical to
+    # rrf_fuse([lsh_topk_portable(corpus, qs, k=5),
+    # ivf_topk_portable(corpus, qs, k=5, nlist=8, nprobe=3)])
+    # (pytest-pinned, same oracle), one corpus pass + one scoring pass
+    return V.rrf_fuse_portable_inline(
+        corpus, qs, k=5, nlist=8, nprobe=3
     )
 
 
