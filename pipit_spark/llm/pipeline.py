@@ -89,7 +89,21 @@ def _cleaned_survivors(
     """Shared clean → decontaminate prologue of the training-set
     pipelines: returns ``(clean, survivors_text, contaminated)`` so the
     v1 (pack docs) and v2 (chunk-then-pack) tails cannot drift in their
-    filtering semantics."""
+    filtering semantics.
+
+    ``contaminated`` is computed over the FULL corpus, not the cleaned
+    survivors (r12, guide §1.2/§2.4): both consumers anti-join it
+    against a survivor-restricted set (``clean`` in v1,
+    ``survivors_text`` in v2), so contaminated non-survivors are
+    absorbed by the anti-join and the final rows are identical —
+    pytest-pinned and oracle-checked. The old form shingled
+    ``docs ⋉ clean``, which re-evaluated the whole ``clean`` aggregation
+    (Spark does not share subtrees) and re-scanned the corpus text for
+    the semi join; this form shingles one raw corpus scan (the
+    decontaminate side is a broadcast semi join, so no shuffle either
+    way). Measured (tools/ab_query.py, sf0.1, 5 steady reps): median
+    2.84 s → 2.28 s; corpus text scans 3 → 2, the duplicated
+    clean_corpus aggregation disappears from the plan."""
     from .dedup import decontaminate
 
     clean = clean_corpus(
@@ -97,7 +111,7 @@ def _cleaned_survivors(
         min_quality=min_quality,
     )
     survivors_text = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
-    contaminated = decontaminate(survivors_text, eval_docs, n=ngram).select(
+    contaminated = decontaminate(docs, eval_docs, n=ngram).select(
         "doc_id"
     )
     return clean, survivors_text, contaminated

@@ -53,6 +53,27 @@ def main() -> None:
                 ],
                 k=5,
             )
+    elif name == "doc_training_set_old":
+        from pipit_spark.llm import pipeline as _P
+        from pipit_spark.llm.dedup import decontaminate
+        from pipit_spark.llm.sampling import pack_sequences
+        from pyspark.sql import functions as F
+
+        def fn(s, d):  # the pre-r12 survivors-restricted decontaminate
+            docs = Q.load(s, d, "documents")
+            corpus = docs.filter(F.col("doc_id") >= 25)
+            eval_docs = docs.filter(F.col("doc_id") < 25)
+            clean = _P.clean_corpus(corpus)
+            survivors_text = corpus.join(
+                clean.select("doc_id"), "doc_id", "left_semi"
+            )
+            contaminated = decontaminate(
+                survivors_text, eval_docs, n=5
+            ).select("doc_id")
+            final = clean.join(contaminated, "doc_id", "left_anti")
+            return pack_sequences(
+                final, context_len=512, n_shards=16, tokens_col="n_tokens"
+            )
     else:
         fn = registry[name]
     if name.startswith("emb_rrf_fusion"):
