@@ -822,14 +822,20 @@ def tfidf_topk(
     ``COUNT() OVER (PARTITION BY token)`` window: hash aggregation
     combines hot tokens map-side, while a window would funnel a
     stopword's every (doc, tf) row — up to one per corpus document —
-    through a single task. The tf frame feeds both branches, and
-    Catalyst does NOT reuse the exchange (pruning makes the subtrees
-    differ), so with ``persist=True`` (default) tf is cached to skip
-    the second token-explode scan — same lifetime contract as
+    through a single task. The tf frame feeds both branches; df counts
+    with ``count_if(tf >= 1)`` — value-identical to ``count(*)`` (tf
+    is a count, always >= 1) but it keeps the tf column LIVE in this
+    branch: with ``count(1)`` column pruning rewrites the branch's
+    upstream aggregate to a bare distinct, the two tf exchange
+    subtrees no longer canonicalize equal, and the corpus is scanned
+    and exploded twice; with the column alive AQE's runtime stage
+    reuse dedups the exchange and the token explode runs ONCE
+    (pinned by tests/test_round12.py). ``persist=True`` (default)
+    additionally caches tf — same lifetime contract as
     :func:`vocab_coverage`: the handle is exposed as
     ``result.cached_tf``; long-lived sessions should unpersist it
-    after consuming the result (or pass ``persist=False`` to trade
-    a second corpus scan for zero cache footprint).
+    after consuming the result (or pass ``persist=False``, which
+    since the stage-reuse fix costs no extra corpus scan).
     """
     tok = docs.select(
         group_col, F.explode(_tokens(F.col("text"))).alias("token")
@@ -839,7 +845,9 @@ def tfidf_topk(
     )
     if persist:
         tf = tf.persist()
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = tf.groupBy("token").agg(
+        F.count_if(F.col("tf") >= 1).alias("df")
+    )
     n_docs = docs.agg(F.countDistinct(group_col).alias("__n"))
     scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
     if mode == "ppm":
@@ -961,21 +969,47 @@ def bm25_topk(
     )
     # doc length is a row-local array expression — no explode, no
     # aggregation, so the full token stream is never shuffled for it
-    dl = docs.select(
-        "doc_id",
-        F.size(
-            F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0)
-        ).cast("long").alias("dl"),
-    )
+    dl_expr = F.size(
+        F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0)
+    ).cast("long")
+    dl = docs.select("doc_id", dl_expr.alias("dl"))
+    # dl rides along with tf (it is row-local, constant per doc, so
+    # max() over the (doc, token) group recovers it exactly) instead
+    # of joining the corpus-sized dl frame back on doc_id: at scale
+    # that join broadcast one row PER CORPUS DOC — the classic
+    # broadcast-the-big-side hazard — and its inferred
+    # isnotnull(doc_id) filter landed in only one of the two tf
+    # subtrees, defeating exchange reuse. The explicit base filter is
+    # applied to BOTH branches (docs with null doc_id can never be
+    # returned — doc_id is the output key).
+    # two-step select: dl is computed in a Project BELOW the Generate
+    # (once per doc), so the explode carries [doc_id, dl] — not the
+    # full text column copied onto every token row (a single-select
+    # form puts dl above the Generate and drags text through it:
+    # measured +1.1 s at sf0.1)
     tf = (
-        docs.select(
-            "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+        docs.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", dl_expr.alias("dl"), "text")
+        .select(
+            "doc_id",
+            "dl",
+            F.explode(_tokens(F.col("text"))).alias("token"),
         )
         .filter(F.col("token").isin(terms))
         .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # count_if keeps tf and dl live so the tf exchange subtrees
+    # canonicalize equal and AQE stage reuse runs the corpus explode
+    # once — same idiom (and same pinned test) as tfidf_topk's df
+    # branch. Both conditions are tautologies on tf rows (tf is a
+    # count >= 1; dl is the token count of a doc that produced at
+    # least one token, so >= 1 and never null).
+    dfreq = tf.groupBy("token").agg(
+        F.count_if(
+            (F.col("tf") >= 1) & (F.col("dl") >= 1)
+        ).alias("df")
+    )
     scalars = F.broadcast(
         dl.agg(
             F.count(F.lit(1)).alias("__n"),
@@ -998,7 +1032,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
         .crossJoin(scalars)
         .join(qdf, "token")
         .groupBy("query_id", "doc_id")

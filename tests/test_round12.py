@@ -289,3 +289,64 @@ def test_training_set_full_corpus_decontaminate_equality(spark):
 
     chunked = prepare_chunked_training_set(corpus, eval_docs)
     assert chunked.count() > 0
+
+
+# ---------------------------------------- tfidf/bm25 df-branch reuse
+def _final_plan(df) -> str:
+    """The AQE final-plan section of the executed plan (everything
+    before the ``== Initial Plan ==`` echo)."""
+    return (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("Initial Plan")[0]
+    )
+
+
+def test_tfidf_df_branch_reuses_token_explode(spark):
+    """r12: the df branch counts with ``count_if(tf >= 1)`` so column
+    pruning cannot rewrite its upstream tf aggregate to a bare
+    distinct; the two tf exchange subtrees then canonicalize equal and
+    AQE's runtime stage cache dedups them — the corpus is tokenized
+    and exploded ONCE. Pin: final executed plan has exactly one live
+    Generate explode and a ReusedExchange over it. Also pins value
+    equality of the rewritten df: count_if(tf >= 1) == count(*) per
+    token (tf is a count, always >= 1)."""
+    from pyspark.sql import functions as F
+
+    from pipit_spark.llm.text import bm25_topk, tfidf_topk, _tokens
+
+    docs = spark.createDataFrame(
+        [
+            (i, "alpha beta gamma delta " * (i % 3 + 1) + f"tok{i}")
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    res = tfidf_topk(docs, k=3, persist=False)
+    rows = res.collect()
+    assert rows
+    plan = _final_plan(res)
+    assert plan.count("Generate explode") == 1, plan
+    assert "ReusedExchange" in plan, plan
+
+    # value pin: the rewritten df equals the naive distinct-doc count
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).filter(F.length("token") > 0)
+    naive = {
+        r["token"]: r["df"]
+        for r in tok.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    got = {(r["token"]): r["df"] for r in rows}
+    for token, dfv in got.items():
+        assert naive[token] == dfv
+
+    # bm25 shares the idiom (and the pin)
+    bres = bm25_topk(docs, {"q1": "alpha tok7", "q2": "delta"}, k=3)
+    assert bres.collect()
+    bplan = _final_plan(bres)
+    assert bplan.count("Generate explode") == 1, bplan
+    assert "ReusedExchange" in bplan, bplan
