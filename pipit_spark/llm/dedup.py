@@ -244,25 +244,35 @@ def _pair_common_counts(
         .filter(F.col("__df").between(2, max_df))
         .select("shingle")
     )
-    # post-filter, every shingle has <= max_df rows — the collection
-    # buffers and the pair explosion are bounded by construction
+    # post-filter, every shingle has <= max_df rows — the pair
+    # explosion is bounded by construction
     if survivor_broadcast:
         surviving = F.broadcast(surviving)
-    buckets = (
-        sh.join(surviving, "shingle")
-        .groupBy("shingle")
-        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("__ds"))
-    )
+    # intra-bucket pairs via a streaming SELF-JOIN on the bucket key
+    # (r12; the r11 simhash reform's shape): the old
+    # collect_list-of-(doc_id,sz) + double-explode buffered each
+    # posting list in an ObjectHashAggregate (object-based, no
+    # codegen) before exploding |bucket|² rows and filtering half.
+    # The self-join emits the same a<b pairs from codegen'd join
+    # machinery with NO posting-list buffer; the two sides are the
+    # same subtree modulo aliases, so they canonicalize equal and the
+    # bucket exchange is built once (AQE runtime stage reuse).
+    posting = sh.join(surviving, "shingle")
     return (
-        buckets.select(F.explode("__ds").alias("__x"), "__ds")
-        .select("__x", F.explode("__ds").alias("__y"))
-        .filter(F.col("__x.doc_id") < F.col("__y.doc_id"))
-        .select(
-            F.col("__x.doc_id").alias("a"),
-            F.col("__y.doc_id").alias("b"),
-            F.col("__x.sz").alias("sz_a"),
-            F.col("__y.sz").alias("sz_b"),
+        posting.select(
+            "shingle",
+            F.col("doc_id").alias("a"),
+            F.col("sz").alias("sz_a"),
         )
+        .join(
+            posting.select(
+                "shingle",
+                F.col("doc_id").alias("b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "shingle",
+        )
+        .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -350,3 +350,52 @@ def test_tfidf_df_branch_reuses_token_explode(spark):
     bplan = _final_plan(bres)
     assert bplan.count("Generate explode") == 1, bplan
     assert "ReusedExchange" in bplan, bplan
+
+
+# ------------------------------------- pair-index self-join (no buffers)
+def test_pair_common_counts_selfjoin_no_posting_buffers(spark):
+    """r12: _pair_common_counts emits intra-bucket pairs via a
+    streaming self-join on the bucket key (the r11 simhash reform's
+    shape) — no collect_list posting buffer, no ObjectHashAggregate
+    for pair generation (collect_set for the per-doc shingle sets is
+    the one allowed object agg and lives BELOW the persisted frame).
+    Value pin: pairs match a brute-force set intersection."""
+    from itertools import combinations
+
+    from pipit_spark.llm.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog " + ("x " * (i % 3)))
+        for i in range(12)
+    ] + [(100, "an entirely different document body with nothing shared here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=1000)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in out.collect()}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    tail = plan.split("InMemoryRelation")[0]  # above the persisted sets
+    assert "collect_list" not in plan
+    assert "ObjectHashAggregate" not in tail
+
+    # brute force on the same shingling
+    def shingles(text):
+        toks = text.split()
+        n = 3
+        k = max(len(toks) - n + 1, 1)
+        return {" ".join(toks[p : p + n]) for p in range(k)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    df_counts: dict[str, int] = {}
+    for ss in sets.values():
+        for sh in ss:
+            df_counts[sh] = df_counts.get(sh, 0) + 1
+    surviving = {s for s, c in df_counts.items() if 2 <= c <= 1000}
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        common = len(sets[a] & sets[b] & surviving)
+        if common:
+            j = common / (len(sets[a]) + len(sets[b]) - common)
+            if j >= 0.2:
+                expect[(a, b)] = round(j, 6)
+    assert got == expect
+    spark.catalog.clearCache()
