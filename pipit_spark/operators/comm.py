@@ -211,21 +211,28 @@ def _fixed_width_histogram(
     bins: int,
     weight_col=None,
     range_df: DataFrame | None = None,
+    range_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """np.histogram semantics (pipit/trace.py:455,487): `bins` equal
-    intervals over [min, max] (of `range_df` if given, else of the
-    values); right-closed last bin. Returns every bin (including empty)
-    as (bin_idx, bin_start, bin_end, count).
+    intervals over [min, max] (of `range_bounds` if given, else
+    `range_df`, else the values); right-closed last bin. Returns every
+    bin (including empty) as (bin_idx, bin_start, bin_end, count).
 
     Two-job shape: one tiny agg for min/max (collected — 2 scalars), then
     one hash aggregation; the bin table is built with ``spark.range`` and
-    broadcast-joined so empty bins appear.
+    broadcast-joined so empty bins appear. ``range_bounds`` (r12) lets
+    the caller supply memoized scalars (``Trace.time_stats``) so the
+    min/max job is shared across binning operators instead of re-run
+    per call.
     """
     spark = df.sparkSession
-    src = range_df if range_df is not None else df
-    lo, hi = src.agg(
-        F.min(value_col).cast("double"), F.max(value_col).cast("double")
-    ).collect()[0]
+    if range_bounds is not None:
+        lo, hi = range_bounds
+    else:
+        src = range_df if range_df is not None else df
+        lo, hi = src.agg(
+            F.min(value_col).cast("double"), F.max(value_col).cast("double")
+        ).collect()[0]
     if lo is None or hi is None:
         # no (non-null) values at all — np.histogram([]) semantics:
         # bins over [0, 1], every count 0 (a message-free trace must
@@ -287,20 +294,24 @@ def comm_over_time(
     output: str = "size",
     message_type: str = "send",
     bins: int = 50,
+    range_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Histogram of communication volume over time
     (pipit/trace.py:457-496). Bin range spans the WHOLE trace's
-    [min ts, max ts], matching the reference's ``range=`` argument."""
+    [min ts, max ts], matching the reference's ``range=`` argument
+    (``range_bounds`` supplies them memoized — ``Trace.time_stats``)."""
     names = S.SEND_NAMES if message_type == "send" else S.RECV_NAMES
     msgs = events.filter(F.col(S.NAME).isin(*names))
     weight = _msg_length_col(msgs) if output == "size" else None
     return _fixed_width_histogram(
-        msgs, F.col(S.TIMESTAMP), bins, weight_col=weight, range_df=events
+        msgs, F.col(S.TIMESTAMP), bins, weight_col=weight, range_df=events,
+        range_bounds=range_bounds,
     )
 
 
 def comm_matrix_over_time(
-    events: DataFrame, bins: int = 10, output: str = "size"
+    events: DataFrame, bins: int = 10, output: str = "size",
+    range_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Communication-matrix EVOLUTION: the (sender, receiver) volume
     cube per trace-time bin — how the traffic pattern drifts across
@@ -313,9 +324,12 @@ def comm_matrix_over_time(
     (bin_idx, sender, receiver, volume) — sparse: only non-empty cells.
     """
     spark = events.sparkSession  # noqa: F841  (parity with helpers)
-    lo, hi = events.agg(
-        F.min(S.TIMESTAMP).cast("double"), F.max(S.TIMESTAMP).cast("double")
-    ).collect()[0]
+    if range_bounds is not None:
+        lo, hi = range_bounds
+    else:
+        lo, hi = events.agg(
+            F.min(S.TIMESTAMP).cast("double"), F.max(S.TIMESTAMP).cast("double")
+        ).collect()[0]
     lo, hi = float(lo), float(hi)
     width = (hi - lo) / bins if hi > lo else 1.0
     sends = events.filter(F.col(S.NAME).isin(*S.SEND_NAMES))

@@ -181,14 +181,10 @@ def time_profile(
     spark = trace.events.sparkSession
     m = trace.matched
 
-    # bounds from the matched frame (it carries every event row): when
-    # the matching pass is cached this is a cache scan, not a second
-    # derivation of the events frame
-    lo, hi, nproc = m.agg(
-        F.min(S.TIMESTAMP).cast("double"),
-        F.max(S.TIMESTAMP).cast("double"),
-        F.countDistinct(S.PROCESS),
-    ).collect()[0]
+    # bounds via the Trace-level time_stats memo (r12): one eager
+    # scalar job per TRACE shared with every other binning operator
+    # (comm_over_time, comm_matrix_over_time), instead of one per call
+    lo, hi, nproc = trace.time_stats()
     edges = np.linspace(float(lo), float(hi), num_bins + 1)
     bin_size = edges[1] - edges[0]
     total_bin_duration = float(bin_size * nproc)

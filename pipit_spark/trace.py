@@ -117,6 +117,12 @@ class Trace:
         # never re-count — on a derived events plan each count would
         # re-execute the whole upstream plan (r11 ADVICE)
         self._events_rows: int | None = None
+        # memoized (ts_min, ts_max, n_processes) — the driver-side
+        # scalars every trace-time binning operator needs (time_profile,
+        # comm_over_time, comm_matrix_over_time). One eager job per
+        # TRACE, not one per call (r12): within a bench pass / user
+        # session the second binning operator pays nothing.
+        self._time_stats: tuple[float, float, int] | None = None
 
     # ------------------------------------------------------------------ #
     # constructors (sources live in pipit_spark.sources)
@@ -270,6 +276,36 @@ class Trace:
         if self._events_rows is None:
             self._events_rows = self.events.count()
         return self._events_rows
+
+    def time_stats(self) -> tuple[float, float, int]:
+        """Memoized ``(ts_min, ts_max, n_processes)`` over the whole
+        trace (the frame is immutable for the trace's lifetime) — the
+        driver-side scalars every trace-time binning operator needs.
+        Computed from the matched frame when it is already built (a
+        cache scan with ``cache=True``), else from the raw events
+        frame — matching preserves rows, so the values are identical
+        either way. One eager job per Trace, however many binning
+        calls run (r12)."""
+        if self._time_stats is None:
+            # same memo-aware pick as _comm_source: the cached matched
+            # frame is a cheap scan; an unpersisted one would re-run
+            # the matching kernel
+            src = (
+                self._matched
+                if self._matched is not None and self._cache
+                else self.events
+            )
+            lo, hi, nproc = src.agg(
+                F.min(S.TIMESTAMP).cast("double"),
+                F.max(S.TIMESTAMP).cast("double"),
+                F.countDistinct(S.PROCESS),
+            ).collect()[0]
+            self._time_stats = (
+                (float(lo), float(hi), int(nproc))
+                if lo is not None
+                else (0.0, 1.0, int(nproc))
+            )
+        return self._time_stats
 
     @property
     def matched(self) -> DataFrame:
@@ -574,7 +610,8 @@ class Trace:
         from .operators.comm import comm_matrix_over_time
 
         return comm_matrix_over_time(
-            self._comm_source(), bins=bins, output=output
+            self._comm_source(), bins=bins, output=output,
+            range_bounds=self.time_stats()[:2],
         )
 
     def latency_histogram(self, bins: int = 20) -> DataFrame:
@@ -599,6 +636,7 @@ class Trace:
             output=output,
             message_type=message_type,
             bins=bins,
+            range_bounds=self.time_stats()[:2],
         )
 
     # ------------------------------------------------------------------ #

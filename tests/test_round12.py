@@ -399,3 +399,28 @@ def test_pair_common_counts_selfjoin_no_posting_buffers(spark):
                 expect[(a, b)] = round(j, 6)
     assert got == expect
     spark.catalog.clearCache()
+
+
+# -------------------------------------------- Trace.time_stats memo
+def test_time_stats_memo_shared_across_binning_operators(spark):
+    """r12: (ts_min, ts_max, nproc) is computed once per Trace and
+    shared by time_profile / comm_over_time / comm_matrix_over_time —
+    repeated binning calls launch no further scalar jobs."""
+    from pipit_spark.trace import Trace
+
+    t = Trace.from_csv(spark, "tests/data/foo-bar.csv")
+    lo, hi, nproc = t.time_stats()
+    ev = t.events.agg(
+        {"timestamp_ns": "min"}
+    ).collect()[0][0]
+    assert lo == float(ev)
+    assert nproc == t.events.select("process").distinct().count()
+    # memoized: the tuple is stable and identical object-wise
+    assert t.time_stats() is t.time_stats()
+    # the binning operators run off the memo (values correct end-to-end)
+    tp = t.time_profile(num_bins=4)
+    rows = tp.select("bin_start").distinct().collect()
+    starts = sorted(r[0] for r in rows)
+    assert starts[0] == lo
+    cot = t.comm_over_time(output="count", bins=4).collect()
+    assert {r["bin_idx"] for r in cot} <= {0, 1, 2, 3}
