@@ -2061,20 +2061,25 @@ def q21_waiting_orders(spark, sf_dir):
             ).alias("late")
         )
     )
-    # per-order stats as windows over the SAME lo pipeline — a second
-    # groupBy branch would re-scan lineitem (Spark doesn't share the
-    # subtree); the window only re-partitions the small aggregate
-    ow = Window.partitionBy("l_orderkey")
+    # per-order stats as a SECOND aggregation level over the same lo
+    # pipeline (r12; was a count/sum window): a qualifying order has
+    # >1 suppliers and EXACTLY ONE late one, so max(late ? suppkey)
+    # identifies the waiting supplier inside the same aggregate — no
+    # window exchange + sort over the pair frame, and the order-level
+    # frame it emits is smaller than the windowed pair frame it
+    # replaces. A second groupBy BRANCH would re-scan lineitem; this
+    # is a cascade, not a branch, so lineitem is still read once.
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count("*").alias("nsupp"),
+        F.sum("late").alias("nlate"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
     return (
-        lo.withColumn("nsupp", F.count("*").over(ow))
-        .withColumn("nlate", F.sum("late").over(ow))
-        .filter(
-            (F.col("late") == 1)
-            & (F.col("nsupp") > 1)
-            & (F.col("nlate") == 1)
-        )
-        .join(F.broadcast(sup), lo.l_suppkey == sup.s_suppkey)
+        per_order.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(sup), F.col("late_supp") == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").cast("bigint").alias("numwait"))
     )
