@@ -615,25 +615,29 @@ def minhash_lsh_pairs(
                        F.col("sig").alias("sig_a"))
     y = buckets.select("bucket", F.col("doc_id").alias("b"),
                        F.col("sig").alias("sig_b"))
-    pairs = (
+    # the similarity estimate is computed on the bucket-join rows,
+    # BEFORE the pair-dedup groupBy (r12): every duplicate (a, b) row
+    # (one per colliding band, ≤ `bands`) carries the same two
+    # signatures, so the estimate is constant within the group and
+    # first() recovers it exactly — the dedup shuffle then moves ONE
+    # double per candidate row instead of two full signature arrays
+    # (~2·num_hashes·33 bytes in portable mode)
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda p, q: p == q),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(num_hashes),
+        6,
+    )
+    return (
         x.join(y, "bucket")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b", est.alias("est_jaccard"))
         .groupBy("a", "b")
-        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
-    )
-    return pairs.select(
-        "a",
-        "b",
-        F.round(
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda p, q: p == q),
-                    lambda m: m,
-                )
-            ).cast("double")
-            / F.lit(num_hashes),
-            6,
-        ).alias("est_jaccard"),
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
 
 

@@ -424,3 +424,34 @@ def test_time_stats_memo_shared_across_binning_operators(spark):
     assert starts[0] == lo
     cot = t.comm_over_time(output="count", bins=4).collect()
     assert {r["bin_idx"] for r in cot} <= {0, 1, 2, 3}
+
+
+# ------------------------------------ minhash pair-dedup shuffle slim
+def test_minhash_lsh_pairs_dedup_shuffles_estimate_not_sigs(spark):
+    """r12: the similarity estimate is computed on the bucket-join
+    rows, so the pair-dedup groupBy shuffles one double per candidate
+    row instead of two signature arrays. Plan pin: no first(sig_*)
+    aggregate anywhere. Value pin: estimates equal the brute
+    signature-agreement fraction."""
+    from pipit_spark.llm.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, "shared boilerplate text body " * 3 + f"unique {i % 4}")
+         for i in range(16)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_pairs(docs, num_hashes=16, bands=8, portable=True)
+    rows = out.collect()
+    assert rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "first(sig_a" not in plan and "first(sig_b" not in plan, plan
+
+    sigs = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(16)]
+        for r in minhash_signatures(docs, num_hashes=16).collect()
+    }
+    for r in rows:
+        agree = sum(
+            p == q for p, q in zip(sigs[r["a"]], sigs[r["b"]])
+        )
+        assert r["est_jaccard"] == round(agree / 16, 6), r
