@@ -516,20 +516,21 @@ def winnow_pairs(
         .filter(F.col("__df").between(2, max_df))
         .select("fingerprint")
     )
-    posting = (
-        fps.join(surviving, "fingerprint")
-        .groupBy("fingerprint")
-        .agg(F.collect_list("doc_id").alias("__docs"))
-        .select("__docs")
-    )
-    # double-EXPLODE, not flatten(transform(transform)): the nested
-    # transform materializes all df² structs in ONE row buffer before
-    # anything filters, while explode×2 streams df² ROWS through
-    # codegen and lets the pair aggregation start combining map-side
-    # (the _pair_common_counts shape; 63 s → ~7 s on the sf0.1 gate)
+    posting = fps.join(surviving, "fingerprint")
+    # intra-bucket pairs via a streaming SELF-JOIN on the fingerprint
+    # (r12; the same reform as _pair_common_counts / r11's
+    # simhash_pairs): the old collect_list + double-explode buffered
+    # each posting list in an ObjectHashAggregate before exploding
+    # df² rows — the self-join emits the same a<b pairs from codegen'd
+    # join machinery with NO posting buffer, and the two sides
+    # canonicalize equal so the bucket exchange is built once (AQE
+    # runtime stage reuse)
     pairs = (
-        posting.select(F.explode("__docs").alias("__a"), "__docs")
-        .select("__a", F.explode("__docs").alias("__b"))
+        posting.select("fingerprint", F.col("doc_id").alias("__a"))
+        .join(
+            posting.select("fingerprint", F.col("doc_id").alias("__b")),
+            "fingerprint",
+        )
         .filter(F.col("__a") < F.col("__b"))
         .groupBy(F.col("__a").alias("a"), F.col("__b").alias("b"))
         .agg(F.count("*").cast("bigint").alias("shared"))

@@ -455,3 +455,26 @@ def test_minhash_lsh_pairs_dedup_shuffles_estimate_not_sigs(spark):
             p == q for p, q in zip(sigs[r["a"]], sigs[r["b"]])
         )
         assert r["est_jaccard"] == round(agree / 16, 6), r
+
+
+def test_winnow_pairs_selfjoin_no_posting_buffers(spark):
+    """r12: winnow_pairs uses the same streaming self-join reform as
+    _pair_common_counts — no collect_list posting buffer in the pair
+    path (the fingerprint persist below is the one allowed cache)."""
+    from pipit_spark.llm.text import winnow_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again "
+          + ("pad " * (i % 3))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = winnow_pairs(docs, min_shared=1)
+    rows = out.collect()
+    assert rows  # near-identical docs must pair
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    tail = plan.split("InMemoryRelation")[0]
+    assert "collect_list" not in tail, tail
+    assert "ObjectHashAggregate" not in tail, tail
+    for r in rows:
+        assert r["a"] < r["b"] and r["shared"] >= 1
+    spark.catalog.clearCache()
