@@ -319,7 +319,9 @@ def multirun_analysis(
     — the scale-friendly shape when the function set is wide."""
     parts = []
     for t in traces:
-        nproc = t.events.select(S.PROCESS).distinct().count()
+        # the memoized per-trace scalar (r12): repeat multirun calls —
+        # and any binning operator on the same traces — share one job
+        nproc = t.time_stats()[2]
         fp = flat_profile(t, metrics=metric, groupby_column=groupby_column)
         parts.append(fp.withColumn("num_processes", F.lit(nproc)))
     allp = parts[0]
