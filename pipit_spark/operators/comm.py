@@ -38,33 +38,63 @@ def _sender_col(df: DataFrame):
     return F.element_at(F.col(S.ATTRIBUTES), S.ATTR_SENDER).cast("int")
 
 
-def _channel_sends(events: DataFrame) -> DataFrame:
-    """Send Instants projected to their channel — ONE owner of the
-    send definition (event type, name set, attribute columns) so
-    :func:`match_messages` and :func:`message_latency`'s side counts
-    can never diverge on what a send is."""
-    inst = events.filter(F.col(S.EVENT_TYPE) == "Instant")
-    return inst.filter(F.col(S.NAME).isin(*S.SEND_NAMES)).select(
-        F.col(S.PROCESS).cast("int").alias("src"),
-        _receiver_col(inst).alias("dst"),
-        F.col(S.TIMESTAMP).alias("send_ts"),
-        F.col(S.EVENT_ID).alias("send_event_id"),
-        _msg_length_col(inst).cast("long").alias("msg_length"),
+def _channel_ranked(events: DataFrame) -> DataFrame:
+    """ONE tagged scan of the send+recv Instants with the FIFO rank
+    attached: each row carries its channel (src, dst), role flag
+    ``__snd``, and ``n`` — the row's 1-based rank among its OWN role on
+    its channel in (timestamp, seq) program order, i.e. exactly the
+    ``row_number`` the old two-window formulation computed per side.
+    ONE owner of the send/recv definition (event type, name sets,
+    attribute columns) so :func:`match_messages` and
+    :func:`message_latency`'s side counts can never diverge on what a
+    send is.
+
+    The rank is a conditional cumulative count over a single
+    (src, dst)-partitioned window: the merged (ts, seq) order restricted
+    to one role is that role's own (ts, seq) order, so counting only the
+    role's rows up to the current row reproduces ``row_number`` over the
+    role-only window bit-for-bit. One scan and ONE exchange replace the
+    old shape's two filtered scans + two window exchanges (r13, guide
+    §2.4); HashPartitioning(src, dst) also satisfies every downstream
+    grouping on (src, dst[, n]), so consumers add no further exchange.
+
+    Non-null ``process`` invariant (all readers emit MPI ranks /
+    PE ids): with a null process a send row (src=null) and a recv row
+    (dst=null) could collide in one (null, x)/(x, null) group here,
+    where the old inner join dropped null keys — the readers never
+    produce that row."""
+    from pyspark.sql import Window
+
+    inst = events.filter(F.col(S.EVENT_TYPE) == "Instant").filter(
+        F.col(S.NAME).isin(*S.SEND_NAMES, *S.RECV_NAMES)
+    )
+    is_send = F.col(S.NAME).isin(*S.SEND_NAMES)
+    tagged = inst.select(
+        is_send.alias("__snd"),
+        F.when(is_send, F.col(S.PROCESS).cast("int"))
+        .otherwise(_sender_col(inst))
+        .alias("src"),
+        F.when(is_send, _receiver_col(inst))
+        .otherwise(F.col(S.PROCESS).cast("int"))
+        .alias("dst"),
+        F.col(S.TIMESTAMP).alias("__ts"),
+        F.col(S.EVENT_ID).alias("__eid"),
+        F.when(is_send, _msg_length_col(inst)).cast("long").alias("__len"),
         F.col(S.SEQ).alias("__sq"),
     )
-
-
-def _channel_recvs(events: DataFrame) -> DataFrame:
-    """Recv Instants projected to their channel (see
-    :func:`_channel_sends`)."""
-    inst = events.filter(F.col(S.EVENT_TYPE) == "Instant")
-    return inst.filter(F.col(S.NAME).isin(*S.RECV_NAMES)).select(
-        _sender_col(inst).alias("src"),
-        F.col(S.PROCESS).cast("int").alias("dst"),
-        F.col(S.TIMESTAMP).alias("recv_ts"),
-        F.col(S.EVENT_ID).alias("recv_event_id"),
-        F.col(S.SEQ).alias("__sq"),
+    # program order per channel = (timestamp, per-location seq) — the
+    # same total order the matching kernel uses, so ties at equal ts
+    # are deterministic
+    w = (
+        Window.partitionBy("src", "dst")
+        .orderBy("__ts", "__sq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    n = F.when(
+        F.col("__snd"),
+        F.count(F.when(F.col("__snd"), F.lit(1))).over(w),
+    ).otherwise(F.count(F.when(~F.col("__snd"), F.lit(1))).over(w))
+    return tagged.withColumn("n", n.cast("int")).drop("__sq")
 
 
 def match_messages(events: DataFrame) -> DataFrame:
@@ -78,35 +108,44 @@ def match_messages(events: DataFrame) -> DataFrame:
     (pipit/trace.py:412-428, 453, 485) but never pairs individual
     messages; this is the message-line primitive those views can't give.
 
-    Plan shape: two filtered scans of the Instant rows (sends, recvs),
-    each ranked by a window partitioned on its (src, dst) CHANNEL — not
-    on process — so the shuffle key has |P|² spread and a hot rank
-    doesn't serialize its whole traffic through one task; then one
-    sort-merge equi-join on (src, dst, n). Event bodies never move: only
-    (channel, ts, event_id, msg_length) columns shuffle. Unmatched
-    sends/recvs (truncated traces) drop out of the inner join —
-    :func:`message_latency` surfaces the imbalance per channel.
+    Plan shape (r13, guide §2.4): ONE tagged scan of the Instant rows
+    ranks both roles in a single (src, dst)-partitioned window
+    (:func:`_channel_ranked` — channel keys have |P|² spread, so a hot
+    rank doesn't serialize its traffic through one task), then one hash
+    aggregation on (src, dst, n) pairs the roles — a group holds at most
+    one send and one recv by construction of the per-role rank, and
+    groups missing either side (truncated traces) are filtered, exactly
+    the old inner join's rows. Event bodies never move: only (channel,
+    ts, event_id, msg_length) columns shuffle, and the aggregation
+    reuses the window's exchange, so the whole operator is one scan +
+    one exchange (was: two scans + two window exchanges + a sort-merge
+    join). :func:`message_latency` surfaces the unmatched imbalance per
+    channel.
 
     Returns one row per matched message:
     (src, dst, n, send_event_id, recv_event_id, send_ts, recv_ts,
     latency_ns, msg_length).
     """
-    from pyspark.sql import Window
-
-    sends = _channel_sends(events)
-    recvs = _channel_recvs(events)
-    # program order per channel = (timestamp, per-location seq) — the
-    # same total order the matching kernel uses, so ties at equal ts
-    # are deterministic
-    ws = Window.partitionBy("src", "dst").orderBy("send_ts", "__sq")
-    wr = Window.partitionBy("src", "dst").orderBy("recv_ts", "__sq")
-    s = sends.withColumn("n", F.row_number().over(ws)).drop("__sq")
-    r = recvs.withColumn("n", F.row_number().over(wr)).drop("__sq")
-    return s.join(r, ["src", "dst", "n"]).select(
-        "src", "dst", "n", "send_event_id", "recv_event_id",
-        "send_ts", "recv_ts",
-        (F.col("recv_ts") - F.col("send_ts")).alias("latency_ns"),
-        "msg_length",
+    snd = F.col("__snd")
+    return (
+        _channel_ranked(events)
+        .groupBy("src", "dst", "n")
+        .agg(
+            F.max(F.when(snd, F.col("__eid"))).alias("send_event_id"),
+            F.max(F.when(~snd, F.col("__eid"))).alias("recv_event_id"),
+            F.max(F.when(snd, F.col("__ts"))).alias("send_ts"),
+            F.max(F.when(~snd, F.col("__ts"))).alias("recv_ts"),
+            F.max(F.when(snd, F.col("__len"))).alias("msg_length"),
+            F.max(snd.cast("int")).alias("__hs"),
+            F.max((~snd).cast("int")).alias("__hr"),
+        )
+        .filter((F.col("__hs") == 1) & (F.col("__hr") == 1))
+        .select(
+            "src", "dst", "n", "send_event_id", "recv_event_id",
+            "send_ts", "recv_ts",
+            (F.col("recv_ts") - F.col("send_ts")).alias("latency_ns"),
+            "msg_length",
+        )
     )
 
 
@@ -118,39 +157,52 @@ def message_latency(events: DataFrame) -> DataFrame:
     partition-order-independent. Negative latencies are reported, not
     clamped: a recv stamped before its send is a clock-skew signal the
     analyst wants to SEE (the standard first check before trusting any
-    cross-process timing)."""
-    pairs = match_messages(events)
-    side = (
-        _channel_sends(events)
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n_sends"))
-        .join(
-            _channel_recvs(events)
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("n_recvs")),
-            ["src", "dst"], "full_outer",
+    cross-process timing).
+
+    Plan shape (r13, guide §2.4): the old form made FOUR passes over the
+    comm source (send scan + recv scan for the match join, then separate
+    side-count aggregations stitched with a full-outer join). This form
+    derives everything from :func:`_channel_ranked`'s single tagged scan:
+    a per-(src, dst, n) aggregate pairs the roles, a per-(src, dst)
+    aggregate folds side counts and matched-latency sums together —
+    channels with sends or recvs but no matches keep their counts (the
+    old full-outer semantics) and their latency sums stay NULL (the old
+    left-join semantics). Both aggregates reuse the rank window's
+    exchange: one scan + one exchange total."""
+    snd = F.col("__snd")
+    per_n = (
+        _channel_ranked(events)
+        .groupBy("src", "dst", "n")
+        .agg(
+            F.max(snd.cast("int")).alias("__hs"),
+            F.max((~snd).cast("int")).alias("__hr"),
+            F.max(F.when(snd, F.col("__ts"))).alias("send_ts"),
+            F.max(F.when(~snd, F.col("__ts"))).alias("recv_ts"),
+            F.max(F.when(snd, F.col("__len"))).alias("msg_length"),
         )
     )
-    m = pairs.groupBy("src", "dst").agg(
-        F.count(F.lit(1)).alias("n_matched"),
-        F.sum("latency_ns").alias("total_latency_ns"),
-        F.max("latency_ns").alias("max_latency_ns"),
-        F.sum("msg_length").alias("total_bytes"),
-    )
+    matched = (F.col("__hs") == 1) & (F.col("__hr") == 1)
+    lat = F.col("recv_ts") - F.col("send_ts")
     return (
-        side.join(m, ["src", "dst"], "left")
+        per_n.groupBy("src", "dst")
+        .agg(
+            F.sum("__hs").alias("n_sends"),
+            F.sum("__hr").alias("n_recvs"),
+            F.sum(F.when(matched, 1).otherwise(0)).alias("n_matched"),
+            F.sum(F.when(matched, lat)).alias("total_latency_ns"),
+            F.max(F.when(matched, lat)).alias("max_latency_ns"),
+            F.sum(F.when(matched, F.col("msg_length"))).alias(
+                "total_bytes"
+            ),
+        )
         .select(
-            "src", "dst",
-            F.coalesce("n_sends", F.lit(0)).alias("n_sends"),
-            F.coalesce("n_recvs", F.lit(0)).alias("n_recvs"),
-            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            "src", "dst", "n_sends", "n_recvs", "n_matched",
             "total_latency_ns",
             (
                 F.col("total_latency_ns").cast("double")
                 / F.col("n_matched")
             ).alias("mean_latency_ns"),
-            "max_latency_ns",
-            "total_bytes",
+            "max_latency_ns", "total_bytes",
         )
     )
 
