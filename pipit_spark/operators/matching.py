@@ -151,43 +151,40 @@ def _md5_i64(s: str) -> int:
     return int.from_bytes(h[:8], "big", signed=True)
 
 
-def _stack_match_multi(
-    pdf: pd.DataFrame, group_cols: list[str], metric_cols: list[str]
-) -> pd.DataFrame:
-    """Fused matching pass over a partition holding MANY complete
-    locations: one sort + two stack passes over the whole frame, with the
-    stacks reset at every (process[, thread]) boundary.
+#: segment max call depth above which the vectorized matcher hands the
+#: whole partition to the loop path: parent/node resolution runs one
+#: O(n) numpy pass per depth LEVEL, so pathological recursion (deeper
+#: than any real call tree) would turn the fast path quadratic-ish.
+_VEC_MAX_DEPTH = 256
 
-    Identical semantics to running the pass one location at a time, but
-    the pandas fixed costs (sort, copy, nullable-array assembly) are paid
-    once per *partition* instead of once per *location* — at sf0.1 that is
-    32 calls instead of 1,500, a ~2.5× wall-clock win on the whole pass.
-    """
-    pdf = pdf.sort_values(
-        [*group_cols, S.TIMESTAMP, S.SEQ], kind="mergesort"
-    ).reset_index(drop=True)
-    n = len(pdf)
-    evt = pdf[S.EVENT_TYPE].to_numpy()
-    names = pdf[S.NAME].to_numpy()
-    ts = pdf[S.TIMESTAMP].to_numpy()
-    event_ids = pdf[S.EVENT_ID].to_numpy()
 
-    # group-boundary mask; factorize maps nulls to one sentinel code so a
-    # nullable thread column still groups its null rows together
-    new_group = np.zeros(n, dtype=bool)
-    if n:
-        new_group[0] = True
-        for c in group_cols:
-            codes, _ = pd.factorize(pdf[c], use_na_sentinel=True)
-            new_group[1:] |= codes[1:] != codes[:-1]
+def _match_loops(
+    rows: np.ndarray,
+    new_group: np.ndarray,
+    is_enter: np.ndarray,
+    is_leave: np.ndarray,
+    names: np.ndarray,
+    match_pos: np.ndarray,
+    depth: np.ndarray,
+    parent_pos: np.ndarray,
+    node_of: np.ndarray,
+    has_node: np.ndarray,
+) -> None:
+    """The reference stack passes (pipit/trace.py:154-186, 240-292),
+    run over ``rows`` — the row indices of one or more COMPLETE
+    location segments in partition order. This is the general-case
+    matcher (tolerates unbalanced traces and name-mismatched nesting by
+    scanning the stack downward); :func:`_stack_match_multi` routes
+    only the segments its well-nested audit rejects here, so the loop
+    cost is paid by malformed locations alone. Results are written into
+    the caller's full-length arrays in place.
 
-    is_enter = np.isin(evt, S.ENTER_TYPES)
-    is_leave = np.isin(evt, S.LEAVE_TYPES)
-    match_pos = np.full(n, -1, dtype=np.int64)
-
-    # pass 1: nearest-same-name stack matching (pipit/trace.py:154-186)
+    ``node_memo`` is function-local: node ids are content-addressed
+    (md5 of ``parent_node -> name``), so memo scope never changes
+    values — it is purely a cache."""
+    # pass 1: nearest-same-name stack matching
     stack: list[int] = []
-    for i in range(n):
+    for i in rows:
         if new_group[i]:
             stack.clear()
         if is_enter[i]:
@@ -200,16 +197,10 @@ def _stack_match_multi(
                     match_pos[j] = i
                     break
 
-    # pass 2: depth/parent/node for matched rows (pipit/trace.py:240-292).
-    # node_memo keys on (parent node id, name) — a pure-function memo, so
-    # it safely persists across group boundaries.
-    depth = np.full(n, -1, dtype=np.int64)
-    parent_pos = np.full(n, -1, dtype=np.int64)
-    node_of = np.zeros(n, dtype=np.int64)
-    has_node = np.zeros(n, dtype=bool)
+    # pass 2: depth/parent/node for matched rows
     node_memo: dict[tuple[int, str], int] = {}
     call_stack: list[int] = []
-    for i in range(n):
+    for i in rows:
         if new_group[i]:
             call_stack.clear()
         if match_pos[i] < 0:
@@ -252,6 +243,188 @@ def _stack_match_multi(
             parent_pos[i] = parent_pos[ep]
             node_of[i] = node_of[ep]
             has_node[i] = has_node[ep]
+
+
+def _stack_match_multi(
+    pdf: pd.DataFrame, group_cols: list[str], metric_cols: list[str]
+) -> pd.DataFrame:
+    """Fused matching pass over a partition holding MANY complete
+    locations: one sort, then a VECTORIZED bracket-matching pass over
+    the whole frame (r13, guide §4.2 "do the heavy lifting in native
+    code"), with the reference's Python stack loops
+    (:func:`_match_loops`) as the per-segment fallback for locations
+    that fail the well-nested audit.
+
+    Vectorized path, per location segment (numpy, no per-row Python):
+
+    * ``open_after = cumsum(+1 Enter / −1 Leave)`` (segment-rebased);
+      the audit accepts a segment iff the running sum never dips below
+      zero, ends at zero, and every bracket pair (the k-th Enter and
+      k-th Leave at the same (segment, depth), paired by a single
+      lexsort) has equal names. For such a segment the reference's
+      nearest-same-name stack scan provably pops the top of stack at
+      every Leave, i.e. produces EXACTLY the bracket pairing — the two
+      algorithms are bit-identical wherever the audit passes (pytest-
+      pinned, and the fused pass output is oracle-gated end to end).
+    * depth: Enter = open-before, Leave = its Enter's depth, Instant =
+      open-after when a call is open (the loop's call-stack semantics).
+    * parent: "latest Enter at depth d−1 before me" via one
+      ``np.maximum.accumulate`` per depth LEVEL (call trees are
+      shallow; levels > ``_VEC_MAX_DEPTH`` reroute the partition to the
+      loops). Balanced prefixes guarantee the latest such Enter is the
+      open one, and segment-local openness makes cross-segment leakage
+      impossible.
+    * node ids: level-by-level content addressing — ``np.unique`` over
+      (parent node, name code) pairs per level, one md5 per DISTINCT
+      call-tree node (not per event, the loop's memo hit rate made
+      explicit).
+
+    Identical semantics to running the reference loop one location at a
+    time; the pandas fixed costs are paid once per *partition* and the
+    per-event cost is a handful of numpy passes instead of two Python
+    interpreter loops — the loops only touch malformed segments.
+    """
+    pdf = pdf.sort_values(
+        [*group_cols, S.TIMESTAMP, S.SEQ], kind="mergesort"
+    ).reset_index(drop=True)
+    n = len(pdf)
+    evt = pdf[S.EVENT_TYPE].to_numpy()
+    names = pdf[S.NAME].to_numpy()
+    ts = pdf[S.TIMESTAMP].to_numpy()
+    event_ids = pdf[S.EVENT_ID].to_numpy()
+
+    # group-boundary mask; factorize maps nulls to one sentinel code so a
+    # nullable thread column still groups its null rows together
+    new_group = np.zeros(n, dtype=bool)
+    if n:
+        new_group[0] = True
+        for c in group_cols:
+            codes, _ = pd.factorize(pdf[c], use_na_sentinel=True)
+            new_group[1:] |= codes[1:] != codes[:-1]
+
+    is_enter = np.isin(evt, S.ENTER_TYPES)
+    is_leave = np.isin(evt, S.LEAVE_TYPES)
+    match_pos = np.full(n, -1, dtype=np.int64)
+    depth = np.full(n, -1, dtype=np.int64)
+    parent_pos = np.full(n, -1, dtype=np.int64)
+    node_of = np.zeros(n, dtype=np.int64)
+    has_node = np.zeros(n, dtype=bool)
+
+    if n:
+        seg = np.cumsum(new_group) - 1
+        nseg = int(seg[-1]) + 1
+        delta = is_enter.astype(np.int64) - is_leave.astype(np.int64)
+        tot = np.cumsum(delta)
+        seg_start = np.flatnonzero(new_group)
+        seg_end = np.r_[seg_start[1:] - 1, n - 1]
+        base = np.where(seg_start > 0, tot[np.maximum(seg_start - 1, 0)], 0)
+        open_after = tot - base[seg]
+        open_before = open_after - delta
+
+        # ---- audit: balanced brackets per segment -------------------
+        seg_ok = (np.minimum.reduceat(open_after, seg_start) >= 0) & (
+            open_after[seg_end] == 0
+        )
+        max_depth = int(open_after.max()) if seg_ok.any() else 0
+        if max_depth > _VEC_MAX_DEPTH:
+            seg_ok[:] = False
+
+        el_idx = np.flatnonzero(is_enter | is_leave)
+        if seg_ok.any() and len(el_idx):
+            d_el = np.where(
+                is_enter[el_idx], open_before[el_idx], open_after[el_idx]
+            )
+            order = np.lexsort((el_idx, d_el, seg[el_idx]))
+            srt = el_idx[order]
+            ss, dd = seg[srt], d_el[order]
+            runstart = np.r_[True, (ss[1:] != ss[:-1]) | (dd[1:] != dd[:-1])]
+            run_first = np.flatnonzero(runstart)
+            run_len = np.diff(np.r_[run_first, len(srt)])
+            runid = np.cumsum(runstart) - 1
+            offs = np.arange(len(srt)) - run_first[runid]
+            even = offs % 2 == 0
+            # alternation (E L E L ...) and even run length are implied
+            # by a balanced segment; checked anyway as a cheap guard
+            seg_ok[ss[is_enter[srt] != even]] = False
+            seg_ok[ss[run_first[run_len % 2 == 1]]] = False
+
+            row_ok = seg_ok[ss]
+            e_rows = srt[even & row_ok]
+            l_rows = srt[~even & row_ok]
+            # within a run evens/odds alternate 1:1, so e_rows/l_rows
+            # align pairwise in sorted order
+            bad = names[e_rows] != names[l_rows]
+            if bad.any():
+                seg_ok[seg[e_rows[bad]]] = False
+                still_ok = seg_ok[seg[e_rows]]
+                e_rows, l_rows = e_rows[still_ok], l_rows[still_ok]
+            match_pos[e_rows] = l_rows
+            match_pos[l_rows] = e_rows
+
+        row_ok = seg_ok[seg]
+        if row_ok.any():
+            # ---- depth ---------------------------------------------
+            ok_enter = row_ok & is_enter
+            ok_leave = row_ok & is_leave
+            ok_inst = row_ok & ~is_enter & ~is_leave
+            depth[ok_enter] = open_before[ok_enter]
+            depth[ok_leave] = open_after[ok_leave]
+            inst_open = ok_inst & (open_after > 0)
+            depth[inst_open] = open_after[inst_open]
+
+            # ---- parent: latest Enter at level d−1, per level ------
+            pos = np.arange(n, dtype=np.int64)
+            want = np.full(n, -2, dtype=np.int64)  # -2: no lookup
+            want[ok_enter] = open_before[ok_enter] - 1
+            want[inst_open] = open_after[inst_open] - 1
+            for lev in range(max_depth):
+                marks = np.where(
+                    ok_enter & (open_before == lev), pos, -1
+                )
+                last_at = np.maximum.accumulate(marks)
+                sel = want == lev
+                if sel.any():
+                    parent_pos[sel] = last_at[sel]
+
+            # ---- node ids: level-by-level content addressing -------
+            name_codes, name_uniq = pd.factorize(names)
+            for lev in range(max_depth):
+                r = np.flatnonzero(ok_enter & (open_before == lev))
+                if not len(r):
+                    continue
+                pids = (
+                    np.full(len(r), -1, dtype=np.int64)
+                    if lev == 0
+                    else node_of[parent_pos[r]]
+                )
+                arr = np.stack([pids, name_codes[r].astype(np.int64)], 1)
+                uniq, inv = np.unique(arr, axis=0, return_inverse=True)
+                inv = np.asarray(inv).reshape(-1)
+                vals = np.fromiter(
+                    (
+                        _md5_i64(f"{p}->{name_uniq[c]}")
+                        for p, c in uniq
+                    ),
+                    dtype=np.int64,
+                    count=len(uniq),
+                )
+                node_of[r] = vals[inv]
+                has_node[r] = True
+
+            # ---- leaves copy from their matched Enter --------------
+            lr = np.flatnonzero(ok_leave)
+            if len(lr):
+                ep = match_pos[lr]
+                parent_pos[lr] = parent_pos[ep]
+                node_of[lr] = node_of[ep]
+                has_node[lr] = has_node[ep]
+
+        # ---- fallback: reference loops over failed segments --------
+        if not seg_ok.all():
+            _match_loops(
+                np.flatnonzero(~row_ok), new_group, is_enter, is_leave,
+                names, match_pos, depth, parent_pos, node_of, has_node,
+            )
 
     matched = match_pos >= 0
     safe_match = np.where(matched, match_pos, 0)
