@@ -224,9 +224,20 @@ def _pair_common_counts(
         )
         .select(
             "doc_id",
-            F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(n))).alias(
-                "shingle"
-            ),
+            # int64 shingle surrogate (r13, guide §2.3 "narrower
+            # types"): every downstream consumer — per-doc set sizes,
+            # the df count, the bucket self-join — only needs shingle
+            # EQUALITY, never the text, so the 64-bit xxhash is a
+            # drop-in key: the collect_set buffer holds 8-byte longs
+            # instead of ~25-byte strings, the bucket exchange moves
+            # longs, and the self-join compares longs. Set sizes,
+            # df counts and intersection counts are identical to the
+            # string form absent a 64-bit collision (~1e6 distinct
+            # shingles at sf0.1 → P(collision) ≈ 3e-8; the six
+            # consumer gates stay oracle-green).
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(n)))
+            ).alias("shingle"),
         )
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("__set"))

@@ -504,8 +504,18 @@ def winnow_pairs(
     (clear via ``spark.catalog.clearCache()``)."""
     from pyspark import StorageLevel
 
-    fps = winnow_fingerprints(docs, k=k, w=w).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # int64 fingerprint surrogate (r13, guide §2.3): everything below —
+    # per-doc counts, the df cap, the bucket self-join — needs only
+    # fingerprint EQUALITY, so the 8-hex-char portable string (already a
+    # 32-bit space; the oracle never sees pair internals) rides the
+    # persist, the exchanges and the join as an 8-byte long. Applied
+    # AFTER the per-doc distinct, so per-doc fingerprint counts are
+    # byte-identical to the string form; cross-string xxhash64
+    # collisions on distinct 32-bit values are the only delta (~0).
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w)
+        .select("doc_id", F.xxhash64("fingerprint").alias("fingerprint"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("__n"))
     # df BETWEEN 2 and max_df: singletons can't pair, so they skip the
