@@ -58,22 +58,49 @@ def clean_corpus(
         & F.col("n_tokens").between(min_tokens, max_tokens)
         & (F.col("quality_score") >= min_quality)
     )
-    # keep-first as ONE min_by aggregation, not a fingerprint window:
-    # a hash aggregate combines hot keys map-side, while a window needs
-    # every row of a group in one task — with real-corpus boilerplate
+    # keep-first as ONE aggregation, not a fingerprint window: an
+    # aggregate combines hot keys map-side, while a window needs every
+    # row of a group in one task — with real-corpus boilerplate
     # (millions of identical docs sharing a fingerprint) the window
     # form funnels the whole hot group through a single task at 100 TB.
-    # Same scan count (one), same result (doc_id is unique, so min_by
-    # is deterministic).
-    return (
-        keep.groupBy("fingerprint")
-        .agg(
-            F.min_by(
-                F.struct("doc_id", "n_tokens", "quality_score"),
-                F.col("doc_id"),
-            ).alias("__r")
-        )
-        .select("__r.doc_id", "__r.n_tokens", "__r.quality_score")
+    #
+    # r13 (guide §2.1, §5): the min_by(struct, doc_id) form planned as
+    # a SortAggregate (struct buffers are not UnsafeRow-mutable, and
+    # declarative aggregates can't use ObjectHashAggregate) — a
+    # per-task sort by fingerprint before the partial aggregate. The
+    # winner row is instead packed into ONE order-preserving
+    # decimal(38,0) atom, whose min IS a HashAggregate:
+    #
+    #   atom = doc_id · 2²⁰ + round(quality · 10⁶)
+    #
+    # * ordering: quality_score is round(q, 6) with q ∈ [0, 1] (both
+    #   factors of the score are in [0, 1] by construction), so the
+    #   micro-quality term is an exact integer in [0, 10⁶] ⊂ [0, 2²⁰)
+    #   — the atom orders lexicographically by (doc_id, ·), and doc_id
+    #   is unique, so min(atom) is exactly min_by doc_id;
+    # * decode is bit-exact: pmod recovers the integer micro-quality
+    #   (exact in decimal arithmetic), and qmil/10⁶ in double is the
+    #   correctly-rounded quotient — the same double round(q, 6)
+    #   produced (pytest-pinned bit-equality against the min_by form);
+    # * n_tokens needs no packing: equal fingerprints ⟹ equal
+    #   lowercased normalized text ⟹ identical whitespace structure ⟹
+    #   identical token count, so min(n_tokens) is the winner's value.
+    atom = F.col("doc_id").cast("decimal(38,0)") * F.lit(
+        1 << 20
+    ) + F.round(F.col("quality_score") * F.lit(1000000.0), 0).cast(
+        "decimal(38,0)"
+    )
+    won = keep.groupBy("fingerprint").agg(
+        F.min(atom).alias("__atom"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    qmil = F.pmod(F.col("__atom"), F.lit(1 << 20))
+    return won.select(
+        ((F.col("__atom") - qmil) / F.lit(1 << 20))
+        .cast("long")
+        .alias("doc_id"),
+        "n_tokens",
+        (qmil.cast("double") / F.lit(1000000.0)).alias("quality_score"),
     )
 
 
