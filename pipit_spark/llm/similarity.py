@@ -3020,22 +3020,13 @@ def rrf_fuse_portable_inline(
     broadcast query side is the production retrieval shape for bounded
     batches only)."""
     spark = emb.sparkSession
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    cents = _portable_centroids(nlist, dim, quant)
-    na2s = [sum(c * c for c in cj) for cj in cents]
-
-    qfull = _ivf_probe_frame(
-        _lsh_sig_frame(
-            queries, "qid", "qq", num_tables, num_planes, quant,
-            vec_col, dim,
-        ),
-        cents,
-        na2s,
-        nprobe,
-    ).select("qid", "qq", "sigs", "cells")
-    qrows = qfull.limit(10_001).collect()
-    if len(qrows) > 10_000:
+    # route on a CHEAP bounded count of the raw queries frame (r13,
+    # ADVICE: the old shape built and collected the full query-side
+    # signature+probe subtree and then threw it away on the >10k
+    # fallback; a limited count reads no vector columns and stops at
+    # 10,001 rows)
+    n_q = queries.limit(10_001).count()
+    if n_q > 10_000:
         return rrf_fuse(
             [
                 lsh_topk_portable(
@@ -3050,12 +3041,26 @@ def rrf_fuse_portable_inline(
             ],
             k0=k0, k=k, scale=scale,
         )
-    if not qrows:
+    if not n_q:
         return spark.createDataFrame(
             [],
             "query_id long, rank int, item_id long, rrf_score long, "
             "n_lists int, best_rank int",
         )
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    cents = _portable_centroids(nlist, dim, quant)
+    na2s = [sum(c * c for c in cj) for cj in cents]
+
+    qrows = _ivf_probe_frame(
+        _lsh_sig_frame(
+            queries, "qid", "qq", num_tables, num_planes, quant,
+            vec_col, dim,
+        ),
+        cents,
+        na2s,
+        nprobe,
+    ).select("qid", "qq", "sigs", "cells").collect()
 
     # one corpus frame: (cid, cq, sigs, cell, na2) — signatures via the
     # shared _lsh_sig_frame, cell via the same narrow JVM assignment as
@@ -3179,19 +3184,11 @@ def rrf_ann_indexed(
         )
     vec_col = vec_col or lm.get("vec_col") or "embedding"
     num_planes = lm["num_planes"]
-    cents = _portable_centroids(im["nlist"], im["dim"], im["quant"])
-    na2s = [sum(c * c for c in cj) for cj in cents]
-    qfull = _ivf_probe_frame(
-        _lsh_sig_frame(
-            queries, "qid", "qq", lm["num_tables"], num_planes,
-            lm["quant"], vec_col, lm["dim"],
-        ),
-        cents,
-        na2s,
-        nprobe,
-    ).select("qid", "qq", "sigs", "cells")
-    qrows = qfull.limit(10_001).collect()
-    if len(qrows) > 10_000:
+    # cheap bounded count routes the >10k fallback BEFORE the query-side
+    # signature+probe subtree is built (r13, ADVICE — see
+    # rrf_fuse_portable_inline)
+    n_q = queries.limit(10_001).count()
+    if n_q > 10_000:
         return rrf_fuse(
             [
                 lsh_topk_portable_indexed(
@@ -3204,12 +3201,23 @@ def rrf_ann_indexed(
             ],
             k0=k0, k=k, scale=scale,
         )
-    if not qrows:
+    if not n_q:
         return spark.createDataFrame(
             [],
             "query_id long, rank int, item_id long, rrf_score long, "
             "n_lists int, best_rank int",
         )
+    cents = _portable_centroids(im["nlist"], im["dim"], im["quant"])
+    na2s = [sum(c * c for c in cj) for cj in cents]
+    qrows = _ivf_probe_frame(
+        _lsh_sig_frame(
+            queries, "qid", "qq", lm["num_tables"], num_planes,
+            lm["quant"], vec_col, lm["dim"],
+        ),
+        cents,
+        na2s,
+        nprobe,
+    ).select("qid", "qq", "sigs", "cells").collect()
     qe = spark.createDataFrame(
         [
             (t * (1 << num_planes) + int(sig), r.qid)
