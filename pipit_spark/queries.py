@@ -3281,12 +3281,23 @@ def q_emb_rrf_fusion(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 25 == 0)
     corpus = emb.filter(F.col("vec_id") % 25 != 0)
-    # r12: the fused single-plan form — bit-identical to
-    # rrf_fuse([lsh_topk_portable(corpus, qs, k=5),
-    # ivf_topk_portable(corpus, qs, k=5, nlist=8, nprobe=3)])
-    # (pytest-pinned, same oracle), one corpus pass + one scoring pass
-    return V.rrf_fuse_portable_inline(
-        corpus, qs, k=5, nlist=8, nprobe=3
+    # r13: REVERTED to the two-searcher composition per the r12
+    # verdict's decision rule ("if a quiet-box A/B does not beat the
+    # composition, revert"). Paired in-process alternating A/B on the
+    # r13 box (5 reps after warmup, clear_state between reps): fused
+    # median 13.5 s / min 7.3 s vs composition median 5.7 s / min
+    # 5.4 s — 4/5 paired diffs favor the composition, and the fused
+    # single plan additionally shows a large first-execution cost
+    # (84 s vs 19 s warm run) plus run-to-run variance (7–63 s) that
+    # the composition does not. rrf_fuse_portable_inline stays in the
+    # library (bit-identical results, pytest-pinned) for deployments
+    # where one corpus pass beats two.
+    return V.rrf_fuse(
+        [
+            V.lsh_topk_portable(corpus, qs, k=5),
+            V.ivf_topk_portable(corpus, qs, k=5, nlist=8, nprobe=3),
+        ],
+        k=5,
     )
 
 
