@@ -3344,8 +3344,24 @@ def q_emb_rrf_fusion_indexed(spark, sf_dir):
     prefix = ensure_portable_ann_indexes(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 25 == 0)
-    return V.rrf_ann_indexed(
-        spark, f"{prefix}_lsh", f"{prefix}_ivf", qs, k=5, nprobe=3
+    # r13: REVERTED to the two-searcher composition by the same paired
+    # A/B rule as emb_rrf_fusion (5 alternating reps after warmup,
+    # results verified equal): fused rrf_ann_indexed median 8.8 s /
+    # min 8.0 s vs composition median 7.8 s / min 7.0 s, 4/5 paired
+    # diffs favoring the composition — and in full-bench context the
+    # fused single plan showed the same pathological first-execution /
+    # variance cost as the inline fusion (27.4 s bench median vs ~8 s
+    # isolated). rrf_ann_indexed stays in the library (bit-identical,
+    # pytest-pinned) for deployments where its single-exchange tail
+    # wins.
+    return V.rrf_fuse(
+        [
+            V.lsh_topk_portable_indexed(spark, f"{prefix}_lsh", qs, k=5),
+            V.ivf_topk_portable_indexed(
+                spark, f"{prefix}_ivf", qs, k=5, nprobe=3
+            ),
+        ],
+        k=5,
     )
 
 
