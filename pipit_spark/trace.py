@@ -285,7 +285,16 @@ class Trace:
         cache scan with ``cache=True``), else from the raw events
         frame — matching preserves rows, so the values are identical
         either way. One eager job per Trace, however many binning
-        calls run (r12)."""
+        calls run (r12).
+
+        NOTE this method (and every wrapper passing
+        ``range_bounds=self.time_stats()[:2]``, e.g.
+        :meth:`comm_over_time` / :meth:`comm_matrix_over_time`) runs
+        its one scalar job EAGERLY at call time, not when the returned
+        frame is consumed. ``n_processes`` is ``countDistinct`` over
+        ``process`` and relies on the readers' non-null process
+        invariant (every reader emits an MPI rank / PE id); a null
+        process row would be excluded from the count."""
         if self._time_stats is None:
             # same memo-aware pick as _comm_source: the cached matched
             # frame is a cheap scan; an unpersisted one would re-run

@@ -311,7 +311,12 @@ def test_tfidf_df_branch_reuses_token_explode(spark):
     and exploded ONCE. Pin: final executed plan has exactly one live
     Generate explode and a ReusedExchange over it. Also pins value
     equality of the rewritten df: count_if(tf >= 1) == count(*) per
-    token (tf is a count, always >= 1)."""
+    token (tf is a count, always >= 1).
+
+    The stage-reuse behavior is an optimizer contract verified on
+    Spark 4.1.2 — this pin exists so a Spark upgrade that voids the
+    canonicalization (silent perf regression, results unchanged) is
+    caught here rather than at the bench."""
     from pyspark.sql import functions as F
 
     from pipit_spark.llm.text import bm25_topk, tfidf_topk, _tokens
