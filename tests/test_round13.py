@@ -470,3 +470,23 @@ def test_rrf_inline_empty_queries_early_return(spark):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "rank", "item_id", "rrf_score", "n_lists", "best_rank",
     ]
+
+
+# -------------------------------------------------- load() plan memo
+def test_load_memo_shares_plan_within_pass(spark):
+    """load() memoizes the canonicalized frame per (app, sf_dir, table)
+    so one bench pass lists/reads each table's metadata once; the memo
+    holds immutable PLANS (data is still scanned per execution) and
+    clear_state() drops it, so every steady pass re-lists."""
+    from pipit_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    Q.clear_state(spark)
+    a = Q.load(spark, sf, "documents")
+    b = Q.load(spark, sf, "documents")
+    assert a is b  # shared within a pass
+    Q.clear_state(spark)
+    c = Q.load(spark, sf, "documents")
+    assert c is not a  # re-listed after the pass boundary
+    # memoized plan still computes from the parquet inputs
+    assert c.count() == a.count()
